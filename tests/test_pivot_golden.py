@@ -1,0 +1,181 @@
+"""Golden e2e tests reproducing the reference's five PivotTest scenarios
+byte-for-byte (PivotTest.java:386-548, FIXTURES.md §A), plus the 2-pivot-
+column example-pipeline schema (examples/...-cdap-data-pipeline.json:81-89)
+and on-error routing semantics."""
+
+import pytest
+
+from pyspark.sql import types as T
+
+from pivot_spark import OnError, PivotConfig, PivotError, output_schema, pivot
+
+
+def rows_by_key(df, key):
+    return {r[key]: r.asDict() for r in df.collect()}
+
+
+def test_scenario1_single_column_sum(sales_df):
+    # PivotTest.java:386-401
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2,Q3,Q4",
+        pivot_rows="Product",
+        aggregates="sum:sum(Sales)",
+    )
+    res = pivot(sales_df, cfg)
+    assert res.output.columns == ["Product", "Q1_sum", "Q2_sum", "Q3_sum", "Q4_sum"]
+    out = rows_by_key(res.output, "Product")
+    assert out["Shoes"] == {"Product": "Shoes", "Q1_sum": 100, "Q2_sum": 50, "Q3_sum": 80, "Q4_sum": 50}
+    assert out["Shirts"] == {"Product": "Shirts", "Q1_sum": 80, "Q2_sum": None, "Q3_sum": None, "Q4_sum": 70}
+    assert out["Socks"] == {"Product": "Socks", "Q1_sum": 40, "Q2_sum": 40, "Q3_sum": 60, "Q4_sum": 90}
+
+
+def test_scenario2_brand_row_alias_total(sales_df):
+    # PivotTest.java:403-419
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2,Q3,Q4",
+        pivot_rows="Brand",
+        aggregates="total:sum(Sales)",
+    )
+    out = rows_by_key(pivot(sales_df, cfg).output, "Brand")
+    assert out["Nike"] == {"Brand": "Nike", "Q1_total": 70, "Q2_total": 60, "Q3_total": 70, "Q4_total": 150}
+    assert out["Reebok"] == {"Brand": "Reebok", "Q1_total": 150, "Q2_total": 30, "Q3_total": 70, "Q4_total": 60}
+
+
+def test_scenario3_string_min_max(sales_df):
+    # PivotTest.java:421-437 — case-insensitive string min/max
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2,Q3,Q4",
+        pivot_rows="Product",
+        aggregates="min:min(Brand),max:max(Brand)",
+    )
+    out = rows_by_key(pivot(sales_df, cfg).output, "Product")
+    assert out["Shoes"]["Q1_min"] == "Nike" and out["Shoes"]["Q1_max"] == "Reebok"
+    assert out["Shirts"]["Q2_min"] is None and out["Shirts"]["Q2_max"] is None
+    assert out["Socks"]["Q1_min"] == "Reebok" and out["Socks"]["Q1_max"] == "Reebok"
+    assert out["Socks"]["Q2_min"] == "Nike" and out["Socks"]["Q2_max"] == "Nike"
+
+
+def test_scenario4_default_value_and_aliases(sales_df):
+    # PivotTest.java:439-456
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2,Q3,Q4",
+        pivot_rows="Product",
+        aggregates="sum:sum(Sales)",
+        default_value="0",
+        field_aliases="Q1_sum:Quarter_1_sum,Q2_sum:Quarter_2_sum",
+    )
+    res = pivot(sales_df, cfg)
+    assert res.output.columns == ["Product", "Quarter_1_sum", "Quarter_2_sum", "Q3_sum", "Q4_sum"]
+    out = rows_by_key(res.output, "Product")
+    assert out["Shirts"]["Quarter_2_sum"] == 0
+    assert out["Shirts"]["Q3_sum"] == 0
+    assert out["Shirts"]["Quarter_1_sum"] == 80
+
+
+def test_scenario5_two_pivot_rows(sales_df):
+    # PivotTest.java:533-548
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2,Q3,Q4",
+        pivot_rows="Brand,Product",
+        aggregates="sum:sum(Sales)",
+    )
+    res = pivot(sales_df, cfg)
+    assert res.output.columns[:2] == ["Brand", "Product"]
+    out = {(r["Brand"], r["Product"]): r.asDict() for r in res.output.collect()}
+    assert len(out) == 6
+    assert out[("Nike", "Shoes")]["Q1_sum"] == 50
+    assert out[("Nike", "Shirts")]["Q2_sum"] is None
+    assert out[("Reebok", "Socks")]["Q1_sum"] == 40
+    assert out[("Reebok", "Shoes")]["Q4_sum"] == 10
+
+
+def test_scenario6_two_pivot_columns(sales_df):
+    # examples/pivot_file_source_sink_example-cdap-data-pipeline.json:81-89 —
+    # generated schema is Q1_Nike_Sum... (first-declared column first).
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2,Q3,Q4;Brand=Nike,Reebok,Addidas",
+        pivot_rows="Product",
+        aggregates="Sum:sum(Sales)",
+    )
+    res = pivot(sales_df, cfg)
+    assert res.output.columns[:4] == ["Product", "Q1_Nike_Sum", "Q1_Reebok_Sum", "Q1_Addidas_Sum"]
+    assert len(res.output.columns) == 1 + 12
+    out = rows_by_key(res.output, "Product")
+    assert out["Shoes"]["Q1_Nike_Sum"] == 50
+    assert out["Shoes"]["Q1_Reebok_Sum"] == 50
+    assert out["Shoes"]["Q1_Addidas_Sum"] is None
+    assert out["Shirts"]["Q4_Nike_Sum"] == 50
+
+
+def test_output_schema_matches_runtime(sales_df):
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2;Brand=Nike,Reebok",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales),n:count(*),a:avg(Sales),cl:collectlist(Brand)",
+        field_aliases="Q1_Nike_s:q1n",
+    )
+    static = output_schema(cfg, sales_df.schema)
+    runtime = pivot(sales_df, cfg).output.schema
+    assert [f.name for f in static.fields] == [f.name for f in runtime.fields]
+    assert [f.dataType for f in static.fields] == [f.dataType for f in runtime.fields]
+    # every generated aggregate column is nullable (Pivot.java:292)
+    assert all(f.nullable for f in static.fields[1:])
+
+
+def test_on_error_skip_keeps_groups(sales_df):
+    # partial value list: Q3/Q4 rows excluded from cells, groups survive
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales)",
+        on_error="skip-error",
+    )
+    out = rows_by_key(pivot(sales_df, cfg).output, "Product")
+    assert set(out) == {"Shoes", "Shirts", "Socks"}
+    assert out["Shoes"]["Q1_s"] == 100 and out["Shoes"]["Q2_s"] == 50
+
+
+def test_on_error_port_routes_bad_groups(spark):
+    rows = [("a", "X", 1), ("a", "Y", 2), ("b", "X", 3), ("b", "BAD", 4), ("c", "Y", 5)]
+    df = spark.createDataFrame(rows, ["k", "p", "v"])
+    cfg = PivotConfig(
+        pivot_columns="p=X,Y",
+        pivot_rows="k",
+        aggregates="s:sum(v)",
+        on_error=OnError.ERROR_PORT,
+    )
+    res = pivot(df, cfg)
+    out = rows_by_key(res.output, "k")
+    assert set(out) == {"a", "c"}  # group b suppressed
+    assert out["a"] == {"k": "a", "X_s": 1, "Y_s": 2}
+    errs = [r["k"] for r in res.errors.collect()]
+    assert errs == ["b"]
+
+
+def test_on_error_fail_raises(spark):
+    df = spark.createDataFrame([("a", "X", 1), ("a", "Z", 2)], ["k", "p", "v"])
+    cfg = PivotConfig(
+        pivot_columns="p=X,Y",
+        pivot_rows="k",
+        aggregates="s:sum(v)",
+        on_error=OnError.FAIL,
+    )
+    with pytest.raises(PivotError):
+        pivot(df, cfg)
+    # clean input does not raise
+    ok = spark.createDataFrame([("a", "X", 1), ("a", "Y", 2)], ["k", "p", "v"])
+    assert pivot(ok, cfg).output.count() == 1
+
+
+def test_validation_against_schema(sales_df):
+    from pivot_spark import PivotConfigError
+
+    cfg = PivotConfig(
+        pivot_columns="Nope=Q1",
+        pivot_rows="AlsoNope",
+        aggregates="s:sum(Brand)",  # non-numeric
+    )
+    with pytest.raises(PivotConfigError) as e:
+        pivot(sales_df, cfg)
+    msgs = "\n".join(e.value.errors)
+    assert "Nope" in msgs and "AlsoNope" in msgs and "numeric" in msgs
