@@ -1,0 +1,568 @@
+"""Declared correctness queries (SURVEY.md §2.4): P01-P21, P23 + extensions.
+
+Each query is a (spark, sf_dir) -> DataFrame callable built on the public
+pivot_spark operators, paired with an ANSI-SQL oracle that DuckDB runs on
+the same parquet tables. Column names are aliased identically on both
+sides (the driver sorts columns by name before value-hashing). DOUBLE
+outputs are rounded to 4 decimals on BOTH sides (FIXTURES.md
+canonicalization contract) so summation-order ulps can't flip the hash.
+
+DuckDB-1.0 oracle idioms used here (probed, see tests):
+* pivot cell == ANSI ``agg(x) FILTER (cond)``;
+* deterministic arg-min with composite key == ``(min({'k': key, 'v': x})
+  FILTER (cond)).v`` (struct min is lexicographic, like Spark's
+  ``min(struct(...))``);
+* first/last by ``(l_orderkey, l_linenumber)`` use the scalar key
+  ``l_orderkey*8 + l_linenumber`` (l_linenumber ∈ 1..7) on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pivot_spark.config import PivotConfig
+from pivot_spark.operators.dedup import dedup_exact
+from pivot_spark.operators.pivot import pivot
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+FLAGS = ["A", "N", "R"]
+
+
+def query(name: str, oracle: "str | None" = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from pivot_spark.sources.catalog import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+def round_doubles(df: DataFrame, scale: int = 4) -> DataFrame:
+    cols = [
+        F.round(F.col(f.name), scale).alias(f.name)
+        if isinstance(f.dataType, T.DoubleType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
+def _pivot_li(spark, sf_dir, aggregates, *, values="A,N,R", order_by=None, **kw):
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns=f"l_returnflag={values}",
+        pivot_rows="l_linenumber",
+        aggregates=aggregates,
+        order_by=order_by,
+        **kw,
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+def _li_oracle(cells, values=FLAGS, row="l_linenumber", table="lineitem", extra=""):
+    """cells: list[(alias, fn)] where fn(filter_sql) -> expression SQL."""
+    cols = []
+    for v in values:
+        f = f"l_returnflag = '{v}'"
+        for alias, fn in cells:
+            cols.append(f'{fn(f)} AS "{v}_{alias}"')
+    return f"SELECT {row}, " + ", ".join(cols) + f" FROM {table} GROUP BY {row}{extra}"
+
+
+# --------------------------------------------------------------------------
+# P01-P23: the reference pivot surface (SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+@query("p01", _li_oracle([("cnt", lambda f: f"count(l_quantity) FILTER ({f})")]))
+def p01(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "cnt:count(l_quantity)")
+
+
+@query("p02", _li_oracle([("call", lambda f: f"count(*) FILTER ({f})")]))
+def p02(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "call:count(*)")
+
+
+@query(
+    "p03",
+    _li_oracle(
+        [
+            (
+                "cd",
+                lambda f: (
+                    f"CAST(count(DISTINCT l_suppkey) FILTER ({f}) + "
+                    f"coalesce(max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) "
+                    f"FILTER ({f}), 0) AS INTEGER)"
+                ),
+            )
+        ]
+    ),
+)
+def p03(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "cd:countdistinct(l_suppkey)")
+
+
+@query("p04", _li_oracle([("s", lambda f: f"round(sum(l_quantity) FILTER ({f}), 4)")]))
+def p04(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "s:sum(l_quantity)")
+
+
+@query("p05", _li_oracle([("a", lambda f: f"round(avg(l_discount) FILTER ({f}), 4)")]))
+def p05(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "a:avg(l_discount)")
+
+
+@query(
+    "p06",
+    _li_oracle(
+        [
+            ("mn", lambda f: f"round(min(l_extendedprice) FILTER ({f}), 4)"),
+            ("mx", lambda f: f"round(max(l_extendedprice) FILTER ({f}), 4)"),
+        ]
+    ),
+)
+def p06(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "mn:min(l_extendedprice),mx:max(l_extendedprice)")
+
+
+def _ci_extreme(col, f, which):
+    # case-insensitive min/max with binary tie-break == struct min/max over
+    # (lower(x), x) — the same composite key the Spark builder uses.
+    return (
+        f"({which}({{'k': lower({col}), 'v': {col}}}) "
+        f"FILTER ({f} AND {col} IS NOT NULL)).v"
+    )
+
+
+@query(
+    "p07",
+    _li_oracle(
+        [
+            ("mn", lambda f: _ci_extreme("l_linestatus", f, "min")),
+            ("mx", lambda f: _ci_extreme("l_linestatus", f, "max")),
+        ]
+    ),
+)
+def p07(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "mn:min(l_linestatus),mx:max(l_linestatus)")
+
+
+_ORD = "l_orderkey * 8 + l_linenumber"  # l_linenumber in 1..7 -> unique scalar key
+
+
+@query(
+    "p08",
+    _li_oracle(
+        [
+            (
+                "f",
+                lambda f: (
+                    f"strftime((min({{'k': {_ORD}, 'v': l_shipdate}}) FILTER ({f})).v, "
+                    f"'%Y-%m-%d %H:%M:%S')"
+                ),
+            ),
+            (
+                "l",
+                lambda f: (
+                    f"strftime((max({{'k': {_ORD}, 'v': l_shipdate}}) FILTER ({f})).v, "
+                    f"'%Y-%m-%d %H:%M:%S')"
+                ),
+            ),
+        ]
+    ),
+)
+def p08(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem").withColumn(
+        "__ord", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N,R",
+        pivot_rows="l_linenumber",
+        aggregates="f:first(l_shipdate),l:last(l_shipdate)",
+        order_by=["__ord"],
+    )
+    out = pivot(df, cfg).output
+    fmt = [
+        F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss").alias(c)
+        if c != "l_linenumber"
+        else F.col(c)
+        for c in out.columns
+    ]
+    return out.select(*fmt)
+
+
+@query(
+    "p09",
+    _li_oracle(
+        [
+            ("sd", lambda f: f"round(stddev_pop(l_quantity) FILTER ({f}), 4)"),
+            ("v", lambda f: f"round(var_pop(l_quantity) FILTER ({f}), 4)"),
+        ]
+    ),
+)
+def p09(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "sd:stddev(l_quantity),v:variance(l_quantity)")
+
+
+@query(
+    "p10",
+    _li_oracle(
+        [
+            (
+                "cl",
+                lambda f: (
+                    f"coalesce(list(l_linestatus ORDER BY l_linestatus) FILTER ({f}), [])"
+                ),
+            )
+        ]
+    ),
+)
+def p10(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "cl:collectlist(l_linestatus)")
+
+
+@query(
+    "p11",
+    _li_oracle(
+        [
+            (
+                "cs",
+                lambda f: (
+                    f"coalesce(list(DISTINCT l_linestatus ORDER BY l_linestatus) "
+                    f"FILTER ({f}), [])"
+                ),
+            )
+        ]
+    ),
+)
+def p11(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "cs:collectset(l_linestatus)")
+
+
+_P12_ORACLE = (
+    "SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+    + ", ".join(
+        f"coalesce((min({{'k': -length(o_orderpriority), 'v': o_orderpriority}}) "
+        f"FILTER (o_orderstatus = '{v}' AND o_orderpriority IS NOT NULL)).v, '') "
+        f'AS "{v}_lo", '
+        f"(min({{'k': length(o_orderpriority), 'v': o_orderpriority}}) "
+        f"FILTER (o_orderstatus = '{v}' AND o_orderpriority IS NOT NULL)).v "
+        f'AS "{v}_sh"'
+        for v in ["O", "F", "P"]
+    )
+    + " FROM orders GROUP BY order_year"
+)
+
+
+@query("p12", _P12_ORACLE)
+def p12(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    cfg = PivotConfig(
+        pivot_columns="o_orderstatus=O,F,P",
+        pivot_rows="order_year",
+        aggregates="lo:longeststring(o_orderpriority),sh:shorteststring(o_orderpriority)",
+    )
+    return pivot(df, cfg).output
+
+
+_EVENT_TYPES = ["click", "view", "purchase"]
+
+_P13_ORACLE = (
+    "SELECT bucket, "
+    + ", ".join(
+        f"count(*) FILTER (event_type = '{v}' AND p IS NULL) AS \"{v}_nn\""
+        for v in _EVENT_TYPES
+    )
+    + " FROM (SELECT user_id % 10 AS bucket, event_type, "
+    "CASE WHEN value < 20 THEN NULL ELSE props END AS p FROM events) GROUP BY bucket"
+)
+
+
+@query("p13", _P13_ORACLE)
+def p13(spark, sf_dir):
+    df = (
+        _read(spark, sf_dir, "events")
+        .withColumn("bucket", F.col("user_id") % 10)
+        .withColumn(
+            "p",
+            F.when(F.col("value") < 20, F.lit(None).cast("string")).otherwise(
+                F.col("props")
+            ),
+        )
+    )
+    cfg = PivotConfig(
+        pivot_columns="event_type=" + ",".join(_EVENT_TYPES),
+        pivot_rows="bucket",
+        aggregates="nn:countnulls(p)",
+    )
+    return pivot(df, cfg).output
+
+
+@query(
+    "p14",
+    _li_oracle(
+        [
+            (
+                "c",
+                lambda f: (
+                    f"coalesce(string_agg(l_linestatus, ', ' ORDER BY l_linestatus) "
+                    f"FILTER ({f}), '')"
+                ),
+            ),
+            (
+                "cdx",
+                lambda f: (
+                    f"coalesce(string_agg(DISTINCT l_linestatus, ', ' "
+                    f"ORDER BY l_linestatus) FILTER ({f}), '')"
+                ),
+            ),
+        ]
+    ),
+)
+def p14(spark, sf_dir):
+    return _pivot_li(
+        spark, sf_dir, "c:concat(l_linestatus),cdx:concatdistinct(l_linestatus)"
+    )
+
+
+_P15_ORACLE = (
+    "SELECT bucket, "
+    + ", ".join(
+        f"coalesce(bool_and(b) FILTER (event_type = '{v}'), true) AS \"{v}_la\", "
+        f"coalesce(bool_or(b) FILTER (event_type = '{v}'), false) AS \"{v}_lr\""
+        for v in _EVENT_TYPES
+    )
+    + " FROM (SELECT user_id % 10 AS bucket, event_type, value > 50 AS b FROM events) "
+    "GROUP BY bucket"
+)
+
+
+@query("p15", _P15_ORACLE)
+def p15(spark, sf_dir):
+    df = (
+        _read(spark, sf_dir, "events")
+        .withColumn("bucket", F.col("user_id") % 10)
+        .withColumn("b", F.col("value") > 50)
+    )
+    cfg = PivotConfig(
+        pivot_columns="event_type=" + ",".join(_EVENT_TYPES),
+        pivot_rows="bucket",
+        aggregates="la:logicaland(b),lr:logicalor(b)",
+    )
+    return pivot(df, cfg).output
+
+
+@query(
+    "p16",
+    _li_oracle(
+        [
+            (
+                "ss",
+                lambda f: (
+                    f"round(coalesce(sum(l_discount * l_discount) FILTER ({f}), 0), 4)"
+                ),
+            ),
+            (
+                "css",
+                lambda f: (
+                    f"round(sum(l_discount * l_discount) FILTER ({f}) - "
+                    f"pow(sum(l_discount) FILTER ({f}), 2) / "
+                    f"count(l_discount) FILTER ({f}), 4)"
+                ),
+            ),
+        ]
+    ),
+)
+def p16(spark, sf_dir):
+    return _pivot_li(
+        spark, sf_dir,
+        "ss:sumofsquares(l_discount),css:correctedsumofsquares(l_discount)",
+    )
+
+
+_P17_ORACLE = (
+    "SELECT l_linenumber, "
+    + ", ".join(
+        f"round(sum(l_quantity) FILTER (l_returnflag = '{v1}' AND "
+        f"l_linestatus = '{v2}'), 4) AS \"{v1}_{v2}_s\""
+        for v1 in FLAGS
+        for v2 in ["O", "F"]
+    )
+    + " FROM lineitem GROUP BY l_linenumber"
+)
+
+
+@query("p17", _P17_ORACLE)
+def p17(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N,R;l_linestatus=O,F",
+        pivot_rows="l_linenumber",
+        aggregates="s:sum(l_quantity)",
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+_P18_ORACLE = (
+    "SELECT l_returnflag, l_linestatus, "
+    + ", ".join(
+        f"round(sum(l_quantity) FILTER (l_linenumber = {n}), 4) AS \"{n}_s\""
+        for n in [1, 2, 3]
+    )
+    + " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@query("p18", _P18_ORACLE)
+def p18(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_linenumber=1,2,3",
+        pivot_rows="l_returnflag,l_linestatus",
+        aggregates="s:sum(l_quantity)",
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+_P19_ORACLE = (
+    "SELECT l_linenumber, "
+    "round(coalesce(sum(l_quantity) FILTER (l_returnflag = 'A'), 0), 4) AS flag_a_total, "
+    "round(coalesce(sum(l_quantity) FILTER (l_returnflag = 'N'), 0), 4) AS \"N_s\", "
+    "round(coalesce(sum(l_quantity) FILTER (l_returnflag = 'R'), 0), 4) AS \"R_s\" "
+    "FROM lineitem GROUP BY l_linenumber"
+)
+
+
+@query("p19", _P19_ORACLE)
+def p19(spark, sf_dir):
+    return _pivot_li(
+        spark, sf_dir, "s:sum(l_quantity)",
+        default_value="0", field_aliases="A_s:flag_a_total",
+    )
+
+
+@query(
+    "p20",
+    "SELECT l_linenumber, "
+    "round(sum(l_quantity) FILTER (l_returnflag = 'A'), 4) AS \"A_s\", "
+    "round(sum(l_quantity) FILTER (l_returnflag = 'N'), 4) AS \"N_s\" "
+    "FROM lineitem GROUP BY l_linenumber",
+)
+def p20(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "s:sum(l_quantity)", values="A,N", on_error="skip-error")
+
+
+_P21_ORACLE = (
+    "SELECT l_orderkey, "
+    "round(sum(l_quantity) FILTER (l_returnflag = 'A'), 4) AS \"A_s\", "
+    "round(sum(l_quantity) FILTER (l_returnflag = 'N'), 4) AS \"N_s\" "
+    "FROM lineitem GROUP BY l_orderkey "
+    "HAVING count(*) FILTER (l_returnflag NOT IN ('A','N') OR l_returnflag IS NULL) = 0"
+)
+
+
+@query("p21", _P21_ORACLE)
+def p21(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N",
+        pivot_rows="l_orderkey",
+        aggregates="s:sum(l_quantity)",
+        on_error="send-to-error-port",
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+@query(
+    "p21_errors",
+    "SELECT DISTINCT l_orderkey FROM lineitem "
+    "WHERE l_returnflag NOT IN ('A','N') OR l_returnflag IS NULL",
+)
+def p21_errors(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N",
+        pivot_rows="l_orderkey",
+        aggregates="s:sum(l_quantity)",
+        on_error="send-to-error-port",
+    )
+    return pivot(df, cfg).errors
+
+
+_P23_FILTER = "NOT (l_returnflag = 'R' AND l_linenumber <= 2)"
+
+_P23_ORACLE = (
+    "SELECT l_linenumber, "
+    + ", ".join(
+        f"count(*) FILTER (l_returnflag = '{v}') AS \"{v}_cnt\", "
+        f"coalesce(bool_and(b) FILTER (l_returnflag = '{v}'), true) AS \"{v}_la\", "
+        f"round(coalesce(sum(l_discount * l_discount) FILTER (l_returnflag = '{v}'), 0), 4) "
+        f'AS "{v}_ss"'
+        for v in FLAGS
+    )
+    + f" FROM (SELECT *, l_quantity > 0 AS b FROM lineitem WHERE {_P23_FILTER}) "
+    "GROUP BY l_linenumber"
+)
+
+
+@query("p23", _P23_ORACLE)
+def p23(spark, sf_dir):
+    df = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(~((F.col("l_returnflag") == "R") & (F.col("l_linenumber") <= 2)))
+        .withColumn("b", F.col("l_quantity") > 0)
+    )
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N,R",
+        pivot_rows="l_linenumber",
+        aggregates="cnt:count(*),la:logicaland(b),ss:sumofsquares(l_discount)",
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+# --------------------------------------------------------------------------
+# Extension queries (north-star operators, SURVEY.md §7)
+# --------------------------------------------------------------------------
+
+@query(
+    "e01_dedup_exact",
+    "SELECT user_id, event_type, min(event_id) AS event_id, "
+    "round((min({'k': event_id, 'v': value})).v, 4) AS value "
+    "FROM events GROUP BY user_id, event_type",
+)
+def e01_dedup_exact(spark, sf_dir):
+    df = _read(spark, sf_dir, "events")
+    out = dedup_exact(df, ["user_id", "event_type"], order_by=["event_id"])
+    return round_doubles(out.select("user_id", "event_type", "event_id", "value"))
+
+
+@query(
+    "e02_text_stats",
+    "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars, "
+    "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+    "CAST(count(DISTINCT source) AS INTEGER) AS n_sources "
+    "FROM documents GROUP BY lang",
+)
+def e02_text_stats(spark, sf_dir):
+    df = _read(spark, sf_dir, "documents")
+    out = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count_distinct("source").cast("int").alias("n_sources"),
+    )
+    return round_doubles(out)

@@ -29,6 +29,11 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp
+    # type, so read it as epoch-nanos long (runtime-settable SQL conf).
+    # Convert with F.timestamp_micros((col("ts") / 1000).cast("long")) where
+    # event time is needed.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
