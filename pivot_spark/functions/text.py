@@ -1,0 +1,144 @@
+"""Text-analysis functions for training-data pipelines.
+
+All pure Catalyst expressions (no Python UDFs): language-ID by stopword
+scoring, quality metrics (length / punctuation / stopword ratios), token
+counting (whitespace + a word-regex), and document fingerprinting (MD5 of
+normalized text — MD5 so the result is oracle-checkable against DuckDB's
+``md5``; for scale-only use, ``F.xxhash64`` is cheaper and the swap is one
+line).
+
+Each function takes and returns Columns so they compose into any plan and
+stay inside whole-stage codegen — at 100 TB these run in the scan stage
+with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small, fixed stopword inventories — the *determinism* matters more than
+# linguistic accuracy here; extend freely.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "se", "del", "las"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "du", "est", "pour"],
+    "zh": [],  # detected by CJK codepoint presence, not stopwords
+}
+
+WORD_RE = r"[A-Za-z0-9]+"  # same syntax/semantics in Java regex and RE2/DuckDB
+CJK_RE = r"[一-鿿]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (empty strings removed)."""
+    return F.filter(F.split(text, r"\s+"), lambda w: w != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_count(text: Column) -> Column:
+    """Count of WORD_RE matches — a BPE-ish pre-tokenizer proxy."""
+    return F.regexp_count(text, F.lit(WORD_RE))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII alphanumeric."""
+    stripped = F.regexp_replace(text, r"[^A-Za-z0-9]", "")
+    return F.when(F.length(text) > 0, F.length(stripped) / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def punct_ratio(text: Column) -> Column:
+    kept = F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", "")
+    return F.when(F.length(text) > 0, F.length(kept) / F.length(text)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def mean_token_len(text: Column) -> Column:
+    t = tokens(text)
+    return F.when(
+        F.size(t) > 0,
+        F.aggregate(t, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w))
+        / F.size(t),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_count(text: Column, lang: str = "en") -> Column:
+    return _dict_hits(tokens(F.lower(text)), LANG_STOPWORDS[lang])
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    t = tokens(F.lower(text))
+    return F.when(F.size(t) > 0, _dict_hits(t, LANG_STOPWORDS[lang]) / F.size(t)).otherwise(
+        F.lit(0.0)
+    )
+
+
+def _dict_hits(toks: Column, words: list[str]) -> Column:
+    d = F.array(*[F.lit(w) for w in words]) if words else F.array().cast("array<string>")
+    return F.size(F.filter(toks, lambda w: F.array_contains(d, w)))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, mostly alphanumeric,
+    not punctuation-soup, some stopwords (≈ natural language)."""
+    len_score = F.least(char_count(text) / F.lit(200.0), F.lit(1.0))
+    return F.round(
+        0.4 * len_score
+        + 0.3 * alpha_ratio(text)
+        + 0.2 * (1 - F.least(punct_ratio(text) * 5, F.lit(1.0)))
+        + 0.1 * F.least(stopword_ratio(text) * 10, F.lit(1.0)),
+        4,
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language integer scores. ``zh`` scores CJK codepoints; others
+    score stopword occurrences."""
+    toks = tokens(F.lower(text))
+    scores: dict[str, Column] = {}
+    for lang, words in LANG_STOPWORDS.items():
+        if lang == "zh":
+            scores[lang] = F.regexp_count(text, F.lit(CJK_RE))
+        else:
+            scores[lang] = _dict_hits(toks, words)
+    return scores
+
+
+def lang_guess(text: Column) -> Column:
+    """Argmax language with a deterministic priority-order tie-break: a
+    forward CASE chain, so on equal scores the earlier language in
+    LANG_STOPWORDS order wins; 'und' when every score is 0. The same CASE
+    chain is expressible verbatim in SQL for oracle checks."""
+    scores = lang_scores(text)
+    langs = list(scores)
+    expr = None
+    for lang in langs:
+        cond = scores[lang] > 0
+        for other in langs:
+            if other != lang:
+                cond = cond & (scores[lang] >= scores[other])
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit("und"))
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace,
+    trimmed."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic 32-hex-char document fingerprint (MD5 of normalized
+    text). Matches DuckDB ``md5(...)`` for oracle checks."""
+    return F.md5(normalize_text(text))

@@ -1,0 +1,156 @@
+"""Multimodal column support: image/audio/video as opaque ``binary``
+columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The Spark-side plumbing — schemas, batch iteration, partition-preserving
+transforms — is real and tested; the actual media decode is stubbed
+(image/audio libraries are not in this container): ``decode_image``
+parses a deterministic fake header, and ``decode_image_real`` raises
+``NotImplementedError`` unless PIL is importable.
+
+Scale notes: binary payloads ride the scan stage; ``mapInPandas``
+transfers Arrow batches (no per-row pickling). Keep payload columns OUT
+of shuffles — derive metadata early, drop the bytes before any
+groupBy/join, and re-join payloads by id only when a sink needs them.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# typed metadata contract for a decoded image column
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FAKE_MAGIC = b"FIMG"  # deterministic fake image header: magic, w:u32, h:u32
+
+
+def make_fake_image(width: F.Column, height: F.Column, payload: F.Column) -> F.Column:
+    """Build a deterministic fake image binary: FIMG | w | h | payload.
+    Pure Catalyst (concat of binaries) — used to fabricate multimodal
+    columns from the text testdata."""
+    return F.concat(
+        F.lit(FAKE_MAGIC),
+        _int_be(width),
+        _int_be(height),
+        payload,
+    )
+
+
+def _int_be(col: F.Column) -> F.Column:
+    """4-byte big-endian encoding of an int column (Catalyst expressions)."""
+    c = col.cast("long")
+    return F.concat(
+        *[
+            _byte(F.pmod(F.shiftright(c, s), F.lit(256)))
+            for s in (24, 16, 8, 0)
+        ]
+    )
+
+
+def _byte(col: F.Column) -> F.Column:
+    # char(n) yields the single byte for 0..255 via unhex of 2-hex-digit
+    return F.unhex(F.lpad(F.hex(col.cast("int")), 2, "0"))
+
+
+def decode_image(df: DataFrame, binary_col: str = "image") -> DataFrame:
+    """Attach ``meta`` (IMAGE_META_SCHEMA) parsed from the fake header via
+    Arrow-batched mapInPandas — the exact plumbing a real decoder uses;
+    only the bytes->pixels step is faked."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != binary_col]
+        + [T.StructField("meta", IMAGE_META_SCHEMA, True)]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != binary_col]
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            metas = []
+            for raw in pdf[binary_col]:
+                if raw is None or len(raw) < 12 or bytes(raw[:4]) != FAKE_MAGIC:
+                    metas.append(None)
+                else:
+                    w, h = struct.unpack(">II", bytes(raw[4:12]))
+                    metas.append(
+                        {"width": w, "height": h, "format": "fimg", "n_bytes": len(raw)}
+                    )
+            out = pdf[other_cols].copy()
+            out["meta"] = metas
+            yield out
+
+    return df.mapInPandas(parse, out_schema)
+
+
+def decode_image_real(df: DataFrame, binary_col: str = "image") -> DataFrame:
+    """Real image decode — requires PIL, which this container lacks."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decoding needs Pillow; container provides none — "
+            "use decode_image (fake-header parser) for plumbing tests"
+        ) from e
+    raise NotImplementedError("wire PIL.Image.open over mapInPandas batches here")
+
+
+def resize_stub(df: DataFrame, binary_col: str, width: int, height: int) -> DataFrame:
+    """Deterministic stand-in for image resize: re-writes the fake header
+    with the new dimensions, keeps payload. Shows the binary->binary
+    mapInPandas shape a real resize kernel plugs into."""
+    schema = df.schema
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        for pdf in batches:
+            def rewrite(raw):
+                if raw is None or len(raw) < 12:
+                    return raw
+                return FAKE_MAGIC + struct.pack(">II", width, height) + bytes(raw[12:])
+
+            pdf[binary_col] = pdf[binary_col].map(rewrite)
+            yield pdf
+
+    return df.mapInPandas(run, schema)
+
+
+def frame_sample_stub(
+    df: DataFrame, binary_col: str, every_n: int = 2
+) -> DataFrame:
+    """Video-frame-sampling stand-in: explodes each fake payload into
+    per-"frame" rows (1 byte = 1 frame), keeping every n-th — the row
+    fan-out shape of real frame extraction, minus the codec."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [
+            T.StructField("frame_idx", T.IntegerType(), True),
+            T.StructField("frame", T.BinaryType(), True),
+        ]
+    )
+    cols = df.columns
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                raw = row[binary_col]
+                payload = bytes(raw[12:]) if raw is not None and len(raw) > 12 else b""
+                for i in range(0, len(payload), every_n):
+                    rows.append(
+                        {**{c: row[c] for c in cols}, "frame_idx": i, "frame": payload[i : i + 1]}
+                    )
+            yield pd.DataFrame(rows, columns=cols + ["frame_idx", "frame"])
+
+    return df.mapInPandas(run, out_schema)

@@ -549,6 +549,184 @@ def e01_dedup_exact(spark, sf_dir):
     return round_doubles(out.select("user_id", "event_type", "event_id", "value"))
 
 
+# word-3-gram Jaccard >= 0.5 pairs; oracle is brute-force n^2 in SQL, the
+# Spark side is MinHash-LSH (r=2, b=64 -> miss prob ~1e-8 at j=0.5) with
+# exact verification, so both compute the identical pair set.
+_E03_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+"""
+
+
+@query("e03_neardup_minhash", _E03_ORACLE)
+def e03_neardup_minhash(spark, sf_dir):
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    df = _read(spark, sf_dir, "documents")
+    out = neardup_minhash_lsh(df, threshold=0.5, num_hashes=128, bands=64)
+    return round_doubles(out)
+
+
+_E04_ORACLE = """
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id
+         ) AS INTEGER) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+) WHERE rank <= 3
+"""
+
+
+@query("e04_knn_cosine", _E04_ORACLE)
+def e04_knn_cosine(spark, sf_dir):
+    from pivot_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(cosine_topk(emb, q, k=3))
+
+
+def _e05_oracle() -> str:
+    from pivot_spark.functions.text import LANG_STOPWORDS
+
+    score = {}
+    for lang, words in LANG_STOPWORDS.items():
+        if lang == "zh":
+            score[lang] = "len(regexp_extract_all(text, '[一-鿿]'))"
+        else:
+            wl = ", ".join(f"'{w}'" for w in words)
+            score[lang] = f"len(list_filter(ltoks, w -> list_contains([{wl}], w)))"
+    langs = list(score)
+    cases = " ".join(
+        "WHEN s_{0} > 0 AND {1} THEN '{0}'".format(
+            lang, " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        )
+        for lang in langs
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks,
+    list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ltoks
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks,
+    {', '.join(f'{expr} AS s_{lang}' for lang, expr in score.items())}
+  FROM b
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS token_cnt,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS word_cnt,
+  CAST(length(text) AS INTEGER) AS char_cnt,
+  round(CASE WHEN length(text) > 0
+        THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+        ELSE 0 END, 4) AS alpha_ratio,
+  round(CASE WHEN len(toks) > 0
+        THEN list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks)
+        ELSE 0 END, 4) AS mean_tok_len,
+  CAST(s_en AS INTEGER) AS stop_en,
+  CASE {cases} ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+
+@query("e05_text_quality", _e05_oracle())
+def e05_text_quality(spark, sf_dir):
+    from pivot_spark.functions import text as X
+
+    df = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    out = df.select(
+        "doc_id",
+        X.token_count(t).alias("token_cnt"),
+        X.word_count(t).alias("word_cnt"),
+        X.char_count(t).alias("char_cnt"),
+        X.alpha_ratio(t).alias("alpha_ratio"),
+        X.mean_token_len(t).alias("mean_tok_len"),
+        X.stopword_count(t, "en").alias("stop_en"),
+        X.lang_guess(t).alias("lang_guess"),
+    )
+    return round_doubles(out)
+
+
+@query(
+    "e06_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents",
+)
+def e06_fingerprint(spark, sf_dir):
+    from pivot_spark.functions.text import fingerprint
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "e07_multimodal_meta",
+    "SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
+    "CAST(doc_id % 48 + 1 AS INTEGER) AS height, 'fimg' AS format, "
+    "12 + octet_length(encode(text)) AS n_bytes FROM documents",
+)
+def e07_multimodal_meta(spark, sf_dir):
+    from pivot_spark.operators import multimodal as M
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        M.make_fake_image(
+            (F.col("doc_id") % 64 + 1).cast("int"),
+            (F.col("doc_id") % 48 + 1).cast("int"),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("image"),
+    )
+    decoded = M.decode_image(df, "image")
+    return decoded.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+# rows-only checks (not SQL-expressible: xxhash64-based signatures / LSH
+# approximation) — the driver records the weaker rows-only result.
+@query("e08_neardup_simhash")
+def e08_neardup_simhash(spark, sf_dir):
+    from pivot_spark.operators.neardup import neardup_simhash
+
+    df = _read(spark, sf_dir, "documents")
+    return round_doubles(neardup_simhash(df, max_hamming=12))
+
+
+@query("e09_knn_lsh")
+def e09_knn_lsh(spark, sf_dir):
+    from pivot_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.transform("embedding", lambda x: x.cast("double"))
+    )
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(cosine_topk_lsh(emb, q, k=3, dim=64))
+
+
 @query(
     "e02_text_stats",
     "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars, "

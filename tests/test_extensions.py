@@ -1,0 +1,185 @@
+"""Tests for the training-data-pipeline extension operators: text
+analysis, dedup (exact + near-dup), similarity search, multimodal."""
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank now"),  # near-dup of 1
+        (3, "el perro corre en el parque y la casa es grande que bonita"),
+        (4, "completely different content about spark query engines and shuffles"),
+        (5, ""),
+        (6, "der hund und die katze ist von den nicht ein haus"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_stats(docs_df):
+    from pivot_spark.functions import text as X
+
+    out = docs_df.select(
+        "doc_id",
+        X.token_count(F.col("text")).alias("tc"),
+        X.char_count(F.col("text")).alias("cc"),
+        X.alpha_ratio(F.col("text")).alias("ar"),
+        X.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["tc"] == 14
+    assert by_id[5]["tc"] == 0 and by_id[5]["ar"] == 0.0
+    assert len(by_id[1]["fp"]) == 32
+    assert by_id[1]["fp"] != by_id[2]["fp"]
+
+
+def test_fingerprint_normalization(spark):
+    from pivot_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [("Hello  World",), ("hello world",), ("  HELLO WORLD  ",)], ["t"]
+    )
+    fps = [r[0] for r in df.select(fingerprint(F.col("t"))).collect()]
+    assert len(set(fps)) == 1
+
+
+def test_lang_guess(docs_df):
+    from pivot_spark.functions.text import lang_guess
+
+    out = {r["doc_id"]: r["lg"] for r in docs_df.select("doc_id", lang_guess(F.col("text")).alias("lg")).collect()}
+    assert out[1] == "en"
+    assert out[3] == "es"
+    assert out[6] == "de"
+    assert out[5] == "und"
+
+
+def test_dedup_exact_deterministic(spark):
+    from pivot_spark.operators.dedup import dedup_exact
+
+    rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "a", 40.0)]
+    df = spark.createDataFrame(rows, ["id", "k", "v"])
+    out = dedup_exact(df, ["k"], order_by=["id"]).collect()
+    got = {(r["k"], r["id"], r["v"]) for r in out}
+    assert got == {("a", 1, 10.0), ("b", 3, 30.0)}
+
+
+def test_minhash_lsh_finds_planted_pair(docs_df):
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    out = neardup_minhash_lsh(
+        docs_df.filter(F.col("text") != ""), threshold=0.5, num_hashes=64, bands=32
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+    assert all(r["jaccard"] >= 0.5 for r in out)
+    assert (3, 4) not in pairs
+
+
+def test_ngram_jaccard_exact(docs_df):
+    from pivot_spark.operators.neardup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(docs_df.filter(F.col("text") != ""), threshold=0.5).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+    j = out[0]["jaccard"]
+    assert 0.5 <= j < 1.0
+
+
+def test_simhash_neardup(docs_df):
+    from pivot_spark.operators.neardup import neardup_simhash, simhash
+
+    sigs = {
+        r["doc_id"]: r["s"]
+        for r in docs_df.filter(F.col("text") != "")
+        .select("doc_id", simhash(F.col("text")).alias("s"))
+        .collect()
+    }
+    assert all(isinstance(v, int) for v in sigs.values())
+    out = neardup_simhash(docs_df.filter(F.col("text") != ""), max_hamming=12).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1, 2) in pairs
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(16)]))
+    # planted near-duplicate of vector 0
+    base = rows[0][1]
+    rows.append((100, [v + 0.01 for v in base]))
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_cosine_topk_exact(vec_df):
+    from pivot_spark.operators.similarity import cosine_topk
+
+    q = vec_df.filter(F.col("vec_id") == 0)
+    out = cosine_topk(vec_df, q, k=3).collect()
+    assert len(out) == 3
+    assert out[0]["neighbor_id"] == 100 and out[0]["rank"] == 1
+    assert out[0]["cos"] > 0.999
+    # ranks are ordered by descending cosine
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["cos"] >= out[1]["cos"] >= out[2]["cos"]
+
+
+def test_cosine_topk_lsh_recall_of_planted_dup(vec_df):
+    from pivot_spark.operators.similarity import cosine_topk_lsh
+
+    q = vec_df.filter(F.col("vec_id") == 0)
+    out = cosine_topk_lsh(vec_df, q, k=3, dim=16, n_planes=8, n_tables=6).collect()
+    assert out and out[0]["neighbor_id"] == 100  # near-identical vector always shares buckets
+
+
+def test_embedding_neardup_exact_and_lsh(vec_df):
+    from pivot_spark.operators.neardup import neardup_embedding_cosine
+
+    exact = neardup_embedding_cosine(vec_df, threshold=0.99, exact=True, dim=16).collect()
+    assert {(r["id_a"], r["id_b"]) for r in exact} == {(0, 100)}
+    approx = neardup_embedding_cosine(
+        vec_df, threshold=0.99, exact=False, dim=16, n_planes=8, n_tables=6
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in approx} == {(0, 100)}
+
+
+def test_multimodal_plumbing(spark):
+    from pivot_spark.operators import multimodal as M
+
+    df = spark.createDataFrame([(1, 32, 16, b"pixeldata"), (2, 8, 8, b"xy")], ["id", "w", "h", "payload"])
+    imgs = df.select(
+        "id", M.make_fake_image(F.col("w"), F.col("h"), F.col("payload")).alias("image")
+    )
+    decoded = M.decode_image(imgs, "image").collect()
+    by_id = {r["id"]: r["meta"] for r in decoded}
+    assert by_id[1]["width"] == 32 and by_id[1]["height"] == 16
+    assert by_id[1]["format"] == "fimg" and by_id[1]["n_bytes"] == 12 + 9
+    assert by_id[2]["width"] == 8
+
+    resized = M.resize_stub(imgs, "image", 4, 4)
+    meta2 = {r["id"]: r["meta"] for r in M.decode_image(resized, "image").collect()}
+    assert meta2[1]["width"] == 4 and meta2[1]["height"] == 4
+
+    frames = M.frame_sample_stub(imgs.filter(F.col("id") == 1), "image", every_n=3).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 3, 6]
+    assert frames[0]["frame"] == b"p"
+
+
+def test_decode_image_real_raises(spark):
+    from pivot_spark.operators.multimodal import decode_image_real
+
+    df = spark.createDataFrame([(1, b"x")], ["id", "image"])
+    with pytest.raises(NotImplementedError):
+        decode_image_real(df)
