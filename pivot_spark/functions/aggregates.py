@@ -151,16 +151,30 @@ def _b_avg(cond, col, order, t):
     return F.avg(_masked(cond, col))
 
 
+_SEP = "\x01"  # sorts below every other character in UTF8 binary order
+
+
+def _ci_key(col: Column) -> Column:
+    """Scalar encoding of the (lower(x), x) composite key: since \\x01 is
+    smaller than any following character, binary comparison of
+    ``lower(x) + \\x01 + x`` equals lexicographic comparison of the pair.
+    A scalar min/max stays in hash-aggregate whole-stage codegen, where a
+    struct min/max falls back to sort-based aggregation (~10x slower on
+    wide scans). Caveat: values containing \\x01 would interleave — not a
+    character that survives text ingestion."""
+    return F.concat(F.lower(col), F.lit(_SEP), col)
+
+
 def _b_min(cond, col, order, t):
     if t is not None and isinstance(t, T.StringType):
         # case-insensitive with binary tie-break (SURVEY.md §2.4 P07)
-        return _arg_extreme(cond, col, [F.lower(col), col], "min")
+        return F.substring_index(F.min(_masked(cond, _ci_key(col))), _SEP, -1)
     return F.min(_masked(cond, col))
 
 
 def _b_max(cond, col, order, t):
     if t is not None and isinstance(t, T.StringType):
-        return _arg_extreme(cond, col, [F.lower(col), col], "max")
+        return F.substring_index(F.max(_masked(cond, _ci_key(col))), _SEP, -1)
     return F.max(_masked(cond, col))
 
 

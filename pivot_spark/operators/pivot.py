@@ -172,24 +172,11 @@ def _bad_value_condition(config: PivotConfig) -> Column:
     return cond
 
 
-def pivot(df: DataFrame, config: PivotConfig) -> PivotResult:
-    """Apply the pivot transformation. Returns PivotResult(output, errors).
-
-    Runtime path equivalence with the reference (SURVEY.md §3): Spark's
-    partial HashAggregate / Exchange / final HashAggregate ARE the
-    reference's mergeValues / shuffle / mergePartitions steps
-    (``Pivot.java:146-196``) — we write none of it.
-    """
-    _validate_against_schema(config, df.schema)
-    fields = {f.name: f for f in df.schema.fields}
+def build_agg_exprs(config: PivotConfig, schema: T.StructType) -> list[Column]:
+    """The full cell × aggregate expression list — shared by the batch and
+    streaming pivot paths."""
+    fields = {f.name: f for f in schema.fields}
     order_cols = [F.col(k) for k in config.order_by] if config.order_by else None
-
-    # numPartitions (Pivot.java:100-105): explicit shuffle width for the
-    # aggregation. Pre-partitioning by the group keys makes the exchange
-    # happen here with the requested width; unset → AQE decides (better).
-    if config.num_partitions is not None:
-        df = df.repartition(config.num_partitions, *config.rows)
-
     exprs: list[Column] = []
     for values in dict.fromkeys(v for v, _ in config.cell_names()):
         cond = _cell_condition(config, values)
@@ -207,8 +194,26 @@ def pivot(df: DataFrame, config: PivotConfig) -> PivotResult:
                 out_t = builder.output_type(in_type)
                 expr = F.coalesce(expr, F.lit(config.default_value).cast(out_t))
             exprs.append(expr.alias(name))
+    return exprs
 
-    out = df.groupBy(*config.rows).agg(*exprs)
+
+def pivot(df: DataFrame, config: PivotConfig) -> PivotResult:
+    """Apply the pivot transformation. Returns PivotResult(output, errors).
+
+    Runtime path equivalence with the reference (SURVEY.md §3): Spark's
+    partial HashAggregate / Exchange / final HashAggregate ARE the
+    reference's mergeValues / shuffle / mergePartitions steps
+    (``Pivot.java:146-196``) — we write none of it.
+    """
+    _validate_against_schema(config, df.schema)
+
+    # numPartitions (Pivot.java:100-105): explicit shuffle width for the
+    # aggregation. Pre-partitioning by the group keys makes the exchange
+    # happen here with the requested width; unset → AQE decides (better).
+    if config.num_partitions is not None:
+        df = df.repartition(config.num_partitions, *config.rows)
+
+    out = df.groupBy(*config.rows).agg(*build_agg_exprs(config, df.schema))
 
     if config.error_mode is OnError.SKIP:
         return PivotResult(out, None)

@@ -713,7 +713,7 @@ def e08_neardup_simhash(spark, sf_dir):
     from pivot_spark.operators.neardup import neardup_simhash
 
     df = _read(spark, sf_dir, "documents")
-    return round_doubles(neardup_simhash(df, max_hamming=12))
+    return round_doubles(neardup_simhash(df, max_hamming=7))
 
 
 @query("e09_knn_lsh")

@@ -98,7 +98,7 @@ def test_simhash_neardup(docs_df):
         .collect()
     }
     assert all(isinstance(v, int) for v in sigs.values())
-    out = neardup_simhash(docs_df.filter(F.col("text") != ""), max_hamming=12).collect()
+    out = neardup_simhash(docs_df.filter(F.col("text") != ""), max_hamming=7).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in out}
     assert (1, 2) in pairs
 
