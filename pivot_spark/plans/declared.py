@@ -597,9 +597,9 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 def e04_knn_cosine(spark, sf_dir):
     from pivot_spark.operators.similarity import cosine_topk
 
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
+    emb = _read(spark, sf_dir, "embeddings")  # float32 arrays go straight in: the Arrow-side numpy
+    # kernels cast to float64 per batch (an F.transform cast here would be
+    # evaluated interpreted per element — measured ~2x the scoring cost)
     q = emb.filter(F.col("vec_id") < 10)
     return round_doubles(cosine_topk(emb, q, k=3))
 
@@ -720,9 +720,9 @@ def e08_neardup_simhash(spark, sf_dir):
 def e09_knn_lsh(spark, sf_dir):
     from pivot_spark.operators.similarity import cosine_topk_lsh
 
-    emb = _read(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.transform("embedding", lambda x: x.cast("double"))
-    )
+    emb = _read(spark, sf_dir, "embeddings")  # float32 arrays go straight in: the Arrow-side numpy
+    # kernels cast to float64 per batch (an F.transform cast here would be
+    # evaluated interpreted per element — measured ~2x the scoring cost)
     q = emb.filter(F.col("vec_id") < 10)
     return round_doubles(cosine_topk_lsh(emb, q, k=3, dim=64))
 
@@ -744,3 +744,74 @@ def e02_text_stats(spark, sf_dir):
         F.count_distinct("source").cast("int").alias("n_sources"),
     )
     return round_doubles(out)
+
+
+# E10: EXACT word-3-gram Jaccard near-dup via prefix-filtered set-
+# similarity self-join (no MinHash approximation — same ground truth as
+# E03 but the Spark path is the distributed exact algorithm; the oracle
+# is the all-pairs definition). 3-gram shingles, not 2-gram: the corpus
+# has only ~1k distinct 2-grams, which makes every prefix token hot and
+# candidate generation quadratic regardless of filtering.
+_E10_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+"""
+
+
+@query("e10_ngram_jaccard", _E10_ORACLE)
+def e10_ngram_jaccard(spark, sf_dir):
+    from pivot_spark.operators.neardup import ngram_jaccard_pairs
+
+    df = _read(spark, sf_dir, "documents")
+    return round_doubles(ngram_jaccard_pairs(df, threshold=0.5, shingle_len=3))
+
+
+# E11: embedding-cosine near-dup, exact all-pairs path (correctness
+# anchor; the testdata embeddings are random so threshold sits in the
+# upper tail of the cosine distribution, ~tens of pairs at sf0.01).
+_E11_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+@query("e11_neardup_cosine", _E11_ORACLE)
+def e11_neardup_cosine(spark, sf_dir):
+    from pivot_spark.operators.neardup import neardup_embedding_cosine
+
+    emb = _read(spark, sf_dir, "embeddings")  # float32 arrays go straight in: the Arrow-side numpy
+    # kernels cast to float64 per batch (an F.transform cast here would be
+    # evaluated interpreted per element — measured ~2x the scoring cost)
+    return round_doubles(
+        neardup_embedding_cosine(emb, threshold=0.4, exact=True, dim=64)
+    )
+
+
+# E12: same operator, SRP-LSH bucketed path (the 100 TB scale path —
+# xxhash64-seeded hyperplanes are not SQL-expressible: rows-only check).
+@query("e12_neardup_cosine_lsh")
+def e12_neardup_cosine_lsh(spark, sf_dir):
+    from pivot_spark.operators.neardup import neardup_embedding_cosine
+
+    emb = _read(spark, sf_dir, "embeddings")  # float32 arrays go straight in: the Arrow-side numpy
+    # kernels cast to float64 per batch (an F.transform cast here would be
+    # evaluated interpreted per element — measured ~2x the scoring cost)
+    return round_doubles(
+        neardup_embedding_cosine(emb, threshold=0.4, dim=64, n_planes=6, n_tables=8)
+    )
