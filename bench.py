@@ -31,6 +31,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
+        # queries are independent: drop DataFrames persisted by the
+        # previous query so its cache blocks can't evict/GC-thrash this one
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         n = len(df.collect())

@@ -24,6 +24,8 @@ from __future__ import annotations
 import random
 from typing import Sequence
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -46,6 +48,50 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
     return F.array_distinct(grams)
 
+
+def word_shingles_pd(text: Column, n: int = 3) -> Column:
+    """Same shingles as ``word_shingles`` (byte-identical strings, same
+    null/short-doc edges) computed in an Arrow-batched pandas UDF. The
+    expression form runs ~6 interpreted higher-order passes per doc
+    (split/filter/sequence/transform/slice/join) — the shared bottleneck
+    of every shingle-based operator (~1 ms/doc measured); this is the
+    corpus-scale path."""
+    from pyspark.sql.functions import pandas_udf
+
+    import re
+
+    # Java's \s is ASCII-only ([ \t\n\x0B\f\r]); python's str.split()/re \s
+    # are unicode-aware (\xa0 etc.) — use the Java class so tokens match
+    # the F.split expression byte-for-byte.
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    @pandas_udf("array<string>")
+    def sh(s: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            toks = [w for w in ws.split(t) if w]
+            return list(
+                dict.fromkeys(
+                    " ".join(toks[i : i + n])
+                    for i in range(max(len(toks) - n, 0) + 1)
+                )
+            )
+
+        return s.map(one)
+
+    return sh(text)
+
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """persist + eager count. Every persisted frame here feeds >= 2
+    consumers inside a single downstream action (self-join sides, split
+    aggregations); without the fence both consumers race to compute the
+    not-yet-cached frame and the whole upstream runs twice."""
+    df = df.persist()
+    df.count()
+    return df
 
 def _affine_params(k: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
@@ -72,13 +118,11 @@ def minhash_signatures(
     params = _affine_params(num_hashes, seed)
     # persisted: the interpreted shingling expression feeds both aggs
     # below; state is (id, hash) per shingle occurrence, disk-spillable.
-    sh = (
+    sh = _materialize(
         df.select(
             F.col(id_col).alias("__id"),
-            F.explode(word_shingles(F.col(text_col), shingle_len)).alias("__s"),
-        )
-        .select("__id", F.xxhash64("__s").alias("__h"))
-        .persist()
+            F.explode(word_shingles_pd(F.col(text_col), shingle_len)).alias("__s"),
+        ).select("__id", F.xxhash64("__s").alias("__h"))
     )
     # non-negative base hash for modular arithmetic
     h = F.pmod(F.col("__h"), F.lit(MERSENNE_PRIME))
@@ -122,8 +166,9 @@ def neardup_minhash_lsh(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_len, seed)
-    sigs = sigs.persist()
+    sigs = _materialize(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_len, seed)
+    )
 
     band_keys = F.array(
         *[
@@ -195,18 +240,14 @@ def ngram_jaccard_pairs(
     # prefix regroup, verify) — without it the interpreted shingling
     # expression re-runs per consumer (and again on each self-join side).
     # State is one hash per distinct shingle per doc, disk-spillable.
-    base = (
+    base = _materialize(
         df.select(
             F.col(id_col).alias("__id"),
-            F.array_distinct(
-                F.transform(
-                    word_shingles(F.col(text_col), shingle_len),
-                    lambda g: F.xxhash64(g),
-                )
-            ).alias("__hs"),
-        )
-        .withColumn("__n", F.size("__hs"))
-        .persist()
+            F.transform(
+                word_shingles_pd(F.col(text_col), shingle_len),
+                lambda g: F.xxhash64(g),
+            ).alias("__hs"),  # shingles already distinct
+        ).withColumn("__n", F.size("__hs"))
     )
 
     ex = base.select("__id", "__n", F.explode("__hs").alias("__h"))
@@ -225,7 +266,8 @@ def ngram_jaccard_pairs(
                 F.transform("__ord", lambda s: s["__h"]), F.lit(1), prefix_len
             )
         ).alias("__h"),
-    ).persist()  # both sides of the self-join below
+    )
+    pref = _materialize(pref)
     cand = (
         pref.alias("a")
         .join(
@@ -297,7 +339,7 @@ def simhash_df(
     balances into the signature long."""
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), shingle_len)).alias("__g"),
+        F.explode(word_shingles_pd(F.col(text_col), shingle_len)).alias("__g"),
     ).select("__id", F.xxhash64("__g").alias("__h"))
     balances = [
         F.sum(
@@ -347,7 +389,7 @@ def neardup_simhash(
         n_blocks = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
     assert 64 % n_blocks == 0 and max_hamming < n_blocks
     width = 64 // n_blocks
-    sigs = simhash_df(df, id_col, text_col, num_bits, shingle_len).persist()
+    sigs = _materialize(simhash_df(df, id_col, text_col, num_bits, shingle_len))
     blocks = sigs.select(
         "__id",
         "__sig",
