@@ -1,3 +1,20 @@
 from pivot_spark.sources.catalog import TABLES, load_table, load_tables, register_views
+from pivot_spark.sources.io import (
+    FORMATS,
+    avro_available,
+    read_source,
+    run_file_pipeline,
+    write_sink,
+)
 
-__all__ = ["TABLES", "load_table", "load_tables", "register_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "register_views",
+    "FORMATS",
+    "avro_available",
+    "read_source",
+    "write_sink",
+    "run_file_pipeline",
+]

@@ -1,0 +1,104 @@
+"""Streaming deduplication — the unbounded-input counterpart of
+``operators.dedup``.
+
+The reference is batch-only; these are engine extensions for the
+training-data-pipeline case where documents/events arrive continuously.
+
+Two tiers:
+* ``dedup_stream`` — Spark-native ``dropDuplicates`` /
+  ``dropDuplicatesWithinWatermark``: state is managed by the streaming
+  aggregation operator, bounded by the watermark. The default choice.
+* ``first_seen_stream`` — custom stateful operator via
+  ``applyInPandasWithState``: keeps a per-key "seen" flag (plus first
+  event time) in GroupState with a processing-time TTL, emitting only
+  the first record of each key. This is the template for operators the
+  built-ins can't express (per-key custom state transitions); state per
+  key is O(1), and keys expire via timeout so state size tracks the TTL
+  window, not the stream history.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """Exact streaming dedup on ``keys``.
+
+    With ``event_time`` + ``watermark``, uses
+    ``dropDuplicatesWithinWatermark`` so per-key state is dropped once
+    the key's event time falls behind the watermark — mandatory for
+    unbounded streams (plain dropDuplicates state grows forever).
+    """
+    if not df.isStreaming:
+        raise ValueError("dedup_stream requires a streaming DataFrame")
+    if event_time and watermark:
+        return df.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))
+
+
+def first_seen_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    watermark: str = "10 minutes",
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """Emit only the first record observed per key (custom stateful
+    operator, ``applyInPandasWithState``). Output schema = input schema.
+
+    State per key is a single flag, expired on EVENT time: a key whose
+    last event is ``ttl_minutes`` behind the watermark is dropped (after
+    which a recurrence is emitted again — a TTL-bounded dedup cache).
+    Event-time expiry keeps state bounded by the watermark window and is
+    reprocessing-safe; processing-time timeouts additionally deadlock
+    ``processAllAvailable`` on this Spark line, so they are avoided.
+    """
+    if not df.isStreaming:
+        raise ValueError("first_seen_stream requires a streaming DataFrame")
+    keys = list(keys)
+    df = df.withWatermark(event_time, watermark)
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("seen", T.LongType())])
+    ttl_ms = ttl_minutes * 60 * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        # the input iterator must be fully consumed — bailing early stalls
+        # the Arrow channel between the JVM and the python worker
+        first = None
+        max_ts_ms = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            if first is None:
+                first = pdf.iloc[:1]
+            batch_max = int(pdf[event_time].max().timestamp() * 1000)
+            max_ts_ms = max(max_ts_ms, batch_max)
+        already_seen = state.exists
+        state.update((1,))
+        if max_ts_ms:
+            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        if not already_seen and first is not None:
+            yield first
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
