@@ -74,6 +74,11 @@ FUNCTION_NAMES = frozenset(
         "LOGICALOR",
         "SUMOFSQUARES",
         "CORRECTEDSUMOFSQUARES",
+        # engine extensions: the reference ships these as the RunningStats
+        # helper (function/RunningStats.java:24-85) but never exposes them
+        # through PivotConfig.Function — we do.
+        "SKEWNESS",
+        "KURTOSIS",
     }
 )
 

@@ -259,6 +259,18 @@ def _b_correctedsumofsquares(cond, col, order, t):
     return F.sum(d * d) - F.pow(F.sum(d), F.lit(2)) / F.count(d)
 
 
+def _b_skewness(cond, col, order, t):
+    # Population skewness g1 = m3 / m2^1.5 — the single-pass helper the
+    # reference ships alongside the pivot functions
+    # (function/RunningStats.java:24-85, unused by Pivot itself).
+    return F.skewness(_masked(cond, col).cast("double"))
+
+
+def _b_kurtosis(cond, col, order, t):
+    # Population excess kurtosis g2 = m4/m2^2 - 3 (RunningStats.java).
+    return F.kurtosis(_masked(cond, col).cast("double"))
+
+
 def _t_same(t):
     return t
 
@@ -333,6 +345,12 @@ AGGREGATES: dict[str, AggregateBuilder] = {
     "CORRECTEDSUMOFSQUARES": AggregateBuilder(
         "CORRECTEDSUMOFSQUARES", _b_correctedsumofsquares, _t_double,
         requires_numeric=True,
+    ),
+    "SKEWNESS": AggregateBuilder(
+        "SKEWNESS", _b_skewness, _t_double, requires_numeric=True
+    ),
+    "KURTOSIS": AggregateBuilder(
+        "KURTOSIS", _b_kurtosis, _t_double, requires_numeric=True
     ),
 }
 

@@ -815,3 +815,58 @@ def e12_neardup_cosine_lsh(spark, sf_dir):
     return round_doubles(
         neardup_embedding_cosine(emb, threshold=0.4, dim=64, n_planes=6, n_tables=8)
     )
+
+
+def _moment_cells():
+    """Spark's skewness/kurtosis are the population g1/g2; DuckDB's
+    builtins are sample-corrected, so the oracle derives g1/g2 from raw
+    moments: g1 = m3/m2^1.5, g2 = m4/m2^2 - 3 with central moments
+    expanded in terms of avg(x^k)."""
+    x = "l_quantity"
+    mu = f"avg({x}) FILTER (__F__)"
+    a2 = f"avg({x}*{x}) FILTER (__F__)"
+    a3 = f"avg({x}*{x}*{x}) FILTER (__F__)"
+    a4 = f"avg({x}*{x}*{x}*{x}) FILTER (__F__)"
+    m2 = f"({a2} - ({mu})*({mu}))"
+    m3 = f"({a3} - 3*({mu})*({a2}) + 2*({mu})*({mu})*({mu}))"
+    m4 = (
+        f"({a4} - 4*({mu})*({a3}) + 6*({mu})*({mu})*({a2})"
+        f" - 3*({mu})*({mu})*({mu})*({mu}))"
+    )
+    skew = f"round({m3} / pow({m2}, 1.5), 4)"
+    kurt = f"round({m4} / ({m2}*{m2}) - 3, 4)"
+    return [
+        ("sk", lambda f, s=skew: s.replace("__F__", f)),
+        ("ku", lambda f, k=kurt: k.replace("__F__", f)),
+    ]
+
+
+@query("p24", _li_oracle(_moment_cells()))
+def p24(spark, sf_dir):
+    """SKEWNESS/KURTOSIS pivot cells (reference RunningStats.java:24-85)."""
+    return _pivot_li(spark, sf_dir, "sk:skewness(l_quantity),ku:kurtosis(l_quantity)")
+
+
+# E13: record-picker aggregation (reference SelectionFunction SPI /
+# MaxSelection — function/MaxSelection.java:24-49): per group, the whole
+# record holding the max field value, deterministic composite tie-break.
+_E13_ORACLE = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@query("e13_select_extreme", _E13_ORACLE)
+def e13_select_extreme(spark, sf_dir):
+    from pivot_spark.operators.select_extreme import select_extreme
+
+    df = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return select_extreme(df, ["l_returnflag"], "l_extendedprice", mode="max")

@@ -183,3 +183,32 @@ def test_decode_image_real_raises(spark):
     df = spark.createDataFrame([(1, b"x")], ["id", "image"])
     with pytest.raises(NotImplementedError):
         decode_image_real(df)
+
+
+def test_skewness_kurtosis_pivot(spark, sales_df):
+    from pivot_spark import PivotConfig, pivot
+
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2",
+        pivot_rows="Product",
+        aggregates="sk:skewness(Sales),ku:kurtosis(Sales)",
+    )
+    out = pivot(sales_df, cfg).output
+    assert dict(out.dtypes)["Q1_sk"] == "double"
+    row = {r["Product"]: r for r in out.collect()}
+    # single-value cells: moments degenerate -> NaN/null, never crash
+    assert "Shoes" in row
+
+
+def test_select_extreme(spark, sales_df):
+    from pivot_spark.operators.select_extreme import select_extreme
+
+    top = select_extreme(sales_df, ["Quarter"], "Sales", mode="max")
+    got = {r["Quarter"]: (r["Product"], r["Sales"]) for r in top.collect()}
+    assert got["Q1"] == ("Shirts", 60)
+    low = select_extreme(sales_df, ["Quarter"], "Sales", mode="min")
+    assert low.count() == top.count()
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        select_extreme(sales_df, ["Quarter"], "Sales", mode="median")
