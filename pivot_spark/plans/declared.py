@@ -870,3 +870,41 @@ def e13_select_extreme(spark, sf_dir):
         "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     return select_extreme(df, ["l_returnflag"], "l_extendedprice", mode="max")
+
+
+# E14: sessionization — 30-min inactivity gap over events, one row per
+# (user, session) with count/start/end/duration. Spark ts is epoch-NANOS
+# (read with nanosAsLong); both sides compare in integer MICROseconds.
+_E14_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), s AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), t AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts_us) AS t_start, max(ts_us) AS t_end,
+       max(ts_us) - min(ts_us) AS duration
+FROM t GROUP BY user_id, session_idx
+"""
+
+
+@query("e14_sessionize", _E14_ORACLE)
+def e14_sessionize(spark, sf_dir):
+    from pivot_spark.operators.sessionize import session_stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # integer DIV: float division rounds away the low microsecond
+        F.expr("ts DIV 1000").alias("ts_us"),
+    )
+    return session_stats(
+        ev, "user_id", "ts_us", gap=1_800_000_000, order_cols=["event_id"]
+    )
