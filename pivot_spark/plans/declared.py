@@ -908,3 +908,18 @@ def e14_sessionize(spark, sf_dir):
     return session_stats(
         ev, "user_id", "ts_us", gap=1_800_000_000, order_cols=["event_id"]
     )
+
+
+# E15: IVF-Flat ANN (k-means coarse quantizer + probed inverted lists) —
+# seeded/deterministic but not SQL-expressible: rows-only check. The
+# exact-recall configuration (nprobe == n_clusters) is unit-tested to
+# equal brute force.
+@query("e15_knn_ivf")
+def e15_knn_ivf(spark, sf_dir):
+    from pivot_spark.operators.ivf import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(
+        cosine_topk_ivf(emb, q, k=3, n_clusters=16, nprobe=4)
+    )

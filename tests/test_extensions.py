@@ -212,3 +212,31 @@ def test_select_extreme(spark, sales_df):
 
     with _pt.raises(ValueError):
         select_extreme(sales_df, ["Quarter"], "Sales", mode="median")
+
+
+def test_ivf_full_probe_equals_bruteforce(spark, vec_df):
+    from pivot_spark.operators.ivf import cosine_topk_ivf
+    from pivot_spark.operators.similarity import cosine_topk
+
+    q = vec_df.filter(F.col("vec_id") <= 2)
+    exact = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk(vec_df, q, k=2).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in cosine_topk_ivf(
+            vec_df, q, k=2, n_clusters=4, nprobe=4
+        ).collect()
+    }
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_subset(spark, vec_df):
+    from pivot_spark.operators.ivf import cosine_topk_ivf
+
+    q = vec_df.filter(F.col("vec_id") <= 2)
+    out = cosine_topk_ivf(vec_df, q, k=2, n_clusters=4, nprobe=1).collect()
+    # partial probing returns <= k deterministic rows per query
+    assert all(r["rank"] in (1, 2) for r in out)
+    assert len(out) <= 6
