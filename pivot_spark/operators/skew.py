@@ -1,0 +1,62 @@
+"""Skew-handling utilities — the manual fallbacks for when AQE's
+runtime mitigation (skewJoin, partition coalescing — enabled by default
+in ``session.get_spark``) isn't applicable.
+
+What Spark already gives us (and we therefore do NOT reimplement):
+* hash aggregates run partial/final — a hot group key is pre-combined
+  per task before the shuffle, so plain sum/count/min/max need no salt;
+* sort-merge joins get AQE skew splitting.
+
+What still skews at 100 TB and the tools here address:
+* ``count_distinct_skewed`` — exact distinct counting: the distinct set
+  of a hot key cannot be pre-combined, so stage 1 deduplicates on
+  (key, value) — spreading the hot key across reducers BY VALUE — and
+  stage 2 counts per key. Two shuffles, each skew-free.
+* ``salted_join`` — broadcast-impossible joins against a skewed fact
+  side when AQE cannot split (e.g. the skew is in one in-flight
+  partition): explode the dimension side ``salt`` ways and route fact
+  rows to a deterministic salt bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def count_distinct_skewed(
+    df: DataFrame, keys: Sequence[str], value_col: str, out_name: str = "n_distinct"
+) -> DataFrame:
+    """Exact per-key distinct count, skew-resistant: shuffle 1 partitions
+    by (key, value) — a key with 10^9 distinct values spreads over the
+    whole cluster — shuffle 2 merges small per-key partial counts."""
+    keys = list(keys)
+    dedup = df.select(*keys, value_col).groupBy(*keys, value_col).agg(
+        F.lit(1).alias("__one")
+    )
+    return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_name))
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the dimension side replicated ``salt`` times and
+    fact rows routed to a deterministic bucket, splitting each hot join
+    key across ``salt`` reducers. Use when the dim side is too big to
+    broadcast but small enough to replicate ``salt``-fold."""
+    if salt < 2:
+        return fact.join(dim, on, how)
+    fact_cols = fact.columns
+    dim_cols = [c for c in dim.columns if c != on]
+    f = fact.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact_cols]), F.lit(salt))
+    )
+    d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
+    out = f.join(d, on=[on, "__salt"], how=how)
+    return out.select(*fact_cols, *dim_cols)

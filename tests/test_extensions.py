@@ -240,3 +240,29 @@ def test_ivf_partial_probe_subset(spark, vec_df):
     # partial probing returns <= k deterministic rows per query
     assert all(r["rank"] in (1, 2) for r in out)
     assert len(out) <= 6
+
+
+def test_count_distinct_skewed(spark):
+    from pivot_spark.operators.skew import count_distinct_skewed
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 2), ("b", 5), ("b", None)],
+        "k string, v int",
+    )
+    out = {r["k"]: r["n_distinct"] for r in count_distinct_skewed(df, ["k"], "v").collect()}
+    # null participates as a group like groupBy semantics (distinct incl. null)
+    assert out == {"a": 2, "b": 2}
+
+
+def test_salted_join_matches_plain(spark):
+    from pivot_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (3, "w")], "k int, payload string"
+    )
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string")
+    plain = {tuple(r) for r in fact.join(dim, "k").select("k", "payload", "name").collect()}
+    salted = {tuple(r) for r in salted_join(fact, dim, "k", salt=4).collect()}
+    assert salted == plain
+    # row counts preserved under replication (no dup joins)
+    assert salted_join(fact, dim, "k", salt=8).count() == fact.join(dim, "k").count()
