@@ -237,3 +237,21 @@ def pivot(df: DataFrame, config: PivotConfig) -> PivotResult:
     bad_keys = df.filter(bad).select(*config.rows).distinct()
     main = out.join(F.broadcast(bad_keys), on=config.rows, how="left_anti")
     return PivotResult(main, bad_keys)
+
+
+def lineage(config: PivotConfig) -> dict[str, list[str]]:
+    """Field-level lineage {output_field: [input_fields]} — the mapping
+    the reference emits as a ``FieldTransformOperation``
+    (``Pivot.java:301-328``): group-key fields map identity; every
+    generated cell column derives from the pivot columns (they select
+    the cell) plus the aggregated source field (none for count(*))."""
+    out: dict[str, list[str]] = {r: [r] for r in config.rows}
+    pivot_cols = list(config.columns)
+    for values, gen_name in config.cell_names():
+        name = config.aliases.get(gen_name, gen_name)
+        # gen_name = "{v1[_v2]}_{aggAlias}"; strip the value prefix rather
+        # than rsplit — agg aliases may themselves contain underscores
+        agg_alias = gen_name[len("_".join(values)) + 1 :]
+        agg = next(a for a in config.aggs if a.alias == agg_alias)
+        out[name] = pivot_cols + ([agg.field] if agg.field else [])
+    return out

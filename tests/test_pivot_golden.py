@@ -179,3 +179,27 @@ def test_validation_against_schema(sales_df):
         pivot(sales_df, cfg)
     msgs = "\n".join(e.value.errors)
     assert "Nope" in msgs and "AlsoNope" in msgs and "numeric" in msgs
+
+
+def test_lineage():
+    from pivot_spark.operators.pivot import lineage
+
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales),n:count(*)",
+        field_aliases="Q1_s:q1_total",
+    )
+    lin = lineage(cfg)
+    assert lin["Product"] == ["Product"]
+    assert lin["q1_total"] == ["Quarter", "Sales"]  # aliased output tracked
+    assert lin["Q2_s"] == ["Quarter", "Sales"]
+    # aliases containing underscores parse correctly
+    cfg2 = PivotConfig(
+        pivot_columns="Quarter=Q1",
+        pivot_rows="Product",
+        aggregates="my_sum:sum(Sales)",
+    )
+    assert lineage(cfg2)["Q1_my_sum"] == ["Quarter", "Sales"]
+    assert lin["Q1_n"] == ["Quarter"]  # count(*) has no source field
+    assert len(lin) == 5
