@@ -1,0 +1,90 @@
+"""Physical-plan regression tests: pin the plan shapes the 100 TB design
+depends on (single exchange, column pruning, broadcast sides) so a
+refactor can't silently regress them."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pivot_spark import OnError, PivotConfig, pivot
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pivot_single_exchange_and_pruned_scan(spark, tmp_path, sales_df):
+    path = str(tmp_path / "sales_pq")
+    sales_df.write.parquet(path)
+    df = spark.read.parquet(path)
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales)",
+    )
+    out = pivot(df, cfg).output
+    plan = plan_of(out)
+    # one shuffle: partial agg -> exchange on group key -> final agg
+    assert plan.count("Exchange hashpartitioning") == 1
+    # column pruning: Brand/ShopID never reach the scan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "Quarter" in read and "Product" in read and "Sales" in read
+    assert "Brand" not in read and "ShopID" not in read
+
+
+def test_error_port_anti_join_broadcasts(spark, sales_df):
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales)",
+        on_error=OnError.ERROR_PORT,
+    )
+    res = pivot(sales_df, cfg)
+    plan = plan_of(res.output)
+    # bad-group-key side is tiny: must be a broadcast join, never SMJ
+    assert "Broadcast" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.fixture()
+def vec_df(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_broadcasts_queries(spark, vec_df):
+    from pivot_spark.operators.similarity import cosine_topk
+
+    q = vec_df.filter(F.col("vec_id") <= 1)
+    out = cosine_topk(vec_df, q, k=2)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_num_partitions_respected(spark, sales_df):
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales)",
+        num_partitions=7,
+    )
+    out = pivot(sales_df, cfg).output
+    assert "hashpartitioning(Product" in plan_of(out)
+    assert out.count() == 3
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path, sales_df):
+    path = str(tmp_path / "sales_pq2")
+    sales_df.write.parquet(path)
+    df = spark.read.parquet(path).filter(F.col("Quarter") == "Q1")
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales)",
+    )
+    plan = plan_of(pivot(df, cfg).output)
+    assert "PushedFilters: [" in plan and "Quarter" in plan.split("PushedFilters")[1][:80]
