@@ -45,6 +45,30 @@ def word_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(WORD_RE))
 
 
+# GPT-2's published pre-tokenizer pattern (public: openai/gpt-2
+# encoder.py), translated to Java regex (\p{L}/\p{N} supported natively).
+# BPE merges subdivide these pre-tokens, so their count upper-bounds and
+# tracks real BPE token counts closely on natural text.
+BPE_PRETOKEN_RE = (
+    r"'(?:[sdmt]|ll|ve|re)"
+    r"| ?\p{L}+"
+    r"| ?\p{N}+"
+    r"| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)"
+    r"|\s+"
+)
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """GPT-2 pre-tokenizer segmentation as an array of pre-tokens."""
+    return F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_RE), F.lit(0))
+
+
+def bpe_pretoken_count(text: Column) -> Column:
+    """Fast LLM-token-count estimate: number of GPT-2 pre-tokens."""
+    return F.regexp_count(text, F.lit(BPE_PRETOKEN_RE))
+
+
 def char_count(text: Column) -> Column:
     return F.length(text)
 

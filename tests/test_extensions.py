@@ -266,3 +266,20 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
     # row counts preserved under replication (no dup joins)
     assert salted_join(fact, dim, "k", salt=8).count() == fact.join(dim, "k").count()
+
+
+def test_bpe_pretokenizer(spark):
+    from pivot_spark.functions.text import bpe_pretoken_count, bpe_pretokens
+
+    df = spark.createDataFrame(
+        [("Hello world, it's 2024!",), ("",), ("  spaced  out  ",)], "text string"
+    )
+    rows = df.select(
+        bpe_pretokens(F.col("text")).alias("toks"),
+        bpe_pretoken_count(F.col("text")).alias("n"),
+    ).collect()
+    # GPT-2 segmentation: ["Hello", " world", ",", " it", "'s", " 2024", "!"]
+    assert rows[0]["toks"] == ["Hello", " world", ",", " it", "'s", " 2024", "!"]
+    assert rows[0]["n"] == 7
+    assert rows[1]["n"] == 0
+    assert rows[2]["n"] == sum(1 for _ in rows[2]["toks"])
