@@ -923,3 +923,37 @@ def e15_knn_ivf(spark, sf_dir):
     return round_doubles(
         cosine_topk_ivf(emb, q, k=3, n_clusters=16, nprobe=4)
     )
+
+
+# E16: relational composition — join lineitem to orders, derive the
+# order year, pivot by order status. The pivot stage composes with any
+# upstream DataFrame plan (the reference achieves this only through
+# pipeline stages around the plugin).
+_E16_ORACLE = """
+SELECT year(o.o_orderdate) AS order_year,
+       round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'O'), 4) AS "O_rev",
+       round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'F'), 4) AS "F_rev",
+       round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'P'), 4) AS "P_rev",
+       count(*) FILTER (o.o_orderstatus = 'O') AS "O_n",
+       count(*) FILTER (o.o_orderstatus = 'F') AS "F_n",
+       count(*) FILTER (o.o_orderstatus = 'P') AS "P_n"
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY year(o.o_orderdate)
+"""
+
+
+@query("e16_join_pivot", _E16_ORACLE)
+def e16_join_pivot(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.year("o_orderdate").alias("order_year")
+    )
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    cfg = PivotConfig(
+        pivot_columns="o_orderstatus=O,F,P",
+        pivot_rows="order_year",
+        aggregates="rev:sum(l_extendedprice),n:count(*)",
+    )
+    out = pivot(joined, cfg).output
+    # oracle emits columns grouped by agg; names already align (sorted cmp)
+    return round_doubles(out)
