@@ -29,16 +29,22 @@ def main() -> None:
     # warm up JVM + file index before timing
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
 
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
     for name, fn in QUERIES.items():
-        # queries are independent: drop DataFrames persisted by the
-        # previous query so its cache blocks can't evict/GC-thrash this one
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        runs = []
+        for _ in range(reps):
+            # queries are independent: drop DataFrames persisted by the
+            # previous run so cache blocks can't evict/GC-thrash this one
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = len(df.collect())
+            runs.append(time.perf_counter() - t0)
+            assert n >= 0
+        # median: single-run numbers swing +-25% from GC/python-worker
+        # lifecycle noise (BASELINE.md protocol is median-of-3)
+        timings[name] = round(sorted(runs)[len(runs) // 2], 3)
     total = round(sum(timings.values()), 3)
 
     try:
