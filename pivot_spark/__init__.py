@@ -16,7 +16,13 @@ Public API:
 """
 
 from pivot_spark.config import PivotConfig, PivotConfigError, OnError
-from pivot_spark.operators.pivot import pivot, PivotResult, PivotError, output_schema
+from pivot_spark.operators.pivot import (
+    pivot,
+    PivotResult,
+    PivotError,
+    lineage,
+    output_schema,
+)
 
 __all__ = [
     "PivotConfig",
@@ -26,6 +32,7 @@ __all__ = [
     "PivotResult",
     "PivotError",
     "output_schema",
+    "lineage",
 ]
 
 __version__ = "0.1.0"
