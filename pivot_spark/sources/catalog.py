@@ -34,6 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Convert with F.timestamp_micros((col("ts") / 1000).cast("long")) where
     # event time is needed.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # oracle parity: any tz-sensitive expression must agree with DuckDB
+    # regardless of how the calling session was built (driver harness
+    # sessions are not ours to configure)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
