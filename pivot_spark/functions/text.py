@@ -166,3 +166,30 @@ def fingerprint(text: Column) -> Column:
     """Deterministic 32-hex-char document fingerprint (MD5 of normalized
     text). Matches DuckDB ``md5(...)`` for oracle checks."""
     return F.md5(normalize_text(text))
+
+
+def winnow_fingerprints(
+    text: Column, k: int = 5, window: int = 4
+) -> Column:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    MOSS scheme, public): hash every char k-gram of the normalized text
+    (rolling set), slide a window of ``window`` consecutive hashes and
+    keep each window's minimum; consecutive duplicates collapse. Two
+    documents sharing any sufficiently long run share fingerprints
+    regardless of global position — robust to insertions where a whole-
+    document hash is not.
+
+    Returns array<long>, sorted distinct (canonical set form). Pure
+    Catalyst expressions: usable inside any projection, no shuffle.
+    """
+    t = normalize_text(text)
+    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substring(t, i, k))
+    )
+    n_windows = F.greatest(F.size(grams) - window + 1, F.lit(1))
+    mins = F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_min(F.slice(grams, i + 1, window)),
+    )
+    return F.array_sort(F.array_distinct(mins))

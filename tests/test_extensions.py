@@ -283,3 +283,24 @@ def test_bpe_pretokenizer(spark):
     assert rows[0]["n"] == 7
     assert rows[1]["n"] == 0
     assert rows[2]["n"] == sum(1 for _ in rows[2]["toks"])
+
+
+def test_winnow_fingerprints(spark):
+    from pivot_spark.functions.text import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),    # identical
+        (3, "PREFIX then the quick brown fox jumps over the lazy dog"),  # shifted
+        (4, "completely different words entirely here"),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    fps = {
+        r["id"]: set(r["fp"])
+        for r in df.select("id", winnow_fingerprints(F.col("text")).alias("fp")).collect()
+    }
+    assert fps[1] == fps[2]
+    overlap_shifted = len(fps[1] & fps[3]) / len(fps[1])
+    overlap_diff = len(fps[1] & fps[4]) / len(fps[1])
+    assert overlap_shifted > 0.8        # shared run survives the shift
+    assert overlap_diff < 0.2

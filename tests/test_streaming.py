@@ -78,3 +78,23 @@ def test_stream_rejects_error_port(spark, sales_df, sales_dir):
     stream = spark.readStream.schema(sales_df.schema).parquet(sales_dir)
     with pytest.raises(ValueError, match="skip-error"):
         pivot_stream(stream, cfg)
+
+
+def test_stream_update_mode(spark, sales_df, sales_dir):
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2",
+        pivot_rows="Product",
+        aggregates="n:count(*)",
+    )
+    stream = spark.readStream.schema(sales_df.schema).parquet(sales_dir)
+    q = (
+        pivot_stream(stream, cfg)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("pv_upd")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {r["Product"]: r["Q1_n"] for r in spark.sql("SELECT * FROM pv_upd").collect()}
+    assert got == {"Shoes": 2, "Shirts": 2, "Socks": 1}
