@@ -957,3 +957,25 @@ def e16_join_pivot(spark, sf_dir):
     out = pivot(joined, cfg).output
     # oracle emits columns grouped by agg; names already align (sorted cmp)
     return round_doubles(out)
+
+
+# E17: multi-granularity rollup over events — the grouping-sets surface
+# the reference lacks entirely (SURVEY.md §2.3), native in Spark.
+# Subtotal rows carry NULL group keys on both sides.
+_E17_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events
+GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+"""
+
+
+@query("e17_rollup", _E17_ORACLE)
+def e17_rollup(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
+    )
+    out = ev.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    return round_doubles(out)
