@@ -112,3 +112,26 @@ def run_file_pipeline(
     if error_path is not None and result.errors is not None:
         write_sink(result.errors, error_path, sink_format)
     return result.output
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: Optional[str] = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table —
+    the co-located-join layout: two tables bucketed the same way on the
+    join key join WITHOUT a shuffle (verified in tests/test_plans.py).
+    At 100 TB this turns every recurring fact⨝fact join on the bucket
+    key from a full exchange into a local zip of bucket files. Bucketing
+    requires saveAsTable (the metastore records the layout)."""
+    w = df.write.format(fmt).mode(mode)
+    if sort_col:
+        w = w.bucketBy(num_buckets, bucket_col).sortBy(sort_col)
+    else:
+        w = w.bucketBy(num_buckets, bucket_col)
+    w.saveAsTable(table)

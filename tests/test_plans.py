@@ -88,3 +88,24 @@ def test_filter_pushdown_reaches_scan(spark, tmp_path, sales_df):
     )
     plan = plan_of(pivot(df, cfg).output)
     assert "PushedFilters: [" in plan and "Quarter" in plan.split("PushedFilters")[1][:80]
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path, sales_df):
+    from pivot_spark.sources.io import write_bucketed_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed_table(sales_df, "sales_a", "Product", num_buckets=4)
+        write_bucketed_table(
+            sales_df.select("Product", "Sales"), "sales_b", "Product", num_buckets=4
+        )
+        a, b = spark.table("sales_a"), spark.table("sales_b")
+        joined = a.join(b, "Product")
+        plan = plan_of(joined)
+        # co-located layout: the join runs with ZERO exchanges
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS sales_a")
+        spark.sql("DROP TABLE IF EXISTS sales_b")
