@@ -142,13 +142,19 @@ def _b_sum(cond, col, order, t):
     # Type-preserving like the reference (Sum.java:51-67). Spark widens
     # int→long; cast back (overflow then wraps — divergence: Spark ANSI
     # would raise; we document value-wrap like Java int arithmetic).
-    if t is not None and isinstance(t, (T.ByteType, T.ShortType, T.IntegerType, T.FloatType)):
+    # DECIMAL (which the reference rejects outright, we support) widens
+    # precision — cast back too so runtime matches the declared schema.
+    if t is not None and isinstance(
+        t, (T.ByteType, T.ShortType, T.IntegerType, T.FloatType, T.DecimalType)
+    ):
         return s.cast(t)
     return s
 
 
 def _b_avg(cond, col, order, t):
-    return F.avg(_masked(cond, col))
+    # declared output type is always DOUBLE (Avg.java:45); Spark returns
+    # DECIMAL for decimal inputs — cast so runtime matches the schema
+    return F.avg(_masked(cond, col)).cast("double")
 
 
 _SEP = "\x01"  # sorts below every other character in UTF8 binary order

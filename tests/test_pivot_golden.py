@@ -203,3 +203,21 @@ def test_lineage():
     assert lineage(cfg2)["Q1_my_sum"] == ["Quarter", "Sales"]
     assert lin["Q1_n"] == ["Quarter"]  # count(*) has no source field
     assert len(lin) == 5
+
+
+def test_decimal_support_schema_parity(spark):
+    # the reference rejects DECIMAL for numeric aggregates
+    # (AggregationUtils.java:36-39); we support it — declared divergence.
+    # Static output_schema must equal the runtime schema.
+    df = spark.createDataFrame(
+        [("a", "X", "1.50"), ("a", "X", "2.25"), ("a", "Y", None)],
+        "g string, p string, v string",
+    ).selectExpr("g", "p", "CAST(v AS DECIMAL(10,2)) v")
+    cfg = PivotConfig(
+        pivot_columns="p=X,Y", pivot_rows="g", aggregates="s:sum(v),a:avg(v),mx:max(v)"
+    )
+    static = output_schema(cfg, df.schema)
+    out = pivot(df, cfg).output
+    assert [f.dataType for f in static.fields] == [f.dataType for f in out.schema.fields]
+    row = out.collect()[0]
+    assert str(row["X_s"]) == "3.75" and row["X_a"] == 1.875
