@@ -79,6 +79,7 @@ FUNCTION_NAMES = frozenset(
         # through PivotConfig.Function — we do.
         "SKEWNESS",
         "KURTOSIS",
+        "MEDIAN",
     }
 )
 

@@ -265,6 +265,15 @@ def _b_correctedsumofsquares(cond, col, order, t):
     return F.sum(d * d) - F.pow(F.sum(d), F.lit(2)) / F.count(d)
 
 
+def _b_median(cond, col, order, t):
+    # Exact continuous median (linear interpolation) — same definition as
+    # DuckDB quantile_cont(x, 0.5). Engine extension: the reference has no
+    # rank-based aggregates at all. Memory note: exact percentiles buffer
+    # the cell's values (ObjectHashAggregate); for 100 TB hot paths use
+    # approx_percentile instead (documented tradeoff).
+    return F.median(_masked(cond, col).cast("double"))
+
+
 def _b_skewness(cond, col, order, t):
     # Population skewness g1 = m3 / m2^1.5 — the single-pass helper the
     # reference ships alongside the pivot functions
@@ -351,6 +360,9 @@ AGGREGATES: dict[str, AggregateBuilder] = {
     "CORRECTEDSUMOFSQUARES": AggregateBuilder(
         "CORRECTEDSUMOFSQUARES", _b_correctedsumofsquares, _t_double,
         requires_numeric=True,
+    ),
+    "MEDIAN": AggregateBuilder(
+        "MEDIAN", _b_median, _t_double, requires_numeric=True
     ),
     "SKEWNESS": AggregateBuilder(
         "SKEWNESS", _b_skewness, _t_double, requires_numeric=True

@@ -979,3 +979,15 @@ def e17_rollup(spark, sf_dir):
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
     )
     return round_doubles(out)
+
+
+@query(
+    "p25",
+    _li_oracle(
+        [("md", lambda f: f"round(quantile_cont(l_extendedprice, 0.5) FILTER ({f}), 4)")]
+    ),
+)
+def p25(spark, sf_dir):
+    """MEDIAN pivot cells (engine extension: exact continuous median,
+    same interpolation as DuckDB quantile_cont)."""
+    return _pivot_li(spark, sf_dir, "md:median(l_extendedprice)")
