@@ -78,7 +78,7 @@ def test_errors_accumulate():
 
 def test_unknown_function():
     with pytest.raises(PivotConfigError) as e:
-        PivotConfig(pivot_columns="a=1", pivot_rows="p", aggregates="s:median(x)")
+        PivotConfig(pivot_columns="a=1", pivot_rows="p", aggregates="s:mode(x)")
     assert any("unknown aggregate function" in m for m in e.value.errors)
 
 
