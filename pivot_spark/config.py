@@ -80,6 +80,7 @@ FUNCTION_NAMES = frozenset(
         "SKEWNESS",
         "KURTOSIS",
         "MEDIAN",
+        "APPROXMEDIAN",  # sketch-based median: the bounded-state 100 TB path
     }
 )
 
@@ -288,24 +289,29 @@ class PivotConfig:
 
     # -- derived plan info -----------------------------------------------------
 
-    def cell_names(self) -> list[tuple[tuple[str, ...], str]]:
-        """Ordered [(value_tuple, generated_column_name)] for the full
-        cartesian product of declared pivot values × aggregates.
-
-        First-declared pivot column varies slowest, matching the reference's
-        ``Sets.cartesianProduct`` order (``Pivot.java:365-372``) and the
-        machine-written example schema ``Q1_Nike_Sum`` (SURVEY.md §2.1 bug
-        list: the doc example is wrong, the code order is canonical).
+    def cells(self) -> list[tuple[tuple[str, ...], AggregateDef, str]]:
+        """Ordered [(value_tuple, aggregate, generated_column_name)] for the
+        full cartesian product of declared pivot values × aggregates, in
+        output-schema order: aggregates outer, value-products inner —
+        matching the reference's ``generateOutputSchema`` iteration
+        (``Pivot.java:283-297``). Within the product the first-declared
+        pivot column varies slowest, matching ``Sets.cartesianProduct``
+        (``Pivot.java:365-372``) and the machine-written example schema
+        ``Q1_Nike_Sum`` (SURVEY.md §2.1 bug list: the doc example is wrong,
+        the code order is canonical).
         """
         import itertools
 
         products = list(itertools.product(*self.columns.values()))
-        out = []
-        for values in products:
-            prefix = "_".join(values)
-            for agg in self.aggs:
-                out.append((values, f"{prefix}_{agg.alias}"))
-        return out
+        return [
+            (values, agg, "_".join(values) + "_" + agg.alias)
+            for agg in self.aggs
+            for values in products
+        ]
+
+    def cell_names(self) -> list[tuple[tuple[str, ...], str]]:
+        """[(value_tuple, generated_column_name)] in output-schema order."""
+        return [(values, name) for values, _, name in self.cells()]
 
     def output_column_name(self, values: tuple[str, ...], alias: str) -> str:
         gen = "_".join(values) + "_" + alias

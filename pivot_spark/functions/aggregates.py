@@ -162,12 +162,14 @@ _SEP = "\x01"  # sorts below every other character in UTF8 binary order
 
 def _ci_key(col: Column) -> Column:
     """Scalar encoding of the (lower(x), x) composite key: since \\x01 is
-    smaller than any following character, binary comparison of
+    smaller than every character except NUL, binary comparison of
     ``lower(x) + \\x01 + x`` equals lexicographic comparison of the pair.
     A scalar min/max stays in hash-aggregate whole-stage codegen, where a
     struct min/max falls back to sort-based aggregation (~10x slower on
-    wide scans). Caveat: values containing \\x01 would interleave — not a
-    character that survives text ingestion."""
+    wide scans). Caveat: values containing \\x00 or \\x01 at the
+    lower(x)/x boundary can interleave and invert the ordering — control
+    characters that don't survive text ingestion; for binary-unsafe data
+    use the struct form ``min(struct(lower(x), x))`` instead."""
     return F.concat(F.lower(col), F.lit(_SEP), col)
 
 
@@ -268,10 +270,31 @@ def _b_correctedsumofsquares(cond, col, order, t):
 def _b_median(cond, col, order, t):
     # Exact continuous median (linear interpolation) — same definition as
     # DuckDB quantile_cont(x, 0.5). Engine extension: the reference has no
-    # rank-based aggregates at all. Memory note: exact percentiles buffer
-    # the cell's values (ObjectHashAggregate); for 100 TB hot paths use
-    # approx_percentile instead (documented tradeoff).
+    # rank-based aggregates at all. SCALE GATE: exact percentiles buffer
+    # every value of the cell (ObjectHashAggregate) — per-group state is
+    # O(cell rows), so a hot group OOMs at 100x. Use MEDIAN only when
+    # cells are known-small (dimension-keyed pivots); the default
+    # recommendation for large/unknown cells is APPROXMEDIAN below
+    # (bounded sketch state, rank error <= 1/accuracy).
     return F.median(_masked(cond, col).cast("double"))
+
+
+# Rank-error knob for APPROXMEDIAN: guarantees the result's rank is within
+# n/accuracy of the true median while keeping O(accuracy * log n) state
+# per cell (Greenwald-Khanna sketch — bounded regardless of cell size).
+APPROX_PERCENTILE_ACCURACY = 10_000
+
+
+def _b_approxmedian(cond, col, order, t):
+    # Sketch-based median: the 100 TB path. Unlike exact MEDIAN the result
+    # is an observed value (no interpolation) within the rank-error bound;
+    # sketch merge is order-sensitive across partitions, so exact equality
+    # across runs is not guaranteed — only the rank bound is.
+    return F.percentile_approx(
+        _masked(cond, col).cast("double"),
+        F.lit(0.5),
+        F.lit(APPROX_PERCENTILE_ACCURACY),
+    ).cast("double")
 
 
 def _b_skewness(cond, col, order, t):
@@ -363,6 +386,9 @@ AGGREGATES: dict[str, AggregateBuilder] = {
     ),
     "MEDIAN": AggregateBuilder(
         "MEDIAN", _b_median, _t_double, requires_numeric=True
+    ),
+    "APPROXMEDIAN": AggregateBuilder(
+        "APPROXMEDIAN", _b_approxmedian, _t_double, requires_numeric=True
     ),
     "SKEWNESS": AggregateBuilder(
         "SKEWNESS", _b_skewness, _t_double, requires_numeric=True

@@ -114,10 +114,15 @@ def ivf_search(
     Q = np.stack(qpdf["__qvec"].values).astype("float64")
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     order = np.argsort(-(Qn @ centroids.T), axis=1)[:, :nprobe]
+    def _py(v):
+        # numpy scalars -> python scalars; leaves str/int/other id types
+        # untouched (id_col's type comes from the schema, not a cast)
+        return v.item() if hasattr(v, "item") else v
+
     probe_rows = [
         # arrow hands back numpy arrays for parquet float columns but
         # plain lists for createDataFrame-built ones — normalize both
-        (int(qpdf["__qid"].iloc[i]), int(c), [float(v) for v in qpdf["__qvec"].iloc[i]])
+        (_py(qpdf["__qid"].iloc[i]), int(c), [float(v) for v in qpdf["__qvec"].iloc[i]])
         for i in range(len(qpdf))
         for c in order[i]
     ]

@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import logging
 import random
 from typing import Sequence
 
@@ -432,6 +433,7 @@ def neardup_embedding_cosine(
     n_planes: int = 10,
     n_tables: int = 6,
     exact: bool = False,
+    exact_max_rows: int = 1_000_000,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cos >= threshold).
@@ -441,7 +443,9 @@ def neardup_embedding_cosine(
     block against it in numpy and emits only qualifying pairs. Exact and
     fast, but requires the corpus matrix to fit on executors (n*dim*8
     bytes); all-pairs is O(n^2) regardless, so past broadcast size use
-    exact=False.
+    exact=False. A corpus larger than ``exact_max_rows`` (default 1M ≈
+    512 MB broadcast at dim=64) raises rather than silently collecting an
+    unbounded corpus to the driver.
     exact=False: SRP-LSH bucketed candidates, then exact cosine verify —
     the 100 TB path (miss probability per true pair at cos c is
     (1 - (1 - acos(c)/pi)^n_planes)^n_tables). Candidates travel as bare
@@ -452,6 +456,22 @@ def neardup_embedding_cosine(
 
     base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
     if exact:
+        # Scale gate: the exact path is the correctness anchor for small
+        # corpora, never the 100 TB route. Refuse past broadcast size
+        # instead of OOMing the driver mid-collect.
+        n = base.count()
+        if n > exact_max_rows:
+            raise ValueError(
+                f"exact=True collects the corpus to the driver and scores "
+                f"all O(n^2) pairs; corpus has {n} rows > exact_max_rows="
+                f"{exact_max_rows}. Use exact=False (SRP-LSH bucketed "
+                f"candidates + exact verify) past broadcast size."
+            )
+        logging.getLogger(__name__).info(
+            "neardup_embedding_cosine exact path: n=%d rows (bound %d)",
+            n,
+            exact_max_rows,
+        )
         return _exact_cosine_pairs_gemm(base, df.schema[id_col].dataType, threshold)
 
     sig_cols = srp_signatures_pd(F.col("__vec"), n_planes, dim, n_tables, seed)

@@ -66,7 +66,12 @@ class PivotResult:
 
     Mirrors the reference's dual-emitter finalize (``Pivot.java:198-262``):
     ``errors`` is populated only for on_error=send-to-error-port and holds
-    the distinct group keys that contained >=1 undeclared pivot value.
+    one row per group key that contained >=1 undeclared pivot value, plus —
+    matching the reference's "missing data model" diagnostics
+    (``Pivot.java:330-353``, ``AggregateResult.java:56-58``) — one
+    ``{col}_undeclared`` array<string> column per pivot column listing the
+    distinct undeclared values seen in that group (sorted; SQL NULL is
+    recorded as the string ``"null"`` like Java ``String.valueOf``).
     """
 
     output: DataFrame
@@ -133,20 +138,17 @@ def output_schema(config: PivotConfig, input_schema: T.StructType) -> T.StructTy
     (divergence from the reference's hash-ordered HashSet,
     ``PivotConfig.java:189-192`` — SURVEY.md §2.1); every generated
     aggregate column is nullable (``Pivot.java:292``) because a pivot cell
-    may receive no rows.
+    may receive no rows. Generated columns are ordered aggregates-outer /
+    value-products-inner like the reference (``Pivot.java:283-297``).
     """
-    import itertools
-
     _validate_against_schema(config, input_schema)
     fields = {f.name: f for f in input_schema.fields}
     out = [fields[r] for r in config.rows]
-    for values in itertools.product(*config.columns.values()):
-        for agg in config.aggs:
-            builder = AGGREGATES[agg.func]
-            in_type = fields[agg.field].dataType if agg.field else None
-            gen_name = "_".join(values) + "_" + agg.alias
-            name = config.aliases.get(gen_name, gen_name)
-            out.append(T.StructField(name, builder.output_type(in_type), True))
+    for values, agg, gen_name in config.cells():
+        builder = AGGREGATES[agg.func]
+        in_type = fields[agg.field].dataType if agg.field else None
+        name = config.aliases.get(gen_name, gen_name)
+        out.append(T.StructField(name, builder.output_type(in_type), True))
     return T.StructType(out)
 
 
@@ -178,22 +180,20 @@ def build_agg_exprs(config: PivotConfig, schema: T.StructType) -> list[Column]:
     fields = {f.name: f for f in schema.fields}
     order_cols = [F.col(k) for k in config.order_by] if config.order_by else None
     exprs: list[Column] = []
-    for values in dict.fromkeys(v for v, _ in config.cell_names()):
+    for values, agg, gen_name in config.cells():
         cond = _cell_condition(config, values)
-        for agg in config.aggs:
-            builder = AGGREGATES[agg.func]
-            col = F.col(agg.field) if agg.field else None
-            in_type = fields[agg.field].dataType if agg.field else None
-            gen_name = "_".join(values) + "_" + agg.alias
-            name = config.aliases.get(gen_name, gen_name)
-            expr = builder.build(cond, col, order_cols, in_type)
-            # default fill: nulls (cells with no contributing rows, or
-            # null-valued results) replaced by default_value cast to the
-            # column type (Pivot.java:229-235).
-            if config.default_value is not None and not builder.non_null_identity:
-                out_t = builder.output_type(in_type)
-                expr = F.coalesce(expr, F.lit(config.default_value).cast(out_t))
-            exprs.append(expr.alias(name))
+        builder = AGGREGATES[agg.func]
+        col = F.col(agg.field) if agg.field else None
+        in_type = fields[agg.field].dataType if agg.field else None
+        name = config.aliases.get(gen_name, gen_name)
+        expr = builder.build(cond, col, order_cols, in_type)
+        # default fill: nulls (cells with no contributing rows, or
+        # null-valued results) replaced by default_value cast to the
+        # column type (Pivot.java:229-235).
+        if config.default_value is not None and not builder.non_null_identity:
+            out_t = builder.output_type(in_type)
+            expr = F.coalesce(expr, F.lit(config.default_value).cast(out_t))
+        exprs.append(expr.alias(name))
     return exprs
 
 
@@ -232,10 +232,25 @@ def pivot(df: DataFrame, config: PivotConfig) -> PivotResult:
 
     # send-to-error-port (Pivot.java:206-211, 241-262): groups containing
     # any undeclared value are suppressed from the main output and their
-    # keys emitted on the error port. Bad-key set is small → broadcast
-    # anti-join (no extra shuffle of the aggregated output).
-    bad_keys = df.filter(bad).select(*config.rows).distinct()
-    main = out.join(F.broadcast(bad_keys), on=config.rows, how="left_anti")
+    # keys emitted on the error port, with the per-column distinct
+    # undeclared values ("missing data model", Pivot.java:330-353) as
+    # diagnostics. Bad-key set is small → broadcast anti-join (no extra
+    # shuffle of the aggregated output).
+    undeclared = [
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    ~F.col(c).cast("string").isin(list(vals)) | F.col(c).isNull(),
+                    F.coalesce(F.col(c).cast("string"), F.lit("null")),
+                )
+            )
+        ).alias(f"{c}_undeclared")
+        for c, vals in config.columns.items()
+    ]
+    bad_keys = df.filter(bad).groupBy(*config.rows).agg(*undeclared)
+    main = out.join(
+        F.broadcast(bad_keys.select(*config.rows)), on=config.rows, how="left_anti"
+    )
     return PivotResult(main, bad_keys)
 
 

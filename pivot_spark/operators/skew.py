@@ -31,10 +31,14 @@ def count_distinct_skewed(
 ) -> DataFrame:
     """Exact per-key distinct count, skew-resistant: shuffle 1 partitions
     by (key, value) — a key with 10^9 distinct values spreads over the
-    whole cluster — shuffle 2 merges small per-key partial counts."""
+    whole cluster — shuffle 2 merges small per-key partial counts.
+    NULL values are ignored, matching ``F.count_distinct`` semantics."""
     keys = list(keys)
-    dedup = df.select(*keys, value_col).groupBy(*keys, value_col).agg(
-        F.lit(1).alias("__one")
+    dedup = (
+        df.select(*keys, value_col)
+        .filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.lit(1).alias("__one"))
     )
     return dedup.groupBy(*keys).agg(F.count(F.lit(1)).alias(out_name))
 
@@ -49,7 +53,17 @@ def salted_join(
     """Equi-join with the dimension side replicated ``salt`` times and
     fact rows routed to a deterministic bucket, splitting each hot join
     key across ``salt`` reducers. Use when the dim side is too big to
-    broadcast but small enough to replicate ``salt``-fold."""
+    broadcast but small enough to replicate ``salt``-fold.
+
+    Only inner/left joins are supported: with right/full outer, dim rows
+    unmatched in one salt bucket would survive as salt-fold duplicates
+    (each replica is unmatched independently)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "replicated dim rows make right/full outer results salt-fold "
+            "duplicated"
+        )
     if salt < 2:
         return fact.join(dim, on, how)
     fact_cols = fact.columns

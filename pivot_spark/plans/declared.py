@@ -60,6 +60,20 @@ def round_doubles(df: DataFrame, scale: int = 4) -> DataFrame:
     return df.select(*cols)
 
 
+def serialize_arrays(df: DataFrame) -> DataFrame:
+    """Serialize array columns to the SURVEY.md §2.4 canonical string form
+    ``[a|b|c]`` (empty array → ``[]``) so the driver's pandas canonicalizer
+    never sees raw (unhashable) lists. Mirrored in oracles with DuckDB
+    ``'[' || array_to_string(arr, '|') || ']'``."""
+    cols = [
+        F.concat(F.lit("["), F.array_join(F.col(f.name), "|"), F.lit("]")).alias(f.name)
+        if isinstance(f.dataType, T.ArrayType)
+        else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    return df.select(*cols)
+
+
 def _pivot_li(spark, sf_dir, aggregates, *, values="A,N,R", order_by=None, **kw):
     df = _read(spark, sf_dir, "lineitem")
     cfg = PivotConfig(
@@ -224,14 +238,16 @@ def p09(spark, sf_dir):
             (
                 "cl",
                 lambda f: (
-                    f"coalesce(list(l_linestatus ORDER BY l_linestatus) FILTER ({f}), [])"
+                    f"'[' || array_to_string(coalesce("
+                    f"list(l_linestatus ORDER BY l_linestatus) FILTER ({f}), []), "
+                    f"'|') || ']'"
                 ),
             )
         ]
     ),
 )
 def p10(spark, sf_dir):
-    return _pivot_li(spark, sf_dir, "cl:collectlist(l_linestatus)")
+    return serialize_arrays(_pivot_li(spark, sf_dir, "cl:collectlist(l_linestatus)"))
 
 
 @query(
@@ -241,15 +257,16 @@ def p10(spark, sf_dir):
             (
                 "cs",
                 lambda f: (
-                    f"coalesce(list(DISTINCT l_linestatus ORDER BY l_linestatus) "
-                    f"FILTER ({f}), [])"
+                    f"'[' || array_to_string(coalesce("
+                    f"list(DISTINCT l_linestatus ORDER BY l_linestatus) FILTER ({f}), "
+                    f"[]), '|') || ']'"
                 ),
             )
         ]
     ),
 )
 def p11(spark, sf_dir):
-    return _pivot_li(spark, sf_dir, "cs:collectset(l_linestatus)")
+    return serialize_arrays(_pivot_li(spark, sf_dir, "cs:collectset(l_linestatus)"))
 
 
 _P12_ORACLE = (
@@ -465,6 +482,36 @@ def p20(spark, sf_dir):
     return _pivot_li(spark, sf_dir, "s:sum(l_quantity)", values="A,N", on_error="skip-error")
 
 
+_P22_ORACLE = "SELECT true AS fail_pipeline_raised"
+
+
+@query("p22", _P22_ORACLE)
+def p22(spark, sf_dir):
+    """on_error=fail-pipeline raises on undeclared pivot values — the
+    declared divergence from the reference, whose ERROR_FAIL_PIPELINE is
+    miswired to "skip-error" and silently drops groups
+    (PivotConfig.java:78-80, widget sends "fail-pipeline"). This probe
+    returns a one-row proof frame that the raise actually happened."""
+    from pivot_spark.operators.pivot import PivotError
+
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N",  # R is undeclared -> must raise
+        pivot_rows="l_linenumber",
+        aggregates="s:sum(l_quantity)",
+        on_error="fail-pipeline",
+    )
+    try:
+        pivot(df, cfg)
+        raised = False
+    except PivotError:
+        raised = True
+    return spark.createDataFrame(
+        [(raised,)],
+        T.StructType([T.StructField("fail_pipeline_raised", T.BooleanType(), False)]),
+    )
+
+
 _P21_ORACLE = (
     "SELECT l_orderkey, "
     "round(sum(l_quantity) FILTER (l_returnflag = 'A'), 4) AS \"A_s\", "
@@ -486,12 +533,23 @@ def p21(spark, sf_dir):
     return round_doubles(pivot(df, cfg).output)
 
 
-@query(
-    "p21_errors",
-    "SELECT DISTINCT l_orderkey FROM lineitem "
-    "WHERE l_returnflag NOT IN ('A','N') OR l_returnflag IS NULL",
+_P21_BAD = "l_returnflag NOT IN ('A','N') OR l_returnflag IS NULL"
+
+_P21_ERRORS_ORACLE = (
+    "SELECT l_orderkey, '[' || array_to_string("
+    "list(DISTINCT coalesce(l_returnflag, 'null') "
+    "ORDER BY coalesce(l_returnflag, 'null')) "
+    f"FILTER ({_P21_BAD}), '|') || ']' AS l_returnflag_undeclared "
+    "FROM lineitem GROUP BY l_orderkey "
+    f"HAVING count(*) FILTER ({_P21_BAD}) > 0"
 )
+
+
+@query("p21_errors", _P21_ERRORS_ORACLE)
 def p21_errors(spark, sf_dir):
+    """Error-port frame: bad group keys + per-pivot-column distinct
+    undeclared values (the reference's "missing data model" diagnostics,
+    Pivot.java:330-353)."""
     df = _read(spark, sf_dir, "lineitem")
     cfg = PivotConfig(
         pivot_columns="l_returnflag=A,N",
@@ -499,7 +557,7 @@ def p21_errors(spark, sf_dir):
         aggregates="s:sum(l_quantity)",
         on_error="send-to-error-port",
     )
-    return pivot(df, cfg).errors
+    return serialize_arrays(pivot(df, cfg).errors)
 
 
 _P23_FILTER = "NOT (l_returnflag = 'R' AND l_linenumber <= 2)"
@@ -888,11 +946,14 @@ WITH e AS (
                         ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM s
 )
-SELECT user_id, session_idx, count(*) AS n_events,
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
        min(ts_us) AS t_start, max(ts_us) AS t_end,
        max(ts_us) - min(ts_us) AS duration
 FROM t GROUP BY user_id, session_idx
 """
+# ^ session_idx cast: DuckDB sum() OVER yields HUGEINT, which pandas
+# renders as float64 ("2.0" vs Spark's "2") — oracle-side type, not a
+# value difference.
 
 
 @query("e14_sessionize", _E14_ORACLE)
@@ -922,6 +983,20 @@ def e15_knn_ivf(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 10)
     return round_doubles(
         cosine_topk_ivf(emb, q, k=3, n_clusters=16, nprobe=4)
+    )
+
+
+# E15b: IVF at nprobe == n_clusters scans every inverted list — exactly
+# brute force — so the exact top-k oracle (same as E04) hash-checks the
+# whole IVF plumbing (train/assign/probe/score/top-k), not just row counts.
+@query("e15_knn_ivf_fullprobe", _E04_ORACLE)
+def e15_knn_ivf_fullprobe(spark, sf_dir):
+    from pivot_spark.operators.ivf import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(
+        cosine_topk_ivf(emb, q, k=3, n_clusters=8, nprobe=8)
     )
 
 

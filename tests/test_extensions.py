@@ -250,8 +250,13 @@ def test_count_distinct_skewed(spark):
         "k string, v int",
     )
     out = {r["k"]: r["n_distinct"] for r in count_distinct_skewed(df, ["k"], "v").collect()}
-    # null participates as a group like groupBy semantics (distinct incl. null)
-    assert out == {"a": 2, "b": 2}
+    # NULL is ignored, matching F.count_distinct semantics
+    assert out == {"a": 2, "b": 1}
+    exact = {
+        r["k"]: r["cd"]
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("cd")).collect()
+    }
+    assert out == exact
 
 
 def test_salted_join_matches_plain(spark):
@@ -266,6 +271,20 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
     # row counts preserved under replication (no dup joins)
     assert salted_join(fact, dim, "k", salt=8).count() == fact.join(dim, "k").count()
+    # right/full outer would emit salt-fold duplicates of unmatched dim rows
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(fact, dim, "k", salt=4, how="right")
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(fact, dim, "k", salt=4, how="full")
+
+
+def test_gemm_guard_refuses_oversized_corpus(vec_df):
+    from pivot_spark.operators.neardup import neardup_embedding_cosine
+
+    with pytest.raises(ValueError, match="exact_max_rows"):
+        neardup_embedding_cosine(
+            vec_df, threshold=0.99, exact=True, dim=16, exact_max_rows=10
+        )
 
 
 def test_bpe_pretokenizer(spark):

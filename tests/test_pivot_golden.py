@@ -148,8 +148,36 @@ def test_on_error_port_routes_bad_groups(spark):
     out = rows_by_key(res.output, "k")
     assert set(out) == {"a", "c"}  # group b suppressed
     assert out["a"] == {"k": "a", "X_s": 1, "Y_s": 2}
-    errs = [r["k"] for r in res.errors.collect()]
-    assert errs == ["b"]
+    errs = res.errors.collect()
+    assert [r["k"] for r in errs] == ["b"]
+    # "missing data model" diagnostics (Pivot.java:330-353): per pivot
+    # column, the sorted distinct undeclared values seen in the group
+    assert res.errors.columns == ["k", "p_undeclared"]
+    assert errs[0]["p_undeclared"] == ["BAD"]
+
+
+def test_error_port_undeclared_values_detail(spark):
+    rows = [
+        ("g1", "X", None, 1),
+        ("g1", "BAD1", "U", 2),
+        ("g1", "BAD2", "V", 3),
+        ("g1", "BAD1", None, 4),
+        ("g2", "X", "U", 5),
+    ]
+    df = spark.createDataFrame(rows, ["k", "p", "q", "v"])
+    cfg = PivotConfig(
+        pivot_columns="p=X,Y;q=U,V",
+        pivot_rows="k",
+        aggregates="s:sum(v)",
+        on_error=OnError.ERROR_PORT,
+    )
+    res = pivot(df, cfg)
+    errs = {r["k"]: r for r in res.errors.collect()}
+    # g1: rows 1-4 are bad (undeclared p or null q); g2 is fully declared
+    assert set(errs) == {"g1"}
+    assert errs["g1"]["p_undeclared"] == ["BAD1", "BAD2"]
+    # SQL NULL recorded as "null" like Java String.valueOf (Pivot.java:337)
+    assert errs["g1"]["q_undeclared"] == ["null"]
 
 
 def test_on_error_fail_raises(spark):
@@ -203,6 +231,35 @@ def test_lineage():
     assert lineage(cfg2)["Q1_my_sum"] == ["Quarter", "Sales"]
     assert lin["Q1_n"] == ["Quarter"]  # count(*) has no source field
     assert len(lin) == 5
+
+
+def test_multi_agg_column_order_agg_major(sales_df):
+    # reference generateOutputSchema iterates aggregates outer /
+    # value-products inner (Pivot.java:283-297) — schema order parity
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales),n:count(*)",
+    )
+    res = pivot(sales_df, cfg)
+    assert res.output.columns == ["Product", "Q1_s", "Q2_s", "Q1_n", "Q2_n"]
+
+
+def test_approxmedian_matches_exact_on_odd_cells(spark):
+    # odd-count cell: the sketch returns the exact middle observation, so
+    # APPROXMEDIAN == MEDIAN here; on even counts they may differ (approx
+    # picks an observed value, exact interpolates) — documented contract
+    rows = [("a", "X", float(v)) for v in [5, 1, 3, 2, 4]] + [("a", "Y", 7.0)]
+    df = spark.createDataFrame(rows, ["k", "p", "v"])
+    cfg = PivotConfig(
+        pivot_columns="p=X,Y",
+        pivot_rows="k",
+        aggregates="am:approxmedian(v),m:median(v)",
+    )
+    out = pivot(df, cfg).output.collect()[0]
+    assert out["X_am"] == out["X_m"] == 3.0
+    assert out["Y_am"] == 7.0
+    assert out["X_am"] is not None and isinstance(out["X_am"], float)
 
 
 def test_decimal_support_schema_parity(spark):

@@ -89,8 +89,9 @@ def test_error_port_sink(spark, csv_src, tmp_path):
         schema="Quarter string, Product string, Brand string, Sales int, ShopID int",
     )
     errs = read_source(spark, str(tmp_path / "errors"), "parquet")
-    assert errs.columns == ["Product"]
+    assert errs.columns == ["Product", "Quarter_undeclared"]
     assert errs.count() > 0
+    assert all(r["Quarter_undeclared"] == ["Q4"] for r in errs.collect())
 
 
 def test_bad_format_rejected(spark, sales_df, tmp_path):
