@@ -38,3 +38,29 @@ def dedup_exact(
     )
     agg = df.groupBy(*keys).agg(F.min(ordered).alias("__m"))
     return agg.select(*[F.col(f"__m.__p.{c}").alias(c) for c in df.columns])
+
+
+def dedup_against(
+    df: DataFrame,
+    blocklist: DataFrame,
+    on: "str | Sequence[str]",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Cross-corpus decontamination: drop rows of ``df`` whose ``on``
+    key(s) appear in ``blocklist`` — the standard "remove eval-set /
+    already-trained documents from the new crawl" step, keyed by any
+    stable identity (normalization fingerprint, url, doc id).
+
+    One left-anti join. ``broadcast=True`` (default) is right for the
+    usual shape — a bounded blocklist (benchmarks, previous-epoch
+    fingerprints) against a 100 TB corpus: the corpus is scanned once
+    with NO shuffle. Set ``broadcast=False`` when the blocklist is
+    itself corpus-sized (epoch-over-epoch dedup) — then it's a shuffled
+    anti-join on the key, which is the correct plan at that shape (and
+    AQE still converts it back to broadcast if the runtime size allows).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right = blocklist.select(*on).dropDuplicates(on)
+    if broadcast:
+        right = F.broadcast(right)
+    return df.join(right, on=on, how="left_anti")

@@ -1,0 +1,96 @@
+"""Deterministic sampling for training-data curation.
+
+Training pipelines need samples that are (a) reproducible across runs
+and engines, (b) stable under re-partitioning, and (c) stratifiable by
+arbitrary keys (language, source, quality bucket) without an extra
+shuffle. RNG-based ``df.sample`` gives none of that: its output depends
+on partition layout and seed plumbing, and can't be replayed by another
+engine for auditing.
+
+The tool here is **hash-threshold sampling**: a row is kept iff a
+cryptographic hash of its (salt, stable id) falls below ``rate`` of the
+hash space. Properties:
+
+* deterministic & engine-portable — md5 is bit-identical everywhere
+  (the correctness oracle replays the exact sample in DuckDB);
+* scan-stage — pure row-local predicate, no shuffle, pushes through
+  Catalyst like any filter; at 100 TB it is exactly as cheap as a scan;
+* consistent — the same id is kept at rate 0.2 whenever it is kept at
+  rate 0.1 (thresholds nest), enabling progressive data scaling;
+* stratified for free — prefix the hash input with the stratum key and
+  per-stratum rates via a tiny broadcast map.
+
+This mirrors the standard "hash-mod sharding" used by public web-corpus
+pipelines (e.g. the CCNet / C4 processing descriptions) rather than any
+engine-specific sampler.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16^4 buckets give rate granularity of 6.1e-5 while keeping the
+# threshold a 4-char hex-string compare (no bigint parsing needed).
+_HEX_DIGITS = 4
+_BUCKETS = 16**_HEX_DIGITS
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """First 4 hex digits of md5(salt:id) as a lexicographic bucket."""
+    return F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))), 1, _HEX_DIGITS
+    )
+
+
+def _threshold(rate: float) -> str:
+    """Hex cutoff such that P(bucket < cutoff) == round(rate * _BUCKETS)
+    / _BUCKETS under a uniform hash. Buckets are fixed-width 4-hex
+    strings, so a 4-hex cutoff compares correctly lexicographically;
+    rate 1.0 returns "g", which sorts above every hex digit."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    n = min(int(round(rate * _BUCKETS)), _BUCKETS)
+    return "g" if n >= _BUCKETS else format(n, f"0{_HEX_DIGITS}x")
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by hashed id.
+
+    Exactly reproducible: the kept set is a pure function of
+    (id, salt, rate), independent of partitioning, ordering, or engine.
+    """
+    return df.filter(_hash_bucket(F.col(id_col), salt) < F.lit(_threshold(rate)))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    downsample en, keep all yo). ``rates`` maps stratum value -> keep
+    rate; strata not listed use ``default_rate``.
+
+    The per-stratum threshold is folded into one CASE expression — still
+    a scan-stage predicate, no join, no shuffle. The hash input includes
+    the stratum so changing one stratum's rate never perturbs another's
+    sample.
+    """
+    thr = F.lit(_threshold(default_rate))
+    for value, rate in rates.items():
+        thr = F.when(
+            F.col(stratum_col) == F.lit(value), F.lit(_threshold(rate))
+        ).otherwise(thr)
+    bucket = _hash_bucket(
+        F.concat(F.col(stratum_col), F.lit("/"), F.col(id_col).cast("string")),
+        salt,
+    )
+    return df.filter(bucket < thr)

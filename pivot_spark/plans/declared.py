@@ -1066,3 +1066,149 @@ def p25(spark, sf_dir):
     """MEDIAN pivot cells (engine extension: exact continuous median,
     same interpolation as DuckDB quantile_cont)."""
     return _pivot_li(spark, sf_dir, "md:median(l_extendedprice)")
+
+# --------------------------------------------------------------------------
+# E18-E22: training-data curation operators (sampling, TF-IDF, top-k,
+# cross-corpus decontamination) — SURVEY.md §2.4 extension table
+# --------------------------------------------------------------------------
+
+def _sample_threshold(rate: float) -> str:
+    from pivot_spark.operators.sample import _threshold
+
+    return _threshold(rate)
+
+
+@query(
+    "e18_hash_sample",
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'",
+)
+def e18_hash_sample(spark, sf_dir):
+    """Deterministic hash-threshold sample (rate 0.25): reproducible
+    across engines and partitionings — the oracle replays the exact
+    same kept-set in DuckDB."""
+    from pivot_spark.operators.sample import hash_sample
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_sample(df, "doc_id", 0.25, salt="s42")
+
+
+def _e19_oracle() -> str:
+    en, zh, dflt = (_sample_threshold(r) for r in (0.5, 1.0, 0.1))
+    return (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE substring(md5('s42:' || lang || '/' || CAST(doc_id AS VARCHAR)), 1, 4) < "
+        f"CASE lang WHEN 'en' THEN '{en}' WHEN 'zh' THEN '{zh}' ELSE '{dflt}' END"
+    )
+
+
+@query("e19_sample_stratified", _e19_oracle())
+def e19_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (language rebalancing:
+    halve en, keep all zh, 10% elsewhere) — one CASE predicate, no join."""
+    from pivot_spark.operators.sample import stratified_hash_sample
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_rate=0.1, salt="s42"
+    )
+
+
+_E20_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> length(x) >= 2)) AS t(term)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+         tf.tf * ln((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents)
+                    / dfq.df_docs) AS tfidf
+  FROM tf JOIN dfq USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, round(tfidf, 4) AS tfidf,
+       CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@query("e20_tfidf", _E20_ORACLE)
+def e20_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document — three partial/final aggregations,
+    no UDFs; ties broken by term ascending."""
+    from pivot_spark.operators.tfidf import tfidf_top_terms
+
+    df = _read(spark, sf_dir, "documents")
+    return round_doubles(tfidf_top_terms(df, "doc_id", "text", top=3))
+
+
+_E21_ORACLE = """
+SELECT event_id, event_type, round(value, 4) AS value, CAST(rn AS INTEGER) AS rank
+FROM (SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
+@query("e21_topk_window", _E21_ORACLE)
+def e21_topk_window(spark, sf_dir):
+    """Per-group top-k via window row_number (spillable per-group sort)."""
+    from pivot_spark.operators.topk import topk_per_group
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = topk_per_group(
+        ev, ["event_type"], "value", k=3, descending=True, tie_cols=["event_id"]
+    )
+    return round_doubles(out.select("event_id", "event_type", "value", "rank"))
+
+
+@query("e22_topk_agg", _E21_ORACLE)
+def e22_topk_agg(spark, sf_dir):
+    """Same result via the bounded sorted-array aggregation (single hash
+    aggregate, map-side combine; no per-group full sort) — checked against
+    the identical window oracle."""
+    from pivot_spark.operators.topk import topk_per_group_agg
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = topk_per_group_agg(
+        ev, ["event_type"], "value", k=3, descending=True, tie_cols=["event_id"]
+    )
+    return round_doubles(out.select("event_id", "event_type", "value", "rank"))
+
+
+_E23_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.fp FROM fp d
+WHERE NOT EXISTS (SELECT 1 FROM fp b WHERE b.doc_id % 7 = 0 AND b.fp = d.fp)
+"""
+
+
+@query("e23_decontaminate", _E23_ORACLE)
+def e23_decontaminate(spark, sf_dir):
+    """Cross-corpus decontamination: drop documents whose normalization
+    fingerprint appears in a blocklist (here: every 7th doc standing in
+    for an eval set). One broadcast left-anti join — the 100 TB corpus is
+    scanned once, no shuffle."""
+    from pivot_spark.functions.text import fingerprint
+    from pivot_spark.operators.dedup import dedup_against
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "lang", fingerprint(F.col("text")).alias("fp"))
+    )
+    block = docs.filter(F.col("doc_id") % 7 == 0).select("fp")
+    return dedup_against(docs, block, on="fp", broadcast=True)
