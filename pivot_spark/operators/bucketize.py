@@ -1,0 +1,64 @@
+"""Quantile bucketing — "split each language's documents into N quality
+tiers" — the standard precursor to tier-weighted sampling in corpus
+curation.
+
+Two strategies:
+
+* ``ntile_buckets``: exact equal-count tiles via the ``ntile`` window —
+  one shuffle on the group key + per-group sort (spillable). Matches
+  ANSI ntile everywhere (DuckDB oracle-checkable). Right when tiers
+  must be exactly balanced and per-group sort cost is acceptable.
+* ``threshold_buckets``: approximate tiles via pre-computed quantile
+  thresholds (``approxQuantile`` on a bounded sketch, broadcast back as
+  a CASE expression). No per-row shuffle at all — the 100 TB path: one
+  sketch pass + one scan-stage projection. Tier sizes are approximate
+  (sketch error), boundaries are explicit and auditable.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ntile_buckets(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    n: int,
+    tie_cols: Sequence[str] = (),
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Exact equal-count quantile tiles per group (1-based; ANSI ntile
+    remainder rule: earlier tiles get the extra rows). Deterministic via
+    ``tie_cols``."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    order = [F.col(order_col).asc(), *[F.col(c).asc() for c in tie_cols]]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return df.withColumn(bucket_col, F.ntile(n).over(w))
+
+
+def threshold_buckets(
+    df: DataFrame,
+    order_col: str,
+    n: int,
+    bucket_col: str = "bucket",
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Approximate global quantile tiles without any shuffle: compute
+    n-1 quantile thresholds with a mergeable sketch (one pass), then
+    assign buckets in a scan-stage CASE. Boundary values all land in the
+    lower bucket (<= threshold)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    probs = [i / n for i in range(1, n)]
+    cuts = df.approxQuantile(order_col, probs, relative_error)
+    expr = None
+    for i, cut in enumerate(cuts, start=1):
+        cond = F.col(order_col) <= F.lit(cut)
+        expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
+    expr = F.lit(n) if expr is None else expr.otherwise(F.lit(n))
+    return df.withColumn(bucket_col, expr.cast("int"))

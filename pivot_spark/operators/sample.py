@@ -94,3 +94,40 @@ def stratified_hash_sample(
         salt,
     )
     return df.filter(bucket < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Mapping[str, float],
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, disjoint, exhaustive train/valid/test split: every
+    row is assigned exactly one split name by its hash bucket, so the
+    partition is reproducible across runs, engines, and shards — and
+    membership never changes when the corpus grows (a given id keeps its
+    split forever, the property that prevents silent eval contamination
+    across training epochs).
+
+    ``weights`` maps split name -> fraction; must sum to 1 (±1e-9).
+    Insertion order defines the bucket ranges, so declare splits in a
+    stable order. Pure scan-stage CASE expression — no shuffle, no join.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    bucket = _hash_bucket(F.col(id_col), salt)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = bucket < F.lit(_threshold(cum))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # last split catches the remainder (exhaustive even under rounding)
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -1212,3 +1212,181 @@ def e23_decontaminate(spark, sf_dir):
     )
     block = docs.filter(F.col("doc_id") % 7 == 0).select("fp")
     return dedup_against(docs, block, on="fp", broadcast=True)
+
+
+# --------------------------------------------------------------------------
+# E24-E28: as-of join, train/valid/test split, quantile buckets, PII
+# redaction, repetition signals
+# --------------------------------------------------------------------------
+
+_E24_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c0 AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max(event_id) AS event_id, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.user_id, p.p_event, p.p_ts, c0.ts_us AS ts_us_r,
+       c0.event_id AS event_id_r, round(c0.value, 4) AS value_r
+FROM p ASOF LEFT JOIN c0 ON p.user_id = c0.user_id AND p.p_ts >= c0.ts_us
+"""
+
+
+@query("e24_asof_join", _E24_ORACLE)
+def e24_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched with the user's most recent
+    click at-or-before it (union + window running-last, ONE shuffle on
+    the user key — not a non-equi range join). Oracle: DuckDB ASOF JOIN."""
+    from pivot_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"),
+        "event_type", "value",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event"), F.col("ts_us").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        p, c, on="user_id", left_ts="p_ts", right_ts="ts_us",
+        direction="backward", tie_col="event_id",
+    )
+    return round_doubles(out)
+
+
+def _e25_oracle() -> str:
+    cum1 = 0.8
+    cum2 = 0.8 + 0.1  # accumulate exactly like hash_split does
+    t1, t2 = _sample_threshold(cum1), _sample_threshold(cum2)
+    return (
+        "SELECT doc_id, lang, CASE "
+        f"WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{t1}' THEN 'train' "
+        f"WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{t2}' THEN 'valid' "
+        "ELSE 'test' END AS split FROM documents"
+    )
+
+
+@query("e25_hash_split", _e25_oracle())
+def e25_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test partition by hashed id —
+    disjoint, exhaustive, stable as the corpus grows."""
+    from pivot_spark.operators.sample import hash_split
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(
+        df, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="s42"
+    )
+
+
+@query(
+    "e26_ntile_buckets",
+    "SELECT doc_id, lang, n_chars, CAST(ntile(4) OVER ("
+    "PARTITION BY lang ORDER BY n_chars, doc_id) AS INTEGER) AS bucket "
+    "FROM documents",
+)
+def e26_ntile_buckets(spark, sf_dir):
+    """Exact per-language length-quartile tiers (ANSI ntile)."""
+    from pivot_spark.operators.bucketize import ntile_buckets
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return ntile_buckets(df, ["lang"], "n_chars", 4, tie_cols=["doc_id"])
+
+
+# threshold_buckets uses a mergeable quantile sketch (approxQuantile) —
+# boundaries are approximate, not SQL-replicable: rows-only check; the
+# shuffle-free plan and monotonicity are unit-tested.
+@query("e26b_threshold_buckets")
+def e26b_threshold_buckets(spark, sf_dir):
+    from pivot_spark.operators.bucketize import threshold_buckets
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return threshold_buckets(df, "n_chars", 4)
+
+
+_PII_SUFFIX = (
+    " contact user{d}@example.com ip 10.0.{m}.7 "
+    "ssn 123-45-6789 call +1 555-123-4567"
+)
+
+_E27_ORACLE = (
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 call +1 555-123-4567', "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+    r"'\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'), "
+    r"'\+?\d{1,3}[ -]\(?\d{2,4}\)?[ -]\d{3,4}[ -]?\d{0,4}\b', '<PHONE>', 'g') "
+    "AS redacted FROM documents"
+)
+
+
+@query("e27_redact_pii", _E27_ORACLE)
+def e27_redact_pii(spark, sf_dir):
+    """PII scrub over text augmented with deterministic synthetic PII
+    (the corpus itself has none): emails, IPv4, SSN-shaped ids, phone
+    runs — identical regex chain replayed by the oracle."""
+    from pivot_spark.functions.redact import redact_pii
+
+    df = _read(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 call +1 555-123-4567"),
+    )
+    return df.select("doc_id", redact_pii(aug).alias("redacted"))
+
+
+_E28_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) >= 1) AS t
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM base, LATERAL unnest(t) AS u(w) GROUP BY 1, 2
+), wagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS distinct_words
+  FROM wc GROUP BY 1
+), bc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id,
+               list_transform(range(1, greatest(len(t), 1)),
+                              i -> t[i] || ' ' || t[i+1]) AS gs
+        FROM base), LATERAL unnest(gs) AS u(g)
+  GROUP BY 1, 2
+), bagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_c
+  FROM bc GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(w.n_words, 0) AS n_words,
+       coalesce(w.distinct_words, 0) AS distinct_words,
+       round(CASE WHEN coalesce(w.n_words, 0) > 0
+                  THEN 1.0 - w.distinct_words / w.n_words
+                  ELSE 0.0 END, 4) AS dup_word_frac,
+       coalesce(g.n_bigrams, 0) AS n_bigrams,
+       round(CASE WHEN coalesce(g.n_bigrams, 0) > 0
+                  THEN CAST(g.top_c AS DOUBLE) / g.n_bigrams
+                  ELSE 0.0 END, 4) AS top_bigram_frac
+FROM (SELECT DISTINCT doc_id FROM base) b
+LEFT JOIN wagg w USING (doc_id)
+LEFT JOIN bagg g USING (doc_id)
+"""
+
+
+@query("e28_repetition", _E28_ORACLE)
+def e28_repetition(spark, sf_dir):
+    """MassiveText-style repetition quality signals (duplicate-word and
+    top-bigram fractions) per document."""
+    from pivot_spark.operators.repetition import repetition_signals
+
+    df = _read(spark, sf_dir, "documents")
+    return round_doubles(repetition_signals(df, "doc_id", "text"))
