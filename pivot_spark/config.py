@@ -81,6 +81,7 @@ FUNCTION_NAMES = frozenset(
         "KURTOSIS",
         "MEDIAN",
         "APPROXMEDIAN",  # sketch-based median: the bounded-state 100 TB path
+        "APPROXCOUNTDISTINCT",  # HLL++ sketch: bounded-state distinct count
     }
 )
 

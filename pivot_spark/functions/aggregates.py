@@ -297,6 +297,16 @@ def _b_approxmedian(cond, col, order, t):
     ).cast("double")
 
 
+def _b_approxcountdistinct(cond, col, order, t):
+    # HyperLogLog++ distinct-count sketch (relative error ~= 1.04/sqrt(2^p),
+    # default rsd 5%): per-cell state is a fixed-size register array at ANY
+    # cardinality — the 100 TB path where exact COUNTDISTINCT keeps a
+    # per-cell hash set proportional to the cell's distinct values.
+    # Declared divergences from COUNTDISTINCT: approximate, NULL not
+    # counted as a value, LONG output (a sketch estimate can exceed INT).
+    return F.approx_count_distinct(_masked(cond, col)).cast("long")
+
+
 def _b_skewness(cond, col, order, t):
     # Population skewness g1 = m3 / m2^1.5 — the single-pass helper the
     # reference ships alongside the pivot functions
@@ -389,6 +399,10 @@ AGGREGATES: dict[str, AggregateBuilder] = {
     ),
     "APPROXMEDIAN": AggregateBuilder(
         "APPROXMEDIAN", _b_approxmedian, _t_double, requires_numeric=True
+    ),
+    "APPROXCOUNTDISTINCT": AggregateBuilder(
+        "APPROXCOUNTDISTINCT", _b_approxcountdistinct, _t_long,
+        non_null_identity=True,
     ),
     "SKEWNESS": AggregateBuilder(
         "SKEWNESS", _b_skewness, _t_double, requires_numeric=True

@@ -1,0 +1,73 @@
+"""Embedding-column utilities: L2 normalization and per-group centroids.
+
+Centroids are the workhorse of embedding-space curation — cluster
+means for IVF coarse quantizers, per-label prototypes for
+nearest-centroid classification, per-source drift monitoring.
+
+Plan shape for ``centroids``: posexplode the vector -> per-(group,
+position) partial SUM/COUNT with map-side combine -> re-assemble the
+mean vector ordered by position. The shuffled unit is (group, position)
+scalar sums — ``n_groups x dim`` rows regardless of corpus size, so the
+reduction is fully distributed and the final state is tiny. This beats
+driver-side averaging (collect) at any scale and beats a Pandas-UDF
+GEMM for the pure-mean case because it stays entirely in codegen.
+
+``normalize`` is a scan-stage expression (no UDF, no shuffle):
+``x / sqrt(sum(x^2))`` via ``F.transform`` + ``F.aggregate``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def l2_norm(vec: Column) -> Column:
+    """sqrt(sum(x^2)) of an array<numeric> column (double)."""
+    return F.sqrt(
+        F.aggregate(
+            vec,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def normalize_vectors(vec: Column) -> Column:
+    """L2-normalize an array column; all-zero vectors pass through
+    unchanged (norm 0 would divide by zero)."""
+    n = l2_norm(vec)
+    return F.when(
+        n > 0, F.transform(vec, lambda x: x.cast("double") / n)
+    ).otherwise(F.transform(vec, lambda x: x.cast("double")))
+
+
+def centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    count_col: str = "n",
+    centroid_col: str = "centroid",
+) -> DataFrame:
+    """One row per group: member count + mean vector (array<double>,
+    positions averaged independently; null vectors are skipped)."""
+    pos = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(group_col),
+        F.posexplode(F.col(vec_col)).alias("__pos", "__x"),
+    )
+    by_pos = pos.groupBy(group_col, "__pos").agg(
+        F.sum(F.col("__x").cast("double")).alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    # __c is identical for every position of a group (= member count)
+    out = by_pos.groupBy(group_col).agg(
+        F.max("__c").alias(count_col),
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__pos"), (F.col("__s") / F.col("__c")).alias("__m")))
+        ).alias("__pm"),
+    )
+    return out.select(
+        group_col,
+        count_col,
+        F.transform(F.col("__pm"), lambda s: s.getField("__m")).alias(centroid_col),
+    )

@@ -1390,3 +1390,103 @@ def e28_repetition(spark, sf_dir):
 
     df = _read(spark, sf_dir, "documents")
     return round_doubles(repetition_signals(df, "doc_id", "text"))
+
+
+# --------------------------------------------------------------------------
+# E29-E30, P26: embedding centroids, rolling features, sketch aggregates
+# --------------------------------------------------------------------------
+
+_E29_ORACLE = """
+WITH pos AS (
+  SELECT label, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, LATERAL unnest(range(len(embedding))) AS t(i)
+  WHERE embedding IS NOT NULL
+), byp AS (
+  SELECT label, pos, avg(x) AS m FROM pos GROUP BY 1, 2
+), cnt AS (
+  SELECT label, count(*) AS n FROM embeddings
+  WHERE embedding IS NOT NULL GROUP BY 1
+)
+SELECT c.label, c.n,
+       '[' || array_to_string(
+         (SELECT list(printf('%.4f', round(b.m, 4)) ORDER BY b.pos)
+          FROM byp b WHERE b.label = c.label), '|') || ']' AS centroid
+FROM cnt c
+"""
+
+
+@query("e29_centroids", _E29_ORACLE)
+def e29_centroids(spark, sf_dir):
+    """Per-label mean embedding: posexplode -> (label, position) partial
+    sums -> reassembled mean vector; shuffled state is n_labels x dim
+    scalars at any corpus size. Elements serialized %.4f for the
+    canonical array form."""
+    from pivot_spark.operators.embedding import centroids
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = centroids(emb, "label", "embedding")
+    fmt = F.transform(
+        F.col("centroid"), lambda x: F.format_string("%.4f", F.round(x, 4))
+    )
+    return serialize_arrays(out.select("label", "n", fmt.alias("centroid")))
+
+
+_E30_ORACLE = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, round(value, 4) AS value,
+       round(avg(value) OVER w, 4) AS roll_avg3,
+       round(sum(value) OVER w, 4) AS roll_sum3,
+       round(min(value) OVER w, 4) AS roll_min3,
+       round(max(value) OVER w, 4) AS roll_max3,
+       count(value) OVER w AS roll_cnt3
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("e30_rolling", _E30_ORACLE)
+def e30_rolling(spark, sf_dir):
+    """Trailing-3-event features per user — five window aggregates
+    sharing ONE exchange + sort."""
+    from pivot_spark.operators.rolling import rolling_features
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    )
+    out = rolling_features(
+        ev, ["user_id"], "ts_us", "value", n=3, tie_cols=["event_id"]
+    )
+    return round_doubles(out)
+
+
+_E30B_ORACLE = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us, round(value, 4) AS value,
+       round(avg(value) OVER w, 4) AS trail_avg,
+       round(sum(value) OVER w, 4) AS trail_sum,
+       count(value) OVER w AS trail_cnt
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("e30b_rolling_time", _E30B_ORACLE)
+def e30b_rolling_time(spark, sf_dir):
+    """Trailing-10-minute features per user (range frame over event-time
+    micros)."""
+    from pivot_spark.operators.rolling import rolling_time_features
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+    )
+    out = rolling_time_features(
+        ev, ["user_id"], "ts_us", "value", horizon=600_000_000
+    )
+    return round_doubles(out)
+
+
+# APPROXCOUNTDISTINCT is a sketch estimate (HLL++): not exactly
+# SQL-replicable -> rows-only; the <=5%-of-exact bound is unit-tested.
+@query("p26")
+def p26(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "acd:approxcountdistinct(l_suppkey)")
