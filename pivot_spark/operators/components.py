@@ -1,0 +1,142 @@
+"""Distributed connected components over an edge list (duplicate-cluster
+labeling).
+
+The near-dup operators (``operators/neardup.py``) emit *pairs*; corpus
+deduplication needs *clusters* — every document labeled with a canonical
+representative so one survivor per cluster can be kept. The reference
+(data-integrations/pivot) has no graph operator at all; this is part of the
+training-data-pipeline extension surface (SURVEY.md §2.4 E31).
+
+Algorithm: alternating **large-star / small-star** (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+O(log n)-round formulation used at trillion-edge scale, in contrast to naive
+min-label propagation whose round count is the graph *diameter* (a 1M-long
+chain of near-dup docs would need 1M shuffles; star operations need ~20).
+
+Each round is two hash aggregations + two joins on the node key — all
+Catalyst, no UDFs; per-round lineage is truncated with ``localCheckpoint``
+so the plan does not grow with iterations (driver-side iterative control is
+fine: the *data* never leaves the cluster, only a converged? boolean).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return edges.unionByName(rev)
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u: connect every strictly-larger neighbor to
+    min(N(u) ∪ {u}). Keeps (u, m) self-edges implicit; output is distinct
+    directed edges (child > parent not guaranteed yet)."""
+    nbrs = _symmetrize(edges)
+    mins = (
+        nbrs.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .select("src", F.least(F.col("_mn"), F.col("src")).alias("m"))
+    )
+    return (
+        nbrs.join(mins, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u over its smaller-or-equal neighborhood N⁻(u):
+    connect every v ∈ N⁻(u) ∪ {u} to min(N⁻(u) ∪ {u})."""
+    # orient every edge child→smaller-parent first
+    oriented = _symmetrize(edges).where(F.col("dst") < F.col("src"))
+    mins = (
+        oriented.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+    )
+    joined = oriented.join(mins, "src")
+    to_nbr = joined.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    to_self = joined.select("src", F.col("m").alias("dst"))
+    return (
+        to_nbr.unionByName(to_self)
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the undirected graph ``pairs`` with the minimum
+    node id of its connected component.
+
+    Returns a DataFrame ``(node, component)`` covering every node that
+    appears in ``pairs`` (callers union isolated nodes back if needed —
+    for dedup, docs with no near-dup pair are their own singleton cluster
+    and never need to enter the shuffle at all).
+
+    Node ids must be orderable (numeric or string). Convergence is checked
+    structurally (the edge set is a fixpoint of both stars); ``max_iter``
+    is a safety bound — 25 double-rounds covers graphs of ~2^25 nodes.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        grown = _large_star(edges)
+        shrunk = _small_star(grown).localCheckpoint(eager=True)
+        # fixpoint test: small-star output is canonical (child→component
+        # min) iff applying both stars changes nothing. exceptAll both
+        # directions == set equality (edges are distinct by construction).
+        changed = (
+            shrunk.exceptAll(edges).limit(1).count() > 0
+            or edges.exceptAll(shrunk).limit(1).count() > 0
+        )
+        edges = shrunk
+        if not changed:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    members = edges.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    return members.unionByName(roots).distinct()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    pair_left: str = "id_a",
+    pair_right: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware dedup: given near-dup ``pairs`` over ``df[id_col]``,
+    label each row with its duplicate-cluster representative (the min id;
+    rows in no pair are their own cluster) and a ``keep`` flag that is true
+    for exactly one row per cluster.
+
+    The components frame is tiny relative to the corpus (only docs that
+    near-dup something), so the label join back onto the 100 TB corpus is a
+    broadcast join, not a corpus shuffle.
+    """
+    comp = connected_components(pairs, src=pair_left, dst=pair_right)
+    labeled = df.join(
+        F.broadcast(comp.withColumnRenamed("node", id_col)), id_col, "left"
+    )
+    return labeled.select(
+        *df.columns,
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
+        (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias("keep"),
+    )

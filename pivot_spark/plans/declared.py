@@ -1490,3 +1490,59 @@ def e30b_rolling_time(spark, sf_dir):
 @query("p26")
 def p26(spark, sf_dir):
     return _pivot_li(spark, sf_dir, "acd:approxcountdistinct(l_suppkey)")
+
+
+# --------------------------------------------------------------------------
+# E31: duplicate-cluster labeling (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+# The pair graph is the e03 exact-Jaccard pair set; the oracle closes it
+# transitively with a recursive CTE and labels each node with the component
+# min, left-joined onto the corpus (docs in no pair are singleton clusters).
+_E31_ORACLE = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+), comp AS (
+  SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster,
+       (coalesce(c.component, d.doc_id) = d.doc_id) AS keep
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
+@query("e31_dup_clusters", _E31_ORACLE)
+def e31_dup_clusters(spark, sf_dir):
+    """Near-dup pairs -> duplicate *clusters*: alternating large-star /
+    small-star connected components (O(log n) shuffle rounds, not
+    O(diameter) label propagation), then every document labeled with its
+    cluster representative and a one-survivor-per-cluster keep flag.
+    Components are tiny vs the corpus, so the label join back is a
+    broadcast, never a corpus shuffle."""
+    from pivot_spark.operators.components import dedup_clusters
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(docs, threshold=0.5, num_hashes=128, bands=64)
+    return dedup_clusters(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    )
