@@ -1,0 +1,81 @@
+"""Corpus-level duplicated-chunk signals (CCNet-style paragraph dedup).
+
+CCNet/RefinedWeb-style pipelines dedup at *sub-document* granularity:
+split every document into paragraphs, count each paragraph's frequency
+across the whole corpus, and drop or down-weight documents dominated by
+boilerplate (chunks that appear elsewhere). The reference
+(data-integrations/pivot) has nothing like this; it is part of the
+training-data extension surface (SURVEY.md §2.4 E32).
+
+Chunking here is fixed-size word windows (the synthetic corpus has no
+newlines); with real data pass a paragraph splitter regex instead.
+
+Scale shape (100 TB): chunks are grouped by their **md5** digest, not the
+chunk text — the global-frequency shuffle then carries 16-byte keys
+instead of arbitrary-length strings, and md5 is replayable in any engine
+(the DuckDB oracle uses the same digest). Two shuffles total: the global
+chunk-frequency aggregation and the per-document reaggregation; both are
+plain hash aggregates with map-side partial combine. No UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def chunk_dup_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Per-document corpus-duplication signals.
+
+    Returns ``(id_col, n_chunks, n_dup_chunks, dup_chunk_fraction)`` where
+    a chunk is "dup" when its md5 occurs more than once corpus-wide
+    (including repeats inside the same document). Documents with no words
+    get ``(0, 0, 0.0)``.
+    """
+    cw = int(chunk_words)
+    ws = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != F.lit(""))
+    n_chunk = F.ceil(F.size("ws") / F.lit(float(cw))).cast("int")
+    # sequence(0, -1) would infer step -1 and yield [0, -1]: guard empties
+    idx = F.when(F.size("ws") > 0, F.sequence(F.lit(0), n_chunk - 1)).otherwise(
+        F.lit(None).cast("array<int>")
+    )
+
+    chunks = (
+        df.select(F.col(id_col), ws.alias("ws"))
+        .select(id_col, F.explode(idx).alias("i"), "ws")
+        .select(
+            id_col,
+            F.md5(
+                F.array_join(F.slice("ws", F.col("i") * cw + 1, F.lit(cw)), " ")
+            ).alias("ch"),
+        )
+    )
+    freq = chunks.groupBy("ch").agg(F.count(F.lit(1)).alias("f"))
+    per_doc = (
+        chunks.join(freq, "ch")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("f") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.round(
+                F.coalesce(
+                    F.col("n_dup_chunks") / F.col("n_chunks"), F.lit(0.0)
+                ),
+                4,
+            ).alias("dup_chunk_fraction"),
+        )
+    )

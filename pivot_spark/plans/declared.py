@@ -1530,6 +1530,114 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
 """
 
 
+# deterministic shuffle-shard + pack-then-split sequence packing; the
+# oracle replays the identical md5 layout (shard from the first 16 md5
+# bits, intra-shard hash order, running-offset cut every 256 tokens)
+_E34_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS n_tok,
+         md5('s42:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tok, h,
+         CAST('0x' || substr(h, 1, 4) AS INTEGER) % 8 AS shard
+  FROM t
+)
+SELECT doc_id, shard,
+       CAST(coalesce(sum(n_tok) OVER (
+         PARTITION BY shard ORDER BY h, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off,
+       CAST(coalesce(sum(n_tok) OVER (
+         PARTITION BY shard ORDER BY h, doc_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         // 256 AS bin
+FROM s
+"""
+
+
+@query("e34_pack_sequences", _E34_ORACLE)
+def e34_pack_sequences(spark, sf_dir):
+    """Deterministic corpus shuffle + GPT-style sequence packing: md5
+    shard (engine/partitioning-independent), intra-shard hash order,
+    running token offset cut into 256-token bins. One exchange, one
+    in-partition sort, shards never synchronize."""
+    from pivot_spark.functions.text import token_count
+    from pivot_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    out = pack_sequences(docs, "doc_id", "n_tok", budget=256, n_shards=8, salt="s42")
+    return out.select("doc_id", "shard", F.col("off").cast("long"), "bin")
+
+
+_E33_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 4) AS avg_k,
+       min(CAST(json_extract(props, '$.k') AS INTEGER)) AS min_k,
+       max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+@query("e33_json_extract", _E33_ORACLE)
+def e33_json_extract(spark, sf_dir):
+    """Semi-structured payload extraction: ``from_json`` schema-projected
+    parse of the props JSON column (JVM-side, no Python), then a plain
+    partial/final aggregate per event type."""
+    from pivot_spark.functions.json import json_field
+
+    ev = _read(spark, sf_dir, "events")
+    out = (
+        ev.select("event_type", json_field("props", "k", "int").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+    return out
+
+
+# CCNet-style sub-document dedup signals: fixed 10-word chunks, corpus-wide
+# md5-chunk frequencies, per-doc duplicated-chunk fraction.
+_E32_ORACLE = r"""
+WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+  FROM documents
+), chunks AS (
+  SELECT doc_id, md5(array_to_string(w[i*10+1 : i*10+10], ' ')) AS ch
+  FROM ws, LATERAL unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+  WHERE len(w) > 0
+), freq AS (
+  SELECT ch, count(*) AS f FROM chunks GROUP BY 1
+), per_doc AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         sum(CASE WHEN f.f > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+  FROM chunks c JOIN freq f USING (ch) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(p.n_chunks, 0) AS n_chunks,
+       coalesce(p.n_dup_chunks, 0) AS n_dup_chunks,
+       round(coalesce(p.n_dup_chunks / p.n_chunks, 0), 4) AS dup_chunk_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+@query("e32_chunk_dedup", _E32_ORACLE)
+def e32_chunk_dedup(spark, sf_dir):
+    """Sub-document (CCNet-style) dedup signals: 10-word chunks hashed
+    md5, global chunk-frequency aggregation, per-doc duplicated-chunk
+    fraction. The shuffle key is the 16-byte digest, never chunk text."""
+    from pivot_spark.operators.chunk_dedup import chunk_dup_signals
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_dup_signals(docs, "doc_id", "text", chunk_words=10)
+
+
 @query("e31_dup_clusters", _E31_ORACLE)
 def e31_dup_clusters(spark, sf_dir):
     """Near-dup pairs -> duplicate *clusters*: alternating large-star /
