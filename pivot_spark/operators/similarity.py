@@ -88,39 +88,94 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: Optional[str] = None,
+    query_max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
-    Returns (query_id, neighbor_id, cos) — k rows per query, neighbors
-    ordered by (cos desc, neighbor_id asc); a query never matches itself.
+    Returns (query_id, neighbor_id, cos, rank) — k rows per query,
+    neighbors ordered by (cos desc, neighbor_id asc); a query never
+    matches itself.
+
+    Plan: the query matrix is collected (bounded by ``query_max_rows``)
+    and shipped in the ``mapInPandas`` closure; each corpus partition is
+    scored against ALL queries as one float64 GEMM per Arrow batch, with
+    a per-partition running top-k (numpy lexsort on (-cos, id)). Each
+    corpus vector crosses the Python boundary exactly once — the
+    previous broadcast-join form serialized every corpus vector once per
+    query. Partition outputs are ≤ n_queries × k rows, merged by one
+    tiny final aggregation: at 100 TB the corpus is scanned once, no
+    corpus-sized shuffle exists, and reducer state stays k × partitions.
     """
+    import numpy as np
+
     query_id_col = query_id_col or id_col
-    q = queries.select(
-        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+    # limit(cap+1) bounds the collect itself (no separate count job);
+    # one extra row only ever materializes when we're about to raise
+    qpdf = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+        .limit(query_max_rows + 1)
+        .toPandas()
     )
+    if len(qpdf) == 0:
+        raise ValueError("queries is empty")
+    if len(qpdf) > query_max_rows:
+        raise ValueError(
+            f"cosine_topk ships the query matrix to every task; query set "
+            f"exceeds query_max_rows={query_max_rows}. Use the LSH/IVF "
+            f"path for query sets past broadcast size."
+        )
+    qids = qpdf["__qid"].to_numpy()
+    Q = np.stack(qpdf["__qvec"].to_numpy()).astype("float64")
+
     c = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    q_type = queries.schema[query_id_col].dataType.simpleString()
+    c_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"__qid {q_type}, __cid {c_type}, __cos double"
 
-    # broadcast the (small) query side; corpus scanned once
-    joined = c.join(F.broadcast(q), F.col("__qid") != F.col("__cid"))
-    scored = joined.select(
-        "__qid",
-        "__cid",
-        cosine_pd(F.col("__qvec"), F.col("__cvec")).alias("__cos"),
-    )
+    def score_partition(batches):
+        import pandas as pd
 
+        best: dict[int, tuple] = {}  # qi -> (cos desc-sorted arrays)
+        cos_acc: list = []
+        cid_acc: list = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            B = np.stack(pdf["__cvec"].to_numpy()).astype("float64")
+            cids = pdf["__cid"].to_numpy()
+            # cosine = (B/|B|) @ (Q/|Q|)^T ; norms guarded against 0
+            Bn = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)
+            S = Bn @ (Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)).T
+            cos_acc.append(S)
+            cid_acc.append(cids)
+        if not cos_acc:
+            return
+        S = np.concatenate(cos_acc)  # (n_part, n_q)
+        cids = np.concatenate(cid_acc)
+        rows_q, rows_c, rows_s = [], [], []
+        for qi in range(len(qids)):
+            col = S[:, qi]
+            mask = cids != qids[qi]  # self-match excluded
+            cand_ids, cand_cos = cids[mask], col[mask]
+            take = min(k, len(cand_ids))
+            if take == 0:
+                continue
+            # partial selection then exact (-cos, id) order
+            part = np.argpartition(-cand_cos, take - 1)[:take]
+            order = np.lexsort((cand_ids[part], -cand_cos[part]))
+            sel = part[order]
+            rows_q.extend([qids[qi]] * take)
+            rows_c.extend(cand_ids[sel].tolist())
+            rows_s.extend(cand_cos[sel].tolist())
+        yield pd.DataFrame({"__qid": rows_q, "__cid": rows_c, "__cos": rows_s})
+
+    partial = c.mapInPandas(score_partition, schema=out_schema)
+    # final merge: <= n_queries * k rows per partition survive
     item = _topk_struct(F.col("__cos"), F.col("__cid"))
-    # level 1: top-k within each scan partition (bounded collect: the
-    # aggregation is per (qid, partition), each holding <= k structs)
-    partial = (
-        scored.withColumn("__part", F.spark_partition_id())
-        .groupBy("__qid", "__part")
-        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__top"))
-    )
-    # level 2: merge partials -> global top-k per query
-    final = (
-        partial.select("__qid", F.explode("__top").alias("__t"))
-        .groupBy("__qid")
-        .agg(F.slice(F.array_sort(F.collect_list("__t")), 1, k).alias("__top"))
+    final = partial.groupBy("__qid").agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("__top")
     )
     out = final.select("__qid", F.posexplode("__top").alias("__rank", "__t"))
     return out.select(

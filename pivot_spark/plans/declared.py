@@ -1654,3 +1654,71 @@ def e31_dup_clusters(spark, sf_dir):
     return dedup_clusters(
         docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
     )
+
+
+# Gopher quality ruleset (Rae et al. 2021 §A1.1, public): per-rule
+# metrics + booleans + composite keep. Thresholds scaled to the short
+# synthetic docs (min_words=20). Rules compare against the ROUNDED
+# metrics in both engines so the boolean boundaries agree exactly.
+_E35_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words,
+         string_split(text, chr(10)) AS lines,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(words) AS INTEGER) AS n_words,
+         round(CASE WHEN len(words) > 0
+               THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+               ELSE 0 END, 4) AS mean_word_len,
+         round(CASE WHEN len(words) > 0
+               THEN len(regexp_extract_all(text, '(#|\.\.\.|…)'))::DOUBLE / len(words)
+               ELSE 0 END, 4) AS symbol_word_ratio,
+         round(CASE WHEN len(lines) > 0
+               THEN len(list_filter(lines, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE / len(lines)
+               ELSE 0 END, 4) AS bullet_line_frac,
+         round(CASE WHEN len(lines) > 0
+               THEN len(list_filter(lines, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE / len(lines)
+               ELSE 0 END, 4) AS ellipsis_line_frac,
+         round(CASE WHEN len(words) > 0
+               THEN len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE / len(words)
+               ELSE 0 END, 4) AS alpha_word_frac,
+         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+              s -> list_contains(list_transform(words, x -> lower(x)), s))) AS INTEGER)
+           AS stop_hits
+  FROM w
+)
+SELECT *,
+       (n_words >= 20 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND stop_hits >= 2) AS keep
+FROM (
+  SELECT m.*,
+         (n_words >= 20 AND n_words <= 100000) AS rule_word_count,
+         (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+         (symbol_word_ratio <= 0.1) AS rule_symbol_ratio,
+         (bullet_line_frac <= 0.9) AS rule_bullet_lines,
+         (ellipsis_line_frac <= 0.3) AS rule_ellipsis_lines,
+         (alpha_word_frac >= 0.8) AS rule_alpha_words,
+         (stop_hits >= 2) AS rule_stopwords
+  FROM m
+)
+"""
+
+
+@query("e35_gopher_quality", _E35_ORACLE)
+def e35_gopher_quality(spark, sf_dir):
+    """Gopher-ruleset quality filter: 7 published heuristic rules as
+    scan-stage Catalyst expressions (no shuffle, no Python), emitting
+    auditable per-rule metrics/booleans plus the composite keep flag."""
+    from pivot_spark.operators.quality import GopherThresholds, gopher_rules
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = gopher_rules(docs, "text", GopherThresholds(min_words=20))
+    return out.drop("text")

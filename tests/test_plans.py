@@ -55,14 +55,18 @@ def vec_df(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
-def test_cosine_topk_broadcasts_queries(spark, vec_df):
+def test_cosine_topk_single_scan_no_join(spark, vec_df):
+    """cosine_topk ships the query matrix in the mapInPandas closure:
+    the corpus is scanned once with NO join and the only shuffle is the
+    tiny (n_queries x k)-row final merge keyed by query id."""
     from pivot_spark.operators.similarity import cosine_topk
 
     q = vec_df.filter(F.col("vec_id") <= 1)
     out = cosine_topk(vec_df, q, k=2)
     plan = plan_of(out)
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") - plan.count("Exchange SinglePartition") <= 1
+    assert "MapInPandas" in plan
 
 
 def test_num_partitions_respected(spark, sales_df):
