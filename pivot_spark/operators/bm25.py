@@ -82,9 +82,14 @@ def bm25_topk(
         for i in range(len(terms))
     ]
 
+    def _tf(term: str):
+        # closure factory, NOT a default-arg lambda: a 2-arg lambda would
+        # make F.filter pass the array index as the second argument
+        return F.size(F.filter("__toks", lambda x: x == F.lit(term))).cast("double")
+
     score = None
     for i, t in enumerate(terms):
-        tf = F.size(F.filter("__toks", lambda x, t=t: x == F.lit(t))).cast("double")
+        tf = _tf(t)
         part = F.lit(idf[i]) * (
             tf
             * (k1 + 1.0)

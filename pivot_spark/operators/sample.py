@@ -131,3 +131,63 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: "Column | str",
+    targets: Mapping[str, float],
+    budget: float,
+) -> dict[str, float]:
+    """Compute per-stratum keep rates that hit a target *mixture*.
+
+    Training mixes are specified as proportions ("30% code, 60% web,
+    10% books" of a B-token budget), but the raw corpus has whatever
+    proportions it has. For stratum s with target share p_s and
+    available weight w_s (tokens, bytes, docs — any additive measure),
+    the keep rate is ``min(1, p_s * budget / w_s)``: strata with excess
+    data are downsampled to quota; strata with too little keep
+    everything (rate capped at 1 — the standard "single-epoch" cap;
+    upsampling is a repeat-factor concern, not a sampling one).
+
+    One small groupBy over the stratum key computes w_s (strata
+    cardinality ≈ sources/languages, so the agg output is tiny);
+    combined with ``stratified_hash_sample`` the whole pipeline is one
+    aggregate + one scan-stage predicate — no joins, deterministic,
+    engine-replayable.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    tot = sum(targets.values())
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"target shares must sum to 1, got {tot}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    avail = {
+        r["s"]: r["w"]
+        for r in df.groupBy(F.col(stratum_col).alias("s"))
+        .agg(F.sum(w).alias("w"))
+        .collect()
+    }
+    rates = {}
+    for s, share in targets.items():
+        w_s = avail.get(s, 0)
+        rates[s] = 1.0 if not w_s else min(1.0, share * budget / w_s)
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    weight_col: "Column | str",
+    targets: Mapping[str, float],
+    budget: float,
+    salt: str = "mixture",
+) -> DataFrame:
+    """Deterministically sample ``df`` toward a target mixture: compute
+    per-stratum rates from the corpus (``mixture_rates``), then apply the
+    stratified hash predicate. Strata not in ``targets`` are dropped
+    (share 0)."""
+    rates = mixture_rates(df, stratum_col, weight_col, targets, budget)
+    return stratified_hash_sample(df, id_col, stratum_col, rates, 0.0, salt)

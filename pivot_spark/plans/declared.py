@@ -1722,3 +1722,107 @@ def e35_gopher_quality(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     out = gopher_rules(docs, "text", GopherThresholds(min_words=20))
     return out.drop("text")
+
+
+# BM25 (Okapi, Lucene non-negative idf) — formulas replayed term-by-term
+# in the oracle with identical association order so round-4 values agree.
+_E36_TERMS = ["spark", "hash", "window", "merge"]
+_E36_K1, _E36_B, _E36_K = 1.2, 0.75, 10
+
+
+def _e36_oracle() -> str:
+    dfs = ", ".join(
+        f"sum(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS df{i}"
+        for i, t in enumerate(_E36_TERMS)
+    )
+    parts = " + ".join(
+        f"(ln(1 + (n - df{i} + 0.5) / (df{i} + 0.5)) * "
+        f"(len(list_filter(toks, x -> x = '{t}'))::DOUBLE * {_E36_K1 + 1.0} / "
+        f"(len(list_filter(toks, x -> x = '{t}'))::DOUBLE + {_E36_K1} * "
+        f"(1.0 - {_E36_B} + {_E36_B} * dl / avgdl))))"
+        for i, t in enumerate(_E36_TERMS)
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, toks, len(toks)::DOUBLE AS dl FROM t
+), stats AS (
+  SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl, {dfs} FROM d
+), scored AS (
+  SELECT doc_id, round({parts}, 4) AS score FROM d, stats
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+FROM scored
+ORDER BY score DESC, doc_id LIMIT {_E36_K}
+"""
+
+
+@query("e36_bm25_topk", _e36_oracle())
+def e36_bm25_topk(spark, sf_dir):
+    """BM25 top-k retrieval for a 4-term query: one scan for corpus
+    stats + per-term document frequencies (single scalar agg), idf
+    folded into the scoring expression as literals, scan-stage tf via
+    size(filter(tokens)), bounded TakeOrderedAndProject top-k. No
+    shuffle ever carries tokens."""
+    from pivot_spark.operators.bm25 import bm25_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    return bm25_topk(docs, _E36_TERMS, "doc_id", "text", k=_E36_K)
+
+
+# Mixture sampling toward target source shares: per-stratum rates =
+# min(1, share*budget/avail) computed from one tiny agg, then the same
+# scan-stage md5-threshold predicate as e18/e19. src0's quota exceeds
+# its supply -> rate caps at 1 (keeps everything), src1/src2 downsample.
+_E37_TARGETS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_E37_BUDGET = 4000.0
+
+
+def _e37_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {p}" for s, p in _E37_TARGETS.items()
+    )
+    srcs = ", ".join(f"'{s}'" for s in _E37_TARGETS)
+    return f"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS n_tok
+  FROM documents
+), w AS (
+  SELECT source, sum(n_tok)::DOUBLE AS w_s FROM t GROUP BY 1
+), r AS (
+  SELECT source,
+         least(1.0, (CASE source {cases} END) * {_E37_BUDGET} / w_s) AS rate
+  FROM w WHERE source IN ({srcs})
+), thr AS (
+  SELECT source,
+         CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g'
+              ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS cut
+  FROM r
+)
+SELECT t.doc_id, t.source, t.n_tok
+FROM t JOIN thr USING (source)
+WHERE substr(md5('mixture' || ':' || t.source || '/' || CAST(t.doc_id AS VARCHAR)), 1, 4)
+      < thr.cut
+"""
+
+
+@query("e37_mixture_sample", _e37_oracle())
+def e37_mixture_sample(spark, sf_dir):
+    """Target-mixture sampling: one stratum-cardinality agg computes
+    per-source keep rates (min(1, share*budget/available_tokens)), then
+    a deterministic scan-stage md5-threshold predicate applies them —
+    no join against the corpus, reproducible across engines/partitions."""
+    from pivot_spark.functions.text import token_count
+    from pivot_spark.operators.sample import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+    )
+    return mixture_sample(
+        docs, "doc_id", "source", "n_tok", _E37_TARGETS, _E37_BUDGET, salt="mixture"
+    )
