@@ -1826,3 +1826,109 @@ def e37_mixture_sample(spark, sf_dir):
     return mixture_sample(
         docs, "doc_id", "source", "n_tok", _E37_TARGETS, _E37_BUDGET, salt="mixture"
     )
+
+
+# n-gram decontamination: benchmark = every 83rd doc; 5-word grams
+# (published recipes use 13; synthetic docs are ~30 words). Corpus docs
+# scored by the fraction of their distinct grams found in the benchmark
+# gram set; the dup-laden synthetic corpus yields real nonzero overlap.
+_E38_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS words
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(words) > 0 THEN
+           list_distinct(list_transform(
+             range(1, greatest(len(words) - 5 + 1, 1) + 1),
+             i -> md5(array_to_string(words[i : i + 4], ' '))))
+         ELSE [] END AS grams
+  FROM w
+), bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 83 = 0
+), corpus AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 83 != 0
+  UNION ALL
+  SELECT doc_id, NULL AS gram FROM g WHERE doc_id % 83 != 0 AND len(grams) = 0
+), probed AS (
+  SELECT c.doc_id, c.gram, b.gram IS NOT NULL AS hit
+  FROM corpus c LEFT JOIN bench b USING (gram)
+)
+SELECT doc_id,
+       count(gram) AS n_grams,
+       sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_overlap,
+       CASE WHEN count(gram) > 0
+            THEN round(sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE / count(gram), 4)
+            ELSE 0.0 END AS overlap_frac,
+       (CASE WHEN count(gram) > 0
+            THEN round(sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE / count(gram), 4)
+            ELSE 0.0 END) > 0.8 AS contaminated
+FROM probed GROUP BY doc_id
+"""
+
+
+@query("e38_ngram_decontam", _E38_ORACLE)
+def e38_ngram_decontam(spark, sf_dir):
+    """Eval-set decontamination by word-n-gram overlap: benchmark gram
+    set broadcasts, corpus grams built scan-stage (transform over
+    sequence, no text explode), one doc_id-keyed shuffle for the per-doc
+    overlap fraction."""
+    from pivot_spark.operators.ngram_overlap import ngram_overlap
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 83 == 0)
+    corpus = docs.filter(F.col("doc_id") % 83 != 0)
+    return ngram_overlap(corpus, bench, "doc_id", "text", k=5, threshold=0.8)
+
+
+# Funnel: click -> view -> purchase. Step i = earliest event of that
+# type strictly after step i-1; the oracle derives each step with a
+# FILTER-ed min over a join on the previous step's timestamp.
+_E39_ORACLE = """
+WITH s1 AS (
+  SELECT user_id, min(ts) FILTER (event_type = 'click') AS t1
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'view' AND s1.t1 IS NOT NULL AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT s1.user_id,
+       CAST(epoch_us(t1) AS BIGINT) AS step1_us,
+       CAST(epoch_us(t2) AS BIGINT) AS step2_us,
+       CAST(epoch_us(t3) AS BIGINT) AS step3_us,
+       CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                 WHEN t2 IS NOT NULL THEN 2
+                 WHEN t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INTEGER) AS funnel_depth,
+       t3 IS NOT NULL AS converted
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+@query("e39_funnel", _E39_ORACLE)
+def e39_funnel(spark, sf_dir):
+    """Ordered 3-step funnel (click -> view -> purchase) per user:
+    chained min-when windows over one user partitioning, groupBy reuses
+    the exchange — single shuffle, no self-joins. Timestamps emitted as
+    epoch micros for engine-portable comparison."""
+    from pivot_spark.operators.funnel import funnel
+
+    ev = _read(spark, sf_dir, "events")
+    # events.ts is TIMESTAMP(NANOS) -> read as nanos BIGINT; funnel only
+    # needs an orderable ts. Integer DIV 1000 -> exact epoch micros.
+    out = funnel(ev, ["click", "view", "purchase"])
+    return out.select(
+        "user_id",
+        F.expr("step1_ts DIV 1000").alias("step1_us"),
+        F.expr("step2_ts DIV 1000").alias("step2_us"),
+        F.expr("step3_ts DIV 1000").alias("step3_us"),
+        "funnel_depth",
+        "converted",
+    )
