@@ -81,3 +81,57 @@ def repetition_signals(
         .otherwise(F.lit(0.0))
         .alias("top_bigram_frac"),
     )
+
+
+def token_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram token entropy — the information-diversity
+    quality signal (low entropy = keyword-stuffed / boilerplate text;
+    used alongside the Gopher repetition rules in public corpus
+    pipelines).
+
+    Returns (id, n_tokens, token_entropy, entropy_ratio): entropy is
+    -sum(p_w * ln p_w) over the doc's token frequencies (nats, rounded
+    4); entropy_ratio normalizes by the maximum ln(n_tokens) -> [0, 1]
+    (0 for empty or single-token docs).
+
+    Plan: explode -> (doc, token) counts with map-side combine ->
+    per-doc entropy; state is linear in corpus tokens, both aggregates
+    share the doc-keyed shuffle.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda w: F.length(w) >= 1
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__t"))
+    tf = (
+        base.select("__id", F.explode("__t").alias("w"))
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # p_w needs the doc total first: tiny (doc, n) agg joined back on the
+    # doc key both sides are already partitioned by
+    n_per = tf.groupBy("__id").agg(F.sum("c").alias("__n"))
+    ent = (
+        tf.join(n_per, "__id")
+        .groupBy("__id")
+        .agg(
+            F.first("__n").alias("n_tokens"),
+            F.round(
+                -F.sum((F.col("c") / F.col("__n")) * F.log(F.col("c") / F.col("__n"))),
+                4,
+            ).alias("token_entropy"),
+        )
+    )
+    out = base.select("__id").join(ent, "__id", "left")
+    n = F.col("n_tokens")
+    h = F.col("token_entropy")
+    ratio = F.when(
+        n > 1, F.round(h / F.log(n.cast("double")), 4)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.coalesce(n, F.lit(0)).alias("n_tokens"),
+        F.coalesce(h, F.lit(0.0)).alias("token_entropy"),
+        F.coalesce(ratio, F.lit(0.0)).alias("entropy_ratio"),
+    )

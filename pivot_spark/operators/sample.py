@@ -191,3 +191,73 @@ def mixture_sample(
     (share 0)."""
     rates = mixture_rates(df, stratum_col, weight_col, targets, budget)
     return stratified_hash_sample(df, id_col, stratum_col, rates, 0.0, salt)
+
+
+def repeat_upsample(
+    df: DataFrame,
+    id_col: str,
+    factor: float,
+    salt: str = "repeat",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Deterministic fractional upsampling: emit each row
+    ``floor(factor)`` times, plus one more copy for the hash-selected
+    ``factor - floor(factor)`` fraction of ids. The complement of
+    mixture downsampling — data-constrained strata get repeat "epochs"
+    (target mixes quote repeat factors like 1.5x books; public examples:
+    the Pile / Llama data tables).
+
+    ``copy_col`` numbers the copies 0..k-1 so downstream shuffles can
+    decorrelate them. Scan-stage: explode over a literal-sized sequence,
+    no shuffle, no join; the fractional copy reuses the nested
+    md5-threshold predicate (same id is upsampled at 1.6 whenever it is
+    at 1.5 — thresholds nest like ``hash_sample``'s).
+    """
+    if factor <= 0:
+        raise ValueError(f"factor must be positive, got {factor}")
+    whole = int(factor)
+    frac = factor - whole
+    n_copies = (
+        F.lit(whole)
+        + (
+            _hash_bucket(F.col(id_col), salt) < F.lit(_threshold(frac))
+        ).cast("int")
+    )
+    return df.withColumn(copy_col, F.explode(_copies(n_copies)))
+
+
+def _copies(n_copies):
+    """[0..n-1] as an array; empty when n == 0 (sequence(0,-1) would
+    count DOWN, so the zero case needs an explicit empty branch —
+    explode of an empty array drops the row, which is the point)."""
+    return F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<int>"))
+
+
+def stratified_repeat_upsample(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    factors: Mapping[str, float],
+    default_factor: float = 1.0,
+    salt: str = "repeat",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """Per-stratum repeat factors folded into one CASE expression —
+    still a scan-stage explode, no join. Strata not listed use
+    ``default_factor`` (1.0 = passthrough)."""
+    for v in list(factors.values()) + [default_factor]:
+        if v < 0:
+            raise ValueError(f"factors must be >= 0, got {v}")
+    whole = F.lit(int(default_factor))
+    thr = F.lit(_threshold(default_factor - int(default_factor)))
+    for value, factor in factors.items():
+        match = F.col(stratum_col) == F.lit(value)
+        whole = F.when(match, F.lit(int(factor))).otherwise(whole)
+        thr = F.when(match, F.lit(_threshold(factor - int(factor)))).otherwise(thr)
+    bucket = _hash_bucket(
+        F.concat(F.col(stratum_col), F.lit("/"), F.col(id_col).cast("string")), salt
+    )
+    n_copies = whole + (bucket < thr).cast("int")
+    return df.withColumn(copy_col, F.explode(_copies(n_copies)))

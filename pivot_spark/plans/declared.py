@@ -1932,3 +1932,118 @@ def e39_funnel(spark, sf_dir):
         "funnel_depth",
         "converted",
     )
+
+
+# Stratified repeat upsampling: src0 2.5x (2 copies + hash-selected
+# half get a 3rd), src1 0.25x (hash-selected quarter keep 1 copy),
+# everything else passthrough 1x. Oracle replays the same md5 cutoffs.
+_E40_ORACLE = """
+WITH c AS (
+  SELECT doc_id, source,
+         (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END)
+         + CASE WHEN substr(md5('repeat' || ':' || source || '/'
+                                || CAST(doc_id AS VARCHAR)), 1, 4)
+                   < (CASE source WHEN 'src0' THEN '8000'
+                                  WHEN 'src1' THEN '4000'
+                                  ELSE '0000' END)
+                THEN 1 ELSE 0 END AS n
+  FROM documents
+)
+SELECT doc_id, source, CAST(t.i AS INTEGER) AS copy_idx
+FROM c, LATERAL unnest(range(0, c.n)) AS t(i)
+"""
+
+
+@query("e40_repeat_upsample", _E40_ORACLE)
+def e40_repeat_upsample(spark, sf_dir):
+    """Per-stratum fractional repeat factors (epoch mixing): scan-stage
+    explode over a CASE-folded copy count, fractional copies selected by
+    the nested md5 threshold — no shuffle, no join, deterministic."""
+    from pivot_spark.operators.sample import stratified_repeat_upsample
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_repeat_upsample(
+        docs, "doc_id", "source", {"src0": 2.5, "src1": 0.25}, 1.0, salt="repeat"
+    )
+
+
+# Column profiling over lineitem: one scan, one single-row agg, free
+# transpose. exact_distinct so the oracle can replay count(DISTINCT).
+_E41_COLS = ["l_suppkey", "l_returnflag", "l_quantity", "l_shipdate"]
+
+
+def _e41_oracle() -> str:
+    rows = []
+    for c in _E41_COLS:
+        num = c in ("l_suppkey", "l_quantity")
+        s = c == "l_returnflag"
+        rows.append(
+            f"SELECT '{c}' AS column, count(*) AS n_rows, "
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"count(DISTINCT {c}) AS n_distinct, "
+            + (
+                f"round(min({c})::DOUBLE, 4) AS num_min, "
+                f"round(max({c})::DOUBLE, 4) AS num_max, "
+                f"round(avg({c}), 4) AS num_mean, "
+                if num
+                else "CAST(NULL AS DOUBLE) AS num_min, CAST(NULL AS DOUBLE) AS num_max, "
+                "CAST(NULL AS DOUBLE) AS num_mean, "
+            )
+            + (
+                f"min({c}) AS str_min, max({c}) AS str_max FROM lineitem"
+                if s
+                else "CAST(NULL AS VARCHAR) AS str_min, CAST(NULL AS VARCHAR) AS str_max "
+                "FROM lineitem"
+            )
+        )
+    return " UNION ALL ".join(rows)
+
+
+@query("e41_profile", _e41_oracle())
+def e41_profile(spark, sf_dir):
+    """Column profiling (row/null/distinct counts, numeric min/max/mean,
+    string min/max) for four lineitem columns in one scan + one
+    single-row aggregate, transposed via inline(array(struct)). The
+    declared variant uses exact distinct so DuckDB can replay it; the
+    default HLL++ mode is the bounded-state 100 TB path."""
+    from pivot_spark.operators.profile import profile
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = profile(li, _E41_COLS, exact_distinct=True)
+    return out.drop("dtype")  # engine-specific type names aren't oracle-comparable
+
+
+# Unigram token entropy + normalized diversity ratio per document.
+_E42_ORACLE = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM w GROUP BY 1, 2
+), n AS (
+  SELECT doc_id, sum(c) AS n FROM tf GROUP BY 1
+), h AS (
+  SELECT tf.doc_id,
+         round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 4) AS h
+  FROM tf JOIN n USING (doc_id) GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(n.n, 0) AS n_tokens,
+       coalesce(h.h, 0.0) AS token_entropy,
+       CASE WHEN coalesce(n.n, 0) > 1
+            THEN round(coalesce(h.h, 0.0) / ln(n.n::DOUBLE), 4)
+            ELSE 0.0 END AS entropy_ratio
+FROM documents d LEFT JOIN n USING (doc_id) LEFT JOIN h USING (doc_id)
+"""
+
+
+@query("e42_token_entropy", _E42_ORACLE)
+def e42_token_entropy(spark, sf_dir):
+    """Unigram entropy quality signal: explode -> (doc, token) counts
+    with map-side combine -> per-doc -sum(p ln p), normalized by
+    ln(n_tokens). Linear state, one doc-keyed shuffle chain."""
+    from pivot_spark.operators.repetition import token_entropy
+
+    docs = _read(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text")
