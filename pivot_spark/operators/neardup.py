@@ -327,21 +327,37 @@ def simhash(text: Column, num_bits: int = 64, shingle_len: int = 2) -> Column:
     return sig
 
 
+def _base_hash(col: Column, base_hash: str) -> Column:
+    """Per-shingle base hash. ``xxhash64``: fastest, JVM-only (rows-only
+    oracle checks). ``md5_60``: top 60 bits of md5 as a LONG — ~3x the
+    hash cost but bit-identical in DuckDB (`('0x'||substr(md5(g),1,15))
+    ::BIGINT`), making the whole signature pipeline hash-checkable."""
+    if base_hash == "xxhash64":
+        return F.xxhash64(col)
+    if base_hash == "md5_60":
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+    raise ValueError(f"base_hash must be 'xxhash64' or 'md5_60', got {base_hash!r}")
+
+
 def simhash_df(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_bits: int = 64,
     shingle_len: int = 2,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig): corpus-scale SimHash — explode shingles once, compute the
-    64 per-bit sign balances as plain conditional SUM aggregates (one
+    per-bit sign balances as plain conditional SUM aggregates (one
     shuffle on id, map-side combine, whole-stage codegen), then fold the
-    balances into the signature long."""
+    balances into the signature long. ``base_hash='md5_60'`` caps
+    num_bits at 60 (the hash's width) and is engine-portable."""
+    if base_hash == "md5_60" and num_bits > 60:
+        raise ValueError("md5_60 provides 60 hash bits; num_bits must be <= 60")
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(word_shingles_pd(F.col(text_col), shingle_len)).alias("__g"),
-    ).select("__id", F.xxhash64("__g").alias("__h"))
+    ).select("__id", _base_hash(F.col("__g"), base_hash).alias("__h"))
     balances = [
         F.sum(
             F.when(
@@ -373,6 +389,7 @@ def neardup_simhash(
     num_bits: int = 64,
     shingle_len: int = 2,
     n_blocks: "int | None" = None,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs (id_a < id_b, hamming <= max_hamming) using
     the block-permutation trick: split the signature into n_blocks chunks;
@@ -387,10 +404,14 @@ def neardup_simhash(
     volume ~ n_docs^2 / 2^block_width per block: for billions of docs move
     to 128-bit signatures (two longs) so blocks stay wide."""
     if n_blocks is None:
-        n_blocks = next(b for b in (2, 4, 8, 16, 32, 64) if b > max_hamming)
-    assert 64 % n_blocks == 0 and max_hamming < n_blocks
-    width = 64 // n_blocks
-    sigs = _materialize(simhash_df(df, id_col, text_col, num_bits, shingle_len))
+        n_blocks = next(
+            b for b in range(max_hamming + 1, num_bits + 1) if num_bits % b == 0
+        )
+    assert num_bits % n_blocks == 0 and max_hamming < n_blocks
+    width = num_bits // n_blocks
+    sigs = _materialize(
+        simhash_df(df, id_col, text_col, num_bits, shingle_len, base_hash)
+    )
     blocks = sigs.select(
         "__id",
         "__sig",

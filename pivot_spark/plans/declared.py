@@ -764,14 +764,49 @@ def e07_multimodal_meta(spark, sf_dir):
     )
 
 
-# rows-only checks (not SQL-expressible: xxhash64-based signatures / LSH
-# approximation) — the driver records the weaker rows-only result.
-@query("e08_neardup_simhash")
+def _e08_oracle() -> str:
+    """Replays the full 60-bit md5-slice SimHash in SQL: per-shingle
+    hash -> 60 sign balances -> signature -> all-pairs hamming. The
+    engine's block join is a guaranteed superset of hamming<=7 pairs
+    (n_blocks=10 > 7), so after the exact filter both sides agree."""
+    bals = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END" for i in range(60))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-1, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+1], ' ')
+  )) AS grams
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(grams) AS g FROM sh)
+), bal AS (
+  SELECT doc_id, {bals} FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sig} AS sig FROM bal
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a, sig b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 7
+"""
+
+
+@query("e08_neardup_simhash", _e08_oracle())
 def e08_neardup_simhash(spark, sf_dir):
+    """SimHash near-dup with the engine-portable md5_60 base hash: the
+    whole signature pipeline (shingle -> 60-bit hash -> sign balances ->
+    block-permutation candidate join -> exact hamming verify) is
+    hash-checked against an all-pairs SQL replay."""
     from pivot_spark.operators.neardup import neardup_simhash
 
     df = _read(spark, sf_dir, "documents")
-    return round_doubles(neardup_simhash(df, max_hamming=7))
+    out = neardup_simhash(df, max_hamming=7, num_bits=60, base_hash="md5_60")
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 @query("e09_knn_lsh")

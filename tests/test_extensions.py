@@ -323,3 +323,41 @@ def test_winnow_fingerprints(spark):
     overlap_diff = len(fps[1] & fps[4]) / len(fps[1])
     assert overlap_shifted > 0.8        # shared run survives the shift
     assert overlap_diff < 0.2
+
+
+def test_simhash_md5_60_matches_brute_force(docs_df):
+    """The md5_60 block join finds exactly the all-pairs hamming<=k set
+    (block candidates are a guaranteed superset; verify filters)."""
+    from pivot_spark.operators.neardup import hamming64, neardup_simhash, simhash_df
+
+    import itertools
+
+    base = docs_df.filter(F.col("text") != "")
+    sigs = {
+        r["__id"]: r["__sig"]
+        for r in simhash_df(base, "doc_id", "text", 60, 2, "md5_60").collect()
+    }
+    assert all(0 <= v < (1 << 60) for v in sigs.values())
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 7
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in neardup_simhash(
+            base, max_hamming=7, num_bits=60, base_hash="md5_60"
+        ).collect()
+    }
+    assert got == brute
+
+
+def test_simhash_md5_60_validation(docs_df):
+    from pivot_spark.operators.neardup import simhash_df
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        simhash_df(docs_df, "doc_id", "text", 64, 2, "md5_60")
+    with _pt.raises(ValueError):
+        simhash_df(docs_df, "doc_id", "text", 60, 2, "nope")
