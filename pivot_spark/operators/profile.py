@@ -89,3 +89,67 @@ def profile(
             )
         )
     return wide.select(F.inline(F.array(*rows)))
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    lo: float,
+    width: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-width histogram of ``col``: (bin INT, bin_lo, bin_hi,
+    n). The bin index ``floor((x - lo)/width)`` clamps into
+    [0, n_bins-1] (width_bucket edge semantics: underflow -> first bin,
+    overflow -> last). NULLs are dropped. Scan-stage bin expression +
+    one groupBy keyed by <= n_bins values — the distribution companion
+    to ``profile``; empty bins are absent (join a bin spine if a dense
+    axis is needed)."""
+    if width <= 0 or n_bins <= 0:
+        raise ValueError("width and n_bins must be positive")
+    x = F.col(col)
+    bin_ = F.least(
+        F.greatest(F.floor((x - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("int")
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(width), 4).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(width), 4).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
+    """Upper-triangle pairwise Pearson correlations: (col_a, col_b,
+    pearson DOUBLE rounded 4). ALL pairs are computed in one single-row
+    aggregate (k·(k-1)/2 ``F.corr`` columns — each is O(1) running
+    state), then transposed with inline(array(struct)): one scan, one
+    single-row exchange, regardless of pair count."""
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    wide = df.agg(
+        *[
+            F.round(F.corr(a, b), 4).alias(f"__c_{i}")
+            for i, (a, b) in enumerate(pairs)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__c_{i}").alias("pearson"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return wide.select(F.inline(F.array(*rows)))

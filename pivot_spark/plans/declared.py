@@ -2082,3 +2082,79 @@ def e42_token_entropy(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     return token_entropy(docs, "doc_id", "text")
+
+
+# CUBE marginals: all 2^2 grouping-set combinations in one pass (the
+# grouping-sets Expand), completing the rollup (e17) surface.
+_E43_ORACLE = """
+SELECT event_type, user_id % 5 AS user_bucket,
+       count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events
+GROUP BY CUBE(event_type, user_id % 5)
+"""
+
+
+@query("e43_cube", _E43_ORACLE)
+def e43_cube(spark, sf_dir):
+    """CUBE over (event_type, user bucket): Catalyst's grouping-sets
+    Expand emits each row once per grouping set into ONE partial/final
+    aggregate pair — a single shuffle for all 4 marginal tables."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "user_bucket", F.col("user_id") % 5
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+# Fixed-width histogram: width_bucket semantics (clamped edge buckets),
+# one groupBy over the computed bin index.
+_E44_ORACLE = """
+WITH b AS (
+  SELECT CAST(least(greatest(floor((l_extendedprice - 900.0) / 2500.0), 0), 39) AS INTEGER) AS bin
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+)
+SELECT bin,
+       round((900.0 + bin * 2500.0)::DOUBLE, 4) AS bin_lo,
+       round((900.0 + (bin + 1) * 2500.0)::DOUBLE, 4) AS bin_hi,
+       count(*) AS n
+FROM b GROUP BY bin
+"""
+
+
+@query("e44_histogram", _E44_ORACLE)
+def e44_histogram(spark, sf_dir):
+    """Fixed-width numeric histogram: bin index is a scan-stage
+    expression (floor((x - lo)/width), clamped), then one small-keyed
+    groupBy — the profiling companion for value distributions."""
+    from pivot_spark.operators.profile import histogram
+
+    li = _read(spark, sf_dir, "lineitem")
+    return histogram(li, "l_extendedprice", lo=900.0, width=2500.0, n_bins=40)
+
+
+# Pairwise Pearson correlation matrix over 3 numeric columns in ONE
+# scalar aggregation (upper triangle, as rows).
+_E45_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _e45_oracle() -> str:
+    rows = []
+    for i, a in enumerate(_E45_COLS):
+        for b_ in _E45_COLS[i + 1 :]:
+            rows.append(
+                f"SELECT '{a}' AS col_a, '{b_}' AS col_b, "
+                f"round(corr({a}, {b_}), 4) AS pearson FROM lineitem"
+            )
+    return " UNION ALL ".join(rows)
+
+
+@query("e45_corr_matrix", _e45_oracle())
+def e45_corr_matrix(spark, sf_dir):
+    """Upper-triangle Pearson correlation matrix in one single-row
+    aggregate (all pairs as F.corr columns), transposed via
+    inline(array(struct)) like profile()."""
+    from pivot_spark.operators.profile import corr_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    return corr_matrix(li, _E45_COLS)
