@@ -104,3 +104,85 @@ def bm25_topk(
 
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def bm25_topk_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched BM25: top-k docs for EVERY query in ``queries``
+    (query_id, terms array<string>) — the inverted-index path for
+    thousands of queries, where per-query literal scoring stops scaling.
+
+    Returns (query_id, doc_id, score, rank); only documents containing
+    >= 1 query term are scored (BM25 of a no-match doc is 0).
+
+    Plan: one explode builds the (doc, term, tf) posting lists; doc
+    lengths and per-term document frequencies derive from the postings;
+    the query-term table is tiny and BROADCASTS onto the postings, so
+    the corpus-sized frames shuffle only on their natural keys (doc,
+    term) and (query, doc). Top-k per query is a window over candidate
+    docs only. Corpus stats (N, avgdl) fold in as literals.
+    """
+    toks = tokens(F.lower(F.col(text_col)))
+    base = docs.select(F.col(id_col).alias("__doc"), toks.alias("__toks"))
+    postings = (
+        base.select("__doc", F.explode("__toks").alias("__term"))
+        .groupBy("__doc", "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dl = base.select("__doc", F.size("__toks").alias("__dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("__dl").alias("avgdl")).collect()[0]
+    n_docs, avgdl = stats["n"], float(stats["avgdl"] or 1.0)
+    if n_docs == 0:
+        raise ValueError("empty corpus")
+
+    qterms = (
+        queries.select(
+            F.col(query_id_col).alias("__qid"),
+            F.explode(terms_col).alias("__term"),
+        )
+        .withColumn("__term", F.lower("__term"))
+        .distinct()
+    )
+    # document frequency only for terms some query mentions
+    df_t = (
+        postings.join(F.broadcast(qterms.select("__term").distinct()), "__term")
+        .groupBy("__term")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    matched = (
+        postings.join(F.broadcast(qterms), "__term")
+        .join(F.broadcast(df_t), "__term")
+        .join(dl, "__doc")
+    )
+    tf = F.col("__tf").cast("double")
+    part = idf * (
+        tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * F.col("__dl") / F.lit(avgdl)))
+    )
+    scored = matched.groupBy("__qid", "__doc").agg(
+        F.round(F.sum(part), 4).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__qid").orderBy(F.col("score").desc(), F.col("__doc"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__doc").alias(id_col),
+            "score",
+            "rank",
+        )
+    )

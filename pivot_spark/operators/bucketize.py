@@ -62,3 +62,30 @@ def threshold_buckets(
         expr = F.when(cond, F.lit(i)) if expr is None else expr.when(cond, F.lit(i))
     expr = F.lit(n) if expr is None else expr.otherwise(F.lit(n))
     return df.withColumn(bucket_col, expr.cast("int"))
+
+
+def zscore_normalize(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    value_col: str,
+    out_col: str = "z",
+) -> DataFrame:
+    """Per-group z-score normalization: ``(x - mean) / stddev_pop`` with
+    zero-variance groups mapping to 0 (constant features carry no
+    signal; emitting 0 keeps the column dense for training).
+
+    Plan: one tiny (group, mu, sd) aggregate joined back — the group
+    cardinality is small by construction, so the join BROADCASTS and the
+    fact table is never shuffled (a `Window.partitionBy` over the fact
+    would shuffle and sort all of it for the same two scalars).
+    """
+    keys = list(keys)
+    stats = df.groupBy(*keys).agg(
+        F.avg(value_col).alias("__mu"), F.stddev_pop(value_col).alias("__sd")
+    )
+    joined = df.join(F.broadcast(stats), keys)
+    z = F.when(
+        F.col("__sd") > 0,
+        F.round((F.col(value_col) - F.col("__mu")) / F.col("__sd"), 4),
+    ).otherwise(F.lit(0.0))
+    return joined.withColumn(out_col, z).drop("__mu", "__sd")

@@ -2158,3 +2158,132 @@ def e45_corr_matrix(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     return corr_matrix(li, _E45_COLS)
+
+
+# Skew toolkit, driver-checked: two-stage distinct count == plain
+# count(DISTINCT); the two-shuffle shape is the point (stage 1 keyed by
+# (key, value) so a hot key spreads across the cluster).
+_E46_ORACLE = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events WHERE user_id IS NOT NULL GROUP BY event_type
+"""
+
+
+@query("e46_skew_distinct", _E46_ORACLE)
+def e46_skew_distinct(spark, sf_dir):
+    """Skew-resistant exact distinct: shuffle 1 partitions by
+    (event_type, user_id) — 10^9 distinct users of one hot type spread
+    over the whole cluster — shuffle 2 merges tiny per-key partials."""
+    from pivot_spark.operators.skew import count_distinct_skewed
+
+    ev = _read(spark, sf_dir, "events")
+    return count_distinct_skewed(ev, ["event_type"], "user_id")
+
+
+# Salted join == plain inner join (salting only changes the physical
+# route: dim replicated salt-fold, fact rows hashed across buckets).
+_E47_ORACLE = """
+SELECT e.user_id, e.event_id, c.c_name
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+"""
+
+
+@query("e47_salted_join", _E47_ORACLE)
+def e47_salted_join(spark, sf_dir):
+    """Hot-key-safe equi-join: dim side exploded over 8 salt buckets,
+    fact rows routed by row hash — each hot join key spreads across 8
+    reducers. Result equals the plain join (oracle-checked)."""
+    from pivot_spark.operators.skew import salted_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "event_id", "user_id"
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = salted_join(ev, cust, on="c_custkey", salt=8, how="inner")
+    return out.select("user_id", "event_id", "c_name")
+
+
+# Per-group z-score normalization: the standard feature-scaling op.
+_E48_ORACLE = """
+WITH s AS (
+  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sd
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       round(CASE WHEN s.sd > 0 THEN (e.value - s.mu) / s.sd ELSE 0.0 END, 4) AS z
+FROM events e JOIN s USING (event_type)
+"""
+
+
+@query("e48_zscore", _E48_ORACLE)
+def e48_zscore(spark, sf_dir):
+    """Per-group z-score: tiny (group, mu, sd) agg broadcast back onto
+    the scan — no window over the fact table, no fact-sized shuffle.
+    Zero-variance groups map to 0."""
+    from pivot_spark.operators.bucketize import zscore_normalize
+
+    ev = _read(spark, sf_dir, "events")
+    out = zscore_normalize(ev, ["event_type"], "value", out_col="z")
+    return out.select("event_id", "event_type", "z")
+
+
+# Batched BM25 over an inverted index: 3 queries at once; oracle builds
+# the same posting lists/df/dl and replays the formula per (query, doc).
+_E49_QUERIES = [
+    (1, ["spark", "hash"]),
+    (2, ["window", "merge", "sort"]),
+    (3, ["table", "scan"]),
+]
+
+
+def _e49_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _E49_QUERIES for t in terms
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+), df_t AS (
+  SELECT term, count(*) AS df FROM postings
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+               (p.tf::DOUBLE * 2.2 /
+                (p.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))), 4)
+           AS score
+  FROM postings p
+  JOIN q ON p.term = q.term
+  JOIN df_t f ON p.term = f.term
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+)
+SELECT query_id, doc_id, score, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("e49_bm25_batch", _e49_oracle())
+def e49_bm25_batch(spark, sf_dir):
+    """Batched multi-query BM25 over (doc, term, tf) posting lists:
+    query terms broadcast onto the postings, df/dl derived from the same
+    explode, per-(query, doc) sum + windowed top-k over candidates only
+    — the inverted-index scale path for large query workloads."""
+    from pivot_spark.operators.bm25 import bm25_topk_batch
+
+    docs = _read(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_E49_QUERIES, "query_id int, terms array<string>")
+    return bm25_topk_batch(docs, q, k=5)
