@@ -48,16 +48,15 @@ def profile(
         raise ValueError(f"unknown columns: {missing}")
 
     aggs = [F.count(F.lit(1)).alias("__n")]
+    nd_aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)
         dt = df.schema[c].dataType
-        nd = (
-            F.count_distinct(col)
-            if exact_distinct
-            else F.approx_count_distinct(col, rsd)
-        )
+        if exact_distinct:
+            nd_aggs.append(F.count_distinct(col).cast("long").alias(f"__nd_{i}"))
+        else:
+            aggs.append(F.approx_count_distinct(col, rsd).cast("long").alias(f"__nd_{i}"))
         aggs.append(F.sum(col.isNull().cast("long")).alias(f"__nulls_{i}"))
-        aggs.append(nd.cast("long").alias(f"__nd_{i}"))
         if isinstance(dt, _NUMERIC):
             aggs.append(F.round(F.min(col).cast("double"), 4).alias(f"__min_{i}"))
             aggs.append(F.round(F.max(col).cast("double"), 4).alias(f"__max_{i}"))
@@ -66,6 +65,14 @@ def profile(
             aggs.append(F.min(col).alias(f"__smin_{i}"))
             aggs.append(F.max(col).alias(f"__smax_{i}"))
     wide = df.agg(*aggs)
+    if nd_aggs:
+        # exact distincts run as a SEPARATE single-row aggregate: mixed
+        # into the same agg, Catalyst's distinct-Expand duplicates every
+        # row once per distinct column and re-evaluates all the plain
+        # aggregates on each copy (measured 9s vs 0.85s+0.6s split at
+        # sf0.1 x 4 columns). Two scans, each cheap; crossJoin of two
+        # 1-row frames is free.
+        wide = wide.crossJoin(df.agg(*nd_aggs))
 
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
