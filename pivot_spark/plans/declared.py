@@ -2287,3 +2287,51 @@ def e49_bm25_batch(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     q = spark.createDataFrame(_E49_QUERIES, "query_id int, terms array<string>")
     return bm25_topk_batch(docs, q, k=5)
+
+
+# Bucketized range join: clicks landing inside the 1-hour window after
+# the same user's purchase. Oracle = the plain theta join.
+_E50_ORACLE = """
+SELECT c.user_id,
+       c.event_id AS click_id,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us,
+       p.event_id AS purchase_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us
+FROM events c
+JOIN events p ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND epoch_us(c.ts) >= epoch_us(p.ts)
+ AND epoch_us(c.ts) < epoch_us(p.ts) + 3600000000
+"""
+
+
+@query("e50_range_join", _E50_ORACLE)
+def e50_range_join(spark, sf_dir):
+    """Point-in-interval join via bucketization (10-min buckets): each
+    click hits one bucket, each 1-hour purchase window replicates into
+    ~6, the join is a plain (user, bucket) hash join + exact filter —
+    never the BroadcastNestedLoopJoin Spark would pick for the raw
+    theta predicate."""
+    from pivot_spark.operators.range_join import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    us = F.expr("ts DIV 1000")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), us.alias("click_us")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        us.alias("purchase_us"),
+        (us + F.lit(3_600_000_000)).alias("__win_end"),
+    )
+    out = range_join(
+        clicks,
+        purch,
+        point_col="click_us",
+        start_col="purchase_us",
+        end_col="__win_end",
+        bucket_width=600_000_000,  # 10 minutes in micros
+        on=["user_id"],
+    )
+    return out.select("user_id", "click_id", "click_us", "purchase_id", "purchase_us")
