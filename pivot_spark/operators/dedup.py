@@ -64,3 +64,47 @@ def dedup_against(
     if broadcast:
         right = F.broadcast(right)
     return df.join(right, on=on, how="left_anti")
+
+
+def debounce(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    ts_col: str,
+    min_gap: int,
+    order_tiebreak: "Optional[str]" = None,
+) -> DataFrame:
+    """Rate-limiting dedup ("debounce"): within each key, keep an event
+    only if at least ``min_gap`` has elapsed since the LAST KEPT event
+    (the first event of a burst survives, echoes/retries inside the gap
+    drop — duplicate-click suppression, log flood control).
+
+    Kept-state is sequential, so this is a per-key ordered fold:
+    sort each key's events by (ts, tiebreak) and scan with a running
+    last-kept timestamp — expressed as an ``aggregate()`` fold over the
+    collected per-key event list (bounded by events-per-key, the same
+    state bound as sessionization), ONE shuffle. A lag()-based filter
+    would be wrong: lag compares to the previous EVENT, not the previous
+    KEPT event, and a long burst would re-admit rows mid-burst.
+    """
+    keys = list(keys)
+    tb = order_tiebreak or ts_col
+    ev = F.struct(F.col(ts_col).alias("t"), F.col(tb).alias("o"))
+    grouped = df.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(ev)).alias("__evs")
+    )
+    # fold: acc = array of kept (t, o) structs; keep when first event or
+    # t - last_kept >= min_gap
+    kept = F.aggregate(
+        F.col("__evs"),
+        F.array().cast(grouped.schema["__evs"].dataType),
+        lambda acc, e: F.when(
+            (F.size(acc) == 0)
+            | ((e["t"] - F.element_at(acc, -1)["t"]) >= F.lit(min_gap)),
+            F.concat(acc, F.array(e)),
+        ).otherwise(acc),
+    )
+    out = grouped.select(*keys, F.explode(kept).alias("__k"))
+    cols = [F.col("__k.t").alias(ts_col)]
+    if tb != ts_col:
+        cols.append(F.col("__k.o").alias(tb))
+    return out.select(*keys, *cols)

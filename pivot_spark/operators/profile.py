@@ -160,3 +160,47 @@ def corr_matrix(df: DataFrame, columns: Sequence[str]) -> DataFrame:
         for i, (a, b) in enumerate(pairs)
     ]
     return wide.select(F.inline(F.array(*rows)))
+
+
+def quantiles(
+    df: DataFrame,
+    columns: Sequence[str],
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-column quantiles: (column, prob DOUBLE, value DOUBLE rounded
+    4). Default is ``percentile_approx`` (bounded GK-sketch state — the
+    100 TB path; ``accuracy`` trades memory for error). ``exact=True``
+    uses ``F.percentile`` (continuous interpolation, matches DuckDB
+    ``quantile_cont`` — value-buffering, small-data/oracle mode).
+
+    One single-row aggregate for ALL columns x probs, transposed via
+    inline(array(struct)) like ``profile``."""
+    cols = list(columns)
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    ps = list(probs)
+    if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be within [0, 1], got {ps}")
+    parr = F.array(*[F.lit(float(p)) for p in ps])
+    aggs = []
+    for i, c in enumerate(cols):
+        q = (
+            F.percentile(F.col(c), parr)
+            if exact
+            else F.percentile_approx(F.col(c), parr, F.lit(accuracy))
+        )
+        aggs.append(q.alias(f"__q_{i}"))
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.lit(float(p)).alias("prob"),
+            F.round(F.col(f"__q_{i}")[j].cast("double"), 4).alias("value"),
+        )
+        for i, c in enumerate(cols)
+        for j, p in enumerate(ps)
+    ]
+    return wide.select(F.inline(F.array(*rows)))

@@ -261,3 +261,37 @@ def stratified_repeat_upsample(
     )
     n_copies = whole + (bucket < thr).cast("int")
     return df.withColumn(copy_col, F.explode(_copies(n_copies)))
+
+
+def group_hash_sample_k(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    k: int,
+    salt: str = "groupk",
+) -> DataFrame:
+    """Exactly min(k, |group|) rows per group, chosen uniformly-ish and
+    DETERMINISTICALLY: rank rows within each group by md5(salt:id) (a
+    reproducible random order — same winners on any engine/partitioning,
+    unlike reservoir sampling) and keep rank <= k. Adds ``sample_rank``.
+
+    One window shuffle keyed by the group; per-row state is the rank
+    counter. For the rate-based variant (no exact count) use
+    ``stratified_hash_sample`` — it needs no shuffle at all."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    h = _hash_bucket16(F.col(id_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def _hash_bucket16(id_col: Column, salt: str) -> Column:
+    """Full md5 hex of (salt:id) — a 128-bit deterministic sort key
+    (collision-free ordering for sampling ranks, unlike the 4-hex
+    threshold bucket)."""
+    return F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string")))

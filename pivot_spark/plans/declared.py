@@ -2335,3 +2335,91 @@ def e50_range_join(spark, sf_dir):
         on=["user_id"],
     )
     return out.select("user_id", "click_id", "click_us", "purchase_id", "purchase_us")
+
+
+# Column quantiles, exact mode (F.percentile == DuckDB quantile_cont).
+_E51_COLS = ["l_quantity", "l_extendedprice"]
+_E51_PROBS = [0.5, 0.9, 0.99]
+
+
+def _e51_oracle() -> str:
+    rows = [
+        f"SELECT '{c}' AS column, {p}::DOUBLE AS prob, "
+        f"round(quantile_cont({c}, {p}), 4) AS value FROM lineitem"
+        for c in _E51_COLS
+        for p in _E51_PROBS
+    ]
+    return " UNION ALL ".join(rows)
+
+
+@query("e51_quantiles", _e51_oracle())
+def e51_quantiles(spark, sf_dir):
+    """Per-column quantiles in ONE single-row aggregate (all columns x
+    probs), transposed via inline(array(struct)). Declared variant uses
+    exact F.percentile (quantile_cont interpolation); the GK-sketch
+    percentile_approx mode is the bounded-state default."""
+    from pivot_spark.operators.profile import quantiles
+
+    li = _read(spark, sf_dir, "lineitem")
+    return quantiles(li, _E51_COLS, _E51_PROBS, exact=True)
+
+
+# Deterministic k-per-group sample: md5 order, rank <= 3 per lang.
+_E52_ORACLE = """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('groupk:' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS INTEGER) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 3
+"""
+
+
+@query("e52_group_sample_k", _E52_ORACLE)
+def e52_group_sample_k(spark, sf_dir):
+    """Exactly k rows per group, reproducibly: rank by md5(salt:id)
+    within each group (engine/partitioning-independent random order),
+    keep rank <= k. One window shuffle keyed by the group."""
+    from pivot_spark.operators.sample import group_hash_sample_k
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return group_hash_sample_k(docs, "doc_id", "lang", k=3, salt="groupk")
+
+
+# Debounce: sequential keep-if-gap>=10min fold; oracle replays it with
+# a recursive CTE advancing every (user, type) key one event per step.
+_E53_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts)) AS rn
+  FROM events
+), keep AS (
+  SELECT user_id, event_type, t, rn, t AS last_kept, true AS kept
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.t, e.rn,
+         CASE WHEN e.t - k.last_kept >= 600000000 THEN e.t ELSE k.last_kept END,
+         e.t - k.last_kept >= 600000000
+  FROM ev e JOIN keep k
+    ON e.user_id = k.user_id AND e.event_type = k.event_type
+   AND e.rn = k.rn + 1
+)
+SELECT user_id, event_type, t AS ts_us FROM keep WHERE kept
+"""
+
+
+@query("e53_debounce", _E53_ORACLE)
+def e53_debounce(spark, sf_dir):
+    """Rate-limiting dedup: within (user, event_type), keep an event iff
+    >= 10 min since the last KEPT event — a per-key ordered fold
+    (aggregate() over the sorted event list, one shuffle; lag() would
+    wrongly re-admit rows mid-burst)."""
+    from pivot_spark.operators.dedup import debounce
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return debounce(ev, ["user_id", "event_type"], "ts_us", min_gap=600_000_000)
