@@ -71,3 +71,56 @@ def centroids(
         count_col,
         F.transform(F.col("__pm"), lambda s: s.getField("__m")).alias(centroid_col),
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str,
+    q_col: str = "qvec",
+    scale_col: str = "scale",
+    err_col: str = "max_abs_err",
+) -> DataFrame:
+    """Symmetric max-abs int8 quantization of an embedding column — the
+    standard 4x shrink for ANN indexes and shipped training shards.
+
+    Per vector: ``scale = max(|x|)/127`` (DOUBLE, rounded 8); each
+    component quantizes as ``floor(x/scale + 0.5)`` clamped to
+    [-127, 127] (explicit round-half-up — engine-portable, unlike
+    banker's rounding), stored as ``array<tinyint>``. ``max_abs_err``
+    (rounded 8) audits the reconstruction: max |x - q*scale| <=
+    scale/2 by construction. All-zero vectors quantize to zeros with
+    scale 0.
+
+    Pure scan-stage expressions — no UDF, no shuffle; at 100 TB this
+    runs at parquet-scan throughput and cuts the shuffled/stored bytes
+    of every downstream embedding op by 4x.
+    """
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    maxabs = F.array_max(F.transform(x, F.abs))
+    scale = (maxabs / F.lit(127.0)).alias("__scale")
+    q_of = lambda s: F.transform(  # noqa: E731
+        x,
+        lambda v: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.floor(v / s + F.lit(0.5)))
+        ).cast("tinyint"),
+    )
+    zeros = F.transform(x, lambda v: F.lit(0).cast("tinyint"))
+    out = df.withColumn("__scale", F.when(maxabs > 0, maxabs / 127.0).otherwise(0.0))
+    s = F.col("__scale")
+    q = F.when(s > 0, q_of(s)).otherwise(zeros)
+    out = out.withColumn(q_col, q)
+    err = F.when(
+        s > 0,
+        F.array_max(
+            F.zip_with(
+                x,
+                F.col(q_col),
+                lambda v, qq: F.abs(v - qq.cast("double") * s),
+            )
+        ),
+    ).otherwise(F.array_max(F.transform(x, F.abs)))
+    return (
+        out.withColumn(err_col, F.round(err, 8))
+        .withColumn(scale_col, F.round(s, 8))
+        .drop("__scale")
+    )

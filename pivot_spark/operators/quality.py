@@ -132,3 +132,87 @@ def gopher_filter(
 ) -> DataFrame:
     """Rows passing every rule, original columns only."""
     return gopher_rules(df, text_col, thresholds).filter(F.col("keep")).select(df.columns)
+
+
+# --- C4-style line-level cleaning (Raffel et al. 2020, §2.2 "we only
+# retained lines that ended in a terminal punctuation mark ... removed
+# any page that contained 'lorem ipsum' ... any page that contained a
+# curly bracket ... only retained lines with at least 3 words, and
+# discarded pages with fewer than 5 kept sentences"; the 'javascript'
+# line rule is from the same list). Pure scan-stage array expressions:
+# split once, filter/measure with Catalyst higher-order functions —
+# zero shuffles, zero Python, line payloads never leave the row.
+
+TERMINAL_PUNCT_RE = r'[.!?"]$'
+
+
+@dataclass(frozen=True)
+class C4Thresholds:
+    min_words_per_line: int = 3
+    min_kept_lines: int = 5
+
+
+def _line_words(line: Column) -> Column:
+    return F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+
+
+def c4_line_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    thresholds: C4Thresholds = C4Thresholds(),
+    clean_text_col: "str | None" = "clean_text",
+) -> DataFrame:
+    """Append C4 line-filter signals + the composite ``keep`` flag and
+    (optionally) the cleaned text rebuilt from kept lines.
+
+    Added columns: ``n_lines``, ``n_kept_lines`` (terminal punctuation
+    AND >= min words AND no 'javascript'), ``frac_terminal_lines``,
+    ``dup_line_frac`` (1 - distinct/total), ``has_lorem_ipsum``,
+    ``has_brace``, ``keep`` (>= min kept lines AND no lorem ipsum AND
+    no brace), and ``clean_text`` (kept lines re-joined with \\n).
+    Doubles rounded to 4 places (canonical form).
+    """
+    th = thresholds
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+    n_lines = F.size(lines)
+
+    def _kept(l: Column) -> Column:
+        return (
+            l.rlike(TERMINAL_PUNCT_RE)
+            & (_line_words(l) >= th.min_words_per_line)
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept_lines = F.filter(lines, _kept)
+    n_terminal = F.size(F.filter(lines, lambda l: l.rlike(TERMINAL_PUNCT_RE)))
+    dup_frac = F.when(
+        n_lines > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(lines)).cast("double") / n_lines, 4
+        ),
+    ).otherwise(F.lit(0.0))
+    has_lorem = F.lower(text).contains("lorem ipsum")
+    has_brace = text.contains("{")
+
+    out = (
+        df.withColumn("n_lines", n_lines)
+        .withColumn("n_kept_lines", F.size(kept_lines))
+        .withColumn(
+            "frac_terminal_lines",
+            F.when(n_lines > 0, F.round(n_terminal.cast("double") / n_lines, 4))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn("dup_line_frac", dup_frac)
+        .withColumn("has_lorem_ipsum", has_lorem)
+        .withColumn("has_brace", has_brace)
+        .withColumn(
+            "keep",
+            (F.col("n_kept_lines") >= th.min_kept_lines)
+            & ~F.col("has_lorem_ipsum")
+            & ~F.col("has_brace"),
+        )
+    )
+    if clean_text_col is not None:
+        out = out.withColumn(clean_text_col, F.array_join(kept_lines, "\n"))
+    return out

@@ -2423,3 +2423,321 @@ def e53_debounce(spark, sf_dir):
         "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
     )
     return debounce(ev, ["user_id", "event_type"], "ts_us", min_gap=600_000_000)
+
+
+# --- E54: distributed Lloyd k-means (k=4, 2 iterations, deterministic
+# first-k init). The oracle unrolls BOTH iterations as CTEs with the
+# distance fold written term-by-term in Spark's association order
+# (0.0 + d1 + ... + d64, left-assoc), so assignment and the rounded
+# final distance are replayed exactly.
+_E54_K, _E54_ITER, _E54_DIM = 4, 2, 64
+
+
+def _e54_dist(e: str, c: str) -> str:
+    terms = " + ".join(
+        f"({e}[{i}]::DOUBLE - {c}[{i}]::DOUBLE) * ({e}[{i}]::DOUBLE - {c}[{i}]::DOUBLE)"
+        for i in range(1, _E54_DIM + 1)
+    )
+    return f"(0.0 + {terms})"
+
+
+def _e54_oracle() -> str:
+    mean_list = ", ".join(
+        f"avg(embedding[{i}]::DOUBLE)" for i in range(1, _E54_DIM + 1)
+    )
+    d_init = _e54_dist("e.embedding", "i.c")
+    return f"""
+WITH init AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, embedding AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_E54_K})
+), a1 AS (
+  SELECT e.vec_id, e.embedding,
+         (min({{'d': {d_init}, 'c': i.cid}})).c AS cid
+  FROM embeddings e CROSS JOIN init i GROUP BY e.vec_id, e.embedding
+), c1 AS (
+  SELECT cid, list_value({mean_list}) AS c FROM a1 GROUP BY cid
+), a2 AS (
+  SELECT e.vec_id, e.embedding,
+         (min({{'d': {d_init.replace("i.c", "i.c")}, 'c': i.cid}})).c AS cid
+  FROM embeddings e CROSS JOIN c1 i GROUP BY e.vec_id, e.embedding
+), c2 AS (
+  SELECT cid, list_value({mean_list}) AS c FROM a2 GROUP BY cid
+), fin AS (
+  SELECT e.vec_id, min({{'d': {d_init}, 'c': i.cid}}) AS m
+  FROM embeddings e CROSS JOIN c2 i GROUP BY e.vec_id, e.embedding
+)
+SELECT vec_id, (m).c AS cluster, round((m).d, 4) AS dist_sq FROM fin
+"""
+
+
+@query("e54_kmeans", _e54_oracle())
+def e54_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means: per iteration one scan (centroids as
+    plan literals, argmin = array_min over (dist, cid) structs) plus a
+    k x dim shuffle of positional partial sums; only the k x dim means
+    reach the driver."""
+    from pivot_spark.operators.kmeans import kmeans
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = kmeans(emb, "embedding", _E54_K, _E54_ITER, "vec_id")
+    return out.select(
+        "vec_id", "cluster", F.round("dist_sq", 4).alias("dist_sq")
+    )
+
+
+# --- E57: SemDeDup (Abbas et al. 2023) — within-cluster cosine pruning
+# with deterministic keep-min-id. Centers = first-8 vectors (pure
+# assignment; kmeans_fit centers compose the same way, see e54 for the
+# Lloyd check). Normalization and the dot fold are unrolled in the
+# oracle in Spark's association order.
+_E57_K, _E57_EPS = 8, 0.4
+
+
+def _e57_oracle() -> str:
+    sq = " + ".join(
+        f"embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE"
+        for i in range(1, _E54_DIM + 1)
+    )
+    dot = " + ".join(f"a.nv[{i}] * b.nv[{i}]" for i in range(1, _E54_DIM + 1))
+    d_init = _e54_dist("e.embedding", "i.c")
+    return f"""
+WITH init AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, embedding AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_E57_K})
+), asg AS (
+  SELECT e.vec_id, e.embedding,
+         (min({{'d': {d_init}, 'c': i.cid}})).c AS cluster
+  FROM embeddings e CROSS JOIN init i GROUP BY e.vec_id, e.embedding
+), norm AS (
+  SELECT vec_id, cluster,
+         list_transform(embedding, x -> x::DOUBLE / sqrt(0.0 + {sq})) AS nv
+  FROM asg
+), dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM norm a JOIN norm b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE (0.0 + {dot}) >= {_E57_EPS}
+)
+SELECT vec_id, cluster, vec_id NOT IN (SELECT vec_id FROM dropped) AS keep
+FROM asg
+"""
+
+
+@query("e57_semdedup", _e57_oracle())
+def e57_semdedup(spark, sf_dir):
+    """SemDeDup: clusters bound the O(n^2) cosine to sum(|cluster|^2)
+    candidate pairs (equi-join on cluster id, AQE skew-split); dropped
+    ids broadcast back for the keep flag."""
+    from pivot_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centers = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(_E57_K).collect()
+    ]
+    return semdedup(emb, "vec_id", "embedding", centers, eps=_E57_EPS)
+
+
+# --- E55: C4 line-level cleaning over deterministically "lined" text
+# (the corpus is single-line word soup: newlines + per-doc-variant
+# terminal punctuation + lorem/brace/javascript contamination are
+# injected with the same regexp on both sides).
+_E55_LINE_RE = r"((\S+\s+){6}\S+)\s+"
+
+
+@query(
+    "e55_c4_lines",
+    r"""
+WITH aug AS (
+  SELECT doc_id,
+    (CASE doc_id % 3
+       WHEN 0 THEN regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1.' || chr(10), 'g')
+       WHEN 1 THEN regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1' || chr(10), 'g')
+       ELSE regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1?' || chr(10), 'g')
+     END)
+    || CASE WHEN doc_id % 17 = 0 THEN chr(10) || 'lorem ipsum dolor sit.' ELSE '' END
+    || CASE WHEN doc_id % 23 = 0 THEN chr(10) || 'if (x) { return; }' ELSE '' END
+    || CASE WHEN doc_id % 13 = 0 THEN chr(10) || 'please enable javascript to continue.' ELSE '' END
+    AS t
+  FROM documents
+), sig AS (
+  SELECT doc_id, t,
+    list_filter(string_split(t, chr(10)), l -> l <> '') AS lines,
+    list_filter(string_split(t, chr(10)), l -> l <> ''
+      AND regexp_matches(l, '[.!?"]$')
+      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3
+      AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM aug
+)
+SELECT doc_id,
+  len(lines) AS n_lines,
+  len(kept) AS n_kept_lines,
+  CASE WHEN len(lines) > 0
+       THEN round(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')))::DOUBLE / len(lines), 4)
+       ELSE 0.0 END AS frac_terminal_lines,
+  CASE WHEN len(lines) > 0
+       THEN round(1.0 - len(list_distinct(lines))::DOUBLE / len(lines), 4)
+       ELSE 0.0 END AS dup_line_frac,
+  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+  contains(t, '{') AS has_brace,
+  len(kept) >= 5 AND NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{') AS keep,
+  array_to_string(kept, chr(10)) AS clean_text
+FROM sig
+""",
+)
+def e55_c4_lines(spark, sf_dir):
+    """C4 line filters (Raffel et al. 2020): terminal-punctuation /
+    min-words / javascript line rules + lorem-ipsum & curly-brace page
+    rules, as scan-stage higher-order array expressions (zero shuffle,
+    zero Python)."""
+    from pivot_spark.operators.quality import c4_line_signals
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    branch = (
+        F.when(d % 3 == 0, F.regexp_replace("text", _E55_LINE_RE, "$1.\n"))
+        .when(d % 3 == 1, F.regexp_replace("text", _E55_LINE_RE, "$1\n"))
+        .otherwise(F.regexp_replace("text", _E55_LINE_RE, "$1?\n"))
+    )
+    aug = F.concat(
+        branch,
+        F.when(d % 17 == 0, F.lit("\nlorem ipsum dolor sit.")).otherwise(F.lit("")),
+        F.when(d % 23 == 0, F.lit("\nif (x) { return; }")).otherwise(F.lit("")),
+        F.when(d % 13 == 0, F.lit("\nplease enable javascript to continue."))
+        .otherwise(F.lit("")),
+    )
+    out = c4_line_signals(docs.select("doc_id", aug.alias("text")))
+    return out.drop("text")
+
+
+# --- E56: corpus unigram-LM scoring (the distributed stand-in for the
+# CCNet/KenLM perplexity filter). vocab_size=30 forces the OOV floor
+# path on real rows; tie-break (count desc, token asc) is replayed.
+_E56_V = 30
+
+
+@query(
+    "e56_unigram_lm",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n FROM counts
+), vocab AS (
+  SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {_E56_V}
+)
+SELECT t.doc_id, count(*) AS n_tokens,
+       round(avg(-ln(coalesce(v.cnt, 1)::DOUBLE / CAST(tot.n AS DOUBLE))), 4)
+         AS avg_neg_logp
+FROM toks t LEFT JOIN vocab v USING (token) CROSS JOIN tot
+GROUP BY t.doc_id
+""",
+)
+def e56_unigram_lm(spark, sf_dir):
+    """Unigram LM score: bounded top-V vocabulary (TakeOrdered — no
+    global sort), broadcast vocab join (no shuffle skew on hot tokens),
+    per-doc mean -ln(p) with the 1/N OOV floor."""
+    from pivot_spark.operators.lm import unigram_lm_score
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_lm_score(docs, vocab_size=_E56_V)
+
+
+# --- E58: keyed upsert (MERGE/SCD1): base never shuffled (broadcast
+# anti-join), intra-delta conflicts resolved by max version. Delta =
+# deterministic updates (two conflicting versions), inserts (shifted
+# keys) and tombstone deletes derived from orders itself.
+@query(
+    "e58_upsert",
+    """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+), res AS (
+  SELECT o_orderkey, o_custkey, o_totalprice + 2000.0 AS o_totalprice, false AS del
+  FROM base WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_custkey, o_totalprice, false
+  FROM base WHERE o_orderkey % 10 = 3
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice, true
+  FROM base WHERE o_orderkey % 10 = 7
+), merged AS (
+  SELECT o_orderkey, o_custkey, o_totalprice FROM res WHERE NOT del
+  UNION ALL
+  SELECT b.o_orderkey, b.o_custkey, b.o_totalprice FROM base b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM res)
+)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 4) AS o_totalprice
+FROM merged WHERE o_orderkey % 100 < 20
+""",
+)
+def e58_upsert(spark, sf_dir):
+    from pivot_spark.operators.merge import upsert
+
+    base = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    p = F.col("o_totalprice")
+
+    def _delta(flt, key, price, ver):
+        return base.filter(flt).select(
+            key.alias("o_orderkey"),
+            "o_custkey",
+            price.alias("o_totalprice"),
+            F.lit(ver).alias("ver"),
+            F.lit(False).alias("is_deleted"),
+        )
+
+    upd1 = _delta(k % 10 == 0, k, p + 1000.0, 1)
+    upd2 = _delta(k % 10 == 0, k, p + 2000.0, 2)
+    ins = _delta(k % 10 == 3, k + 100000000, p, 2)
+    dels = base.filter(k % 10 == 7).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit(2).alias("ver"),
+        F.lit(True).alias("is_deleted"),
+    )
+    delta = upd1.unionByName(upd2).unionByName(ins).unionByName(dels)
+    out = upsert(base, delta, ["o_orderkey"], order_col="ver", deleted_col="is_deleted")
+    return out.filter(k % 100 < 20).select(
+        "o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("o_totalprice")
+    )
+
+
+# --- E59: symmetric int8 embedding quantization (4x shrink for ANN /
+# shipped shards) + reconstruction-error audit; round-half-up is
+# spelled out as floor(x/s + 0.5) so any engine replays it bit-for-bit.
+@query(
+    "e59_quantize_int8",
+    """
+SELECT vec_id,
+  round(CASE WHEN m > 0 THEN m / 127.0 ELSE 0.0 END, 8) AS scale,
+  '[' || array_to_string(
+    list_transform(embedding, x ->
+      CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / (m / 127.0) + 0.5))) AS BIGINT)),
+    '|') || ']' AS qvec,
+  round(list_max(
+    list_transform(embedding, x ->
+      abs(x::DOUBLE - CAST(greatest(-127.0, least(127.0, floor(x::DOUBLE / (m / 127.0) + 0.5))) AS BIGINT) * (m / 127.0)))),
+    8) AS max_abs_err
+FROM (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS m
+  FROM embeddings
+)
+""",
+)
+def e59_quantize_int8(spark, sf_dir):
+    from pivot_spark.operators.embedding import quantize_int8
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = quantize_int8(emb, "embedding").select(
+        "vec_id", "scale", "qvec", "max_abs_err"
+    )
+    return serialize_arrays(out)
