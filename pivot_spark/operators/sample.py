@@ -295,3 +295,45 @@ def _hash_bucket16(id_col: Column, salt: str) -> Column:
     (collision-free ordering for sampling ranks, unlike the 4-hex
     threshold bucket)."""
     return F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string")))
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: "str | None" = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (k items,
+    optionally per group): the Efraimidis–Spirakis A-ES scheme — each
+    row gets key ln(u)/w with u a reproducible uniform in (0,1) from
+    md5(salt:id), and the k LARGEST keys win (equivalent to u^(1/w)
+    order). Inclusion probability is proportional to weight in the
+    without-replacement sense, and the sample is replayable on any
+    engine: u = (int(md5[:12], 16) + 0.5) / 16^12 — a 48-bit uniform,
+    exact in a double.
+
+    Plan: scan-stage key expression + one TakeOrdered (global k) or one
+    window shuffle (per-group k). Adds ``sample_key`` (DOUBLE).
+    Zero/negative weights are rejected rows (key -> -inf never wins):
+    filter them out first if that is not intended.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    h = F.substring(_hash_bucket16(F.col(id_col), salt), 1, 12)
+    u = (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(16**12))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    out = df.withColumn("sample_key", key)
+    if group_col is None:
+        return out.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("sample_key").desc(), F.col(id_col)
+    )
+    return (
+        out.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )

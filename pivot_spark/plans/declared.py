@@ -2741,3 +2741,96 @@ def e59_quantize_int8(spark, sf_dir):
         "vec_id", "scale", "qvec", "max_abs_err"
     )
     return serialize_arrays(out)
+
+
+# --- E60: event-time window aggregation (native F.window — the same
+# expression works under Structured Streaming with a watermark).
+# Bounds emitted as epoch micros; oracle replays the epoch-aligned
+# bucket arithmetic in integer math (1 h = 3600000000 us).
+@query(
+    "e60_tumbling_window",
+    """
+SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+       (epoch_us(ts) // 3600000000) * 3600000000 + 3600000000 AS window_end_us,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def e60_tumbling_window(spark, sf_dir):
+    from pivot_spark.operators.windows import tumbling_agg
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("tstamp"),
+        "event_type",
+        "value",
+    )
+    return tumbling_agg(
+        ev,
+        "tstamp",
+        "1 hour",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("sum_value")],
+    )
+
+
+# E60b: sliding (hopping) windows — 1 h window every 30 min, so each
+# event lands in exactly 2 windows (starts floor(t/s)*s - j*s, j=0,1).
+@query(
+    "e60b_sliding_window",
+    """
+SELECT (epoch_us(ts) // 1800000000 - j) * 1800000000 AS window_start_us,
+       (epoch_us(ts) // 1800000000 - j) * 1800000000 + 3600000000 AS window_end_us,
+       event_type,
+       count(*) AS n
+FROM events CROSS JOIN unnest([0, 1]) AS u(j)
+GROUP BY 1, 2, 3
+""",
+)
+def e60b_sliding_window(spark, sf_dir):
+    from pivot_spark.operators.windows import sliding_agg
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("tstamp"), "event_type"
+    )
+    return sliding_agg(
+        ev,
+        "tstamp",
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+
+
+# --- E61: deterministic weighted sampling without replacement
+# (Efraimidis–Spirakis A-ES): key = ln(u)/w, u = 48-bit md5 uniform —
+# the exact same winners on any engine/partitioning.
+@query(
+    "e61_weighted_sample",
+    """
+WITH t AS (
+  SELECT doc_id, lang, n_chars,
+    ln((CAST('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 12)
+         AS UBIGINT)::DOUBLE + 0.5) / 281474976710656.0)
+      / CAST(n_chars AS DOUBLE) AS sample_key
+  FROM documents
+), r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY sample_key DESC, doc_id) AS rn
+  FROM t
+)
+SELECT doc_id, lang, n_chars, round(sample_key, 4) AS sample_key
+FROM r WHERE rn <= 5
+""",
+)
+def e61_weighted_sample(spark, sf_dir):
+    from pivot_spark.operators.sample import weighted_sample_k
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    out = weighted_sample_k(docs, "doc_id", "n_chars", k=5, group_col="lang")
+    return out.select(
+        "doc_id", "lang", "n_chars", F.round("sample_key", 4).alias("sample_key")
+    )

@@ -102,3 +102,69 @@ def first_seen_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def debounce_stream(
+    df: DataFrame,
+    keys: Sequence[str],
+    event_time: str,
+    min_gap_seconds: int,
+    watermark: str = "10 minutes",
+    ttl_minutes: int = 60,
+) -> DataFrame:
+    """Streaming rate-limiting dedup (the unbounded counterpart of
+    ``operators.dedup.debounce``): per key, emit a record iff its event
+    time is >= ``min_gap_seconds`` after the last EMITTED record.
+
+    State per key is one timestamp (ms). Within each micro-batch rows
+    are sorted by event time and folded sequentially — the same
+    keep-iff-gap-since-last-KEPT rule as the batch operator — and the
+    fold carries across batches through GroupState. Keys expire on
+    event time ``ttl_minutes`` behind the watermark (after expiry the
+    next record is emitted as a fresh first). Exactly correct for
+    per-key in-order arrival; records arriving out of order across
+    micro-batches are judged against the state as of their batch (the
+    batch operator is the reprocessing-time authority).
+    """
+    if not df.isStreaming:
+        raise ValueError("debounce_stream requires a streaming DataFrame")
+    keys = list(keys)
+    df = df.withWatermark(event_time, watermark)
+    out_schema = df.schema
+    state_schema = T.StructType([T.StructField("last_kept_ms", T.LongType())])
+    gap_ms = min_gap_seconds * 1000
+    ttl_ms = ttl_minutes * 60 * 1000
+
+    def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        import pandas as pd
+
+        batches = [pdf for pdf in pdfs if len(pdf)]
+        if not batches:
+            return
+        rows = pd.concat(batches).sort_values(event_time).reset_index(drop=True)
+        last = state.get[0] if state.exists else None
+        kept_idx = []
+        max_ts_ms = 0
+        for i, ts in enumerate(rows[event_time]):
+            ts_ms = int(ts.timestamp() * 1000)
+            max_ts_ms = max(max_ts_ms, ts_ms)
+            if last is None or ts_ms - last >= gap_ms:
+                kept_idx.append(i)
+                last = ts_ms
+        if last is not None:
+            state.update((last,))
+        if max_ts_ms:
+            state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
+        if kept_idx:
+            yield rows.iloc[kept_idx]
+
+    return df.groupBy(*keys).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -63,3 +63,63 @@ def test_rejects_batch(spark):
         dedup_stream(df, ["id"])
     with pytest.raises(ValueError, match="streaming"):
         first_seen_stream(df, ["id"], event_time="ts")
+
+
+def test_debounce_stream(spark, tmp_path_factory):
+    from pivot_spark.streaming.dedup_stream import debounce_stream
+
+    d = str(tmp_path_factory.mktemp("db") / "events")
+    # key 1, gap 10: 0 kept; 5 dropped (<10 after 0); 10 kept; 21 kept.
+    # key 2: single event kept.
+    # offset from epoch 0: the initial streaming watermark is epoch 0
+    # and rows at/behind the watermark are dropped as late
+    B = 1_000_000_000
+    rows = [(1, B + 0), (1, B + 5), (1, B + 10), (1, B + 21), (2, B + 3)]
+    # one file -> one micro-batch (multi-file discovery order is arrival
+    # order, which the operator treats as the stream order by contract)
+    spark.createDataFrame(rows, "user_id int, ts_s int").coalesce(1).write.mode("overwrite").parquet(d)
+    src = (
+        spark.readStream.schema("user_id int, ts_s int")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+    )
+    out = debounce_stream(src, ["user_id"], "ts", min_gap_seconds=10)
+    _drain(out, "deb_out")
+    got = {
+        (r[0], r[1])
+        for r in spark.sql("SELECT user_id, ts_s FROM deb_out").collect()
+    }
+    assert got == {(1, B + 0), (1, B + 10), (1, B + 21), (2, B + 3)}
+
+
+def test_debounce_stream_state_carries_across_batches(spark, tmp_path_factory):
+    from pivot_spark.streaming.dedup_stream import debounce_stream
+
+    base = tmp_path_factory.mktemp("db2")
+    d = str(base / "events")
+    B = 1_000_000_000
+    spark.createDataFrame([(1, B), (1, B + 5)], "user_id int, ts_s int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(d)
+    src = (
+        spark.readStream.schema("user_id int, ts_s int")
+        .parquet(d)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+    )
+    out = debounce_stream(src, ["user_id"], "ts", min_gap_seconds=10)
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("deb2_out")
+        .option("checkpointLocation", str(base / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    # second batch: ts 9 (< 10 after kept 0 -> drop), ts 12 (keep)
+    spark.createDataFrame([(1, B + 9), (1, B + 12)], "user_id int, ts_s int").coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r[0] for r in spark.sql("SELECT ts_s FROM deb2_out").collect())
+    assert got == [B, B + 12]
