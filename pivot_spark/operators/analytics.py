@@ -1,0 +1,139 @@
+"""Event-analytics operators: grouped linear regression, cohort
+retention, and Markov transition matrices.
+
+All three are pure Catalyst compositions chosen for their shuffle
+economics at 100 TB:
+
+* ``grouped_ols`` — per-group simple linear regression via the
+  numerically stable TWO-PASS form: a tiny per-group means aggregate is
+  broadcast back and the centered moments are summed in a second pass.
+  The one-pass moment formula (n·Σxy − ΣxΣy) catastrophically cancels
+  when x is a large epoch value; centering first keeps every partial
+  well-conditioned, and the shuffled state is group-keyed scalars both
+  times (same pattern as ``skew.zscore_normalize``).
+* ``cohort_retention`` — classic weekly cohort table: one hash agg for
+  per-user first-activity week, one shuffle join back on user id (AQE
+  may broadcast the user→cohort side when small), one final
+  (cohort, offset) count-distinct.
+* ``transition_matrix`` — per-key next-state pairs from one
+  window-sorted pass (single exchange), then a count + per-from-state
+  normalization via a window sum over the tiny (from, to) matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+US_PER_WEEK = 7 * 24 * 3600 * 1_000_000
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group OLS fit y = slope*x + intercept: (groups..., n BIGINT,
+    slope, intercept, r2 — DOUBLE rounded 4). Rows with a NULL x or y
+    are dropped. Groups with zero x-variance get NULL slope/intercept/
+    r2; zero y-variance makes r2 NULL."""
+    g = list(group_cols)
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        *g, x.alias("__x"), y.alias("__y")
+    )
+    means = base.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+    )
+    cx = F.col("__x") - F.col("__mx")
+    cy = F.col("__y") - F.col("__my")
+    moments = (
+        base.join(F.broadcast(means), g)
+        .groupBy(*g)
+        .agg(
+            F.max("n").alias("n"),
+            F.max("__mx").alias("__mx"),
+            F.max("__my").alias("__my"),
+            F.sum(cx * cy).alias("__sxy"),
+            F.sum(cx * cx).alias("__sxx"),
+            F.sum(cy * cy).alias("__syy"),
+        )
+    )
+    slope = F.when(F.col("__sxx") > 0, F.col("__sxy") / F.col("__sxx"))
+    intercept = F.when(
+        F.col("__sxx") > 0, F.col("__my") - (F.col("__sxy") / F.col("__sxx")) * F.col("__mx")
+    )
+    r2 = F.when(
+        (F.col("__sxx") > 0) & (F.col("__syy") > 0),
+        (F.col("__sxy") * F.col("__sxy")) / (F.col("__sxx") * F.col("__syy")),
+    )
+    return moments.select(
+        *g,
+        "n",
+        F.round(slope, 4).alias("slope"),
+        F.round(intercept, 4).alias("intercept"),
+        F.round(r2, 4).alias("r2"),
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_us_col: str,
+    max_offset: "int | None" = None,
+) -> DataFrame:
+    """Weekly cohort retention: (cohort_week BIGINT — epoch-week index
+    of the user's first activity, week_offset BIGINT, n_users BIGINT —
+    distinct users of that cohort active in cohort_week+offset).
+    ``max_offset`` truncates the table (offset 0 row = cohort size)."""
+    # integer division (not double /) — at epoch-boundary timestamps a
+    # double quotient can land one ulp below the integer and truncate
+    # into the previous week
+    week = F.expr(f"CAST(`{ts_us_col}` AS BIGINT) DIV {US_PER_WEEK}")
+    acts = df.select(F.col(user_col).alias("__u"), week.alias("__w")).distinct()
+    first = acts.groupBy("__u").agg(F.min("__w").alias("__cw"))
+    joined = acts.join(first, "__u").select(
+        "__u", F.col("__cw").alias("cohort_week"), (F.col("__w") - F.col("__cw")).alias("week_offset")
+    )
+    if max_offset is not None:
+        joined = joined.filter(F.col("week_offset") <= max_offset)
+    return (
+        joined.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("__u").alias("n_users"))
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Markov transition counts/probabilities over per-key state
+    sequences: (from_state, to_state, n BIGINT, prob DOUBLE rounded 4 —
+    n / Σn over the from_state row). ``order_cols`` must make the
+    per-key order total (pass a unique tiebreaker)."""
+    oc = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*oc)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(state_col).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+        .groupBy("from_state", "to_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 4).alias("prob"),
+    )

@@ -2834,3 +2834,92 @@ def e61_weighted_sample(spark, sf_dir):
     return out.select(
         "doc_id", "lang", "n_chars", F.round("sample_key", 4).alias("sample_key")
     )
+
+
+# --- E62: per-group OLS (trend detection) via the numerically stable
+# two-pass centered form — the one-pass moment formula cancels
+# catastrophically on epoch-scale x. Both passes replayed in the
+# oracle.
+@query(
+    "e62_grouped_ols",
+    """
+WITH base AS (
+  SELECT event_type AS g, epoch_us(ts) / 3600000000.0 AS x, value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), means AS (
+  SELECT g, count(*) AS n, avg(x) AS mx, avg(y) AS my FROM base GROUP BY g
+), mom AS (
+  SELECT b.g, max(m.n) AS n, max(m.mx) AS mx, max(m.my) AS my,
+         sum((b.x - m.mx) * (b.y - m.my)) AS sxy,
+         sum((b.x - m.mx) * (b.x - m.mx)) AS sxx,
+         sum((b.y - m.my) * (b.y - m.my)) AS syy
+  FROM base b JOIN means m ON b.g = m.g GROUP BY b.g
+)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+  round(CASE WHEN sxx > 0 THEN sxy / sxx END, 4) AS slope,
+  round(CASE WHEN sxx > 0 THEN my - (sxy / sxx) * mx END, 4) AS intercept,
+  round(CASE WHEN sxx > 0 AND syy > 0 THEN (sxy * sxy) / (sxx * syy) END, 4) AS r2
+FROM mom
+""",
+)
+def e62_grouped_ols(spark, sf_dir):
+    from pivot_spark.operators.analytics import grouped_ols
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type",
+        (F.expr("ts DIV 1000").cast("double") / F.lit(3600000000.0)).alias("x"),
+        "value",
+    )
+    return grouped_ols(ev, ["event_type"], "x", "value")
+
+
+# --- E63: weekly cohort retention (epoch-week integer buckets; the
+# first-activity agg, join-back, and count-distinct are one shuffle
+# each).
+@query(
+    "e63_retention",
+    """
+WITH acts AS (
+  SELECT DISTINCT user_id AS u, epoch_us(ts) // 604800000000 AS w FROM events
+), firstw AS (
+  SELECT u, min(w) AS cw FROM acts GROUP BY u
+)
+SELECT cw AS cohort_week, w - cw AS week_offset,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM acts JOIN firstw USING (u) GROUP BY 1, 2
+""",
+)
+def e63_retention(spark, sf_dir):
+    from pivot_spark.operators.analytics import cohort_retention
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us")
+    )
+    return cohort_retention(ev, "user_id", "ts_us")
+
+
+# --- E64: Markov transition matrix over per-user event sequences
+# (lead window, (ts, event_id) total order; per-from-state
+# normalization over the tiny matrix).
+@query(
+    "e64_transition_matrix",
+    """
+WITH p AS (
+  SELECT event_type AS from_state,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS to_state
+  FROM events
+)
+SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n,
+       round(count(*)::DOUBLE /
+             (sum(count(*)) OVER (PARTITION BY from_state))::DOUBLE, 4) AS prob
+FROM p WHERE to_state IS NOT NULL GROUP BY from_state, to_state
+""",
+)
+def e64_transition_matrix(spark, sf_dir):
+    from pivot_spark.operators.analytics import transition_matrix
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us"), "event_id"
+    )
+    return transition_matrix(ev, "user_id", "event_type", ["ts_us", "event_id"])
