@@ -1,0 +1,89 @@
+"""Data-layout optimization: Z-order (Morton) clustering for
+multi-dimensional data skipping.
+
+Sorting a table by one column gives perfect min/max pruning on that
+column and none on others; interleaving the bits of k columns (the
+Z-order curve) gives every column ~1/k of the pruning power — the
+standard lakehouse layout trick (Delta/Iceberg ``OPTIMIZE ZORDER BY``)
+re-expressed as plain Spark primitives:
+
+1. per-column min/max from one tiny aggregate (broadcast back),
+2. scale each value to a ``bits``-bit integer rank,
+3. ``zorder_key`` = bit-interleave (pure Catalyst shift/mask
+   expressions, codegen'd),
+4. ``repartitionByRange`` + ``sortWithinPartitions`` on the key, so
+   each output file covers a compact hyper-rectangle and its parquet
+   min/max footer prunes on EVERY clustered column.
+
+The key is deterministic given the column domains; the oracle replays
+the same shift/mask arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interleave_bits(cols: Sequence[Column], bits: int) -> Column:
+    """Morton-interleave ``bits`` low bits of each non-negative integer
+    column: bit b of column i lands at position b*k + i. Result fits a
+    BIGINT for bits*k <= 63."""
+    k = len(cols)
+    if k == 0:
+        raise ValueError("need at least one column")
+    if bits * k > 63:
+        raise ValueError(f"bits*k must be <= 63, got {bits}*{k}")
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        for i, c in enumerate(cols):
+            z = z + F.shiftleft(
+                F.shiftright(c.cast("bigint"), b).bitwiseAND(F.lit(1)),
+                b * k + i,
+            )
+    return z
+
+
+def zorder_key(
+    df: DataFrame,
+    columns: Sequence[str],
+    bits: int = 10,
+    key_col: str = "zorder_key",
+) -> DataFrame:
+    """Append the Z-order key: each numeric column is min/max-scaled to
+    [0, 2^bits - 1] (ranks from one broadcast stats row — constant
+    columns map to 0) and bit-interleaved. NULLs rank 0."""
+    cols = list(columns)
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{i}") for i, c in enumerate(cols)],
+    )
+    out = df.crossJoin(F.broadcast(stats))
+    top = float(2**bits - 1)
+    scaled = []
+    for i, c in enumerate(cols):
+        lo, hi = F.col(f"__lo_{i}"), F.col(f"__hi_{i}")
+        x = F.col(c).cast("double")
+        s = F.when(
+            x.isNotNull() & (hi > lo),
+            F.floor((x - lo) / (hi - lo) * top),
+        ).otherwise(F.lit(0))
+        scaled.append(s)
+    out = out.withColumn(key_col, interleave_bits(scaled, bits))
+    return out.drop(*[f"__lo_{i}" for i in range(len(cols))], *[f"__hi_{i}" for i in range(len(cols))])
+
+
+def cluster_by_zorder(
+    df: DataFrame,
+    columns: Sequence[str],
+    bits: int = 10,
+    num_partitions: int = 200,
+) -> DataFrame:
+    """Range-partition + sort by the Z-order key — write the result and
+    every file's parquet min/max footer prunes on all ``columns``."""
+    keyed = zorder_key(df, columns, bits)
+    return keyed.repartitionByRange(num_partitions, "zorder_key").sortWithinPartitions(
+        "zorder_key"
+    )

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pivot_spark.functions.text import tokens
+
 
 def tfidf_top_terms(
     df: DataFrame,
@@ -64,4 +66,42 @@ def tfidf_top_terms(
         F.col("__it.df_docs").alias("df_docs"),
         (-F.col("__it.__neg")).alias("tfidf"),
         (F.col("__rank") + 1).cast("int").alias("rank"),
+    )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_postings: int = 1000,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Build a bounded inverted index: one row per term with
+    ``df`` (document frequency, BIGINT), ``postings`` (sorted doc ids,
+    truncated to ``max_postings``) and ``truncated`` (BOOLEAN — true for
+    stop-word-grade terms whose full list was cut).
+
+    Plan: explode to DISTINCT (term, doc) pairs — one hash agg keyed by
+    the pair, skew-free because a hot term's pairs still differ by doc —
+    then one groupBy(term) building the sorted, sliced posting array.
+    The cap bounds per-term state at ingest time, which is what makes a
+    posting-list build survive stop words at 100 TB (the full lists for
+    'the' are useless anyway; df is still exact).
+    """
+    if max_postings <= 0:
+        raise ValueError("max_postings must be positive")
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    pairs = (
+        df.select(F.col(id_col).alias("doc"), F.explode(tokens(text)).alias("term"))
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.slice(
+                F.array_sort(F.collect_list("doc")), 1, max_postings
+            ).alias("postings"),
+        )
+        .withColumn("truncated", F.col("df") > F.size("postings"))
     )

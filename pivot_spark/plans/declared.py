@@ -2923,3 +2923,181 @@ def e64_transition_matrix(spark, sf_dir):
         "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us"), "event_id"
     )
     return transition_matrix(ev, "user_id", "event_type", ["ts_us", "event_id"])
+
+
+# --- E65: Z-order (Morton) clustering key — the lakehouse OPTIMIZE
+# ZORDER BY primitive: per-column min/max scaling to 10-bit ranks +
+# bit interleave, all scan-stage shift/mask arithmetic replayed by the
+# oracle.
+_E65_BITS = 10
+
+
+def _e65_oracle() -> str:
+    top = float(2**_E65_BITS - 1)
+    terms = " + ".join(
+        f"((({{x}} >> {b}) & 1) << {2 * b + i})"
+        for b in range(_E65_BITS)
+        for i in (0, 1)
+        if True
+    )
+    # build explicitly: bit b of col i lands at 2b+i
+    t0 = " + ".join(f"(((ux >> {b}) & 1) << {2 * b})" for b in range(_E65_BITS))
+    t1 = " + ".join(f"(((hx >> {b}) & 1) << {2 * b + 1})" for b in range(_E65_BITS))
+    return f"""
+WITH base AS (
+  SELECT event_id, user_id, epoch_us(ts) // 3600000000 AS hour FROM events
+), stats AS (
+  SELECT min(user_id)::DOUBLE AS ulo, max(user_id)::DOUBLE AS uhi,
+         min(hour)::DOUBLE AS hlo, max(hour)::DOUBLE AS hhi
+  FROM base
+), scaled AS (
+  SELECT event_id,
+    CASE WHEN uhi > ulo THEN floor((user_id::DOUBLE - ulo) / (uhi - ulo) * {top})
+         ELSE 0 END::BIGINT AS ux,
+    CASE WHEN hhi > hlo THEN floor((hour::DOUBLE - hlo) / (hhi - hlo) * {top})
+         ELSE 0 END::BIGINT AS hx
+  FROM base CROSS JOIN stats
+)
+SELECT event_id, ({t0} + {t1}) AS zorder_key FROM scaled
+"""
+
+
+@query("e65_zorder", _e65_oracle())
+def e65_zorder(spark, sf_dir):
+    from pivot_spark.operators.layout import zorder_key
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("(ts DIV 1000) DIV 3600000000").alias("hour")
+    )
+    out = zorder_key(ev, ["user_id", "hour"], bits=_E65_BITS)
+    return out.select("event_id", "zorder_key")
+
+
+# --- E66: keyed snapshot diff (added/removed/changed + changed column
+# names) — one full-outer shuffle join, null-safe per-column compare in
+# the scan stage. Delta derived deterministically from orders.
+@query(
+    "e66_table_diff",
+    """
+WITH old AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p FROM orders
+), new AS (
+  SELECT k, c, CASE WHEN k % 10 = 0 THEN p + 1000.0 ELSE p END AS p
+  FROM old WHERE k % 10 <> 7
+  UNION ALL
+  SELECT k + 100000000, c, p FROM old WHERE k % 10 = 3
+), j AS (
+  SELECT coalesce(n.k, o.k) AS o_orderkey,
+    CASE WHEN o.k IS NULL THEN 'added'
+         WHEN n.k IS NULL THEN 'removed'
+         WHEN NOT (o.c IS NOT DISTINCT FROM n.c)
+           OR NOT (o.p IS NOT DISTINCT FROM n.p) THEN 'changed'
+         ELSE 'unchanged' END AS status,
+    CASE WHEN o.k IS NOT NULL AND n.k IS NOT NULL THEN
+      list_filter([
+        CASE WHEN NOT (o.c IS NOT DISTINCT FROM n.c) THEN 'o_custkey' END,
+        CASE WHEN NOT (o.p IS NOT DISTINCT FROM n.p) THEN 'o_totalprice' END
+      ], x -> x IS NOT NULL)
+    ELSE []::VARCHAR[] END AS cc
+  FROM old o FULL JOIN new n ON o.k = n.k
+)
+SELECT o_orderkey, status,
+       '[' || coalesce(array_to_string(cc, '|'), '') || ']' AS changed_cols
+FROM j WHERE status <> 'unchanged'
+""",
+)
+def e66_table_diff(spark, sf_dir):
+    from pivot_spark.operators.diff import table_diff
+
+    old = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey"), F.col("o_totalprice")
+    )
+    k = F.col("o_orderkey")
+    new = old.filter(k % 10 != 7).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(k % 10 == 0, F.col("o_totalprice") + 1000.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).unionByName(
+        old.filter(k % 10 == 3).select(
+            (k + 100000000).alias("o_orderkey"), "o_custkey", "o_totalprice"
+        )
+    )
+    return serialize_arrays(table_diff(old, new, ["o_orderkey"]))
+
+
+# --- E67: declarative data-quality validation — all row-local rules in
+# ONE conditional-sum aggregate (single scan), uniqueness as a separate
+# distinct agg (Expand avoidance, same reasoning as profile).
+@query(
+    "e67_validate",
+    """
+SELECT 'orderkey_not_null' AS rule,
+       CAST(count(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS violations,
+       count(*) FILTER (l_orderkey IS NULL) = 0 AS passed FROM lineitem
+UNION ALL
+SELECT 'qty_range',
+       CAST(count(*) FILTER (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+       count(*) FILTER (l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50) = 0 FROM lineitem
+UNION ALL
+SELECT 'returnflag_domain',
+       CAST(count(*) FILTER (l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')) AS BIGINT),
+       count(*) FILTER (l_returnflag IS NULL OR l_returnflag NOT IN ('A','N','R')) = 0 FROM lineitem
+UNION ALL
+SELECT 'price_positive',
+       CAST(count(*) FILTER (NOT coalesce(l_extendedprice > 0, false)) AS BIGINT),
+       count(*) FILTER (NOT coalesce(l_extendedprice > 0, false)) = 0 FROM lineitem
+UNION ALL
+SELECT 'pk_unique',
+       CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT),
+       count(*) - count(DISTINCT (l_orderkey, l_linenumber)) = 0 FROM lineitem
+""",
+)
+def e67_validate(spark, sf_dir):
+    from pivot_spark.operators.validate import (
+        accepted_values,
+        expression,
+        in_range,
+        not_null,
+        unique,
+        validate,
+    )
+
+    li = _read(spark, sf_dir, "lineitem")
+    return validate(
+        li,
+        [
+            not_null("orderkey_not_null", "l_orderkey"),
+            in_range("qty_range", "l_quantity", 1, 50),
+            accepted_values("returnflag_domain", "l_returnflag", ["A", "N", "R"]),
+            expression("price_positive", F.col("l_extendedprice") > 0),
+            unique("pk_unique", ["l_orderkey", "l_linenumber"]),
+        ],
+    )
+
+
+# --- E68: bounded inverted-index build (distinct (term, doc) pairs —
+# hot terms stay skew-free because pairs differ by doc; posting lists
+# sorted + capped, df exact).
+@query(
+    "e68_inverted_index",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')) AS term
+  FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id, term FROM toks
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+  '[' || array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), '|') || ']' AS postings,
+  count(*) > len(list_slice(list(doc_id ORDER BY doc_id), 1, 20)) AS truncated
+FROM pairs GROUP BY term
+""",
+)
+def e68_inverted_index(spark, sf_dir):
+    from pivot_spark.operators.tfidf import inverted_index
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return serialize_arrays(inverted_index(docs, max_postings=20))
