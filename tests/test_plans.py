@@ -113,3 +113,78 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path, sales_df):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS sales_a")
         spark.sql("DROP TABLE IF EXISTS sales_b")
+
+
+# --- plan pins for the round-2 operator batch ------------------------------
+
+
+def test_upsert_never_shuffles_base(spark):
+    """upsert: base side must reach the anti-join without an exchange —
+    the delta key set is broadcast."""
+    from pivot_spark.operators.merge import upsert
+
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    delta = spark.range(10).select(F.col("id").alias("k"), F.lit(0).alias("v"))
+    plan = plan_of(upsert(base, delta, ["k"]))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_weighted_sample_global_is_take_ordered(spark):
+    """Global weighted top-k compiles to TakeOrdered (per-partition
+    heaps), not a global sort."""
+    from pivot_spark.operators.sample import weighted_sample_k
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("double").alias("w")
+    )
+    plan = plan_of(weighted_sample_k(df, "id", "w", 5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_tumbling_agg_single_exchange(spark):
+    from pivot_spark.operators.windows import tumbling_agg
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:10:00")], ["k", "s"]
+    ).select("k", F.col("s").cast("timestamp").alias("ts"))
+    plan = plan_of(
+        tumbling_agg(df, "ts", "1 hour", ["k"], [F.count(F.lit(1)).alias("n")])
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cluster_by_zorder_range_partitions(spark):
+    from pivot_spark.operators.layout import cluster_by_zorder
+
+    df = spark.range(100).select(
+        F.col("id").alias("x"), (F.col("id") * 3 % 97).alias("y")
+    )
+    plan = plan_of(cluster_by_zorder(df, ["x", "y"], bits=5, num_partitions=4))
+    assert "rangepartitioning(zorder_key" in plan
+
+
+def test_unigram_lm_vocab_is_broadcast(spark):
+    """The vocab join must broadcast (hot tokens replicated, no shuffle
+    skew) and the top-V selection must be TakeOrdered."""
+    from pivot_spark.operators.lm import unigram_lm_score
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = plan_of(unigram_lm_score(df, vocab_size=10))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_kmeans_assign_is_scan_stage(spark):
+    """Cluster assignment embeds centroids as literals: no join, no
+    exchange anywhere in the plan."""
+    from pivot_spark.operators.kmeans import assign_clusters
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vid long, vec array<double>"
+    )
+    plan = plan_of(assign_clusters(df, "vec", [[0.0, 0.0], [1.0, 1.0]]))
+    assert "Exchange" not in plan and "Join" not in plan
