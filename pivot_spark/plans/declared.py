@@ -966,8 +966,9 @@ def e13_select_extreme(spark, sf_dir):
 
 
 # E14: sessionization — 30-min inactivity gap over events, one row per
-# (user, session) with count/start/end/duration. Spark ts is epoch-NANOS
-# (read with nanosAsLong); both sides compare in integer MICROseconds.
+# (user, session) with count/start/end/duration. events.ts is
+# TIMESTAMP_NTZ (micros); both sides compare in integer MICROseconds
+# (session tz pinned UTC so unix_micros(cast(..)) == DuckDB epoch_us).
 _E14_ORACLE = """
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
@@ -999,7 +1000,7 @@ def e14_sessionize(spark, sf_dir):
         "user_id",
         "event_id",
         # integer DIV: float division rounds away the low microsecond
-        F.expr("ts DIV 1000").alias("ts_us"),
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
     )
     return session_stats(
         ev, "user_id", "ts_us", gap=1_800_000_000, order_cols=["event_id"]
@@ -1083,7 +1084,7 @@ GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
 @query("e17_rollup", _E17_ORACLE)
 def e17_rollup(spark, sf_dir):
     ev = _read(spark, sf_dir, "events").withColumn(
-        "day", F.to_date(F.timestamp_micros(F.expr("ts DIV 1000")))
+        "day", F.to_date("ts")
     )
     out = ev.rollup("event_type", "day").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
@@ -1277,7 +1278,7 @@ def e24_asof_join(spark, sf_dir):
     from pivot_spark.operators.asof import asof_join
 
     ev = _read(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"),
+        "user_id", "event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
         "event_type", "value",
     )
     p = ev.filter(F.col("event_type") == "purchase").select(
@@ -1486,7 +1487,7 @@ def e30_rolling(spark, sf_dir):
     from pivot_spark.operators.rolling import rolling_features
 
     ev = _read(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+        "user_id", "event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"), "value"
     )
     out = rolling_features(
         ev, ["user_id"], "ts_us", "value", n=3, tie_cols=["event_id"]
@@ -1512,7 +1513,7 @@ def e30b_rolling_time(spark, sf_dir):
     from pivot_spark.operators.rolling import rolling_time_features
 
     ev = _read(spark, sf_dir, "events").select(
-        "user_id", "event_id", F.expr("ts DIV 1000").alias("ts_us"), "value"
+        "user_id", "event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"), "value"
     )
     out = rolling_time_features(
         ev, ["user_id"], "ts_us", "value", horizon=600_000_000
@@ -1956,14 +1957,14 @@ def e39_funnel(spark, sf_dir):
     from pivot_spark.operators.funnel import funnel
 
     ev = _read(spark, sf_dir, "events")
-    # events.ts is TIMESTAMP(NANOS) -> read as nanos BIGINT; funnel only
-    # needs an orderable ts. Integer DIV 1000 -> exact epoch micros.
+    # funnel only needs an orderable ts; TIMESTAMP_NTZ orders natively.
+    # Output converts to exact epoch micros (UTC session tz).
     out = funnel(ev, ["click", "view", "purchase"])
     return out.select(
         "user_id",
-        F.expr("step1_ts DIV 1000").alias("step1_us"),
-        F.expr("step2_ts DIV 1000").alias("step2_us"),
-        F.expr("step3_ts DIV 1000").alias("step3_us"),
+        F.expr("unix_micros(cast(step1_ts as timestamp))").alias("step1_us"),
+        F.expr("unix_micros(cast(step2_ts as timestamp))").alias("step2_us"),
+        F.expr("unix_micros(cast(step3_ts as timestamp))").alias("step3_us"),
         "funnel_depth",
         "converted",
     )
@@ -2315,7 +2316,7 @@ def e50_range_join(spark, sf_dir):
     from pivot_spark.operators.range_join import range_join
 
     ev = _read(spark, sf_dir, "events")
-    us = F.expr("ts DIV 1000")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), us.alias("click_us")
     )
@@ -2420,7 +2421,7 @@ def e53_debounce(spark, sf_dir):
     from pivot_spark.operators.dedup import debounce
 
     ev = _read(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us")
+        "user_id", "event_type", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us")
     )
     return debounce(ev, ["user_id", "event_type"], "ts_us", min_gap=600_000_000)
 
@@ -2763,7 +2764,7 @@ def e60_tumbling_window(spark, sf_dir):
     from pivot_spark.operators.windows import tumbling_agg
 
     ev = _read(spark, sf_dir, "events").select(
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("tstamp"),
+        F.col("ts").cast("timestamp").alias("tstamp"),
         "event_type",
         "value",
     )
@@ -2793,7 +2794,7 @@ def e60b_sliding_window(spark, sf_dir):
     from pivot_spark.operators.windows import sliding_agg
 
     ev = _read(spark, sf_dir, "events").select(
-        F.timestamp_micros(F.expr("ts DIV 1000")).alias("tstamp"), "event_type"
+        F.col("ts").cast("timestamp").alias("tstamp"), "event_type"
     )
     return sliding_agg(
         ev,
@@ -2867,7 +2868,7 @@ def e62_grouped_ols(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events").select(
         "event_type",
-        (F.expr("ts DIV 1000").cast("double") / F.lit(3600000000.0)).alias("x"),
+        (F.expr("unix_micros(cast(ts as timestamp))").cast("double") / F.lit(3600000000.0)).alias("x"),
         "value",
     )
     return grouped_ols(ev, ["event_type"], "x", "value")
@@ -2893,7 +2894,7 @@ def e63_retention(spark, sf_dir):
     from pivot_spark.operators.analytics import cohort_retention
 
     ev = _read(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us")
+        "user_id", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us")
     )
     return cohort_retention(ev, "user_id", "ts_us")
 
@@ -2920,7 +2921,7 @@ def e64_transition_matrix(spark, sf_dir):
     from pivot_spark.operators.analytics import transition_matrix
 
     ev = _read(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.expr("ts DIV 1000").alias("ts_us"), "event_id"
+        "user_id", "event_type", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"), "event_id"
     )
     return transition_matrix(ev, "user_id", "event_type", ["ts_us", "event_id"])
 
@@ -2967,7 +2968,8 @@ def e65_zorder(spark, sf_dir):
     from pivot_spark.operators.layout import zorder_key
 
     ev = _read(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("(ts DIV 1000) DIV 3600000000").alias("hour")
+        "event_id", "user_id",
+        F.expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").alias("hour")
     )
     out = zorder_key(ev, ["user_id", "hour"], bits=_E65_BITS)
     return out.select("event_id", "zorder_key")

@@ -29,11 +29,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.parquet stores TIMESTAMP(NANOS); Spark has no nanos timestamp
-    # type, so read it as epoch-nanos long (runtime-settable SQL conf).
-    # Convert with F.timestamp_micros((col("ts") / 1000).cast("long")) where
-    # event time is needed.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # events.parquet stores TIMESTAMP(MICROS) without timezone — Spark
+    # reads it as TIMESTAMP_NTZ. Epoch math uses
+    # unix_micros(cast(ts as timestamp)) under the UTC session tz below.
     # oracle parity: any tz-sensitive expression must agree with DuckDB
     # regardless of how the calling session was built (driver harness
     # sessions are not ours to configure)
