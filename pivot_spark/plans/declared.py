@@ -3103,3 +3103,125 @@ def e68_inverted_index(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return serialize_arrays(inverted_index(docs, max_postings=20))
+
+
+# --- E69: SCD2 history build — one shuffle on the business key; change
+# detection (lag) and interval close (lead) share the exchange + sort.
+@query(
+    "e69_scd2_build",
+    """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT * FROM ordered WHERE rn = 1 OR (prev IS DISTINCT FROM o_orderstatus)
+)
+SELECT o_custkey, o_orderstatus,
+       epoch_us(o_orderdate) AS valid_from_us,
+       epoch_us(lead(o_orderdate) OVER w2) AS valid_to_us,
+       (lead(o_orderdate) OVER w2) IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+""",
+)
+def e69_scd2_build(spark, sf_dir):
+    from pivot_spark.operators.scd import scd2_build
+
+    orders = _read(spark, sf_dir, "orders")
+    hist = scd2_build(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        keys=["o_custkey"],
+        tracked=["o_orderstatus"],
+        order_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+    return hist.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("unix_micros(cast(valid_from as timestamp))").alias("valid_from_us"),
+        F.expr("unix_micros(cast(valid_to as timestamp))").alias("valid_to_us"),
+        "is_current",
+    )
+
+
+# --- E70: SCD2 incremental apply — history from the pre-1999 change log,
+# one latest-snapshot row per key from the rest applied on top. The
+# history is never shuffled (broadcast delta; see operators/scd.py).
+# Oracle exploits apply(build(first), latest(second)) == build(first
+# UNION latest(second)) when every delta row is strictly newer than the
+# key's open version (guaranteed by the date split).
+@query(
+    "e70_scd2_apply",
+    """
+WITH first AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM orders
+  WHERE o_orderdate < TIMESTAMP '1999-01-01'
+), second AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+), stream AS (
+  SELECT * FROM first
+  UNION ALL
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+  FROM second WHERE rn = 1
+), ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate,
+         lag(o_orderstatus) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM stream
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT * FROM ordered WHERE rn = 1 OR (prev IS DISTINCT FROM o_orderstatus)
+)
+SELECT o_custkey, o_orderstatus,
+       epoch_us(o_orderdate) AS valid_from_us,
+       epoch_us(lead(o_orderdate) OVER w2) AS valid_to_us,
+       (lead(o_orderdate) OVER w2) IS NULL AS is_current
+FROM changes
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+""",
+)
+def e70_scd2_apply(spark, sf_dir):
+    from pivot_spark.operators.scd import scd2_apply, scd2_build
+
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"
+    )
+    split = F.lit("1999-01-01").cast("timestamp")
+    hist = scd2_build(
+        orders.filter(F.col("o_orderdate") < split),
+        keys=["o_custkey"],
+        tracked=["o_orderstatus"],
+        order_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    )
+    latest = (
+        orders.filter(F.col("o_orderdate") >= split)
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by(
+                F.struct("o_orderstatus", "o_orderdate"),
+                F.struct("o_orderdate", "o_orderkey"),
+            ).alias("s")
+        )
+        .select("o_custkey", "s.o_orderstatus", "s.o_orderdate")
+    )
+    out = scd2_apply(
+        hist,
+        latest,
+        keys=["o_custkey"],
+        tracked=["o_orderstatus"],
+        order_col="o_orderdate",
+    )
+    return out.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.expr("unix_micros(cast(valid_from as timestamp))").alias("valid_from_us"),
+        F.expr("unix_micros(cast(valid_to as timestamp))").alias("valid_to_us"),
+        "is_current",
+    )
