@@ -3225,3 +3225,32 @@ def e70_scd2_apply(spark, sf_dir):
         F.expr("unix_micros(cast(valid_to as timestamp))").alias("valid_to_us"),
         "is_current",
     )
+
+
+# --- E71: product-quantization ANN (Jegou et al. 2011). The ADC pass
+# scans only (id, codes) — a 16x narrower read than the raw vectors at
+# this dim; at 100 TB the gap is the whole point (module docstring).
+# Approximate by design -> rows-only driver check; the hash-checked
+# anchor is e71b below.
+@query("e71_knn_pq")
+def e71_knn_pq(spark, sf_dir):
+    from pivot_spark.operators.pq import cosine_topk_pq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(cosine_topk_pq(emb, q, k=3, m=8, ksub=16))
+
+
+# --- E71b: PQ with rerank >= corpus size degrades to exact brute force
+# (every candidate survives to the exact-cosine rerank), so the E04
+# oracle hash-checks the full PQ plumbing: train/encode/ADC/two-level
+# top-k/rerank join — same anchor pattern as e15_knn_ivf_fullprobe.
+@query("e71b_knn_pq_rerank", _E04_ORACLE)
+def e71b_knn_pq_rerank(spark, sf_dir):
+    from pivot_spark.operators.pq import cosine_topk_pq
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(
+        cosine_topk_pq(emb, q, k=3, m=8, ksub=16, rerank=1_000_000)
+    )
