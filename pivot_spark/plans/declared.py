@@ -3254,3 +3254,52 @@ def e71b_knn_pq_rerank(spark, sf_dir):
     return round_doubles(
         cosine_topk_pq(emb, q, k=3, m=8, ksub=16, rerank=1_000_000)
     )
+
+
+# --- E72: incremental aggregate maintenance — state built from the
+# pre-1999 orders, the rest folded in as a delta; the oracle recomputes
+# from the full table, proving state ⊕ delta == full. The oracle mirrors
+# the state algebra (sum/sumsq) rather than var_pop() so both sides run
+# the same floating-point formula (FIXTURES.md rounding contract).
+@query(
+    "e72_incremental_agg",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS rows,
+       CAST(count(o_totalprice) AS BIGINT) AS price_n,
+       round(sum(o_totalprice), 4) AS price_sum,
+       round(sum(o_totalprice) / count(o_totalprice), 4) AS price_avg,
+       round(min(o_totalprice), 4) AS price_min,
+       round(max(o_totalprice), 4) AS price_max,
+       round(sqrt(greatest(
+         sum(o_totalprice * o_totalprice) / count(o_totalprice)
+         - (sum(o_totalprice) / count(o_totalprice))
+           * (sum(o_totalprice) / count(o_totalprice)), 0.0)), 4)
+         AS price_stddev_pop
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority
+""",
+)
+def e72_incremental_agg(spark, sf_dir):
+    from pivot_spark.operators.incremental import (
+        agg_state,
+        finalize_state,
+        incremental_agg,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    keys = ["o_orderstatus", "o_orderpriority"]
+    split = F.lit("1999-01-01").cast("timestamp")
+    state = agg_state(
+        orders.filter(F.col("o_orderdate") < split), keys, ["o_totalprice"]
+    )
+    updated = incremental_agg(
+        state, orders.filter(F.col("o_orderdate") >= split), keys, ["o_totalprice"]
+    )
+    out = finalize_state(updated, keys, ["o_totalprice"])
+    renames = {f"o_totalprice_{s}": f"price_{s}" for s in
+               ("n", "sum", "avg", "min", "max", "stddev_pop")}
+    out = out.select(
+        *keys, "rows", *[F.col(a).alias(b) for a, b in renames.items()]
+    )
+    return round_doubles(out)
