@@ -3303,3 +3303,49 @@ def e72_incremental_agg(spark, sf_dir):
         *keys, "rows", *[F.col(a).alias(b) for a, b in renames.items()]
     )
     return round_doubles(out)
+
+
+# --- E73: blocked fuzzy entity resolution — dirty customer names (last
+# character corrupted on a deterministic subset) matched back to the
+# clean set: prefix block -> length prefilter -> thresholded JVM
+# levenshtein -> arg-min pick. Candidates bounded by block size (the
+# last-2-chars-free prefix), never n².
+@query(
+    "e73_fuzzy_match",
+    """
+WITH dirty AS (
+  SELECT c_custkey, substring(c_name, 1, 17) || 'X' AS dirty_name
+  FROM customer WHERE c_custkey % 7 = 0
+), cand AS (
+  SELECT d.c_custkey, d.dirty_name, c.c_name AS match_name,
+         levenshtein(d.dirty_name, c.c_name) AS dist
+  FROM dirty d JOIN customer c
+    ON substring(d.dirty_name, 1, 16) = substring(c.c_name, 1, 16)
+  WHERE abs(length(d.dirty_name) - length(c.c_name)) <= 2
+    AND levenshtein(d.dirty_name, c.c_name) <= 2
+)
+SELECT c_custkey, dirty_name,
+       (min({'d': dist, 'n': match_name})).n AS match_name,
+       CAST((min({'d': dist, 'n': match_name})).d AS INT) AS dist
+FROM cand GROUP BY c_custkey, dirty_name
+""",
+)
+def e73_fuzzy_match(spark, sf_dir):
+    from pivot_spark.operators.fuzzy import best_fuzzy_match, fuzzy_join
+
+    cust = _read(spark, sf_dir, "customer")
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.concat(F.substring("c_name", 1, 17), F.lit("X")).alias("dirty_name"),
+    )
+    clean = cust.select(F.col("c_name").alias("match_name"))
+    pairs = fuzzy_join(
+        dirty,
+        clean,
+        "dirty_name",
+        "match_name",
+        max_dist=2,
+        left_block=F.substring("dirty_name", 1, 16),
+        right_block=F.substring("match_name", 1, 16),
+    )
+    return best_fuzzy_match(pairs, ["c_custkey", "dirty_name"], "match_name")

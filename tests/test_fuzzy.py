@@ -1,0 +1,79 @@
+"""Blocked fuzzy join (operators/fuzzy.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pivot_spark.operators.fuzzy import best_fuzzy_match, fuzzy_join
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    clean = spark.createDataFrame(
+        [(1, "red widget"), (2, "blue bolt"), (3, "red gadget"), (4, "hot gear")],
+        "rid int, rname string",
+    )
+    dirty = spark.createDataFrame(
+        [(10, "red widgit"), (11, "blu bolt"), (12, "red gadget"), (13, "cold spring")],
+        "lid int, lname string",
+    )
+    return dirty, clean
+
+
+def _block(col):
+    # block on the first character
+    return F.substring(F.col(col), 1, 1)
+
+
+def test_pairs_within_threshold(names):
+    dirty, clean = names
+    out = fuzzy_join(
+        dirty, clean, "lname", "rname", 2, _block("lname"), _block("rname")
+    )
+    got = {(r["lid"], r["rid"]): r["dist"] for r in out.collect()}
+    assert got[(10, 1)] == 1     # widgit -> widget
+    assert got[(11, 2)] == 1     # blu -> bolt block, one edit
+    assert got[(12, 3)] == 0     # exact
+    assert (10, 3) not in got    # widgit -> gadget: dist 3 > 2
+    assert all(k[0] != 13 for k in got)  # cold spring matches nothing
+
+
+def test_blocking_bounds_candidates(names):
+    dirty, clean = names
+    # "cold spring" vs "hot gear": different blocks ('c' vs 'h') — even a
+    # permissive threshold cannot produce the pair
+    out = fuzzy_join(
+        dirty, clean, "lname", "rname", 10, _block("lname"), _block("rname")
+    )
+    assert out.filter((F.col("lid") == 13) & (F.col("rid") == 4)).count() == 0
+
+
+def test_length_prefilter_and_threshold(spark):
+    l = spark.createDataFrame([(1, "abc")], "lid int, lname string")
+    r = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abd")], "rid int, rname string"
+    )
+    out = fuzzy_join(
+        l, r, "lname", "rname", 2, F.lit("b"), F.lit("b")
+    )
+    got = {r["rid"] for r in out.collect()}
+    assert got == {2}  # length gap 5 > 2 pruned before levenshtein
+
+
+def test_best_match_min_dist_then_name(names):
+    dirty, clean = names
+    pairs = fuzzy_join(
+        dirty, clean, "lname", "rname", 3, _block("lname"), _block("rname")
+    )
+    best = best_fuzzy_match(pairs, ["lid", "lname"], "rname")
+    got = {r["lid"]: (r["rname"], r["dist"]) for r in best.collect()}
+    assert got[10] == ("red widget", 1)
+    assert got[12] == ("red gadget", 0)
+
+
+def test_no_python_udf_in_plan(names):
+    dirty, clean = names
+    out = fuzzy_join(
+        dirty, clean, "lname", "rname", 2, _block("lname"), _block("rname")
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
