@@ -3349,3 +3349,53 @@ def e73_fuzzy_match(spark, sf_dir):
         right_block=F.substring("match_name", 1, 16),
     )
     return best_fuzzy_match(pairs, ["c_custkey", "dirty_name"], "match_name")
+
+
+# --- E74: last-touch attribution report — purchases credited to the
+# latest click/view/signup in a 7-day lookback, aggregated to channel
+# totals. Conversion windows meet touches via the bucketized range join
+# (operators/range_join.py); the arg-pick is a codegen'd max_by.
+@query(
+    "e74_attribution",
+    """
+WITH conv AS (
+  SELECT event_id, user_id, epoch_us(ts) AS cts, value FROM events
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, epoch_us(ts) AS tts, event_id AS tid, event_type AS channel
+  FROM events WHERE event_type IN ('click', 'view', 'signup')
+), j AS (
+  SELECT c.event_id, c.value, t.channel, t.tts, t.tid
+  FROM conv c JOIN touch t ON c.user_id = t.user_id
+   AND t.tts >= c.cts - CAST(7 * 86400 AS BIGINT) * 1000000 AND t.tts < c.cts
+), pick AS (
+  SELECT event_id, any_value(value) AS val,
+         (max({'t': tts, 'i': tid, 'c': channel})).c AS channel
+  FROM j GROUP BY event_id
+)
+SELECT channel, CAST(count(*) AS BIGINT) AS conversions,
+       round(sum(val), 4) AS attributed_value
+FROM pick GROUP BY channel
+""",
+)
+def e74_attribution(spark, sf_dir):
+    from pivot_spark.operators.attribution import attribute
+
+    ev = _read(spark, sf_dir, "events")
+    credits = attribute(
+        ev,
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        is_conversion=F.col("event_type") == "purchase",
+        is_touch=F.col("event_type").isin("click", "view", "signup"),
+        lookback_us=7 * 86_400 * 1_000_000,
+        model="last",
+        value_col="value",
+    )
+    out = credits.groupBy("channel").agg(
+        F.count(F.lit(1)).cast("long").alias("conversions"),
+        F.sum("value_credit").alias("attributed_value"),
+    )
+    return round_doubles(out)
