@@ -68,11 +68,34 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _driver_union_find(edge_rows) -> "list[tuple]":
+    """Path-halving union-find with min-id roots; returns (node, min_id)
+    for every node seen. Pure Python — bounded by ``driver_max_edges``."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id wins the root so labels match the distributed path
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Label every node of the undirected graph ``pairs`` with the minimum
     node id of its connected component.
@@ -82,9 +105,18 @@ def connected_components(
     for dedup, docs with no near-dup pair are their own singleton cluster
     and never need to enter the shuffle at all).
 
-    Node ids must be orderable (numeric or string). Convergence is checked
-    structurally (the edge set is a fixpoint of both stars); ``max_iter``
-    is a safety bound — 25 double-rounds covers graphs of ~2^25 nodes.
+    Node ids must be orderable (numeric or string).
+
+    Adaptive execution (same reasoning as broadcast-vs-shuffle joins):
+    the distinct edge list is counted once; at or under
+    ``driver_max_edges`` it is collected and solved with driver-side
+    union-find in one pass — near-dup graphs are almost always tiny
+    relative to the corpus, and each distributed star round costs
+    several fixed-latency jobs. Above the bound (or with
+    ``driver_max_edges=0``) the alternating large-star/small-star rounds
+    run fully distributed; convergence is checked structurally (the edge
+    set is a fixpoint of both stars) and ``max_iter`` is a safety bound
+    — 25 double-rounds covers graphs of ~2^25 nodes.
     """
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -92,15 +124,33 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_max_edges and edges.count() <= driver_max_edges:
+        labels = _driver_union_find(
+            (r["src"], r["dst"]) for r in edges.toLocalIterator()
+        )
+        spark = pairs.sparkSession
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("node", pairs.schema[src].dataType),
+                T.StructField("component", pairs.schema[src].dataType),
+            ]
+        )
+        return spark.createDataFrame(labels, schema)
+
     for _ in range(max_iter):
         grown = _large_star(edges)
         shrunk = _small_star(grown).localCheckpoint(eager=True)
         # fixpoint test: small-star output is canonical (child→component
-        # min) iff applying both stars changes nothing. exceptAll both
-        # directions == set equality (edges are distinct by construction).
+        # min) iff applying both stars changes nothing. One action: both
+        # exceptAll directions unioned (edges are distinct by construction).
         changed = (
-            shrunk.exceptAll(edges).limit(1).count() > 0
-            or edges.exceptAll(shrunk).limit(1).count() > 0
+            shrunk.exceptAll(edges)
+            .unionByName(edges.exceptAll(shrunk))
+            .limit(1)
+            .count()
+            > 0
         )
         edges = shrunk
         if not changed:

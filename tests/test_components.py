@@ -8,10 +8,26 @@ from pyspark.sql import functions as F
 from pivot_spark.operators.components import connected_components, dedup_clusters
 
 
-def _labels(spark, pairs):
+def _labels(spark, pairs, **kw):
     df = spark.createDataFrame(pairs, ["src", "dst"])
-    out = connected_components(df)
+    out = connected_components(df, **kw)
     return {r["node"]: r["component"] for r in out.collect()}
+
+
+def test_cc_distributed_path_matches_driver_path(spark):
+    # same graph through both execution strategies (adaptive driver
+    # union-find vs large-star/small-star rounds)
+    pairs = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21)]
+    fast = _labels(spark, pairs)
+    dist = _labels(spark, pairs, driver_max_edges=0)
+    assert fast == dist
+
+
+def test_cc_distributed_chain(spark):
+    n = 40
+    lab = _labels(spark, [(i, i + 1) for i in range(n)], driver_max_edges=0)
+    assert set(lab.values()) == {0}
+    assert len(lab) == n + 1
 
 
 def test_cc_two_triangles(spark):
