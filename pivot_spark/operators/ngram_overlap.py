@@ -34,18 +34,20 @@ def word_ngram_hashes(text: Column, k: int) -> Column:
     """Distinct md5 hashes of all ``k``-word grams (sliding, stride 1)
     of whitespace-tokenized ``text``. Documents shorter than ``k`` words
     contribute one gram of all their words; empty text → empty array.
-    Pure Catalyst (transform over sequence) — scan-stage, md5 so an
-    oracle can replay it."""
-    w = tokens(text)
-    n = F.size(w)
-    n_grams = F.greatest(n - k + 1, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(F.array_join(F.slice(w, i, k), " ")),
-    )
-    return F.when(n > 0, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>")
-    )
+    Gram strings come from the Arrow-batched shingler
+    (``neardup.word_shingles_pd`` — one python pass per batch; the
+    expression form's interpreted transform/slice/join chain measured
+    ~4x slower at 5k docs), md5 stays a Catalyst expression so an oracle
+    can replay it."""
+    from pivot_spark.operators.neardup import word_shingles_pd
+
+    raw = word_shingles_pd(text, k)
+    # the shingler emits [""] for token-less text; normalize to []
+    raw = F.when(
+        (F.size(raw) == 1) & (F.element_at(raw, 1) == F.lit("")),
+        F.array().cast("array<string>"),
+    ).otherwise(raw)
+    return F.transform(raw, lambda g: F.md5(g))
 
 
 def ngram_overlap(
