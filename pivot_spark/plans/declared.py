@@ -3399,3 +3399,51 @@ def e74_attribution(spark, sf_dir):
         F.sum("value_credit").alias("attributed_value"),
     )
     return round_doubles(out)
+
+
+# --- E75: Bloom-filter decontamination audit — the runtime-filter
+# pattern as a first-class operator: per-document might_contain (bitmap
+# probe, pure Catalyst literal-array arithmetic) next to exact
+# is_member. The oracle replays the identical md5 position arithmetic
+# with position-subset semantics (bit set <=> position occupied), so
+# even false positives hash-match.
+@query(
+    "e75_bloom_decontam",
+    """
+WITH bl AS (
+  SELECT DISTINCT md5(text) AS key FROM documents WHERE doc_id % 83 = 0
+), probe AS (
+  SELECT doc_id, md5(text) AS key FROM documents
+), bpos AS (
+  SELECT DISTINCT
+    ('0x' || substring(md5(i::VARCHAR || ':' || key), 1, 15))::BIGINT % 4096 AS pos
+  FROM bl, range(4) r(i)
+), ppos AS (
+  SELECT doc_id,
+    ('0x' || substring(md5(i::VARCHAR || ':' || key), 1, 15))::BIGINT % 4096 AS pos
+  FROM probe, range(4) r(i)
+), flags AS (
+  SELECT doc_id, bool_and(pos IN (SELECT pos FROM bpos)) AS might_contain
+  FROM ppos GROUP BY doc_id
+)
+SELECT p.doc_id, f.might_contain,
+       (p.key IN (SELECT key FROM bl)) AS is_member
+FROM probe p JOIN flags f USING (doc_id)
+""",
+)
+def e75_bloom_decontam(spark, sf_dir):
+    from pivot_spark.operators.bloom import bloom_build, bloom_contains
+
+    docs = _read(spark, sf_dir, "documents")
+    key = F.md5(F.col("text"))
+    bl = docs.filter(F.col("doc_id") % 83 == 0).select(key.alias("k")).distinct()
+    bf = bloom_build(bl, "k", num_bits=4096, num_hashes=4)
+    probe = docs.select("doc_id", key.alias("k"))
+    out = probe.join(
+        F.broadcast(bl.withColumn("__m", F.lit(True))), "k", "left"
+    ).select(
+        "doc_id",
+        bloom_contains(bf, F.col("k")).alias("might_contain"),
+        F.coalesce(F.col("__m"), F.lit(False)).alias("is_member"),
+    )
+    return out
