@@ -80,6 +80,28 @@ def test_semdedup_drops_later_similar_same_cluster(spark):
     assert out[4]["cluster"] == 1 and out[4]["keep"] is True
 
 
+def test_semdedup_gemm_matches_expr(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(120)
+    ] + [(200 + i, [float(x) for x in np.array([1.0] * 8) + rng.randn(8) * 0.01])
+         for i in range(10)]
+    df = _vec_df(spark, rows)
+    centers = [r[1] for r in rows[:4]]
+    g = semdedup(df, "vid", "vec", centers, eps=0.95, method="gemm")
+    e = semdedup(df, "vid", "vec", centers, eps=0.95, method="expr")
+    assert {tuple(r) for r in g.collect()} == {tuple(r) for r in e.collect()}
+
+
+def test_semdedup_bad_method(spark):
+    df = _vec_df(spark, [(1, [1.0, 0.0])])
+    import pytest as _pt
+    with _pt.raises(ValueError, match="method"):
+        semdedup(df, "vid", "vec", [[1.0, 0.0]], method="fast")
+
+
 def test_semdedup_counts(spark):
     # chain a~b, b~c in one cluster: b dropped by a, c dropped by a or b
     rows = [(i, [1.0, 0.001 * i]) for i in range(5)]
