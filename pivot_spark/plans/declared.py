@@ -3447,3 +3447,24 @@ def e75_bloom_decontam(spark, sf_dir):
         F.coalesce(F.col("__m"), F.lit(False)).alias("is_member"),
     )
     return out
+
+
+# --- E76: exact heavy hitters, two-pass Misra-Gries — per-partition
+# bounded-state candidate sketch (superset guarantee) + exact count of
+# the broadcast candidate set only. The answer is exact, so the oracle
+# is the plain GROUP BY ... HAVING the sketch avoids at scale.
+@query(
+    "e76_heavy_hitters",
+    """
+SELECT CAST(user_id AS VARCHAR) AS user_id, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE user_id IS NOT NULL
+GROUP BY user_id
+HAVING count(*) >= CEIL(0.002 * (SELECT count(*) FROM events WHERE user_id IS NOT NULL))
+""",
+)
+def e76_heavy_hitters(spark, sf_dir):
+    from pivot_spark.operators.heavy import heavy_hitters
+
+    ev = _read(spark, sf_dir, "events")
+    return heavy_hitters(ev, "user_id", phi=0.002)
