@@ -87,3 +87,49 @@ def cluster_by_zorder(
     return keyed.repartitionByRange(num_partitions, "zorder_key").sortWithinPartitions(
         "zorder_key"
     )
+
+
+def file_stats(df: DataFrame) -> DataFrame:
+    """Per-input-file row counts for a file-backed DataFrame:
+    (file STRING, n_rows LONG). One scan + one small aggregate keyed by
+    file path — the audit input for ``compact``. Columns are pruned to
+    the metadata column, so the scan reads no data pages for columnar
+    sources."""
+    return (
+        df.select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def compact(
+    spark,
+    in_path: str,
+    out_path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> int:
+    """Small-file compaction: rewrite ``in_path`` into
+    ``ceil(total_bytes / target_bytes)`` files at ``out_path``; returns
+    the output file count.
+
+    The small-files problem is a driver/namenode tax: every file costs a
+    task, a footer read and an open per scan — a 100 TB table written by
+    10k streaming micro-batches can hold millions of KB-sized files.
+    Sizing uses the FILESYSTEM byte total (Hadoop listing, no data
+    scan); the rewrite itself is one round-robin ``repartition`` (no
+    key, so perfectly even output sizes) and never touches the driver.
+    Use ``cluster_by_zorder`` instead when the rewrite should also
+    establish a sort/cluster order.
+    """
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(in_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total // target_bytes))
+    df = spark.read.format(fmt).load(in_path)
+    df.repartition(int(n_files)).write.format(fmt).mode("overwrite").save(out_path)
+    return int(n_files)
