@@ -3468,3 +3468,75 @@ def e76_heavy_hitters(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     return heavy_hitters(ev, "user_id", phi=0.002)
+
+
+# --- E77: document chunking (fixed 64-token disjoint windows, tail
+# kept) — scan-stage explode of a start-index sequence; no shuffle.
+@query(
+    "e77_chunk_documents",
+    r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+  FROM documents WHERE text IS NOT NULL
+), base AS (
+  SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0
+)
+SELECT doc_id,
+       CAST(start_token / 64 AS INT) AS chunk_idx,
+       CAST(start_token AS BIGINT) AS start_token,
+       CAST(least(64, n - start_token) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(w, start_token + 1, start_token + 64), ' ')
+         AS chunk_text
+FROM (
+  SELECT doc_id, w, n,
+         unnest(range(0, ((n - 1) // 64) * 64 + 1, 64)) AS start_token
+  FROM base
+)
+""",
+)
+def e77_chunk_documents(spark, sf_dir):
+    from pivot_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64)
+
+
+# --- E78: robust per-group outlier detection (modified z-score over
+# MAD): two tiny per-group percentile aggregates broadcast back; the
+# fact table is never shuffled by group. Summarized per group so the
+# declared output stays bounded.
+@query(
+    "e78_mad_outliers",
+    """
+WITH med AS (
+  SELECT l_returnflag AS k, quantile_cont(l_extendedprice, 0.5) AS med
+  FROM lineitem GROUP BY 1
+), j AS (
+  SELECT l_returnflag AS k, l_extendedprice AS x, med
+  FROM lineitem JOIN med ON l_returnflag = med.k
+), mad AS (
+  SELECT k, quantile_cont(abs(x - med), 0.5) AS mad FROM j GROUP BY k
+), s AS (
+  SELECT j.k, x, j.med, mad.mad,
+         CASE WHEN mad.mad > 0 THEN 0.6745 * (x - j.med) / mad.mad END AS mz
+  FROM j JOIN mad ON j.k = mad.k
+)
+SELECT k AS l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(*) FILTER (abs(mz) > 3.5) AS BIGINT) AS n_outliers,
+       round(min(mz), 4) AS mz_min, round(max(mz), 4) AS mz_max
+FROM s GROUP BY k
+""",
+)
+def e78_mad_outliers(spark, sf_dir):
+    from pivot_spark.operators.outliers import mad_outliers
+
+    li = _read(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    out = mad_outliers(li, "l_extendedprice", ["l_returnflag"], z_thresh=3.5)
+    summary = out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("is_outlier").cast("long")).cast("long").alias("n_outliers"),
+        F.round(F.min("mod_z"), 4).alias("mz_min"),
+        F.round(F.max("mod_z"), 4).alias("mz_max"),
+    )
+    return summary
