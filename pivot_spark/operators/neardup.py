@@ -193,6 +193,7 @@ def neardup_minhash_lsh(
     bands: int = 64,
     shingle_len: int = 3,
     seed: int = 42,
+    verify_broadcast: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) with word-n-gram Jaccard
     >= threshold, found via MinHash-LSH banding and verified exactly.
@@ -232,10 +233,13 @@ def neardup_minhash_lsh(
     )
 
     sets = sigs.select("__id", "__shingles")
-    pairs = (
-        cand.join(sets.withColumnsRenamed({"__id": "__ida", "__shingles": "__sa"}), "__ida")
-        .join(sets.withColumnsRenamed({"__id": "__idb", "__shingles": "__sb"}), "__idb")
-    )
+    sa = sets.withColumnsRenamed({"__id": "__ida", "__shingles": "__sa"})
+    sb = sets.withColumnsRenamed({"__id": "__idb", "__shingles": "__sb"})
+    if verify_broadcast:
+        # bounded by the corpus shingle-set frame — same knob/contract as
+        # ngram_jaccard_pairs; pass False past broadcast size
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    pairs = cand.join(sa, "__ida").join(sb, "__idb")
     inter = F.size(F.array_intersect("__sa", "__sb"))
     union = F.size("__sa") + F.size("__sb") - inter
     out = (
