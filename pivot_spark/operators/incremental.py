@@ -116,3 +116,59 @@ def incremental_agg(
     return merge_states(
         [state, agg_state(delta, keys, measures)], keys, measures
     )
+
+
+# -- distinct-count maintenance (HLL sketch states) -------------------------
+#
+# COUNT(DISTINCT) does not decompose into sum/min/max states — its exact
+# state is the value set itself. The scale answer is the mergeable HLL
+# sketch (Spark's Apache DataSketches binding): per-key binary sketches
+# are unioned associatively like any other partial state, so segment
+# sketches roll up (hour -> day -> total) without ever rescanning or
+# materializing the value sets. Estimates carry the sketch's relative
+# error (~1.6% at lg_k=12); exact re-count remains the non-incremental
+# fallback.
+
+
+def distinct_state(
+    df: DataFrame, keys: Sequence[str], col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-key HLL sketch of ``col``: keys + ``sketch`` (binary,
+    ~2^lg_k bytes max — state is sketch-sized, never value-set-sized)."""
+    return df.groupBy(*keys).agg(
+        F.hll_sketch_agg(F.col(col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def merge_distinct_states(
+    states: Sequence[DataFrame], keys: Sequence[str]
+) -> DataFrame:
+    """Union any number of sketch frames by key (associative,
+    commutative — same contract as ``merge_states``)."""
+    keys = list(keys)
+    it = iter(states)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy(*keys).agg(
+        F.hll_union_agg(F.col("sketch")).alias("sketch")
+    )
+
+
+def estimate_distinct(
+    state: DataFrame, keys: Sequence[str], out_name: str = "n_distinct"
+) -> DataFrame:
+    """keys + ``out_name`` (LONG estimate) from a sketch frame."""
+    return state.select(
+        *keys, F.hll_sketch_estimate(F.col("sketch")).alias(out_name)
+    )
+
+
+def incremental_distinct(
+    state: DataFrame, delta: DataFrame, keys: Sequence[str], col: str, lg_k: int = 12
+) -> DataFrame:
+    """Fold a raw delta into an existing per-key sketch frame —
+    O(delta + |state|), base data never rescanned."""
+    return merge_distinct_states(
+        [state, distinct_state(delta, keys, col, lg_k)], keys
+    )

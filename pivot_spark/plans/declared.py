@@ -3540,3 +3540,30 @@ def e78_mad_outliers(spark, sf_dir):
         F.round(F.max("mod_z"), 4).alias("mz_max"),
     )
     return summary
+
+
+# --- E79: incremental distinct-count maintenance — per-key HLL sketch
+# states (DataSketches binding), split/merged over the 1999 date
+# boundary like e72. Estimates are sketch-valued (no SQL replay) ->
+# rows-only driver check; accuracy and merge==full equivalence are
+# unit-tested (tests/test_incremental.py).
+@query("e79_incremental_distinct")
+def e79_incremental_distinct(spark, sf_dir):
+    from pivot_spark.operators.incremental import (
+        distinct_state,
+        estimate_distinct,
+        incremental_distinct,
+    )
+
+    orders = _read(spark, sf_dir, "orders")
+    split = F.lit("1999-01-01").cast("timestamp")
+    state = distinct_state(
+        orders.filter(F.col("o_orderdate") < split), ["o_orderstatus"], "o_custkey"
+    )
+    upd = incremental_distinct(
+        state,
+        orders.filter(F.col("o_orderdate") >= split),
+        ["o_orderstatus"],
+        "o_custkey",
+    )
+    return estimate_distinct(upd, ["o_orderstatus"])

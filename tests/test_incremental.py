@@ -80,3 +80,51 @@ def test_merge_is_associative(spark, data):
     right = merge_states(parts, ["k"], ["x"])
     f = lambda df: _final_map(finalize_state(df, ["k"], ["x"]))
     assert f(left) == f(right)
+
+
+# -- HLL distinct states ----------------------------------------------------
+
+from pivot_spark.operators.incremental import (  # noqa: E402
+    distinct_state,
+    estimate_distinct,
+    incremental_distinct,
+    merge_distinct_states,
+)
+
+
+def test_distinct_state_merge_equals_full(spark):
+    rows = [(i % 3, f"v{i % 500}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "k int, v string")
+    a = df.filter("k = 0 OR v < 'v25'")
+    b = df.subtract(a)
+    merged = merge_distinct_states(
+        [distinct_state(a, ["k"], "v"), distinct_state(b, ["k"], "v")], ["k"]
+    )
+    full = distinct_state(df, ["k"], "v")
+    em = {r["k"]: r["n_distinct"] for r in estimate_distinct(merged, ["k"]).collect()}
+    ef = {r["k"]: r["n_distinct"] for r in estimate_distinct(full, ["k"]).collect()}
+    # union promotes the sketch representation (HLL_4 -> HLL_8), so
+    # estimates may differ by a register rounding — not by real error
+    for k in ef:
+        assert abs(em[k] - ef[k]) / ef[k] < 0.02
+        assert abs(ef[k] - 500) / 500 < 0.05
+
+
+def test_distinct_estimate_accuracy(spark):
+    df = spark.createDataFrame(
+        [(1, f"u{i}") for i in range(10_000)], "k int, v string"
+    )
+    est = estimate_distinct(distinct_state(df, ["k"], "v"), ["k"]).first()
+    assert abs(est["n_distinct"] - 10_000) / 10_000 < 0.05
+
+
+def test_incremental_distinct_matches_full(spark):
+    rows = [(i % 2, i % 700) for i in range(4000)]
+    df = spark.createDataFrame(rows, "k int, v int")
+    state = distinct_state(df.filter("v < 350"), ["k"], "v")
+    upd = incremental_distinct(state, df.filter("v >= 350"), ["k"], "v")
+    full = distinct_state(df, ["k"], "v")
+    a = {r["k"]: r["n_distinct"] for r in estimate_distinct(upd, ["k"]).collect()}
+    b = {r["k"]: r["n_distinct"] for r in estimate_distinct(full, ["k"]).collect()}
+    for k in b:
+        assert abs(a[k] - b[k]) / b[k] < 0.02
