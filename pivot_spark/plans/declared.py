@@ -3567,3 +3567,53 @@ def e79_incremental_distinct(spark, sf_dir):
         "o_custkey",
     )
     return estimate_distinct(upd, ["o_orderstatus"])
+
+
+# --- E80: Count-Min Sketch frequency estimation — depth x width
+# bounded-state counter table (Cormode & Muthukrishnan 2005), built in
+# one scan, probed via a broadcast join; positions are deterministic
+# md5 arithmetic so the oracle replays the sketch counter-for-counter
+# (over-estimates and all). width=256 at sf0.01 forces real collisions,
+# so the query exercises the min-over-rows estimate, not a trivial
+# exact path.
+@query(
+    "e80_cms_frequency",
+    """
+WITH src AS (
+  SELECT CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL
+), cms AS (
+  SELECT i AS d,
+         ('0x' || substring(md5(i::VARCHAR || ':' || k), 1, 15))::BIGINT % 256 AS pos,
+         count(*) AS cnt
+  FROM src, range(4) r(i)
+  GROUP BY 1, 2
+), probe AS (
+  SELECT DISTINCT k FROM src WHERE k::BIGINT % 7 = 0
+), ppos AS (
+  SELECT k, i AS d,
+         ('0x' || substring(md5(i::VARCHAR || ':' || k), 1, 15))::BIGINT % 256 AS pos
+  FROM probe, range(4) r(i)
+), est AS (
+  SELECT p.k, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_est
+  FROM ppos p LEFT JOIN cms c ON p.d = c.d AND p.pos = c.pos
+  GROUP BY p.k
+)
+SELECT e.k AS user_id, e.cms_est,
+       CAST(coalesce(x.n, 0) AS BIGINT) AS exact_n
+FROM est e LEFT JOIN (SELECT k, count(*) AS n FROM src GROUP BY k) x USING (k)
+""",
+)
+def e80_cms_frequency(spark, sf_dir):
+    from pivot_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    src = ev.select(F.col("user_id").cast("string").alias("k"))
+    sketch = cms_build(src, "k", width=256, depth=4)
+    probes = src.filter(F.col("k").cast("long") % 7 == 0).distinct()
+    est = cms_estimate(sketch, probes, "k", width=256, depth=4)
+    exact = src.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "k", "left").select(
+        F.col("k").alias("user_id"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
+    )
