@@ -204,3 +204,100 @@ def quantiles(
         for j, p in enumerate(ps)
     ]
     return wide.select(F.inline(F.array(*rows)))
+
+
+def _avg_rank_map(base: DataFrame, col: str, num_ranges: int = 32) -> DataFrame:
+    """(value, __r_<col>) average-rank lookup table for ``base[col]``,
+    computed DISTRIBUTED: the distinct-value frame is range-partitioned
+    by value, each partition prefix-sums its counts independently
+    (window partitioned by the range-partition id — parallel, never a
+    single global partition), and the per-partition offsets (one scalar
+    per partition) are folded in from the driver. Average rank for a
+    tie group of size c starting after cum rows = cum + (c+1)/2 —
+    identical to SQL ``rank() + (count(*) OVER (PARTITION BY v)-1)/2``.
+    State: the map is distinct-value-sized; no row-sized global sort
+    anywhere."""
+    from pyspark.sql import Window
+
+    vc = base.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    vcp = vc.repartitionByRange(num_ranges, F.col(col)).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    totals = {
+        r["__pid"]: r["__t"]
+        for r in vcp.groupBy("__pid").agg(F.sum("__cnt").alias("__t")).collect()
+    }
+    # RangePartitioner orders ranges by partition id: offset(p) = rows
+    # in all earlier ranges. Tiny driver fold (one scalar/partition).
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = F.element_at(
+        F.map_from_arrays(
+            F.array(*[F.lit(int(p)) for p in offsets]),
+            F.array(*[F.lit(int(offsets[p])) for p in offsets]),
+        ),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_before = F.sum("__cnt").over(w) - F.col("__cnt") + off_expr
+    return vcp.select(
+        col, (cum_before + (F.col("__cnt") + 1) / 2.0).alias(f"__r_{col}")
+    )
+
+
+def spearman_matrix(
+    df: DataFrame, columns: Sequence[str], num_ranges: int = 32
+) -> DataFrame:
+    """Upper-triangle pairwise Spearman rank correlations: (col_a,
+    col_b, spearman DOUBLE rounded 4) — Pearson over average ranks
+    (the tie-correct definition). Listwise deletion: rows with a NULL
+    in ANY requested column are dropped first, so every pair ranks the
+    same row set (one rank map per column, not per pair).
+
+    Shuffle economics: per column, one distinct-sized aggregate + one
+    equi-join of the rank map back to the fact rows (AQE broadcasts
+    small maps); ranking itself is the range-partitioned parallel
+    prefix in ``_avg_rank_map`` — there is NO row-sized global sort.
+    The final correlation is ONE single-row aggregate for all
+    k·(k-1)/2 pairs, like ``corr_matrix``."""
+    cols = list(columns)
+    if len(cols) < 2:
+        raise ValueError("need at least 2 columns")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    base = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    for c in cols:
+        base = base.filter(F.col(c).isNotNull())
+    ranked = base
+    for c in cols:
+        ranked = ranked.join(_avg_rank_map(base, c, num_ranges), c)
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+
+    # corr == covar/(sd*sd) on the same Welford states; the spelled-out
+    # form lets try_divide return NULL for a zero-variance (constant)
+    # column where ANSI-mode F.corr raises DIVIDE_BY_ZERO
+    def _corr(a, b):
+        ra, rb = F.col(f"__r_{a}"), F.col(f"__r_{b}")
+        return F.try_divide(
+            F.covar_samp(ra, rb), F.stddev_samp(ra) * F.stddev_samp(rb)
+        )
+
+    wide = ranked.agg(
+        *[F.round(_corr(a, b), 4).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    rows = [
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.col(f"__c_{i}").alias("spearman"),
+        )
+        for i, (a, b) in enumerate(pairs)
+    ]
+    return wide.select(F.inline(F.array(*rows)))

@@ -3617,3 +3617,41 @@ def e80_cms_frequency(spark, sf_dir):
         F.col("cms_est").cast("long").alias("cms_est"),
         F.coalesce(F.col("exact_n"), F.lit(0)).cast("long").alias("exact_n"),
     )
+
+
+# --- E81: Spearman rank-correlation matrix — Pearson over average
+# ranks. The rank is computed distributed (range-partitioned parallel
+# prefix over the DISTINCT-value frame, pivot_spark.operators.profile.
+# _avg_rank_map): no row-sized global sort anywhere, unlike the naive
+# single-partition rank window. l_extendedprice (near-unique) is
+# included deliberately to exercise the distinct-frame path at high
+# cardinality; l_quantity/l_discount/l_tax exercise heavy ties.
+_E81_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _e81_oracle() -> str:
+    conds = " AND ".join(f"{c} IS NOT NULL" for c in _E81_COLS)
+    ranks = ", ".join(
+        f"rank() OVER (ORDER BY {c}) + (count(*) OVER (PARTITION BY {c}) - 1) / 2.0 AS r{i}"
+        for i, c in enumerate(_E81_COLS)
+    )
+    sels = []
+    for i, a in enumerate(_E81_COLS):
+        for j in range(i + 1, len(_E81_COLS)):
+            b = _E81_COLS[j]
+            sels.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"round(corr(r{i}, r{j}), 4) AS spearman FROM r"
+            )
+    return (
+        f"WITH base AS (SELECT * FROM lineitem WHERE {conds}), "
+        f"r AS (SELECT {ranks} FROM base) " + " UNION ALL ".join(sels)
+    )
+
+
+@query("e81_spearman_matrix", _e81_oracle())
+def e81_spearman_matrix(spark, sf_dir):
+    from pivot_spark.operators.profile import spearman_matrix
+
+    li = _read(spark, sf_dir, "lineitem")
+    return spearman_matrix(li, _E81_COLS)
