@@ -190,3 +190,48 @@ def dedup_clusters(
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster"),
         (F.coalesce(F.col("component"), F.col(id_col)) == F.col(id_col)).alias("keep"),
     )
+
+
+def dedup_clusters_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    score_col: str,
+    pair_left: str = "id_a",
+    pair_right: str = "id_b",
+) -> DataFrame:
+    """Cluster-aware dedup keeping the BEST row per duplicate cluster
+    (max ``score_col``, ties broken toward the smaller id) instead of
+    ``dedup_clusters``'s min-id survivor — the form a real curation
+    pipeline wants: among near-duplicates, keep the highest-quality
+    copy. Requires numeric ``id_col``/``score_col`` (the arg-max is a
+    scalar ``min(struct(-score, id))``, codegen-friendly on both
+    engines).
+
+    Shuffle economics: the corpus is NEVER shuffled. Components are
+    computed on the (tiny) pair graph; the per-cluster winner is an
+    aggregate over clustered rows only (score extraction is a broadcast
+    semi-ish join + distinct-cluster-sized groupBy); the final label is
+    two broadcast joins against cluster->component and cluster->best
+    maps.
+    """
+    comp = connected_components(pairs, src=pair_left, dst=pair_right).withColumnRenamed(
+        "node", id_col
+    )
+    clustered = df.select(id_col, score_col).join(F.broadcast(comp), id_col)
+    best = clustered.groupBy("component").agg(
+        F.min(
+            F.struct(
+                (-F.col(score_col)).alias("s"), F.col(id_col).alias("i")
+            )
+        )["i"].alias("__best")
+    )
+    labeled = df.join(F.broadcast(comp), id_col, "left").join(
+        F.broadcast(best), "component", "left"
+    )
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return labeled.select(
+        *df.columns,
+        cluster.alias("cluster"),
+        F.coalesce(F.col(id_col) == F.col("__best"), F.lit(True)).alias("keep"),
+    )

@@ -3655,3 +3655,59 @@ def e81_spearman_matrix(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     return spearman_matrix(li, _E81_COLS)
+
+
+# --- E82: duplicate-cluster dedup keeping the BEST copy (max n_chars,
+# tie -> min doc_id) — what a curation pipeline actually keeps from a
+# near-dup cluster. Same exact-Jaccard pair graph + transitive closure
+# as e31; the winner is a scalar min(struct(-score, id)) on both
+# engines.
+_E82_ORACLE = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b != r.a
+), comp AS (
+  SELECT a AS node, least(min(b), a) AS component FROM reach GROUP BY a
+), lab AS (
+  SELECT d.doc_id, d.n_chars, coalesce(c.component, d.doc_id) AS cluster,
+         c.component IS NOT NULL AS clustered
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), best AS (
+  SELECT cluster, (min({'s': -n_chars, 'i': doc_id})).i AS best_id
+  FROM lab WHERE clustered GROUP BY cluster
+)
+SELECT l.doc_id, l.cluster,
+       coalesce(l.doc_id = b.best_id, true) AS keep
+FROM lab l LEFT JOIN best b USING (cluster)
+"""
+
+
+@query("e82_dedup_keep_best", _E82_ORACLE)
+def e82_dedup_keep_best(spark, sf_dir):
+    from pivot_spark.operators.components import dedup_clusters_keep_best
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(docs, threshold=0.5, num_hashes=128, bands=64)
+    out = dedup_clusters_keep_best(
+        docs.select("doc_id", "n_chars"), pairs.select("id_a", "id_b"),
+        "doc_id", "n_chars",
+    )
+    return out.select("doc_id", "cluster", "keep")
