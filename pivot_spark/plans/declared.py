@@ -3711,3 +3711,57 @@ def e82_dedup_keep_best(spark, sf_dir):
         "doc_id", "n_chars",
     )
     return out.select("doc_id", "cluster", "keep")
+
+
+# --- E83: DSIR importance resampling (Xie et al. 2023) — hashed
+# unigram+bigram bucket models for target (lang='en') vs raw (all
+# docs), per-doc log importance weight, top-20% keep flag. Every step
+# is deterministic md5 + Laplace arithmetic, so the oracle replays the
+# whole method: bucket counts, smoothing, log-ratio, percentile
+# threshold (boundary compared on rounded values on both engines).
+_E83_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, (lang = 'en') AS tgt,
+         list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, tgt, unnest(list_concat(
+    w, list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+  )) AS gram
+  FROM toks
+), b AS (
+  SELECT doc_id, tgt,
+         ('0x' || substring(md5(gram), 1, 15))::BIGINT % 4096 AS bk
+  FROM grams
+), stats AS (
+  SELECT bk, count(*) AS n_raw, sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_tgt
+  FROM b GROUP BY bk
+), tot AS (
+  SELECT sum(n_raw) AS t_raw, sum(n_tgt) AS t_tgt FROM stats
+), ratio AS (
+  SELECT bk, ln((n_tgt + 1.0) / (t_tgt + 1.0 * 4096))
+           - ln((n_raw + 1.0) / (t_raw + 1.0 * 4096)) AS lr
+  FROM stats, tot
+), scored AS (
+  SELECT b.doc_id, round(sum(r.lr), 4) AS dsir_logweight
+  FROM b JOIN ratio r USING (bk) GROUP BY b.doc_id
+), outw AS (
+  SELECT d.doc_id, coalesce(s.dsir_logweight, 0.0) AS dsir_logweight
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+), thr AS (
+  SELECT round(quantile_cont(dsir_logweight, 0.8), 4) AS t FROM outw
+)
+SELECT doc_id, dsir_logweight, dsir_logweight >= thr.t AS keep
+FROM outw, thr
+"""
+
+
+@query("e83_dsir_select", _E83_ORACLE)
+def e83_dsir_select(spark, sf_dir):
+    from pivot_spark.operators.dsir import dsir_logweights
+
+    docs = _read(spark, sf_dir, "documents")
+    return dsir_logweights(
+        docs, "doc_id", "text", F.col("lang") == "en",
+        num_buckets=4096, alpha=1.0, keep_fraction=0.2,
+    )
