@@ -3765,3 +3765,90 @@ def e83_dsir_select(spark, sf_dir):
         docs, "doc_id", "text", F.col("lang") == "en",
         num_buckets=4096, alpha=1.0, keep_fraction=0.2,
     )
+
+
+# --- E84: hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+# 2009) — BM25 inverted-index top-10 (sparse) fused with exact cosine
+# top-10 (dense) at K=60. Only ranks enter the fusion, so the oracle
+# replays both retrievers' rank lists (the e49 BM25 CTE + the e04
+# windowed all-pairs cosine) and the 1/(60+rank) sum exactly.
+def _e84_oracle() -> str:
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, terms in _E49_QUERIES for t in terms
+    )
+    return f"""
+WITH q(query_id, term) AS (VALUES {vals}),
+tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                    x -> x <> '')) AS term
+  FROM documents
+), postings AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, avg(dl) AS avgdl FROM dl
+), df_t AS (
+  SELECT term, count(*) AS df FROM postings
+  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         round(sum(ln(1.0 + (s.n - f.df + 0.5) / (f.df + 0.5)) *
+               (p.tf::DOUBLE * 2.2 /
+                (p.tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / s.avgdl)))), 4)
+           AS score
+  FROM postings p
+  JOIN q ON p.term = q.term
+  JOIN df_t f ON p.term = f.term
+  JOIN dl d ON p.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY 1, 2
+), bmk AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+), densek AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT a.vec_id AS query_id, c.vec_id AS doc_id,
+           CAST(row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                      c.vec_id) AS INTEGER) AS rank
+    FROM embeddings a, embeddings c
+    WHERE a.vec_id IN (1, 2, 3) AND c.vec_id != a.vec_id
+  ) WHERE rank <= 10
+), u AS (
+  SELECT * FROM bmk UNION ALL SELECT * FROM densek
+), fused AS (
+  SELECT query_id, doc_id,
+         round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+         CAST(count(*) AS INTEGER) AS n_lists
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_score, n_lists, rank FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
+  FROM fused
+) WHERE rank <= 10
+"""
+
+
+@query("e84_hybrid_rrf", _e84_oracle())
+def e84_hybrid_rrf(spark, sf_dir):
+    from pivot_spark.operators.bm25 import bm25_topk_batch
+    from pivot_spark.operators.fusion import rrf_fuse
+    from pivot_spark.operators.similarity import cosine_topk
+
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    q = spark.createDataFrame(_E49_QUERIES, "query_id int, terms array<string>")
+    sparse = bm25_topk_batch(docs, q, k=10).select("query_id", "doc_id", "rank")
+    dense = cosine_topk(
+        emb, emb.filter(F.col("vec_id").isin(1, 2, 3)), k=10
+    ).select(
+        F.col("query_id").cast("int").alias("query_id"),
+        F.col("neighbor_id").alias("doc_id"),
+        "rank",
+    )
+    return rrf_fuse([sparse, dense], rrf_k=60, top_k=10)
