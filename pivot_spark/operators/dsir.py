@@ -81,8 +81,19 @@ def dsir_logweights(
         F.explode(_grams(F.col(text_col))).alias("__gram"),
     ).select(id_col, "__tgt", _bucket(F.col("__gram"), B).alias("__b"))
 
-    stats = g.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__n_raw"), F.sum("__tgt").alias("__n_tgt")
+    # (doc, bucket) pre-aggregate, materialized once (localCheckpoint):
+    # both the bucket models and the scoring pass read it, so the text
+    # is tokenized+hashed exactly once — at corpus scale re-exploding
+    # every gram for the second pass costs more than persisting the
+    # ≤ docs×min(doc_grams, B) count frame
+    db = (
+        g.groupBy(id_col, "__tgt", "__b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=False)
+    )
+    stats = db.groupBy("__b").agg(
+        F.sum("__n").alias("__n_raw"),
+        F.sum(F.col("__n") * F.col("__tgt")).alias("__n_tgt"),
     )
     totals = stats.agg(
         F.sum("__n_raw").alias("__t_raw"), F.sum("__n_tgt").alias("__t_tgt")
@@ -95,9 +106,9 @@ def dsir_logweights(
         ).alias("__lr"),
     )
     scored = (
-        g.join(F.broadcast(ratio), "__b")
+        db.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
-        .agg(F.round(F.sum("__lr"), 4).alias("dsir_logweight"))
+        .agg(F.round(F.sum(F.col("__n") * F.col("__lr")), 4).alias("dsir_logweight"))
     )
     out = df.select(id_col).join(scored, id_col, "left").select(
         id_col, F.coalesce(F.col("dsir_logweight"), F.lit(0.0)).alias("dsir_logweight")

@@ -212,8 +212,11 @@ def _avg_rank_map(base: DataFrame, col: str, num_ranges: int = 32) -> DataFrame:
     by value, each partition prefix-sums its counts independently
     (window partitioned by the range-partition id — parallel, never a
     single global partition), and the per-partition offsets (one scalar
-    per partition) are folded in from the driver. Average rank for a
-    tie group of size c starting after cum rows = cum + (c+1)/2 —
+    per range) are a prefix sum over the tiny per-range totals frame,
+    broadcast-joined back — fully lazy, so every column's rank map
+    builds inside ONE job (no per-column driver round-trip; the range
+    exchange is deduplicated by ReuseExchange). Average rank for a tie
+    group of size c starting after cum rows = cum + (c+1)/2 —
     identical to SQL ``rank() + (count(*) OVER (PARTITION BY v)-1)/2``.
     State: the map is distinct-value-sized; no row-sized global sort
     anywhere."""
@@ -223,30 +226,21 @@ def _avg_rank_map(base: DataFrame, col: str, num_ranges: int = 32) -> DataFrame:
     vcp = vc.repartitionByRange(num_ranges, F.col(col)).withColumn(
         "__pid", F.spark_partition_id()
     )
-    totals = {
-        r["__pid"]: r["__t"]
-        for r in vcp.groupBy("__pid").agg(F.sum("__cnt").alias("__t")).collect()
-    }
     # RangePartitioner orders ranges by partition id: offset(p) = rows
-    # in all earlier ranges. Tiny driver fold (one scalar/partition).
-    offsets, acc = {}, 0
-    for pid in sorted(totals):
-        offsets[pid] = acc
-        acc += totals[pid]
-    off_expr = F.element_at(
-        F.map_from_arrays(
-            F.array(*[F.lit(int(p)) for p in offsets]),
-            F.array(*[F.lit(int(offsets[p])) for p in offsets]),
-        ),
-        F.col("__pid"),
+    # in all earlier ranges. num_ranges scalars — the single-partition
+    # window below is over ≤ num_ranges rows, not data.
+    tot = vcp.groupBy("__pid").agg(F.sum("__cnt").alias("__t"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__pid", F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__off")
     )
     w = (
         Window.partitionBy("__pid")
         .orderBy(col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_before = F.sum("__cnt").over(w) - F.col("__cnt") + off_expr
-    return vcp.select(
+    cum_before = F.sum("__cnt").over(w) - F.col("__cnt") + F.col("__off")
+    return vcp.join(F.broadcast(offs), "__pid").select(
         col, (cum_before + (F.col("__cnt") + 1) / 2.0).alias(f"__r_{col}")
     )
 
