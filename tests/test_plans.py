@@ -188,3 +188,46 @@ def test_kmeans_assign_is_scan_stage(spark):
     )
     plan = plan_of(assign_clusters(df, "vec", [[0.0, 0.0], [1.0, 1.0]]))
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark):
+    """The sketch side of a CMS point query is <= depth*width rows and
+    must broadcast: the probe frame is never shuffled for the join."""
+    from pivot_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(f"k{i % 9}",) for i in range(50)], ["k"])
+    sk = cms_build(df, "k", width=64, depth=3)
+    out = cms_estimate(sk, df.distinct(), "k", width=64, depth=3)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dsir_ratio_table_broadcasts(spark):
+    """DSIR's bucket->log-ratio table is <= num_buckets rows: the
+    scoring join must broadcast it onto the doc-bucket counts."""
+    from pivot_spark.operators.dsir import dsir_logweights
+
+    df = spark.createDataFrame(
+        [(i, "a b c d", i % 2 == 0) for i in range(30)], ["id", "text", "t"]
+    )
+    out = dsir_logweights(df, "id", "text", F.col("t"), num_buckets=64)
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_spearman_no_global_sort(spark):
+    """Spearman's rank maps must never globally sort a row-sized frame:
+    no Sort with a SinglePartition exchange feeding it beyond the tiny
+    per-range-totals window (bounded by num_ranges rows)."""
+    from pivot_spark.operators.profile import spearman_matrix
+
+    df = spark.createDataFrame(
+        [(float(i % 7), float(i % 5)) for i in range(100)], ["x", "y"]
+    )
+    out = spearman_matrix(df, ["x", "y"], num_ranges=4)
+    plan = plan_of(out)
+    # the fact-frame ranking runs per range partition: a range exchange
+    # must exist, and the only single-partition exchanges feed the tiny
+    # totals/offsets window or the final 1-row aggregate
+    assert "rangepartitioning" in plan.lower()
