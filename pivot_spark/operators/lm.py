@@ -67,3 +67,106 @@ def unigram_lm_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("__nlp"), 4).alias(score_col),
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    lam: float = 0.7,
+    lowercase: bool = True,
+    score_col: str = "avg_neg_logp",
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """Interpolated bigram LM score per document — one step closer to
+    the KenLM filter than ``unigram_lm_score``:
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N
+
+    over the <unk>-mapped token stream (tokens outside the top-V
+    vocabulary collapse to ``unk_token``, bounding both count tables'
+    key spaces). Returns (``id_col``, n_bigrams BIGINT, ``score_col``
+    DOUBLE rounded 4 — mean -ln p over the doc's bigrams; docs with
+    < 2 tokens score NULL).
+
+    Scale shape: bigrams are built in the ARRAY domain (zip of the
+    token array with its shift — no per-doc window, so there is no
+    corpus shuffle keyed by doc id); the <unk> map and the ≤ V+1-row
+    unigram table are broadcast; the only corpus-sized shuffles are the
+    bigram count aggregate and the count join, both keyed by the
+    bigram itself (map-side combine absorbs hot bigrams). The pair
+    frame is localCheckpoint'ed so tokenization runs once.
+    """
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = df.select(F.col(id_col), tokens(text).alias("__w"))
+    expl = toks.select(id_col, F.explode("__w").alias("__tok"))
+    raw_counts = expl.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    vocab = (
+        raw_counts.orderBy(F.col("__c").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok")
+    )
+
+    def unk(c):
+        return F.coalesce(F.col(c + "_v"), F.lit(unk_token))
+
+    # raw pairs from the array (w[:-1] zip w[1:]); docs with <2 tokens
+    # produce no pairs and come back via the final left join
+    n = F.size("__w")
+    praw = toks.filter(n >= 2).select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("__w", 1, n - 1),
+                F.slice("__w", 2, n - 1),
+                lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+            )
+        ).alias("__p"),
+    ).select(id_col, F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
+    pairs = (
+        praw.join(F.broadcast(vocab.withColumnRenamed("__tok", "__a").withColumn("__a_v", F.col("__a"))), "__a", "left")
+        .join(F.broadcast(vocab.withColumnRenamed("__tok", "__b").withColumn("__b_v", F.col("__b"))), "__b", "left")
+        .select(id_col, unk("__a").alias("__a"), unk("__b").alias("__b"))
+        .localCheckpoint(eager=False)
+    )
+    uni = (
+        expl.join(F.broadcast(vocab), "__tok", "left_semi")
+        .groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    n_unk = expl.join(F.broadcast(vocab), "__tok", "left_anti").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    uni_all = uni.unionByName(
+        n_unk.select(F.lit(unk_token).alias("__tok"), "__c")
+    ).filter(F.col("__c") > 0)
+    total = uni_all.agg(F.sum("__c").cast("double").alias("__n"))
+
+    bc = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__cb"))
+    u1 = uni_all.select(F.col("__tok").alias("__a"), F.col("__c").alias("__c1"))
+    u2 = uni_all.select(F.col("__tok").alias("__b"), F.col("__c").alias("__c2"))
+    p = (
+        F.lit(lam) * F.col("__cb") / F.col("__c1")
+        + F.lit(1.0 - lam) * F.col("__c2") / F.col("__n")
+    )
+    scored = (
+        pairs.join(bc, ["__a", "__b"])
+        .join(F.broadcast(u1), "__a")
+        .join(F.broadcast(u2), "__b")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 4).alias(score_col),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col(score_col),
+    )

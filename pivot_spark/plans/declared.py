@@ -3852,3 +3852,60 @@ def e84_hybrid_rrf(spark, sf_dir):
         "rank",
     )
     return rrf_fuse([sparse, dense], rrf_k=60, top_k=10)
+
+
+# --- E85: interpolated bigram LM scoring (the KenLM-filter ladder
+# rung above e56's unigram LM): p(w2|w1) = 0.7*c(w1w2)/c(w1) +
+# 0.3*c(w2)/N over the <unk>-mapped top-500 vocabulary. Bigrams are
+# built in the array domain (zip with shift — no per-doc shuffle);
+# counts, interpolation, and tie-broken vocab replay exactly in SQL.
+_E85_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+), expl AS (
+  SELECT doc_id, unnest(w) AS tok FROM toks
+), uc_raw AS (
+  SELECT tok, count(*) AS c FROM expl GROUP BY 1
+), vocab AS (
+  SELECT tok FROM uc_raw ORDER BY c DESC, tok LIMIT 500
+), m AS (
+  SELECT doc_id,
+         CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok ELSE '<unk>' END AS tok
+  FROM expl
+), uc AS (
+  SELECT tok, count(*) AS c FROM m GROUP BY 1
+), nt AS (
+  SELECT sum(c)::DOUBLE AS n FROM uc
+), praw AS (
+  SELECT doc_id, w[i] AS a, w[i+1] AS b
+  FROM toks, LATERAL unnest(range(1, len(w))) t(i)
+), p AS (
+  SELECT doc_id,
+         CASE WHEN a IN (SELECT tok FROM vocab) THEN a ELSE '<unk>' END AS a,
+         CASE WHEN b IN (SELECT tok FROM vocab) THEN b ELSE '<unk>' END AS b
+  FROM praw
+), bc AS (
+  SELECT a, b, count(*) AS cb FROM p GROUP BY 1, 2
+), scored AS (
+  SELECT p.doc_id, count(*) AS n_bigrams,
+         round(avg(-ln(0.7 * bc.cb / u1.c + 0.3 * u2.c / nt.n)), 4) AS avg_neg_logp
+  FROM p
+  JOIN bc USING (a, b)
+  JOIN uc u1 ON p.a = u1.tok
+  JOIN uc u2 ON p.b = u2.tok
+  CROSS JOIN nt
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_neg_logp
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@query("e85_bigram_lm", _E85_ORACLE)
+def e85_bigram_lm(spark, sf_dir):
+    from pivot_spark.operators.lm import bigram_lm_score
+
+    docs = _read(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, vocab_size=500, lam=0.7)
