@@ -3909,3 +3909,61 @@ def e85_bigram_lm(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents")
     return bigram_lm_score(docs, vocab_size=500, lam=0.7)
+
+
+# --- E86: prototypicality pruning (Sorscher et al. 2022 SSL
+# prototypes): cosine to the assigned centroid, per-cluster rank, the
+# most-prototypical 30% pruned. Centroids = the 8 smallest-id vectors
+# (fixed, like e57), so assignment, dot folds, ranking, and the
+# floor(0.3*n) boundary all replay exactly in SQL.
+_E86_K, _E86_FRAC = 8, 0.3
+
+
+def _e86_oracle() -> str:
+    d_init = _e54_dist("e.embedding", "i.c")
+    dot = " + ".join(
+        f"a.embedding[{i}]::DOUBLE * i.c[{i}]::DOUBLE" for i in range(1, _E54_DIM + 1)
+    )
+    vsq = " + ".join(
+        f"a.embedding[{i}]::DOUBLE * a.embedding[{i}]::DOUBLE"
+        for i in range(1, _E54_DIM + 1)
+    )
+    csq = " + ".join(
+        f"i.c[{i}]::DOUBLE * i.c[{i}]::DOUBLE" for i in range(1, _E54_DIM + 1)
+    )
+    return f"""
+WITH init AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, embedding AS c
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_E86_K})
+), asg AS (
+  SELECT e.vec_id, e.embedding,
+         (min({{'d': {d_init}, 'c': i.cid}})).c AS cluster
+  FROM embeddings e CROSS JOIN init i GROUP BY e.vec_id, e.embedding
+), proto AS (
+  SELECT a.vec_id, a.cluster,
+         (0.0 + {dot}) / (sqrt(0.0 + {vsq}) * sqrt(0.0 + {csq})) AS p
+  FROM asg a JOIN init i ON a.cluster = i.cid
+), r AS (
+  SELECT vec_id, cluster, p,
+         CAST(row_number() OVER (PARTITION BY cluster ORDER BY p DESC, vec_id) AS INTEGER) AS rank,
+         count(*) OVER (PARTITION BY cluster) AS n
+  FROM proto
+)
+SELECT vec_id, cluster, round(p, 4) AS proto, rank,
+       rank > floor({_E86_FRAC} * n) AS keep
+FROM r
+"""
+
+
+@query("e86_prototype_prune", _e86_oracle())
+def e86_prototype_prune(spark, sf_dir):
+    from pivot_spark.operators.prune import prototypicality_prune
+
+    emb = _read(spark, sf_dir, "embeddings")
+    centers = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(_E86_K).collect()
+    ]
+    return prototypicality_prune(
+        emb, "vec_id", "embedding", centers, prune_fraction=_E86_FRAC
+    )
