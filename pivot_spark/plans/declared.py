@@ -3967,3 +3967,36 @@ def e86_prototype_prune(spark, sf_dir):
     return prototypicality_prune(
         emb, "vec_id", "embedding", centers, prune_fraction=_E86_FRAC
     )
+
+
+# --- E87: multimodal frame-sampling plumbing, hash-checked — fake
+# "video" binaries (FIMG header + the md5-hex payload of the text),
+# exploded to every-4th-byte frames via the Arrow mapInPandas stub.
+# The byte arithmetic is deterministic, so the oracle replays the
+# sampled frame positions and 1-byte frames exactly; only the codec is
+# fake (container has no media libs — SURVEY.md §2.4 E07 note).
+_E87_ORACLE = """
+SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+       substring(md5(text), CAST(i AS INTEGER) + 1, 1) AS frame_ch
+FROM documents, LATERAL unnest(range(0, 32, 4)) t(i)
+WHERE text IS NOT NULL
+"""
+
+
+@query("e87_frame_sample", _E87_ORACLE)
+def e87_frame_sample(spark, sf_dir):
+    from pivot_spark.operators.multimodal import frame_sample_stub, make_fake_image
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    vids = docs.select(
+        "doc_id",
+        make_fake_image(
+            F.lit(16), F.lit(9), F.md5(F.col("text")).cast("binary")
+        ).alias("video"),
+    )
+    frames = frame_sample_stub(vids, "video", every_n=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("frame").cast("string").alias("frame_ch"),
+    )
