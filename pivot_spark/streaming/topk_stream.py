@@ -47,19 +47,8 @@ def topk_stream(
     cap = capacity if capacity is not None else max(8 * k, 64)
     if cap < k:
         raise ValueError(f"capacity must be >= k, got {cap} < {k}")
-
-    src = (
-        df.withWatermark(event_time, watermark)
-        .select(
-            F.window(F.col(event_time), window_duration)["start"].alias("__ws"),
-            F.col(key_col).cast("string").alias("__key"),
-            # the watermarked attribute must reach the stateful operator
-            # for event-time timeouts to be allowed
-            F.col(event_time).alias("__et"),
-        )
-        .filter(F.col("__key").isNotNull())
-    )
-    # window length in ms, for the timeout timestamp
+    # window length in ms, for the timeout timestamp (validated before
+    # any plan is built)
     parts = window_duration.split()
     unit_ms = {
         "millisecond": 1, "milliseconds": 1,
@@ -72,6 +61,18 @@ def topk_stream(
         win_ms = int(parts[0]) * unit_ms[parts[1].lower()]
     except (KeyError, ValueError, IndexError):
         raise ValueError(f"unsupported window_duration {window_duration!r}")
+
+    src = (
+        df.withWatermark(event_time, watermark)
+        .select(
+            F.window(F.col(event_time), window_duration)["start"].alias("__ws"),
+            F.col(key_col).cast("string").alias("__key"),
+            # the watermarked attribute must reach the stateful operator
+            # for event-time timeouts to be allowed
+            F.col(event_time).alias("__et"),
+        )
+        .filter(F.col("__key").isNotNull())
+    )
 
     out_schema = T.StructType(
         [
