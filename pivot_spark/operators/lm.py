@@ -106,14 +106,15 @@ def bigram_lm_score(
     toks = df.select(F.col(id_col), tokens(text).alias("__w"))
     expl = toks.select(id_col, F.explode("__w").alias("__tok"))
     raw_counts = expl.groupBy("__tok").agg(F.count(F.lit(1)).alias("__c"))
+    # ≤ V rows; materialized once — it feeds three broadcast sides,
+    # and without the checkpoint each broadcast job re-runs the
+    # TakeOrdered vocabulary selection from the raw token scan
     vocab = (
         raw_counts.orderBy(F.col("__c").desc(), F.col("__tok"))
         .limit(vocab_size)
         .select("__tok")
+        .localCheckpoint(eager=False)
     )
-
-    def unk(c):
-        return F.coalesce(F.col(c + "_v"), F.lit(unk_token))
 
     # raw pairs from the array (w[:-1] zip w[1:]); docs with <2 tokens
     # produce no pairs and come back via the final left join
@@ -128,26 +129,36 @@ def bigram_lm_score(
             )
         ).alias("__p"),
     ).select(id_col, F.col("__p.a").alias("__a"), F.col("__p.b").alias("__b"))
-    pairs = (
-        praw.join(F.broadcast(vocab.withColumnRenamed("__tok", "__a").withColumn("__a_v", F.col("__a"))), "__a", "left")
-        .join(F.broadcast(vocab.withColumnRenamed("__tok", "__b").withColumn("__b_v", F.col("__b"))), "__b", "left")
-        .select(id_col, unk("__a").alias("__a"), unk("__b").alias("__b"))
+    # (doc, a, b, multiplicity) pre-aggregate, checkpointed once: both
+    # the global bigram counts and the scoring pass read it, shrinking
+    # the count-join input from raw pairs to distinct doc-bigrams
+    vmark = vocab.withColumn("__v", F.lit(True))
+    dp = (
+        praw.join(F.broadcast(vmark.withColumnRenamed("__tok", "__a").withColumnRenamed("__v", "__av")), "__a", "left")
+        .join(F.broadcast(vmark.withColumnRenamed("__tok", "__b").withColumnRenamed("__v", "__bv")), "__b", "left")
+        .select(
+            id_col,
+            F.when(F.col("__av"), F.col("__a")).otherwise(F.lit(unk_token)).alias("__a"),
+            F.when(F.col("__bv"), F.col("__b")).otherwise(F.lit(unk_token)).alias("__b"),
+        )
+        .groupBy(id_col, "__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__m"))
         .localCheckpoint(eager=False)
     )
-    uni = (
-        expl.join(F.broadcast(vocab), "__tok", "left_semi")
+    # <unk>-mapped unigram counts in ONE conditional aggregate;
+    # ≤ V+1 rows, materialized once for its three broadcast uses
+    uni_all = (
+        expl.join(F.broadcast(vmark), "__tok", "left")
+        .select(
+            F.when(F.col("__v"), F.col("__tok")).otherwise(F.lit(unk_token)).alias("__tok")
+        )
         .groupBy("__tok")
         .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
     )
-    n_unk = expl.join(F.broadcast(vocab), "__tok", "left_anti").agg(
-        F.count(F.lit(1)).alias("__c")
-    )
-    uni_all = uni.unionByName(
-        n_unk.select(F.lit(unk_token).alias("__tok"), "__c")
-    ).filter(F.col("__c") > 0)
     total = uni_all.agg(F.sum("__c").cast("double").alias("__n"))
 
-    bc = pairs.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__cb"))
+    bc = dp.groupBy("__a", "__b").agg(F.sum("__m").alias("__cb"))
     u1 = uni_all.select(F.col("__tok").alias("__a"), F.col("__c").alias("__c1"))
     u2 = uni_all.select(F.col("__tok").alias("__b"), F.col("__c").alias("__c2"))
     p = (
@@ -155,14 +166,16 @@ def bigram_lm_score(
         + F.lit(1.0 - lam) * F.col("__c2") / F.col("__n")
     )
     scored = (
-        pairs.join(bc, ["__a", "__b"])
+        dp.join(bc, ["__a", "__b"])
         .join(F.broadcast(u1), "__a")
         .join(F.broadcast(u2), "__b")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(F.avg(-F.log(p)), 4).alias(score_col),
+            F.sum("__m").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__m") * -F.log(p)) / F.sum("__m"), 4
+            ).alias(score_col),
         )
     )
     return df.select(id_col).join(scored, id_col, "left").select(
