@@ -137,3 +137,46 @@ def transition_matrix(
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 4).alias("prob"),
     )
+
+
+def wilson_rank(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    success_col: str,
+    z: float = 1.96,
+    min_trials: int = 1,
+) -> DataFrame:
+    """Per-key success-rate ranking by the Wilson score interval's
+    LOWER bound (public formula: Wilson 1927 — the "sort by rating that
+    won't embarrass you" estimator): a key with 2/2 successes ranks
+    below one with 80/100, because the small sample's interval is wide.
+
+        lb = (p̂ + z²/2n − z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    Returns (keys..., n_trials BIGINT, n_success BIGINT, rate DOUBLE,
+    wilson_lb DOUBLE — both rounded 4), ``success_col`` is a boolean
+    column/expression. One partial/final hash aggregate + scan-stage
+    arithmetic; nothing beyond the per-key counts ever shuffles."""
+    if z <= 0:
+        raise ValueError(f"z must be positive, got {z}")
+    if min_trials < 1:
+        raise ValueError(f"min_trials must be >= 1, got {min_trials}")
+    keys = list(key_cols)
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_trials"),
+        F.sum(F.col(success_col).cast("long")).alias("n_success"),
+    ).filter(F.col("n_trials") >= min_trials)
+    n = F.col("n_trials").cast("double")
+    p = F.col("n_success").cast("double") / n
+    z2 = float(z * z)
+    lb = (
+        p + F.lit(z2) / (2.0 * n)
+        - F.lit(float(z)) * F.sqrt(p * (1.0 - p) / n + F.lit(z2) / (4.0 * n * n))
+    ) / (1.0 + F.lit(z2) / n)
+    return agg.select(
+        *keys,
+        "n_trials",
+        "n_success",
+        F.round(p, 4).alias("rate"),
+        F.round(lb, 4).alias("wilson_lb"),
+    )

@@ -700,3 +700,92 @@ def _exact_cosine_pairs_gemm(base: DataFrame, id_type, threshold: float) -> Data
             )
 
     return base.mapInPandas(gen, schema=schema)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    shingle_len: int = 3,
+    verify_broadcast: bool = True,
+) -> DataFrame:
+    """EXACT directional n-gram containment pairs: (id_a, id_b,
+    containment, jaccard) for every ORDERED pair with
+    C(A,B) = |A∩B| / |A| >= threshold — "most of A's shingles appear
+    in B", the asymmetric relation Jaccard misses (a short doc quoted
+    inside a long one scores near-zero Jaccard but containment ~1).
+
+    Set-containment join (public prefix-filter family: Bayardo et al.
+    WWW'07 adapted to containment): order each doc's shingles by
+    ascending global document frequency; if C(A,B) >= t, A shares one
+    of its first |A| - ceil(t*|A|) + 1 (rarest) tokens with B — so A's
+    PREFIX joins B's FULL posting list. Exactness-preserving filters:
+    * length: |B| >= ceil(t * |A|) (the intersection fits inside B);
+    * the prefix bound above (rarest-first kills hot-token fan-out on
+      the A side; the B side is bounded by the df of A's rare tokens).
+    Verify = exact intersection over the full shingle-hash sets.
+
+    ``verify_broadcast`` as in ``ngram_jaccard_pairs``: True broadcasts
+    the id->set map into the verify join (small-corpus fast path); pass
+    False past broadcast size for the shuffled hash join."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    base = _materialize(
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                word_shingles_pd(F.col(text_col), shingle_len),
+                lambda g: F.xxhash64(g),
+            ).alias("__hs"),
+        ).withColumn("__n", F.size("__hs"))
+    )
+    from pyspark.sql import Window
+
+    ex = base.select("__id", "__n", F.explode("__hs").alias("__h"))
+    ex = ex.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__h"))
+    )
+    ex = _materialize(ex)
+    ordered = ex.groupBy("__id", "__n").agg(
+        F.array_sort(F.collect_list(F.struct("__df", "__h"))).alias("__ord")
+    )
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
+    pref = ordered.select(
+        F.col("__id").alias("__ida"),
+        F.col("__n").alias("__na"),
+        F.explode(
+            F.slice(F.transform("__ord", lambda s: s["__h"]), F.lit(1), prefix_len)
+        ).alias("__h"),
+    )
+    full = ex.select(
+        F.col("__id").alias("__idb"), F.col("__n").alias("__nb"), "__h"
+    )
+    cand = (
+        pref.join(
+            full,
+            (pref["__h"] == full["__h"])
+            & (F.col("__ida") != F.col("__idb"))
+            & (F.col("__nb") >= F.ceil(F.lit(threshold) * F.col("__na"))),
+        )
+        .select("__ida", "__idb")
+        .distinct()
+    )
+    sets = base.select("__id", "__hs")
+    sa = sets.withColumnsRenamed({"__id": "__ida", "__hs": "__sa"})
+    sb = sets.withColumnsRenamed({"__id": "__idb", "__hs": "__sb"})
+    if verify_broadcast:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    pairs = cand.join(sa, "__ida").join(sb, "__idb")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    c = inter.cast("double") / F.size("__sa")
+    j = inter.cast("double") / (F.size("__sa") + F.size("__sb") - inter)
+    return (
+        pairs.select(
+            F.col("__ida").alias("id_a"),
+            F.col("__idb").alias("id_b"),
+            c.alias("containment"),
+            j.alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -77,3 +77,51 @@ def rolling_time_features(
         F.sum(v).over(w).alias(f"{prefix}_sum"),
         F.count(v).over(w).alias(f"{prefix}_cnt"),
     )
+
+
+def decayed_aggregates(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    ref_ts: str,
+    half_life_days: float = 7.0,
+) -> DataFrame:
+    """Exponential time-decay aggregates per key — the recency-weighted
+    engagement features every ranking/feature pipeline keeps:
+
+        w(t) = 0.5 ^ (days_between(ref_ts, t) / half_life_days)
+
+    Returns (keys..., n BIGINT — raw row count, decayed_n DOUBLE,
+    decayed_sum DOUBLE — Σw·value, both rounded 4, last_ts TIMESTAMP).
+    ``ref_ts`` is an explicit literal (e.g. "2024-01-01 00:00:00") so
+    results are deterministic and engine-replayable — never "now()".
+
+    Scale shape: the weight is a scan-stage expression; the whole
+    operator is ONE partial/final hash aggregate on the keys (decayed
+    sums are plain sums of weighted terms — mergeable, no window, no
+    sort). Refreshing tomorrow = multiply yesterday's sums by the
+    day-boundary decay factor and add the delta's sums — the same
+    mergeable-state algebra as ``incremental_agg``."""
+    if half_life_days <= 0:
+        raise ValueError(f"half_life_days must be positive, got {half_life_days}")
+    keys = list(key_cols)
+    t = F.col(ts_col)
+    # unix_micros(cast(... as timestamp)) handles TIMESTAMP and
+    # TIMESTAMP_NTZ alike (session tz pinned UTC — the repo-wide
+    # event-time idiom); /1e6 = fractional epoch seconds, matching
+    # DuckDB epoch_us(ts)/1000000.0 bit for bit
+    t_sec = F.unix_micros(t.cast("timestamp")) / F.lit(1_000_000.0)
+    ref_sec = F.unix_micros(F.lit(ref_ts).cast("timestamp")) / F.lit(1_000_000.0)
+    age_days = (ref_sec - t_sec) / F.lit(86400.0)
+    w = F.pow(F.lit(0.5), age_days / F.lit(float(half_life_days)))
+    return (
+        df.filter(t.isNotNull())
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(w), 4).alias("decayed_n"),
+            F.round(F.sum(w * F.col(value_col)), 4).alias("decayed_sum"),
+            F.max(t).alias("last_ts"),
+        )
+    )

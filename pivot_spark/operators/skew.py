@@ -74,3 +74,38 @@ def salted_join(
     d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     out = f.join(d, on=[on, "__salt"], how=how)
     return out.select(*fact_cols, *dim_cols)
+
+
+def skew_report(
+    df: DataFrame, key_cols: Sequence[str], num_ranges: int = 32
+) -> DataFrame:
+    """One-row skew diagnosis for a prospective shuffle key: (n_keys
+    BIGINT, n_rows BIGINT, max_count BIGINT — heaviest key's rows,
+    max_share DOUBLE — its fraction, gini DOUBLE — inequality of the
+    per-key size distribution, 0 = uniform, →1 = one key owns
+    everything; both rounded 4). The number that tells you whether this
+    key needs salting BEFORE you run the join.
+
+    Gini via the average-rank identity 2·Σ(r·x)/(n·Σx) − (n+1)/n
+    (tie-correct), with ranks from the distributed range-partitioned
+    prefix (``profile._avg_rank_map``) — state stays distinct-key-sized
+    and nothing row-sized is globally sorted."""
+    from pivot_spark.operators.profile import _avg_rank_map
+
+    keys = list(key_cols)
+    sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("__x"))
+    sizes = sizes.select(F.col("__x").cast("double").alias("__x"))
+    ranks = _avg_rank_map(sizes, "__x", num_ranges)
+    ranked = sizes.join(ranks, "__x")
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("__x").cast("long").alias("n_rows"),
+        F.max("__x").cast("long").alias("max_count"),
+        F.round(F.max("__x") / F.sum("__x"), 4).alias("max_share"),
+        F.round(
+            2.0 * F.sum(F.col("__r___x") * F.col("__x"))
+            / (F.count(F.lit(1)) * F.sum("__x"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            4,
+        ).alias("gini"),
+    )

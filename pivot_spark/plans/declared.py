@@ -4000,3 +4000,133 @@ def e87_frame_sample(spark, sf_dir):
         F.col("frame_idx").cast("int").alias("frame_idx"),
         F.col("frame").cast("string").alias("frame_ch"),
     )
+
+
+# --- E88: exponential time-decay aggregates (recency-weighted
+# engagement features): w = 0.5^(age_days / half_life). One scan-stage
+# weight + one hash aggregate — no window, no sort; the decayed sums
+# are mergeable states (refresh = decay-factor multiply + delta add).
+# ref_ts is an explicit literal, so the oracle replays the arithmetic
+# exactly (epoch seconds = micros/1e6 on both engines).
+_E88_ORACLE = """
+SELECT user_id % 50 AS user_bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(pow(0.5, ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')/1000000.0
+                            - epoch_us(ts)/1000000.0) / 86400.0) / 7.0)), 4)
+         AS decayed_n,
+       round(sum(pow(0.5, ((epoch_us(TIMESTAMP '2024-02-01 00:00:00')/1000000.0
+                            - epoch_us(ts)/1000000.0) / 86400.0) / 7.0) * value), 4)
+         AS decayed_sum,
+       max(ts) AS last_ts
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+"""
+
+
+@query("e88_decayed_features", _E88_ORACLE)
+def e88_decayed_features(spark, sf_dir):
+    from pivot_spark.operators.rolling import decayed_aggregates
+
+    ev = _read(spark, sf_dir, "events").select(
+        (F.col("user_id") % 50).alias("user_bucket"), "ts", "value"
+    )
+    return decayed_aggregates(
+        ev, ["user_bucket"], "ts", "value",
+        ref_ts="2024-02-01 00:00:00", half_life_days=7.0,
+    )
+
+
+# --- E89: EXACT directional n-gram containment pairs (set-containment
+# join: A-prefix x B-full-postings with the rarest-first prefix bound
+# and |B| >= t|A| length filter) — catches "short doc quoted inside a
+# long one", which symmetric Jaccard misses. Oracle = all ordered
+# pairs.
+_E89_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams), 4)
+         AS containment,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4)
+         AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id != b.doc_id
+  AND len(a.grams) > 0
+  AND len(list_intersect(a.grams, b.grams))::DOUBLE / len(a.grams) >= 0.6
+"""
+
+
+@query("e89_containment", _E89_ORACLE)
+def e89_containment(spark, sf_dir):
+    from pivot_spark.operators.neardup import ngram_containment_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return round_doubles(
+        ngram_containment_pairs(docs, threshold=0.6, shingle_len=3)
+    )
+
+
+# --- E90: shuffle-key skew report — per-key size distribution summary
+# (max share + tie-correct Gini via the average-rank identity) computed
+# with the same distributed ranking as e81: decide salting BEFORE the
+# join. Oracle replays sizes, ranks, and the Gini algebra.
+_E90_ORACLE = """
+WITH s AS (
+  SELECT count(*)::DOUBLE AS x FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), r AS (
+  SELECT x, rank() OVER (ORDER BY x) + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS r
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(x) AS BIGINT) AS n_rows,
+       CAST(max(x) AS BIGINT) AS max_count,
+       round(max(x) / sum(x), 4) AS max_share,
+       round(2.0 * sum(r * x) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 4) AS gini
+FROM r
+"""
+
+
+@query("e90_skew_report", _E90_ORACLE)
+def e90_skew_report(spark, sf_dir):
+    from pivot_spark.operators.skew import skew_report
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    return skew_report(ev, ["user_id"])
+
+
+# --- E91: Wilson lower-bound success ranking (Wilson 1927) — the
+# confidence-aware rate estimator for per-key quality/engagement
+# ranking; pure scan-stage algebra over one per-key count aggregate,
+# replayed term by term in the oracle.
+_E91_ORACLE = """
+WITH a AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_trials,
+         CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+  FROM events GROUP BY event_type
+), c AS (
+  SELECT *, n_trials::DOUBLE AS n, n_success::DOUBLE / n_trials::DOUBLE AS p
+  FROM a
+)
+SELECT event_type, n_trials, n_success,
+       round(p, 4) AS rate,
+       round((p + (1.96 * 1.96) / (2.0 * n)
+              - 1.96 * sqrt(p * (1.0 - p) / n + (1.96 * 1.96) / (4.0 * n * n)))
+             / (1.0 + (1.96 * 1.96) / n), 4) AS wilson_lb
+FROM c
+"""
+
+
+@query("e91_wilson_rank", _E91_ORACLE)
+def e91_wilson_rank(spark, sf_dir):
+    from pivot_spark.operators.analytics import wilson_rank
+
+    ev = _read(spark, sf_dir, "events").withColumn("ok", F.col("value") > 50)
+    return wilson_rank(ev, ["event_type"], "ok", z=1.96)

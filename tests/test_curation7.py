@@ -1,0 +1,102 @@
+"""Tests for decayed_aggregates (e88), ngram_containment_pairs (e89),
+skew_report (e90)."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from pivot_spark.operators.neardup import ngram_containment_pairs
+from pivot_spark.operators.rolling import decayed_aggregates
+from pivot_spark.operators.skew import skew_report
+
+REF = "2024-01-08 00:00:00"
+
+
+def test_decayed_weights(spark):
+    # one event exactly one half-life (7 d) before ref -> weight 0.5;
+    # one event at ref -> weight 1.0
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 10.0),
+        (1, dt.datetime(2024, 1, 8, 0, 0, 0), 4.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = decayed_aggregates(df, ["k"], "ts", "v", ref_ts=REF, half_life_days=7.0)
+    r = out.collect()[0]
+    assert r["n"] == 2
+    assert r["decayed_n"] == pytest.approx(1.5)
+    assert r["decayed_sum"] == pytest.approx(0.5 * 10.0 + 1.0 * 4.0)
+    assert r["last_ts"] == dt.datetime(2024, 1, 8)
+
+
+def test_decayed_validation(spark):
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 1.0)], "k int, ts timestamp, v double"
+    )
+    with pytest.raises(ValueError):
+        decayed_aggregates(df, ["k"], "ts", "v", ref_ts=REF, half_life_days=0)
+
+
+def test_containment_detects_subset(spark):
+    # doc 2 is a strict prefix of doc 1 -> C(2,1) = 1.0; C(1,2) < 1
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "alpha beta gamma delta epsilon"
+    other = "one two three four five six seven"
+    df = spark.createDataFrame(
+        [(1, long), (2, short), (3, other)], ["doc_id", "text"]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): (r["containment"], r["jaccard"])
+        for r in ngram_containment_pairs(df, threshold=0.8, shingle_len=3).collect()
+    }
+    assert (2, 1) in pairs
+    c, j = pairs[(2, 1)]
+    assert c == pytest.approx(1.0)
+    assert j < 0.8  # Jaccard alone would have missed this pair
+    assert (1, 2) not in pairs  # asymmetric: the long doc is not in the short
+    assert all(a != 3 and b != 3 for a, b in pairs)
+
+
+def test_containment_validation(spark):
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        ngram_containment_pairs(df, threshold=0.0)
+
+
+def _gini(sizes):
+    xs = sorted(sizes)
+    n = len(xs)
+    s = sum(xs)
+    return sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs)) / (n * s)
+
+
+def test_skew_report_uniform_vs_skewed(spark):
+    uniform = spark.createDataFrame([(i % 10,) for i in range(100)], ["k"])
+    r = skew_report(uniform, ["k"], num_ranges=4).collect()[0]
+    assert r["n_keys"] == 10 and r["n_rows"] == 100
+    assert r["gini"] == pytest.approx(0.0)
+    assert r["max_share"] == pytest.approx(0.1)
+
+    skewed_sizes = [60, 20, 10, 5, 5]
+    rows = [(k,) for k, sz in enumerate(skewed_sizes) for _ in range(sz)]
+    skewed = spark.createDataFrame(rows, ["k"]).repartition(5)
+    r = skew_report(skewed, ["k"], num_ranges=4).collect()[0]
+    assert r["max_count"] == 60
+    assert r["gini"] == pytest.approx(round(_gini(skewed_sizes), 4), abs=1e-4)
+
+
+def test_wilson_rank(spark):
+    from pivot_spark.operators.analytics import wilson_rank
+
+    rows = [("a", True)] * 2 + [("b", True)] * 80 + [("b", False)] * 20
+    df = spark.createDataFrame(rows, ["k", "ok"])
+    out = {r["k"]: r for r in wilson_rank(df, ["k"], "ok").collect()}
+    # 2/2 has the higher raw rate but the LOWER Wilson bound than 80/100
+    assert out["a"]["rate"] == 1.0 and out["b"]["rate"] == 0.8
+    assert out["a"]["wilson_lb"] < out["b"]["wilson_lb"]
+    # textbook value: 80/100 at z=1.96 -> lb ~ 0.7112
+    assert out["b"]["wilson_lb"] == pytest.approx(0.7112, abs=2e-3)
+    with pytest.raises(ValueError):
+        wilson_rank(df, ["k"], "ok", z=0)
+    with pytest.raises(ValueError):
+        wilson_rank(df, ["k"], "ok", min_trials=0)
