@@ -216,3 +216,59 @@ def c4_line_signals(
     if clean_text_col is not None:
         out = out.withColumn(clean_text_col, F.array_join(kept_lines, "\n"))
     return out
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 1,
+    clean_text_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-level line deduplication — the CCNet/RefinedWeb
+    boilerplate-removal pass: a line occurring in more than
+    ``max_doc_freq`` DISTINCT documents (nav bars, cookie banners,
+    footers) is removed from EVERY document. Returns
+    (id_col, n_lines BIGINT, n_removed BIGINT, clean_text).
+
+    Scale shape: three shuffles, all on natural keys — (doc, line-hash)
+    distinct + per-hash doc-frequency count (map-side combine absorbs
+    hot boilerplate lines), one equi-join of the line frame against the
+    frequency table keyed by the 16-byte hash (never line text), and
+    the per-doc reassembly aggregate (sort_array over struct(pos,
+    line) — state bounded by doc length). Empty docs and docs losing
+    every line come back via the final left join with ''."""
+    if max_doc_freq < 1:
+        raise ValueError(f"max_doc_freq must be >= 1, got {max_doc_freq}")
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+    lf = df.select(
+        F.col(id_col),
+        F.posexplode(lines).alias("__pos", "__line"),
+    ).withColumn("__h", F.md5(F.col("__line")))
+    dfreq = (
+        lf.select(id_col, "__h")
+        .distinct()
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__dfq"))
+    )
+    kept = lf.join(dfreq, "__h").filter(F.col("__dfq") <= max_doc_freq)
+    reasm = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(clean_text_col),
+    )
+    base = df.select(F.col(id_col), F.size(lines).alias("n_lines"))
+    return base.join(reasm, id_col, "left").select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col(clean_text_col), F.lit("")).alias(clean_text_col),
+    )

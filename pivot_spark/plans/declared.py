@@ -4130,3 +4130,52 @@ def e91_wilson_rank(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events").withColumn("ok", F.col("value") > 50)
     return wilson_rank(ev, ["event_type"], "ok", z=1.96)
+
+
+# --- E92: corpus-level line dedup (CCNet/RefinedWeb boilerplate
+# removal): lines in >1 distinct docs removed from every doc. Text is
+# deterministically lined like e55; hashes, doc frequencies, and the
+# positional reassembly replay exactly in SQL.
+_E92_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1' || chr(10), 'g') AS t
+  FROM documents
+), ls AS (
+  SELECT doc_id, list_filter(string_split(t, chr(10)), l -> l <> '') AS lines
+  FROM aug
+), lf AS (
+  SELECT doc_id, s.p AS pos, s.l AS line
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(lines)+1),
+                                 i -> {'p': i, 'l': lines[i]})) AS s
+    FROM ls
+  )
+), dft AS (
+  SELECT md5(line) AS h, count(DISTINCT doc_id) AS dfq FROM lf GROUP BY 1
+), kept AS (
+  SELECT doc_id, pos, line FROM lf JOIN dft ON md5(lf.line) = dft.h
+  WHERE dfq <= 1
+), reasm AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(len(l.lines) AS BIGINT) AS n_lines,
+       CAST(len(l.lines) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(r.clean_text, '') AS clean_text
+FROM ls l LEFT JOIN reasm r USING (doc_id)
+"""
+
+
+@query("e92_line_dedup", _E92_ORACLE)
+def e92_line_dedup(spark, sf_dir):
+    from pivot_spark.operators.quality import line_dedup
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace("text", _E55_LINE_RE, "$1\n").alias("text"),
+    )
+    return line_dedup(docs, max_doc_freq=1)

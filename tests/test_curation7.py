@@ -100,3 +100,23 @@ def test_wilson_rank(spark):
         wilson_rank(df, ["k"], "ok", z=0)
     with pytest.raises(ValueError):
         wilson_rank(df, ["k"], "ok", min_trials=0)
+
+
+def test_line_dedup(spark):
+    from pivot_spark.operators.quality import line_dedup
+
+    docs = [
+        (1, "unique one\ncommon footer\nunique two"),
+        (2, "other text\ncommon footer"),
+        (3, "standalone doc"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["clean_text"] == "unique one\nunique two"
+    assert out[1]["n_removed"] == 1 and out[1]["n_lines"] == 3
+    assert out[2]["clean_text"] == "other text"
+    assert out[3]["clean_text"] == "standalone doc" and out[3]["n_removed"] == 0
+    assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 0
+    with pytest.raises(ValueError):
+        line_dedup(df, max_doc_freq=0)
