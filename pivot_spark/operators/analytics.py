@@ -180,3 +180,55 @@ def wilson_rank(
         F.round(p, 4).alias("rate"),
         F.round(lb, 4).alias("wilson_lb"),
     )
+
+
+def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Mutual information (and entropies) between two categorical
+    columns — the dependence screen for feature selection and leakage
+    checks. One row: (n BIGINT, h_x, h_y, h_xy, mi, nmi — all DOUBLE
+    rounded 4, natural log; nmi = mi/max(h_x,h_y), NULL when either
+    entropy is 0). Rows with a NULL in either column are dropped.
+
+    Everything derives from the joint contingency table (ONE hash
+    aggregate over the data; bounded by |X|·|Y| cells): the marginals
+    are window sums over that tiny frame — the raw data is scanned
+    once and never joined."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    joint = base.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    cx = F.sum("__c").over(Window.partitionBy("__x"))
+    cy = F.sum("__c").over(Window.partitionBy("__y"))
+    n = F.sum("__c").over(Window.partitionBy())
+    cells = joint.select(
+        "__c",
+        cx.alias("__cx"),
+        cy.alias("__cy"),
+        n.alias("__n"),
+    )
+    c = F.col("__c").cast("double")
+    t = F.col("__n").cast("double")
+    p = c / t
+    agg = cells.agg(
+        F.max("__n").alias("n"),
+        (-F.sum(p * F.log(p))).alias("__hxy"),
+        F.sum(p * F.log(c * t / (F.col("__cx") * F.col("__cy")))).alias("__mi"),
+        # marginal entropies: sum over cells of p*ln(cx/n) counts each
+        # margin cell once per joint cell — weight by p gives the
+        # correct expectation
+        (-F.sum(p * F.log(F.col("__cx") / t))).alias("__hx"),
+        (-F.sum(p * F.log(F.col("__cy") / t))).alias("__hy"),
+    )
+    hmax = F.greatest(F.col("__hx"), F.col("__hy"))
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("__hx", 4).alias("h_x"),
+        F.round("__hy", 4).alias("h_y"),
+        F.round("__hxy", 4).alias("h_xy"),
+        F.round("__mi", 4).alias("mi"),
+        F.round(
+            F.when(hmax > 0, F.col("__mi") / hmax), 4
+        ).alias("nmi"),
+    )

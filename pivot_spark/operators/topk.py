@@ -85,3 +85,36 @@ def topk_per_group_agg(
         *[F.col(f"__it.__p.{c}").alias(c) for c in df.columns],
         (F.col("__rank") + 1).cast("int").alias(rank_name),
     )
+
+
+def mode_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    out_mode: str = "mode",
+    out_count: str = "mode_count",
+) -> DataFrame:
+    """Deterministic per-key MODE — the most frequent non-null value
+    of ``value_col`` per key, ties toward the SMALLEST value:
+    (keys..., ``out_mode``, ``out_count`` BIGINT).
+
+    Two chained hash aggregates, both skew-free: (key, value) counts —
+    a hot key's values spread across reducers, like the two-stage
+    distinct — then per-key arg-max via a scalar min(struct(-count,
+    value)). Never a window, never value buffering."""
+    keys = list(key_cols)
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*keys, value_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    best = counts.groupBy(*keys).agg(
+        F.min(
+            F.struct((-F.col("__c")).alias("__nc"), F.col(value_col).alias("__v"))
+        ).alias("__b")
+    )
+    return best.select(
+        *keys,
+        F.col("__b.__v").alias(out_mode),
+        (-F.col("__b.__nc")).cast("long").alias(out_count),
+    )

@@ -4179,3 +4179,69 @@ def e92_line_dedup(spark, sf_dir):
         F.regexp_replace("text", _E55_LINE_RE, "$1\n").alias("text"),
     )
     return line_dedup(docs, max_doc_freq=1)
+
+
+# --- E93: mutual information between two categorical columns (feature
+# dependence screen): everything from ONE contingency-table aggregate,
+# marginals as window sums over the tiny cell frame — the raw data is
+# never joined. Replayed cell-for-cell in SQL.
+_E93_ORACLE = """
+WITH joint AS (
+  SELECT event_type AS x, user_id % 10 AS y, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+), cells AS (
+  SELECT c,
+         sum(c) OVER (PARTITION BY x) AS cx,
+         sum(c) OVER (PARTITION BY y) AS cy,
+         sum(c) OVER () AS n
+  FROM joint
+), a AS (
+  SELECT max(n) AS n,
+         -sum(c::DOUBLE / n * ln(cx::DOUBLE / n)) AS hx,
+         -sum(c::DOUBLE / n * ln(cy::DOUBLE / n)) AS hy,
+         -sum(c::DOUBLE / n * ln(c::DOUBLE / n)) AS hxy,
+         sum(c::DOUBLE / n * ln(c::DOUBLE * n / (cx::DOUBLE * cy::DOUBLE))) AS mi
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n, round(hx, 4) AS h_x, round(hy, 4) AS h_y,
+       round(hxy, 4) AS h_xy, round(mi, 4) AS mi,
+       round(CASE WHEN greatest(hx, hy) > 0 THEN mi / greatest(hx, hy) END, 4) AS nmi
+FROM a
+"""
+
+
+@query("e93_mutual_info", _E93_ORACLE)
+def e93_mutual_info(spark, sf_dir):
+    from pivot_spark.operators.analytics import mutual_information
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    )
+    return mutual_information(ev, "event_type", "user_bucket")
+
+
+# --- E94: deterministic per-key mode (most frequent value, tie ->
+# smallest): two skew-free hash aggregates — (key, value) counts then
+# a scalar struct arg-max; no window, no value buffering.
+_E94_ORACLE = """
+SELECT user_bucket,
+       (min({'nc': -c, 'v': event_type})).v AS mode,
+       CAST(max(c) AS BIGINT) AS mode_count
+FROM (
+  SELECT user_id % 20 AS user_bucket, event_type, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+)
+GROUP BY 1
+"""
+
+
+@query("e94_mode_by_key", _E94_ORACLE)
+def e94_mode_by_key(spark, sf_dir):
+    from pivot_spark.operators.topk import mode_by_key
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()).select(
+        (F.col("user_id") % 20).alias("user_bucket"), "event_type"
+    )
+    return mode_by_key(ev, ["user_bucket"], "event_type")

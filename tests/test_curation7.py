@@ -120,3 +120,32 @@ def test_line_dedup(spark):
     assert out[4]["clean_text"] == "" and out[4]["n_lines"] == 0
     with pytest.raises(ValueError):
         line_dedup(df, max_doc_freq=0)
+
+
+def test_mutual_information(spark):
+    import math
+
+    from pivot_spark.operators.analytics import mutual_information
+
+    # perfectly dependent: y == x -> mi == h_x == h_y, nmi == 1
+    df = spark.createDataFrame([(i % 4, i % 4) for i in range(100)], ["x", "y"])
+    r = mutual_information(df, "x", "y").collect()[0]
+    assert r["mi"] == pytest.approx(round(math.log(4), 4))
+    assert r["nmi"] == pytest.approx(1.0)
+    # independent uniform: mi ~ 0
+    df2 = spark.createDataFrame(
+        [(i % 2, (i // 2) % 2) for i in range(100)], ["x", "y"]
+    )
+    r2 = mutual_information(df2, "x", "y").collect()[0]
+    assert abs(r2["mi"]) < 1e-3
+    assert r2["h_x"] == pytest.approx(round(math.log(2), 4))
+
+
+def test_mode_by_key(spark):
+    from pivot_spark.operators.topk import mode_by_key
+
+    rows = [(1, "a")] * 3 + [(1, "b")] * 5 + [(2, "x")] * 2 + [(2, "y")] * 2
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r["k"]: (r["mode"], r["mode_count"]) for r in mode_by_key(df, ["k"], "v").collect()}
+    assert out[1] == ("b", 5)
+    assert out[2] == ("x", 2)  # tie 2-2 -> smallest value wins
