@@ -124,3 +124,50 @@ def quantize_int8(
         .withColumn(scale_col, F.round(s, 8))
         .drop("__scale")
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str,
+    out_dim: int,
+    in_dim: int,
+    seed: int = 42,
+    out_col: str = "proj",
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (public lemma; dense
+    Gaussian variant): project ``vec_col`` (length ``in_dim``) onto
+    ``out_dim`` seeded Gaussian directions, scaled by 1/sqrt(out_dim)
+    so pairwise distances are preserved in expectation. The cheap
+    front-end for clustering/ANN when 64-1536-dim embeddings are too
+    wide to shuffle.
+
+    The plane matrix is generated driver-side from ``seed`` (same
+    generator as the SRP-LSH planes) and folded into the plan as
+    literals: the projection is a pure scan-stage zip_with/aggregate
+    fold per output dimension — no shuffle, no UDF, replayable
+    term-by-term by an SQL oracle."""
+    if out_dim < 1 or in_dim < 1:
+        raise ValueError(f"dims must be positive, got {out_dim}/{in_dim}")
+    from pivot_spark.operators.similarity import _srp_planes
+
+    planes = _srp_planes(out_dim, in_dim, seed)
+    import math
+
+    scale = 1.0 / math.sqrt(out_dim)
+    v = F.col(vec_col)
+    comps = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(float(p)) for p in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            * F.lit(scale)
+        ).alias(f"__p{j}")
+        for j, plane in enumerate(planes)
+    ]
+    return df.withColumn(out_col, F.array(*comps))

@@ -4245,3 +4245,49 @@ def e94_mode_by_key(spark, sf_dir):
         (F.col("user_id") % 20).alias("user_bucket"), "event_type"
     )
     return mode_by_key(ev, ["user_bucket"], "event_type")
+
+
+# --- E95: Johnson-Lindenstrauss random projection (seeded Gaussian
+# planes as in-plan literals; 64 -> 8 dims, 1/sqrt(k) scaling) — the
+# cheap front-end before clustering/ANN at embedding widths that are
+# too expensive to shuffle. Scan-stage folds; the oracle replays every
+# plane literal term by term. Elements %.4f-serialized (e29 idiom).
+_E95_DIM_OUT, _E95_SEED = 8, 7
+
+
+def _e95_oracle() -> str:
+    import math
+
+    from pivot_spark.operators.similarity import _srp_planes
+
+    planes = _srp_planes(_E95_DIM_OUT, _E54_DIM, _E95_SEED)
+    scale = 1.0 / math.sqrt(_E95_DIM_OUT)
+    comps = []
+    for plane in planes:
+        chain = " + ".join(
+            f"embedding[{i + 1}]::DOUBLE * ({p!r})" for i, p in enumerate(plane)
+        )
+        comps.append(f"printf('%.4f', round((0.0 + {chain}) * ({scale!r}), 4) + 0.0)")
+    arr = ", ".join(comps)
+    return (
+        f"SELECT vec_id, '[' || array_to_string([{arr}], '|') || ']' AS proj "
+        f"FROM embeddings"
+    )
+
+
+@query("e95_random_projection", _e95_oracle())
+def e95_random_projection(spark, sf_dir):
+    from pivot_spark.operators.embedding import random_projection
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = random_projection(
+        emb, "embedding", out_dim=_E95_DIM_OUT, in_dim=_E54_DIM, seed=_E95_SEED
+    )
+    proj = F.transform(
+        F.col("proj"),
+        lambda x: F.format_string("%.4f", F.round(x, 4) + F.lit(0.0)),
+    )
+    return out.select(
+        "vec_id",
+        F.concat(F.lit("["), F.array_join(proj, "|"), F.lit("]")).alias("proj"),
+    )

@@ -149,3 +149,32 @@ def test_mode_by_key(spark):
     out = {r["k"]: (r["mode"], r["mode_count"]) for r in mode_by_key(df, ["k"], "v").collect()}
     assert out[1] == ("b", 5)
     assert out[2] == ("x", 2)  # tie 2-2 -> smallest value wins
+
+
+def test_random_projection_preserves_distances(spark):
+    import math
+    import random
+
+    from pivot_spark.operators.embedding import random_projection
+
+    rng = random.Random(0)
+    dim, k = 32, 16
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    out = {r["id"]: r["proj"] for r in random_projection(df, "v", k, dim, seed=1).collect()}
+    vecs = dict(rows)
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    # JL: projected distances approximate original within a loose factor
+    ratios = []
+    for i in range(0, 20, 2):
+        orig = d(vecs[i], vecs[i + 1])
+        proj = d(out[i], out[i + 1])
+        ratios.append(proj / orig)
+    avg = sum(ratios) / len(ratios)
+    assert 0.6 < avg < 1.4
+    assert all(len(p) == k for p in out.values())
+    with pytest.raises(ValueError):
+        random_projection(df, "v", 0, dim)
