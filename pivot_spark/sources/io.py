@@ -135,3 +135,54 @@ def write_bucketed_table(
     else:
         w = w.bucketBy(num_buckets, bucket_col)
     w.saveAsTable(table)
+
+
+def write_manifest(
+    df: DataFrame,
+    path: str,
+    name: str,
+    columns: "Optional[Sequence[str]]" = None,
+    extra: "Optional[dict]" = None,
+) -> dict:
+    """Write a dataset manifest (dataset-card JSON) next to a sink: row
+    count, schema, per-column profile (nulls, distinct estimate,
+    numeric/string extremes — ``operators.profile.profile``), plus
+    caller-supplied ``extra`` metadata. Returns the manifest dict and
+    writes ``<path>`` as a single JSON file via the driver (the manifest
+    is KB-sized — one profile aggregate reaches the driver, never data).
+
+    The lakehouse hygiene layer: a sink without a manifest can't be
+    audited for drift; diff two manifests to spot schema or volume
+    regressions between runs."""
+    import json
+
+    from pivot_spark.operators.profile import profile
+
+    prof_rows = profile(df, columns).collect()
+    manifest = {
+        "name": name,
+        "n_rows": int(prof_rows[0]["n_rows"]) if prof_rows else 0,
+        "schema": [
+            {"name": f.name, "type": f.dataType.simpleString(), "nullable": f.nullable}
+            for f in df.schema.fields
+        ],
+        "columns": [
+            {
+                "column": r["column"],
+                "dtype": r["dtype"],
+                "n_nulls": int(r["n_nulls"]),
+                "n_distinct": int(r["n_distinct"]),
+                "num_min": r["num_min"],
+                "num_max": r["num_max"],
+                "num_mean": r["num_mean"],
+                "str_min": r["str_min"],
+                "str_max": r["str_max"],
+            }
+            for r in prof_rows
+        ],
+    }
+    if extra:
+        manifest["extra"] = dict(extra)
+    with open(path, "w") as fh:
+        json.dump(manifest, fh, indent=2, sort_keys=True)
+    return manifest

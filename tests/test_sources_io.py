@@ -97,3 +97,22 @@ def test_error_port_sink(spark, csv_src, tmp_path):
 def test_bad_format_rejected(spark, sales_df, tmp_path):
     with pytest.raises(ValueError, match="unsupported format"):
         write_sink(sales_df, str(tmp_path / "x"), "xml")
+
+
+def test_write_manifest(spark, tmp_path):
+    import json
+
+    from pivot_spark.sources.io import write_manifest
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None), (3, None, 2.5)], ["id", "s", "x"]
+    )
+    p = str(tmp_path / "manifest.json")
+    m = write_manifest(df, p, "unit-test-ds", extra={"run": "r2"})
+    on_disk = json.loads(open(p).read())
+    assert on_disk == json.loads(json.dumps(m))
+    assert m["n_rows"] == 3 and m["extra"]["run"] == "r2"
+    cols = {c["column"]: c for c in m["columns"]}
+    assert cols["s"]["n_nulls"] == 1
+    assert cols["x"]["num_max"] == 2.5
+    assert {s["name"] for s in m["schema"]} == {"id", "s", "x"}
