@@ -1,3 +1,11 @@
+"""Operator surface — every public transform, importable flat:
+``from pivot_spark.operators import pivot, dedup_exact, bm25_topk, ...``.
+
+Grouped as in README: reference operator (pivot), dedup family,
+similarity/ANN, text quality & curation, sampling/splits, joins,
+time/event analytics, profiling/statistics, layout, maintenance.
+"""
+
 from pivot_spark.operators.pivot import (
     PivotError,
     PivotResult,
@@ -5,39 +13,178 @@ from pivot_spark.operators.pivot import (
     output_schema,
     pivot,
 )
-from pivot_spark.operators.dedup import dedup_exact
-from pivot_spark.operators.ivf import cosine_topk_ivf, ivf_index, ivf_search
+
+# --- dedup family
+from pivot_spark.operators.chunk_dedup import chunk_dup_signals
+from pivot_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+    dedup_clusters_keep_best,
+)
+from pivot_spark.operators.dedup import debounce, dedup_against, dedup_exact
 from pivot_spark.operators.neardup import (
     neardup_embedding_cosine,
     neardup_minhash_lsh,
     neardup_simhash,
+    ngram_containment_pairs,
     ngram_jaccard_pairs,
 )
-from pivot_spark.operators.select_extreme import select_extreme
-from pivot_spark.operators.sessionize import session_stats, sessionize, sessionize_stream
+from pivot_spark.operators.semdedup import semdedup
+
+# --- similarity / ANN / embeddings
+from pivot_spark.operators.embedding import (
+    centroids,
+    normalize_vectors,
+    quantize_int8,
+    random_projection,
+)
+from pivot_spark.operators.fusion import rrf_fuse
+from pivot_spark.operators.ivf import cosine_topk_ivf, ivf_index, ivf_search
+from pivot_spark.operators.kmeans import assign_clusters, kmeans, kmeans_fit
+from pivot_spark.operators.prune import prototypicality_prune
 from pivot_spark.operators.similarity import cosine_topk, cosine_topk_lsh
-from pivot_spark.operators.skew import count_distinct_skewed, salted_join
+
+# --- text quality & curation
+from pivot_spark.operators.dsir import dsir_logweights
+from pivot_spark.operators.lm import bigram_lm_score, unigram_lm_score
+from pivot_spark.operators.quality import (
+    c4_line_signals,
+    gopher_filter,
+    gopher_rules,
+    line_dedup,
+)
+from pivot_spark.operators.repetition import repetition_signals
+from pivot_spark.operators.tfidf import tfidf_top_terms
+
+# --- retrieval
+from pivot_spark.operators.bm25 import bm25_topk, bm25_topk_batch
+
+# --- sampling / splits
+from pivot_spark.operators.select_extreme import select_extreme
+from pivot_spark.operators.topk import mode_by_key, topk_per_group, topk_per_group_agg
+
+# --- joins
+from pivot_spark.operators.asof import asof_join
+from pivot_spark.operators.fuzzy import best_fuzzy_match, fuzzy_join
+from pivot_spark.operators.range_join import range_join
+from pivot_spark.operators.bucketize import (
+    ntile_buckets,
+    threshold_buckets,
+    zscore_normalize,
+)
+from pivot_spark.operators.sample import (
+    group_hash_sample_k,
+    hash_sample,
+    hash_split,
+    mixture_sample,
+    repeat_upsample,
+    stratified_hash_sample,
+    weighted_sample_k,
+)
+from pivot_spark.operators.skew import (
+    count_distinct_skewed,
+    salted_join,
+    skew_report,
+)
+
+# --- time / event analytics
+from pivot_spark.operators.analytics import (
+    cohort_retention,
+    grouped_ols,
+    mutual_information,
+    transition_matrix,
+    wilson_rank,
+)
+from pivot_spark.operators.attribution import attribute
+from pivot_spark.operators.funnel import funnel
+from pivot_spark.operators.rolling import (
+    decayed_aggregates,
+    rolling_features,
+    rolling_time_features,
+)
+from pivot_spark.operators.sessionize import (
+    session_stats,
+    sessionize,
+    sessionize_stream,
+)
+
+# --- profiling / statistics / sketches
+from pivot_spark.operators.heavy import heavy_hitters
+from pivot_spark.operators.outliers import mad_outliers
+from pivot_spark.operators.profile import (
+    corr_matrix,
+    histogram,
+    profile,
+    quantiles,
+    spearman_matrix,
+)
+from pivot_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+
+# --- decontamination
+from pivot_spark.operators.bloom import (
+    bloom_build,
+    bloom_contains,
+    bloom_prefilter_anti_join,
+)
+
+# --- documents / chunking
+from pivot_spark.operators.chunking import chunk_documents
+
+# --- maintenance / lakehouse
+from pivot_spark.operators.diff import table_diff
+from pivot_spark.operators.incremental import (
+    agg_state,
+    estimate_distinct,
+    finalize_state,
+    incremental_agg,
+    incremental_distinct,
+    merge_states,
+)
+from pivot_spark.operators.merge import upsert
+from pivot_spark.operators.scd import scd2_apply, scd2_build
+from pivot_spark.operators.validate import validate
 
 __all__ = [
-    "pivot",
-    "PivotResult",
-    "PivotError",
-    "output_schema",
-    "lineage",
-    "dedup_exact",
-    "neardup_minhash_lsh",
-    "neardup_simhash",
-    "ngram_jaccard_pairs",
-    "neardup_embedding_cosine",
-    "cosine_topk",
-    "cosine_topk_lsh",
-    "cosine_topk_ivf",
-    "ivf_index",
-    "ivf_search",
-    "select_extreme",
-    "sessionize",
-    "session_stats",
-    "sessionize_stream",
-    "count_distinct_skewed",
-    "salted_join",
+    # reference operator
+    "pivot", "PivotResult", "PivotError", "output_schema", "lineage",
+    # dedup
+    "dedup_exact", "dedup_against", "debounce", "chunk_dup_signals",
+    "connected_components", "dedup_clusters", "dedup_clusters_keep_best",
+    "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
+    "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
+    # similarity / embeddings
+    "cosine_topk", "cosine_topk_lsh", "cosine_topk_ivf", "ivf_index",
+    "ivf_search", "kmeans", "kmeans_fit", "assign_clusters",
+    "centroids", "normalize_vectors", "quantize_int8", "random_projection",
+    "prototypicality_prune", "rrf_fuse",
+    # text quality & curation
+    "gopher_rules", "gopher_filter", "c4_line_signals", "line_dedup",
+    "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
+    "bigram_lm_score", "dsir_logweights",
+    # retrieval
+    "bm25_topk", "bm25_topk_batch",
+    # sampling / selection
+    "select_extreme", "topk_per_group", "topk_per_group_agg", "mode_by_key",
+    "hash_split", "hash_sample", "stratified_hash_sample",
+    "mixture_sample", "repeat_upsample", "group_hash_sample_k",
+    "weighted_sample_k", "ntile_buckets", "threshold_buckets",
+    # joins
+    "asof_join", "fuzzy_join", "best_fuzzy_match", "range_join",
+    "salted_join", "count_distinct_skewed", "skew_report", "zscore_normalize",
+    # time / event analytics
+    "sessionize", "session_stats", "sessionize_stream", "funnel",
+    "attribute", "cohort_retention", "grouped_ols",
+    "transition_matrix", "wilson_rank", "mutual_information",
+    "rolling_features", "rolling_time_features", "decayed_aggregates",
+    # profiling / statistics / sketches
+    "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
+    "heavy_hitters", "mad_outliers", "cms_build", "cms_estimate", "cms_merge",
+    # decontamination
+    "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
+    # documents
+    "chunk_documents",
+    # maintenance / lakehouse
+    "upsert", "scd2_build", "scd2_apply", "table_diff", "validate",
+    "incremental_agg", "merge_states", "agg_state", "finalize_state",
+    "incremental_distinct", "estimate_distinct",
 ]
