@@ -65,6 +65,7 @@ from pivot_spark.operators.topk import mode_by_key, topk_per_group, topk_per_gro
 
 # --- joins
 from pivot_spark.operators.asof import asof_join
+from pivot_spark.operators.denorm import Dim, denormalize
 from pivot_spark.operators.fuzzy import best_fuzzy_match, fuzzy_join
 from pivot_spark.operators.range_join import range_join
 from pivot_spark.operators.bucketize import (
@@ -170,6 +171,7 @@ __all__ = [
     "weighted_sample_k", "ntile_buckets", "threshold_buckets",
     # joins
     "asof_join", "fuzzy_join", "best_fuzzy_match", "range_join",
+    "denormalize", "Dim",
     "salted_join", "count_distinct_skewed", "skew_report", "zscore_normalize",
     # time / event analytics
     "sessionize", "session_stats", "sessionize_stream", "funnel",

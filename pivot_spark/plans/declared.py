@@ -4291,3 +4291,56 @@ def e95_random_projection(spark, sf_dir):
         "vec_id",
         F.concat(F.lit("["), F.array_join(proj, "|"), F.lit("]")).alias("proj"),
     )
+
+
+# --- E96: star-schema denormalization ("one big table"): the full
+# TPC-H dim chain (orders -> customer -> nation -> region, plus part
+# and supplier) folded onto lineitem as explicit broadcast joins — ONE
+# fact scan, zero fact shuffles until the final summary aggregate.
+# Summarized per (region, order status) so the declared output stays
+# bounded; the oracle is the plain SQL join chain.
+_E96_ORACLE = """
+SELECT r.r_name, o.o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(l.l_extendedprice), 4) AS revenue,
+       CAST(count(DISTINCT p.p_type) AS BIGINT) AS n_part_types,
+       CAST(count(DISTINCT s.s_name) AS BIGINT) AS n_suppliers
+FROM lineitem l
+LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+LEFT JOIN part p ON l.l_partkey = p.p_partkey
+LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
+@query("e96_denormalize", _E96_ORACLE)
+def e96_denormalize(spark, sf_dir):
+    from pivot_spark.operators.denorm import Dim, denormalize
+
+    li = _read(spark, sf_dir, "lineitem")
+    wide = denormalize(
+        li,
+        [
+            Dim(_read(spark, sf_dir, "orders"), "l_orderkey", "o_orderkey",
+                columns=["o_custkey", "o_orderstatus"]),
+            Dim(_read(spark, sf_dir, "customer"), "o_custkey", "c_custkey",
+                columns=["c_nationkey"]),
+            Dim(_read(spark, sf_dir, "nation"), "c_nationkey", "n_nationkey",
+                columns=["n_regionkey"]),
+            Dim(_read(spark, sf_dir, "region"), "n_regionkey", "r_regionkey",
+                columns=["r_name"]),
+            Dim(_read(spark, sf_dir, "part"), "l_partkey", "p_partkey",
+                columns=["p_type"]),
+            Dim(_read(spark, sf_dir, "supplier"), "l_suppkey", "s_suppkey",
+                columns=["s_name"]),
+        ],
+    )
+    return wide.groupBy("r_name", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        F.count_distinct("p_type").alias("n_part_types"),
+        F.count_distinct("s_name").alias("n_suppliers"),
+    )

@@ -178,3 +178,22 @@ def test_random_projection_preserves_distances(spark):
     assert all(len(p) == k for p in out.values())
     with pytest.raises(ValueError):
         random_projection(df, "v", 0, dim)
+
+
+def test_denormalize_chain_and_dups(spark):
+    from pivot_spark.operators.denorm import Dim, denormalize
+
+    fact = spark.createDataFrame([(1, 10), (2, 20), (3, 99)], ["id", "k"])
+    dim = spark.createDataFrame([(10, 100), (20, 200)], ["dk", "ck"])
+    dim2 = spark.createDataFrame([(100, "x")], ["d2k", "label"])
+    wide = denormalize(fact, [Dim(dim, "k", "dk"), Dim(dim2, "ck", "d2k")])
+    rows = {r["id"]: (r["ck"], r["label"]) for r in wide.collect()}
+    assert rows[1] == (100, "x")
+    assert rows[2] == (200, None)
+    assert rows[3] == (None, None)  # left join keeps unmatched fact rows
+    # duplicate column rejection
+    dup = spark.createDataFrame([(10, 1)], ["dk2", "k"])
+    with pytest.raises(ValueError):
+        denormalize(fact, [Dim(dup, "k", "dk2")])
+    with pytest.raises(ValueError):
+        denormalize(fact, [Dim(dim, "k", "dk")], how="full")

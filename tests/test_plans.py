@@ -231,3 +231,21 @@ def test_spearman_no_global_sort(spark):
     # must exist, and the only single-partition exchanges feed the tiny
     # totals/offsets window or the final 1-row aggregate
     assert "rangepartitioning" in plan.lower()
+
+
+def test_denormalize_all_broadcast_no_fact_shuffle(spark):
+    """The dim chain must compile to BroadcastHashJoins only: no
+    SortMergeJoin, no Exchange hashpartitioning of the fact frame."""
+    from pivot_spark.operators.denorm import Dim, denormalize
+
+    fact = spark.createDataFrame(
+        [(i, i % 3, i % 5, float(i)) for i in range(100)],
+        ["id", "k1", "k2", "v"],
+    )
+    d1 = spark.createDataFrame([(i, f"a{i}") for i in range(3)], ["dk1", "name1"])
+    d2 = spark.createDataFrame([(i, f"b{i}") for i in range(5)], ["dk2", "name2"])
+    wide = denormalize(fact, [Dim(d1, "k1", "dk1"), Dim(d2, "k2", "dk2")])
+    plan = plan_of(wide)
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange hashpartitioning" not in plan
