@@ -111,7 +111,7 @@ from pivot_spark.operators.sessionize import (
 
 # --- profiling / statistics / sketches
 from pivot_spark.operators.heavy import heavy_hitters
-from pivot_spark.operators.outliers import mad_outliers
+from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
     corr_matrix,
     histogram,
@@ -180,7 +180,8 @@ __all__ = [
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
-    "heavy_hitters", "mad_outliers", "cms_build", "cms_estimate", "cms_merge",
+    "heavy_hitters", "mad_outliers", "winsorized_stats",
+    "cms_build", "cms_estimate", "cms_merge",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

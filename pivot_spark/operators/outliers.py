@@ -65,3 +65,40 @@ def mad_outliers(
         .otherwise(F.lit(False))
         .alias("is_outlier"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group robust means: (groups..., n BIGINT, mean, winsorized
+    _mean — tails clamped to the [lo, hi] quantiles, trimmed_mean —
+    tails dropped; DOUBLE rounded 4). The outlier-resistant summary for
+    noisy measurement columns.
+
+    Same broadcast shape as ``mad_outliers``: one tiny per-group
+    quantile aggregate (exact percentile — value-buffered per group,
+    the oracle-parity mode) broadcast back onto the fact rows, then one
+    plain aggregate. The fact table is never shuffled by group for the
+    quantile step."""
+    if not 0.0 <= lo < hi <= 1.0:
+        raise ValueError(f"need 0 <= lo < hi <= 1, got {lo}/{hi}")
+    g = list(group_cols)
+    x = F.col(value_col).cast("double")
+    base = df.filter(x.isNotNull()).select(*g, x.alias("__x"))
+    q = base.groupBy(*g).agg(
+        F.percentile(F.col("__x"), F.lit(lo)).alias("__qlo"),
+        F.percentile(F.col("__x"), F.lit(hi)).alias("__qhi"),
+    )
+    j = base.join(F.broadcast(q), g)
+    clamped = F.least(F.greatest(F.col("__x"), F.col("__qlo")), F.col("__qhi"))
+    inside = F.col("__x").between(F.col("__qlo"), F.col("__qhi"))
+    return j.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("__x"), 4).alias("mean"),
+        F.round(F.avg(clamped), 4).alias("winsorized_mean"),
+        F.round(F.avg(F.when(inside, F.col("__x"))), 4).alias("trimmed_mean"),
+    )

@@ -4344,3 +4344,32 @@ def e96_denormalize(spark, sf_dir):
         F.count_distinct("p_type").alias("n_part_types"),
         F.count_distinct("s_name").alias("n_suppliers"),
     )
+
+
+# --- E97: per-group winsorized/trimmed means — the robust summary for
+# heavy-tailed value columns; same broadcast-quantile shape as e78
+# (fact never shuffled for the quantile pass). Exact percentiles
+# (quantile_cont parity); boundary membership compares the same
+# interpolated doubles on both engines.
+_E97_ORACLE = """
+WITH q AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS qlo, quantile_cont(value, 0.95) AS qhi
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), j AS (
+  SELECT e.event_type, e.value AS x, q.qlo, q.qhi
+  FROM events e JOIN q USING (event_type) WHERE e.value IS NOT NULL
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       round(avg(x), 4) AS mean,
+       round(avg(least(greatest(x, qlo), qhi)), 4) AS winsorized_mean,
+       round(avg(CASE WHEN x BETWEEN qlo AND qhi THEN x END), 4) AS trimmed_mean
+FROM j GROUP BY 1
+"""
+
+
+@query("e97_winsorized", _E97_ORACLE)
+def e97_winsorized(spark, sf_dir):
+    from pivot_spark.operators.outliers import winsorized_stats
+
+    ev = _read(spark, sf_dir, "events")
+    return winsorized_stats(ev, ["event_type"], "value", lo=0.05, hi=0.95)

@@ -197,3 +197,18 @@ def test_denormalize_chain_and_dups(spark):
         denormalize(fact, [Dim(dup, "k", "dk2")])
     with pytest.raises(ValueError):
         denormalize(fact, [Dim(dim, "k", "dk")], how="full")
+
+
+def test_winsorized_stats(spark):
+    from pivot_spark.operators.outliers import winsorized_stats
+
+    # 0..9 plus one huge outlier
+    rows = [("g", float(i)) for i in range(10)] + [("g", 1000.0)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    r = winsorized_stats(df, ["k"], "v", lo=0.1, hi=0.9).collect()[0]
+    assert r["n"] == 11
+    assert r["mean"] > 90  # outlier dominates the raw mean
+    assert r["winsorized_mean"] < 10  # clamped
+    assert r["trimmed_mean"] < 10
+    with pytest.raises(ValueError):
+        winsorized_stats(df, ["k"], "v", lo=0.9, hi=0.1)
