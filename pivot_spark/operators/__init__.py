@@ -90,9 +90,11 @@ from pivot_spark.operators.skew import (
 
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
+    chi_square,
     cohort_retention,
     grouped_ols,
     mutual_information,
+    psi_drift,
     transition_matrix,
     wilson_rank,
 )
@@ -177,6 +179,7 @@ __all__ = [
     "sessionize", "session_stats", "sessionize_stream", "funnel",
     "attribute", "cohort_retention", "grouped_ols",
     "transition_matrix", "wilson_rank", "mutual_information",
+    "chi_square", "psi_drift",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",

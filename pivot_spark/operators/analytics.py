@@ -232,3 +232,100 @@ def mutual_information(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
             F.when(hmax > 0, F.col("__mi") / hmax), 4
         ).alias("nmi"),
     )
+
+
+def chi_square(df: DataFrame, col_x: str, col_y: str) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns: one row (n BIGINT, dof BIGINT, chi2 DOUBLE rounded 4,
+    cramers_v DOUBLE rounded 4 — effect size √(χ²/(n·min(r-1,c-1)))).
+    Rows with NULLs dropped. Same single-contingency-aggregate shape as
+    ``mutual_information``: marginals are window sums over the tiny
+    cell frame; expected counts never materialize row-wise.
+
+    Note χ² sums over OBSERVED cells only minus a closed-form
+    correction: Σ_obs (o-e)²/e == Σ_obs o²/e − n when every zero cell
+    contributes e = cx·cy/n with o = 0 ⇒ (o−e)²/e = e; we add the
+    missing-zero-cell mass as (n − Σ_obs e) exactly."""
+    from pyspark.sql import Window
+
+    base = df.select(F.col(col_x).alias("__x"), F.col(col_y).alias("__y")).filter(
+        F.col("__x").isNotNull() & F.col("__y").isNotNull()
+    )
+    joint = base.groupBy("__x", "__y").agg(F.count(F.lit(1)).alias("__c"))
+    cells = joint.select(
+        "__x",
+        "__y",
+        "__c",
+        F.sum("__c").over(Window.partitionBy("__x")).alias("__cx"),
+        F.sum("__c").over(Window.partitionBy("__y")).alias("__cy"),
+        F.sum("__c").over(Window.partitionBy()).alias("__n"),
+    )
+    o = F.col("__c").cast("double")
+    e = F.col("__cx").cast("double") * F.col("__cy") / F.col("__n")
+    agg = cells.agg(
+        F.max("__n").alias("n"),
+        F.count_distinct("__x").alias("__r"),
+        F.count_distinct("__y").alias("__k"),
+        F.sum((o - e) * (o - e) / e).alias("__chi_obs"),
+        F.sum(e).alias("__e_obs"),
+    )
+    # zero cells: each contributes e; their total is n - sum(e over
+    # observed cells)
+    chi2 = F.col("__chi_obs") + (F.col("n").cast("double") - F.col("__e_obs"))
+    dof = (F.col("__r") - 1) * (F.col("__k") - 1)
+    minside = F.least(F.col("__r") - 1, F.col("__k") - 1).cast("double")
+    v = F.when(
+        (F.col("n") > 0) & (minside > 0),
+        F.sqrt(chi2 / (F.col("n").cast("double") * minside)),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        dof.cast("long").alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(v, 4).alias("cramers_v"),
+    )
+
+
+def psi_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    bucket_col: str,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a bucketed
+    column — the ML-ops drift alarm (PSI < 0.1 stable, > 0.25 drifted):
+
+        PSI = Σ_buckets (p_a − p_b) · ln(p_a / p_b)
+
+    with ``eps``-floored shares so one-sided buckets stay finite.
+    Returns one row (n_a, n_b BIGINT, n_buckets BIGINT, psi DOUBLE
+    rounded 4). Two per-bucket count aggregates (bucket-keyed, tiny) +
+    one full-outer join of the two bucket tables."""
+    ca = df_a.groupBy(F.col(bucket_col).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__ca")
+    )
+    cb = df_b.groupBy(F.col(bucket_col).alias("__b")).agg(
+        F.count(F.lit(1)).alias("__cb")
+    )
+    both = ca.join(cb, "__b", "full").select(
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+    )
+    tot = both.agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum("__cb").alias("n_b"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    scored = both.crossJoin(F.broadcast(tot))
+    pa = F.greatest(
+        F.col("__ca").cast("double") / F.col("n_a"), F.lit(float(eps))
+    )
+    pb = F.greatest(
+        F.col("__cb").cast("double") / F.col("n_b"), F.lit(float(eps))
+    )
+    return scored.agg(
+        F.max("n_a").cast("long").alias("n_a"),
+        F.max("n_b").cast("long").alias("n_b"),
+        F.max("n_buckets").cast("long").alias("n_buckets"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi"),
+    )

@@ -4373,3 +4373,101 @@ def e97_winsorized(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     return winsorized_stats(ev, ["event_type"], "value", lo=0.05, hi=0.95)
+
+
+# --- E98: chi-square independence test + Cramer's V from ONE
+# contingency aggregate (zero-cell mass added in closed form: Σ over
+# observed (o-e)^2/e + (n - Σ_obs e)). Cell-for-cell oracle replay.
+_E98_ORACLE = """
+WITH joint AS (
+  SELECT event_type AS x, user_id % 10 AS y, count(*) AS c
+  FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+  GROUP BY 1, 2
+), cells AS (
+  SELECT x, y, c,
+         sum(c) OVER (PARTITION BY x) AS cx,
+         sum(c) OVER (PARTITION BY y) AS cy,
+         sum(c) OVER () AS n
+  FROM joint
+), a AS (
+  SELECT max(n) AS n,
+         count(DISTINCT x) AS r, count(DISTINCT y) AS k,
+         sum((c::DOUBLE - cx::DOUBLE * cy / n) * (c::DOUBLE - cx::DOUBLE * cy / n)
+             / (cx::DOUBLE * cy / n)) AS chi_obs,
+         sum(cx::DOUBLE * cy / n) AS e_obs
+  FROM cells
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((r - 1) * (k - 1) AS BIGINT) AS dof,
+       round(chi_obs + (n::DOUBLE - e_obs), 4) AS chi2,
+       round(CASE WHEN n > 0 AND least(r - 1, k - 1) > 0
+             THEN sqrt((chi_obs + (n::DOUBLE - e_obs))
+                       / (n::DOUBLE * least(r - 1, k - 1))) END, 4) AS cramers_v
+FROM a
+"""
+
+
+@query("e98_chi_square", _E98_ORACLE)
+def e98_chi_square(spark, sf_dir):
+    from pivot_spark.operators.analytics import chi_square
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket")
+    )
+    return chi_square(ev, "event_type", "user_bucket")
+
+
+# --- E99: PSI distribution drift between two deterministic snapshot
+# halves (md5 hash split — the e25 machinery): per-bucket shares,
+# eps-floored log ratio. The ML-ops drift alarm, replayed exactly.
+_E99_ORACLE = """
+WITH tagged AS (
+  SELECT CAST(floor(value / 10.0) AS INTEGER) AS b,
+         ('0x' || substring(md5('drift:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 50 AS in_a
+  FROM events WHERE value IS NOT NULL
+), ca AS (
+  SELECT b, count(*) AS na FROM tagged WHERE in_a GROUP BY 1
+), cb AS (
+  SELECT b, count(*) AS nb FROM tagged WHERE NOT in_a GROUP BY 1
+), both_t AS (
+  SELECT coalesce(ca.na, 0) AS na, coalesce(cb.nb, 0) AS nb
+  FROM ca FULL JOIN cb USING (b)
+), tot AS (
+  SELECT sum(na) AS n_a, sum(nb) AS n_b, count(*) AS n_buckets FROM both_t
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_buckets AS BIGINT) AS n_buckets,
+       round(sum((greatest(na::DOUBLE / n_a, 0.000001) - greatest(nb::DOUBLE / n_b, 0.000001))
+                 * ln(greatest(na::DOUBLE / n_a, 0.000001) / greatest(nb::DOUBLE / n_b, 0.000001))), 4) AS psi
+FROM both_t, tot
+GROUP BY n_a, n_b, n_buckets
+"""
+
+
+@query("e99_psi_drift", _E99_ORACLE)
+def e99_psi_drift(spark, sf_dir):
+    from pivot_spark.operators.analytics import psi_drift
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / 10.0).cast("int")
+    in_a = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("drift:"), F.col("event_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < 50
+    )
+    tagged = ev.select(bucket.alias("b"), in_a.alias("in_a"))
+    return psi_drift(
+        tagged.filter("in_a").select("b"),
+        tagged.filter("NOT in_a").select("b"),
+        "b",
+        eps=1e-6,
+    )

@@ -212,3 +212,54 @@ def test_winsorized_stats(spark):
     assert r["trimmed_mean"] < 10
     with pytest.raises(ValueError):
         winsorized_stats(df, ["k"], "v", lo=0.9, hi=0.1)
+
+
+def test_chi_square(spark):
+    from pivot_spark.operators.analytics import chi_square
+
+    # perfectly dependent 2x2 -> chi2 == n, V == 1
+    dep = spark.createDataFrame([(i % 2, i % 2) for i in range(40)], ["x", "y"])
+    r = chi_square(dep, "x", "y").collect()[0]
+    assert r["n"] == 40 and r["dof"] == 1
+    assert r["chi2"] == pytest.approx(40.0)
+    assert r["cramers_v"] == pytest.approx(1.0)
+    # independent -> chi2 ~ 0
+    ind = spark.createDataFrame(
+        [(i % 2, (i // 2) % 2) for i in range(40)], ["x", "y"]
+    )
+    r2 = chi_square(ind, "x", "y").collect()[0]
+    assert r2["chi2"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_chi_square_zero_cells(spark):
+    import math
+
+    from pivot_spark.operators.analytics import chi_square
+
+    # a structurally missing cell: x=1 never sees y=2
+    rows = [(0, 0)] * 5 + [(0, 2)] * 5 + [(1, 0)] * 5
+    df = spark.createDataFrame(rows, ["x", "y"])
+    r = chi_square(df, "x", "y").collect()[0]
+    # python replay including the zero cell (o=0, e=cx*cy/n)
+    obs = {(0, 0): 5, (0, 2): 5, (1, 0): 5}
+    cx = {0: 10, 1: 5}
+    cy = {0: 10, 2: 5}
+    n = 15
+    chi = sum(
+        (obs.get((x, y), 0) - cx[x] * cy[y] / n) ** 2 / (cx[x] * cy[y] / n)
+        for x in cx
+        for y in cy
+    )
+    assert r["chi2"] == pytest.approx(round(chi, 4))
+
+
+def test_psi_drift(spark):
+    from pivot_spark.operators.analytics import psi_drift
+
+    a = spark.createDataFrame([(i % 4,) for i in range(100)], ["b"])
+    same = spark.createDataFrame([(i % 4,) for i in range(200)], ["b"])
+    r = psi_drift(a, same, "b").collect()[0]
+    assert r["psi"] == pytest.approx(0.0)
+    shifted = spark.createDataFrame([(0,)] * 90 + [(1,)] * 10, ["b"])
+    r2 = psi_drift(a, shifted, "b").collect()[0]
+    assert r2["psi"] > 0.25  # strong drift
