@@ -37,6 +37,11 @@ def main() -> None:
             # queries are independent: drop DataFrames persisted by the
             # previous run so cache blocks can't evict/GC-thrash this one
             spark.catalog.clearCache()
+            # localCheckpoint() blocks are RDD-level persists that
+            # clearCache() does NOT release — without this they
+            # accumulate across the suite and inflate later queries
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = len(df.collect())
