@@ -93,6 +93,7 @@ from pivot_spark.operators.analytics import (
     chi_square,
     cohort_retention,
     grouped_ols,
+    ks_test,
     mutual_information,
     psi_drift,
     transition_matrix,
@@ -179,7 +180,7 @@ __all__ = [
     "sessionize", "session_stats", "sessionize_stream", "funnel",
     "attribute", "cohort_retention", "grouped_ols",
     "transition_matrix", "wilson_rank", "mutual_information",
-    "chi_square", "psi_drift",
+    "chi_square", "psi_drift", "ks_test",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",

@@ -329,3 +329,98 @@ def psi_drift(
         F.max("n_buckets").cast("long").alias("n_buckets"),
         F.round(F.sum((pa - pb) * F.log(pa / pb)), 4).alias("psi"),
     )
+
+
+def ks_test(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — the distribution-drift
+    significance companion to ``psi_drift``: one row (n_a, n_b BIGINT,
+    ks_d DOUBLE rounded 4 — max |ECDF_a − ECDF_b|, p_value DOUBLE
+    rounded 4 — the asymptotic 2·exp(−2λ²) tail with
+    λ = D·√(n_a·n_b/(n_a+n_b))).
+
+    Distributed ECDF: per-side value counts are full-outer merged on
+    the value, range-partitioned, and prefix-summed per range with the
+    per-range offsets folded in (the e81 parallel-prefix pattern) — the
+    cumulative distribution never passes through a single global sort;
+    state is distinct-value-sized."""
+    from pyspark.sql import Window
+
+    va = df_a.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).groupBy("__v").agg(F.count(F.lit(1)).alias("__ca"))
+    vb = df_b.select(F.col(value_col).cast("double").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    ).groupBy("__v").agg(F.count(F.lit(1)).alias("__cb"))
+    m = (
+        va.join(vb, "__v", "full")
+        .select(
+            "__v",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+        .repartitionByRange(num_ranges, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    tot = m.groupBy("__pid").agg(
+        F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
+    )
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__pid",
+        F.coalesce(F.sum("__ta").over(woff), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__tb").over(woff), F.lit(0)).alias("__ob"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    totals = tot.agg(
+        F.sum("__ta").cast("double").alias("__na"),
+        F.sum("__tb").cast("double").alias("__nb"),
+    )
+    cum = (
+        m.join(F.broadcast(offs), "__pid")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "__na",
+            "__nb",
+            (F.sum("__ca").over(w) + F.col("__oa")).alias("__cuma"),
+            (F.sum("__cb").over(w) + F.col("__ob")).alias("__cumb"),
+        )
+    )
+    stats = cum.agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.max(
+            F.abs(F.col("__cuma") / F.col("__na") - F.col("__cumb") / F.col("__nb"))
+        ).alias("__d"),
+    )
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round("__d", 4).alias("ks_d"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2.0
+                * F.exp(
+                    -2.0
+                    * F.pow(
+                        F.col("__d")
+                        * F.sqrt(
+                            F.col("n_a").cast("double") * F.col("n_b")
+                            / (F.col("n_a") + F.col("n_b"))
+                        ),
+                        2,
+                    )
+                ),
+            ),
+            4,
+        ).alias("p_value"),
+    )

@@ -4471,3 +4471,63 @@ def e99_psi_drift(spark, sf_dir):
         "b",
         eps=1e-6,
     )
+
+
+# --- E100: two-sample Kolmogorov-Smirnov drift test over the same
+# md5-split halves as e99 — the ECDF is a distributed range-partitioned
+# parallel prefix (e81 pattern), never a global single-partition sort.
+# The oracle replays the merged ECDF with plain window sums.
+_E100_ORACLE = """
+WITH tagged AS (
+  SELECT value AS v,
+         ('0x' || substring(md5('drift:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 50 AS in_a
+  FROM events WHERE value IS NOT NULL
+), va AS (
+  SELECT v, count(*) AS ca FROM tagged WHERE in_a GROUP BY 1
+), vb AS (
+  SELECT v, count(*) AS cb FROM tagged WHERE NOT in_a GROUP BY 1
+), m AS (
+  SELECT v, coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+  FROM va FULL JOIN vb USING (v)
+), c AS (
+  SELECT sum(ca) OVER (ORDER BY v) AS cuma, sum(cb) OVER (ORDER BY v) AS cumb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM m
+), s AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b,
+         max(abs(cuma::DOUBLE / na - cumb::DOUBLE / nb)) AS d
+  FROM c
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(d, 4) AS ks_d,
+       round(least(1.0, 2 * exp(-2 * pow(d * sqrt(n_a::DOUBLE * n_b / (n_a + n_b)), 2))), 4)
+         AS p_value
+FROM s
+"""
+
+
+@query("e100_ks_test", _E100_ORACLE)
+def e100_ks_test(spark, sf_dir):
+    from pivot_spark.operators.analytics import ks_test
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    in_a = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("drift:"), F.col("event_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < 50
+    )
+    tagged = ev.select(F.col("value").alias("v"), in_a.alias("in_a"))
+    return ks_test(
+        tagged.filter("in_a").select("v"),
+        tagged.filter("NOT in_a").select("v"),
+        "v",
+    )
