@@ -97,6 +97,7 @@ from pivot_spark.operators.analytics import (
     mutual_information,
     psi_drift,
     transition_matrix,
+    user_journeys,
     wilson_rank,
 )
 from pivot_spark.operators.attribution import attribute
@@ -180,7 +181,7 @@ __all__ = [
     "sessionize", "session_stats", "sessionize_stream", "funnel",
     "attribute", "cohort_retention", "grouped_ols",
     "transition_matrix", "wilson_rank", "mutual_information",
-    "chi_square", "psi_drift", "ks_test",
+    "chi_square", "psi_drift", "ks_test", "user_journeys",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",

@@ -424,3 +424,52 @@ def ks_test(
             4,
         ).alias("p_value"),
     )
+
+
+def user_journeys(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: Sequence[str],
+    max_len: int = 5,
+    top_n: "int | None" = 20,
+    sep: str = ">",
+) -> DataFrame:
+    """Top event-sequence paths ("journeys"): per key, the first
+    ``max_len`` states in ``order_cols`` order joined with ``sep``,
+    then ranked by how many keys share that path — the session-path
+    report behind funnels and UX analysis. Returns (journey STRING,
+    n_keys BIGINT, rank INT), ties toward the lexicographically
+    smaller journey.
+
+    One hash aggregate per key (sorted-struct collect, state bounded by
+    the per-key event count; cap long sessions upstream), one tiny
+    count aggregate on the path string, one window over ≤ distinct
+    paths for the rank. ``order_cols`` must totally order each key's
+    events (pass a unique tiebreaker)."""
+    if max_len < 1:
+        raise ValueError(f"max_len must be >= 1, got {max_len}")
+    from pyspark.sql import Window
+
+    ordered = df.select(
+        F.col(key_col).alias("__k"),
+        F.struct(
+            *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+            F.col(state_col).alias("__s"),
+        ).alias("__e"),
+    )
+    paths = ordered.groupBy("__k").agg(
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("__e")), 1, max_len),
+                lambda s: s["__s"],
+            ),
+            sep,
+        ).alias("journey")
+    )
+    counts = paths.groupBy("journey").agg(F.count(F.lit(1)).alias("n_keys"))
+    w = Window.orderBy(F.col("n_keys").desc(), F.col("journey"))
+    out = counts.withColumn("rank", F.row_number().over(w).cast("int"))
+    if top_n is not None:
+        out = out.filter(F.col("rank") <= top_n)
+    return out

@@ -4531,3 +4531,37 @@ def e100_ks_test(spark, sf_dir):
         tagged.filter("NOT in_a").select("v"),
         "v",
     )
+
+
+# --- E101: user-journey path mining — per-user first-5 event-type
+# sequence, ranked by population share. Sorted-struct collect per key
+# (one shuffle), path-count aggregate, rank window over distinct paths
+# only. Ordered-list slice + string_agg replay in SQL.
+_E101_ORACLE = """
+WITH p AS (
+  SELECT user_id,
+         array_to_string(list(event_type ORDER BY ts, event_id)[1:5], '>') AS journey
+  FROM events WHERE user_id IS NOT NULL
+  GROUP BY user_id
+), c AS (
+  SELECT journey, count(*) AS n_keys FROM p GROUP BY 1
+)
+SELECT journey, CAST(n_keys AS BIGINT) AS n_keys, rank FROM (
+  SELECT journey, n_keys,
+         CAST(row_number() OVER (ORDER BY n_keys DESC, journey) AS INTEGER) AS rank
+  FROM c
+) WHERE rank <= 20
+"""
+
+
+@query("e101_user_journeys", _E101_ORACLE)
+def e101_user_journeys(spark, sf_dir):
+    from pivot_spark.operators.analytics import user_journeys
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id").isNotNull()).select(
+        "user_id", "event_type",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"), "event_id",
+    )
+    return user_journeys(
+        ev, "user_id", "event_type", ["ts_us", "event_id"], max_len=5, top_n=20
+    )

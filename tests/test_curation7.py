@@ -303,3 +303,23 @@ def test_ks_matches_scipy_formula(spark):
         for p in pts
     )
     assert r["ks_d"] == pytest.approx(round(d, 4))
+
+
+def test_user_journeys(spark):
+    from pivot_spark.operators.analytics import user_journeys
+
+    rows = []
+    # 3 users do a->b->c; 1 user does b->a
+    for u in (1, 2, 3):
+        rows += [(u, "a", 1, 1), (u, "b", 2, 2), (u, "c", 3, 3)]
+    rows += [(4, "b", 1, 4), (4, "a", 2, 5)]
+    df = spark.createDataFrame(rows, ["u", "s", "t", "eid"])
+    out = {r["journey"]: (r["n_keys"], r["rank"]) for r in
+           user_journeys(df, "u", "s", ["t", "eid"], max_len=5).collect()}
+    assert out["a>b>c"] == (3, 1)
+    assert out["b>a"] == (1, 2)
+    # max_len truncation
+    out2 = user_journeys(df, "u", "s", ["t", "eid"], max_len=2).collect()
+    assert {r["journey"] for r in out2} == {"a>b", "b>a"}
+    with pytest.raises(ValueError):
+        user_journeys(df, "u", "s", ["t"], max_len=0)
