@@ -18,6 +18,7 @@ from pivot_spark.operators.pivot import (
 from pivot_spark.operators.chunk_dedup import chunk_dup_signals
 from pivot_spark.operators.components import (
     connected_components,
+    triangle_stats,
     dedup_clusters,
     dedup_clusters_keep_best,
 )
@@ -90,6 +91,7 @@ from pivot_spark.operators.skew import (
 
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
+    association_rules,
     chi_square,
     cohort_retention,
     grouped_ols,
@@ -154,7 +156,7 @@ __all__ = [
     "pivot", "PivotResult", "PivotError", "output_schema", "lineage",
     # dedup
     "dedup_exact", "dedup_against", "debounce", "chunk_dup_signals",
-    "connected_components", "dedup_clusters", "dedup_clusters_keep_best",
+    "connected_components", "triangle_stats", "dedup_clusters", "dedup_clusters_keep_best",
     "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
     # similarity / embeddings
@@ -182,6 +184,7 @@ __all__ = [
     "attribute", "cohort_retention", "grouped_ols",
     "transition_matrix", "wilson_rank", "mutual_information",
     "chi_square", "psi_drift", "ks_test", "user_journeys",
+    "association_rules",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",

@@ -473,3 +473,72 @@ def user_journeys(
     if top_n is not None:
         out = out.filter(F.col("rank") <= top_n)
     return out
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.0,
+) -> DataFrame:
+    """Pairwise association rules over (basket, item) rows — market-
+    basket co-occurrence for event types, tags, or token classes:
+    (item_a, item_b — item_a < item_b, n_a, n_b, n_ab BIGINT,
+    support, conf_a_to_b, conf_b_to_a, lift — DOUBLE rounded 4).
+    lift > 1 ⇒ positive co-occurrence.
+
+    Shape: distinct (basket, item) — one shuffle, the dedup bounds a
+    hot basket's fan-out — then a per-basket self-join (work ∝
+    Σ items_per_basket², bounded by the item vocabulary), one pair
+    count, and broadcast item-count/basket-count folds. Output is
+    vocab²-bounded, never basket-bounded."""
+    if not 0.0 <= min_support <= 1.0:
+        raise ValueError(f"min_support must be in [0, 1], got {min_support}")
+    bi = (
+        df.select(F.col(basket_col).alias("__b"), F.col(item_col).alias("__i"))
+        .filter(F.col("__b").isNotNull() & F.col("__i").isNotNull())
+        .distinct()
+    )
+    n_baskets = bi.select("__b").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("__n")
+    )
+    item_counts = bi.groupBy("__i").agg(F.count(F.lit(1)).alias("__ci"))
+    pairs = (
+        bi.alias("a")
+        .join(
+            bi.alias("b"),
+            (F.col("a.__b") == F.col("b.__b")) & (F.col("a.__i") < F.col("b.__i")),
+        )
+        .groupBy(
+            F.col("a.__i").alias("item_a"), F.col("b.__i").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ca = item_counts.select(
+        F.col("__i").alias("item_a"), F.col("__ci").alias("n_a")
+    )
+    cb = item_counts.select(
+        F.col("__i").alias("item_b"), F.col("__ci").alias("n_b")
+    )
+    out = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    supp = F.col("n_ab") / F.col("__n")
+    res = out.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.round(supp, 4).alias("support"),
+        F.round(F.col("n_ab") / F.col("n_a"), 4).alias("conf_a_to_b"),
+        F.round(F.col("n_ab") / F.col("n_b"), 4).alias("conf_b_to_a"),
+        F.round(
+            F.col("n_ab") * F.col("__n") / (F.col("n_a") * F.col("n_b")), 4
+        ).alias("lift"),
+    )
+    if min_support > 0.0:
+        res = res.filter(F.col("support") >= min_support)
+    return res

@@ -4565,3 +4565,89 @@ def e101_user_journeys(spark, sf_dir):
     return user_journeys(
         ev, "user_id", "event_type", ["ts_us", "event_id"], max_len=5, top_n=20
     )
+
+
+# --- E102: pairwise association rules (market-basket over per-user
+# event-type sets): support/confidence/lift from one distinct + one
+# per-basket self-join bounded by the item vocabulary. Replayed with
+# the same joins in SQL.
+_E102_ORACLE = """
+WITH bi AS (
+  SELECT DISTINCT user_id AS b, event_type AS i
+  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+), nb AS (
+  SELECT count(DISTINCT b)::DOUBLE AS n FROM bi
+), ic AS (
+  SELECT i, count(*) AS ci FROM bi GROUP BY 1
+), pr AS (
+  SELECT a.i AS item_a, b.i AS item_b, count(*) AS n_ab
+  FROM bi a JOIN bi b ON a.b = b.b AND a.i < b.i
+  GROUP BY 1, 2
+)
+SELECT item_a, item_b,
+       CAST(ca.ci AS BIGINT) AS n_a, CAST(cb.ci AS BIGINT) AS n_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       round(n_ab / nb.n, 4) AS support,
+       round(n_ab::DOUBLE / ca.ci, 4) AS conf_a_to_b,
+       round(n_ab::DOUBLE / cb.ci, 4) AS conf_b_to_a,
+       round(n_ab * nb.n / (ca.ci::DOUBLE * cb.ci), 4) AS lift
+FROM pr
+JOIN ic ca ON pr.item_a = ca.i
+JOIN ic cb ON pr.item_b = cb.i
+CROSS JOIN nb
+"""
+
+
+@query("e102_association_rules", _E102_ORACLE)
+def e102_association_rules(spark, sf_dir):
+    from pivot_spark.operators.analytics import association_rules
+
+    ev = _read(spark, sf_dir, "events")
+    return association_rules(ev, "user_id", "event_type")
+
+
+# --- E103: triangle census of the near-dup graph (degree-ordered
+# wedge join, Suri-Vassilvitskii orientation — out-degrees sqrt(m)-
+# bounded, no hub explosion). Oracle = plain 3-way edge self-join over
+# the same exact-Jaccard pair graph as e31.
+_E103_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+), e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.4
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY 1
+), tri AS (
+  SELECT count(*) AS t
+  FROM e x JOIN e y ON x.a = y.a AND x.b < y.b
+  JOIN e z ON z.a = x.b AND z.b = y.b
+), s AS (
+  SELECT count(*) AS n_nodes, sum(d) / 2 AS n_edges,
+         sum(d * (d - 1) / 2) AS triads
+  FROM deg
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(t AS BIGINT) AS n_triangles,
+       round(CASE WHEN triads > 0 THEN 3.0 * t / triads END, 4) AS clustering
+FROM s, tri
+"""
+
+
+@query("e103_triangle_stats", _E103_ORACLE)
+def e103_triangle_stats(spark, sf_dir):
+    from pivot_spark.operators.components import triangle_stats
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(docs, threshold=0.4, num_hashes=128, bands=64)
+    return triangle_stats(pairs.select("id_a", "id_b"), "id_a", "id_b")

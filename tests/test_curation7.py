@@ -323,3 +323,42 @@ def test_user_journeys(spark):
     assert {r["journey"] for r in out2} == {"a>b", "b>a"}
     with pytest.raises(ValueError):
         user_journeys(df, "u", "s", ["t"], max_len=0)
+
+
+def test_association_rules(spark):
+    from pivot_spark.operators.analytics import association_rules
+
+    # baskets: {a,b} x3, {a} x1, {b,c} x1
+    rows = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "b"),
+            (4, "a"), (5, "b"), (5, "c")]
+    df = spark.createDataFrame(rows, ["u", "i"])
+    out = {(r["item_a"], r["item_b"]): r for r in association_rules(df, "u", "i").collect()}
+    ab = out[("a", "b")]
+    assert ab["n_ab"] == 3 and ab["n_a"] == 4 and ab["n_b"] == 4
+    assert ab["support"] == pytest.approx(0.6)
+    assert ab["conf_a_to_b"] == pytest.approx(0.75)
+    assert ab["lift"] == pytest.approx(round(3 * 5 / 16, 4))
+    bc = out[("b", "c")]
+    assert bc["n_ab"] == 1 and bc["conf_b_to_a"] == 1.0
+
+
+def test_triangle_stats(spark):
+    from pivot_spark.operators.components import triangle_stats
+
+    # K4 has 4 triangles; plus a pendant edge
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(k4 + [(3, 9), (9, 3)], ["src", "dst"])
+    r = triangle_stats(edges).collect()[0]
+    assert r["n_nodes"] == 5 and r["n_edges"] == 7
+    assert r["n_triangles"] == 4
+    # clustering = 3*4 / sum(d*(d-1)/2); degrees 3,3,3,4,1 -> triads 3+3+3+6+0=15
+    assert r["clustering"] == pytest.approx(round(12 / 15, 4))
+
+
+def test_triangle_stats_no_triangles(spark):
+    from pivot_spark.operators.components import triangle_stats
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    r = triangle_stats(path).collect()[0]
+    assert r["n_triangles"] == 0
+    assert r["clustering"] == pytest.approx(0.0)
