@@ -262,6 +262,11 @@ def triangle_stats(
             F.greatest(F.col("a"), F.col("b")).alias("b"),
         )
         .distinct()
+        # edge-list-sized; materialized once — degrees, orientation,
+        # wedges and the closing join all reuse it, and without the
+        # fence an expensive upstream (near-dup pair mining) would
+        # re-execute once per consumer
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("v"))
