@@ -119,6 +119,8 @@ from pivot_spark.operators.sessionize import (
 from pivot_spark.operators.heavy import heavy_hitters
 from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
+    benford_audit,
+    column_entropy,
     corr_matrix,
     histogram,
     profile,
@@ -188,6 +190,7 @@ __all__ = [
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
+    "benford_audit", "column_entropy",
     "heavy_hitters", "mad_outliers", "winsorized_stats",
     "cms_build", "cms_estimate", "cms_merge",
     # decontamination

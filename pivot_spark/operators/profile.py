@@ -295,3 +295,133 @@ def spearman_matrix(
         for i, (a, b) in enumerate(pairs)
     ]
     return wide.select(F.inline(F.array(*rows)))
+
+
+def benford_audit(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law (public:
+    Newcomb 1881 / Benford 1938 — the classic fabricated-data and
+    unit-mixing audit): per column × digit 1-9, (column, digit INT,
+    n BIGINT, observed DOUBLE, expected DOUBLE — log10(1+1/d),
+    both rounded 4, plus the column-level chi2 DOUBLE rounded 4 —
+    n·Σ(o−e)²/e repeated on each digit row).
+
+    One conditional aggregate for ALL columns (first digits are
+    scan-stage string ops on abs values; zeros/NULLs excluded),
+    transposed via inline(array(struct)) like ``profile``."""
+    import math
+
+    cols = list(columns)
+    if not cols:
+        raise ValueError("need at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+
+    def first_digit(c):
+        # leading significant digit via pure arithmetic (no decimal
+        # rendering — engine-identical): d = floor(|x| / 10^floor(log10|x|))
+        x = F.abs(F.col(c).cast("double"))
+        mag = F.floor(F.log10(x))
+        return F.when(
+            F.col(c).isNotNull() & (x > 0.0),
+            F.floor(x / F.pow(F.lit(10.0), mag)).cast("int"),
+        )
+
+    aggs = []
+    for i, c in enumerate(cols):
+        d = first_digit(c)
+        for dig in range(1, 10):
+            aggs.append(
+                F.count(F.when(d == dig, 1)).alias(f"__c_{i}_{dig}")
+            )
+    wide = df.agg(*aggs)
+    rows = []
+    for i, c in enumerate(cols):
+        total = sum(F.col(f"__c_{i}_{d}") for d in range(1, 10))
+        chi2 = sum(
+            (
+                F.col(f"__c_{i}_{d}") / total
+                - F.lit(math.log10(1 + 1 / d))
+            )
+            * (
+                F.col(f"__c_{i}_{d}") / total
+                - F.lit(math.log10(1 + 1 / d))
+            )
+            / F.lit(math.log10(1 + 1 / d))
+            for d in range(1, 10)
+        ) * total
+        for d in range(1, 10):
+            rows.append(
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.lit(d).alias("digit"),
+                    F.col(f"__c_{i}_{d}").cast("long").alias("n"),
+                    F.round(
+                        F.try_divide(F.col(f"__c_{i}_{d}"), total), 4
+                    ).alias("observed"),
+                    F.round(F.lit(math.log10(1 + 1 / d)), 4).alias("expected"),
+                    F.round(chi2, 4).alias("chi2"),
+                )
+            )
+    return wide.select(F.inline(F.array(*rows)))
+
+
+def column_entropy(
+    df: DataFrame, columns: Sequence[str]
+) -> DataFrame:
+    """Shannon entropy of each column's value distribution (natural
+    log): (column, n BIGINT — non-null rows, n_distinct BIGINT,
+    entropy DOUBLE rounded 4, norm_entropy DOUBLE rounded 4 —
+    entropy/ln(n_distinct), NULL for constant columns). The
+    information-content screen for ID-like vs category-like columns.
+
+    ONE melt (stack to (column, value) pairs — scan-stage), one
+    (column, value) count aggregate, one per-column fold: every column
+    shares the same two shuffles regardless of k."""
+    cols = list(columns)
+    if not cols:
+        raise ValueError("need at least one column")
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("__col"),
+                        F.col(c).cast("string").alias("__v"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("__p")
+    ).select(F.col("__p.__col").alias("__col"), F.col("__p.__v").alias("__v")).filter(
+        F.col("__v").isNotNull()
+    )
+    vc = pairs.groupBy("__col", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    tot = F.sum("__c").over(Window.partitionBy("__col"))
+    cells = vc.select("__col", "__c", tot.alias("__n"))
+    p = F.col("__c").cast("double") / F.col("__n")
+    agg = cells.groupBy("__col").agg(
+        F.max("__n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        (-F.sum(p * F.log(p))).alias("__h"),
+    )
+    return agg.select(
+        F.col("__col").alias("column"),
+        "n",
+        "n_distinct",
+        F.round("__h", 4).alias("entropy"),
+        F.round(
+            F.when(
+                F.col("n_distinct") > 1,
+                F.col("__h") / F.log(F.col("n_distinct").cast("double")),
+            ),
+            4,
+        ).alias("norm_entropy"),
+    )

@@ -4651,3 +4651,89 @@ def e103_triangle_stats(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     pairs = neardup_minhash_lsh(docs, threshold=0.4, num_hashes=128, bands=64)
     return triangle_stats(pairs.select("id_a", "id_b"), "id_a", "id_b")
+
+
+# --- E104: Benford first-digit audit over price columns — the classic
+# fabricated-data / unit-mixing check. First digits via pure log10
+# arithmetic (no decimal rendering — engine-identical); one conditional
+# aggregate for all columns, inline-transposed. Replayed digit-for-
+# digit with the same arithmetic.
+def _e104_oracle() -> str:
+    import math
+
+    cols = ["l_extendedprice", "o_totalprice"]
+    tables = {"l_extendedprice": "lineitem", "o_totalprice": "orders"}
+    sels = []
+    for c in cols:
+        t = tables[c]
+        digit = f"CAST(floor(abs({c}::DOUBLE) / pow(10.0, floor(log10(abs({c}::DOUBLE))))) AS INTEGER)"
+        counts = ", ".join(
+            f"count(*) FILTER ({c} IS NOT NULL AND abs({c}::DOUBLE) > 0 AND {digit} = {d}) AS c{d}"
+            for d in range(1, 10)
+        )
+        tot = " + ".join(f"c{d}" for d in range(1, 10))
+        chi_terms = " + ".join(
+            f"(c{d} / t - {math.log10(1 + 1 / d)!r}) * (c{d} / t - {math.log10(1 + 1 / d)!r}) / {math.log10(1 + 1 / d)!r}"
+            for d in range(1, 10)
+        )
+        for d in range(1, 10):
+            sels.append(
+                f"SELECT '{c}' AS column, {d} AS digit, CAST(c{d} AS BIGINT) AS n, "
+                f"round(c{d} / t, 4) AS observed, "
+                f"round({math.log10(1 + 1 / d)!r}, 4) AS expected, "
+                f"round(({chi_terms}) * t, 4) AS chi2 "
+                f"FROM (SELECT *, ({tot})::DOUBLE AS t FROM (SELECT {counts} FROM {t}))"
+            )
+    return " UNION ALL ".join(sels)
+
+
+@query("e104_benford", _e104_oracle())
+def e104_benford(spark, sf_dir):
+    from pivot_spark.operators.profile import benford_audit
+
+    li = _read(spark, sf_dir, "lineitem").select("l_extendedprice")
+    od = _read(spark, sf_dir, "orders").select("o_totalprice")
+    a = benford_audit(li, ["l_extendedprice"])
+    b = benford_audit(od, ["o_totalprice"])
+    return a.unionByName(b)
+
+
+# --- E105: per-column Shannon entropy (value-distribution information
+# content — the ID-like vs category-like screen): one melt, one
+# (column, value) count, marginals as window sums. Cell-for-cell
+# replay.
+_E105_ORACLE = """
+WITH pairs AS (
+  SELECT col, v FROM (
+    SELECT unnest([
+      {'col': 'event_type', 'v': CAST(event_type AS VARCHAR)},
+      {'col': 'user_bucket', 'v': CAST(user_id % 10 AS VARCHAR)},
+      {'col': 'props', 'v': props}
+    ]) AS s
+    FROM events
+  ) t(s), LATERAL (SELECT s.col AS col, s.v AS v) u
+  WHERE v IS NOT NULL
+), vc AS (
+  SELECT col, v, count(*) AS c FROM pairs GROUP BY 1, 2
+), cells AS (
+  SELECT col, c, sum(c) OVER (PARTITION BY col) AS n FROM vc
+), a AS (
+  SELECT col, max(n) AS n, count(*) AS nd,
+         -sum(c::DOUBLE / n * ln(c::DOUBLE / n)) AS h
+  FROM cells GROUP BY col
+)
+SELECT col AS column, CAST(n AS BIGINT) AS n, CAST(nd AS BIGINT) AS n_distinct,
+       round(h, 4) AS entropy,
+       round(CASE WHEN nd > 1 THEN h / ln(nd::DOUBLE) END, 4) AS norm_entropy
+FROM a
+"""
+
+
+@query("e105_column_entropy", _E105_ORACLE)
+def e105_column_entropy(spark, sf_dir):
+    from pivot_spark.operators.profile import column_entropy
+
+    ev = _read(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket"), "props"
+    )
+    return column_entropy(ev, ["event_type", "user_bucket", "props"])

@@ -362,3 +362,38 @@ def test_triangle_stats_no_triangles(spark):
     r = triangle_stats(path).collect()[0]
     assert r["n_triangles"] == 0
     assert r["clustering"] == pytest.approx(0.0)
+
+
+def test_benford_audit(spark):
+    import math
+
+    from pivot_spark.operators.profile import benford_audit
+
+    # exact Benford sample: digit d appears round(1000*log10(1+1/d)) times
+    rows = []
+    for d in range(1, 10):
+        rows += [(float(d * 10 + 3),)] * round(1000 * math.log10(1 + 1 / d))
+    df = spark.createDataFrame(rows, ["x"])
+    out = {r["digit"]: r for r in benford_audit(df, ["x"]).collect()}
+    assert set(out) == set(range(1, 10))
+    for d in range(1, 10):
+        assert out[d]["observed"] == pytest.approx(out[d]["expected"], abs=2e-3)
+    assert out[1]["chi2"] < 0.01  # near-perfect fit
+    with pytest.raises(ValueError):
+        benford_audit(df, ["nope"])
+
+
+def test_column_entropy(spark):
+    import math
+
+    from pivot_spark.operators.profile import column_entropy
+
+    df = spark.createDataFrame(
+        [(i % 4, 7, i) for i in range(64)], ["uniform4", "const", "uid"]
+    )
+    out = {r["column"]: r for r in column_entropy(df, ["uniform4", "const", "uid"]).collect()}
+    assert out["uniform4"]["entropy"] == pytest.approx(round(math.log(4), 4))
+    assert out["uniform4"]["norm_entropy"] == pytest.approx(1.0)
+    assert out["const"]["entropy"] == 0.0 and out["const"]["norm_entropy"] is None
+    assert out["uid"]["n_distinct"] == 64
+    assert out["uid"]["norm_entropy"] == pytest.approx(1.0)
