@@ -337,21 +337,41 @@ def benford_audit(
                 F.count(F.when(d == dig, 1)).alias(f"__c_{i}_{dig}")
             )
     wide = df.agg(*aggs)
+    # stage totals and chi2 as named columns: embedding these trees in
+    # every struct row re-inlines them 9x per column and blows the 64 KB
+    # codegen method limit (janino fallback to interpreted projection)
+    staged = wide.select(
+        "*",
+        *[
+            sum(F.col(f"__c_{i}_{d}") for d in range(1, 10)).alias(f"__t_{i}")
+            for i in range(len(cols))
+        ],
+    )
+    staged = staged.select(
+        "*",
+        *[
+            (
+                sum(
+                    (
+                        F.col(f"__c_{i}_{d}") / F.col(f"__t_{i}")
+                        - F.lit(math.log10(1 + 1 / d))
+                    )
+                    * (
+                        F.col(f"__c_{i}_{d}") / F.col(f"__t_{i}")
+                        - F.lit(math.log10(1 + 1 / d))
+                    )
+                    / F.lit(math.log10(1 + 1 / d))
+                    for d in range(1, 10)
+                )
+                * F.col(f"__t_{i}")
+            ).alias(f"__chi2_{i}")
+            for i in range(len(cols))
+        ],
+    )
     rows = []
     for i, c in enumerate(cols):
-        total = sum(F.col(f"__c_{i}_{d}") for d in range(1, 10))
-        chi2 = sum(
-            (
-                F.col(f"__c_{i}_{d}") / total
-                - F.lit(math.log10(1 + 1 / d))
-            )
-            * (
-                F.col(f"__c_{i}_{d}") / total
-                - F.lit(math.log10(1 + 1 / d))
-            )
-            / F.lit(math.log10(1 + 1 / d))
-            for d in range(1, 10)
-        ) * total
+        total = F.col(f"__t_{i}")
+        chi2 = F.col(f"__chi2_{i}")
         for d in range(1, 10):
             rows.append(
                 F.struct(
@@ -365,7 +385,7 @@ def benford_audit(
                     F.round(chi2, 4).alias("chi2"),
                 )
             )
-    return wide.select(F.inline(F.array(*rows)))
+    return staged.select(F.inline(F.array(*rows)))
 
 
 def column_entropy(
