@@ -18,6 +18,7 @@ from pivot_spark.operators.pivot import (
 from pivot_spark.operators.chunk_dedup import chunk_dup_signals
 from pivot_spark.operators.components import (
     connected_components,
+    pagerank,
     triangle_stats,
     dedup_clusters,
     dedup_clusters_keep_best,
@@ -42,6 +43,11 @@ from pivot_spark.operators.embedding import (
 from pivot_spark.operators.fusion import rrf_fuse
 from pivot_spark.operators.ivf import cosine_topk_ivf, ivf_index, ivf_search
 from pivot_spark.operators.kmeans import assign_clusters, kmeans, kmeans_fit
+from pivot_spark.operators.pca import (
+    covariance_matrix,
+    explained_variance,
+    pca_project,
+)
 from pivot_spark.operators.prune import prototypicality_prune
 from pivot_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
@@ -54,6 +60,7 @@ from pivot_spark.operators.quality import (
     gopher_rules,
     line_dedup,
 )
+from pivot_spark.operators.classifier import hashed_linear_score
 from pivot_spark.operators.repetition import repetition_signals
 from pivot_spark.operators.tfidf import tfidf_top_terms
 
@@ -109,8 +116,10 @@ from pivot_spark.operators.rolling import (
     rolling_features,
     rolling_time_features,
 )
+from pivot_spark.operators.resample import resample_locf
 from pivot_spark.operators.sessionize import (
     session_stats,
+    session_stats_native,
     sessionize,
     sessionize_stream,
 )
@@ -158,7 +167,7 @@ __all__ = [
     "pivot", "PivotResult", "PivotError", "output_schema", "lineage",
     # dedup
     "dedup_exact", "dedup_against", "debounce", "chunk_dup_signals",
-    "connected_components", "triangle_stats", "dedup_clusters", "dedup_clusters_keep_best",
+    "connected_components", "pagerank", "triangle_stats", "dedup_clusters", "dedup_clusters_keep_best",
     "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
     # similarity / embeddings
@@ -166,10 +175,11 @@ __all__ = [
     "ivf_search", "kmeans", "kmeans_fit", "assign_clusters",
     "centroids", "normalize_vectors", "quantize_int8", "random_projection",
     "prototypicality_prune", "rrf_fuse",
+    "covariance_matrix", "pca_project", "explained_variance",
     # text quality & curation
     "gopher_rules", "gopher_filter", "c4_line_signals", "line_dedup",
     "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
-    "bigram_lm_score", "dsir_logweights",
+    "bigram_lm_score", "dsir_logweights", "hashed_linear_score",
     # retrieval
     "bm25_topk", "bm25_topk_batch",
     # sampling / selection
@@ -182,7 +192,8 @@ __all__ = [
     "denormalize", "Dim",
     "salted_join", "count_distinct_skewed", "skew_report", "zscore_normalize",
     # time / event analytics
-    "sessionize", "session_stats", "sessionize_stream", "funnel",
+    "sessionize", "session_stats", "session_stats_native", "sessionize_stream", "funnel",
+    "resample_locf",
     "attribute", "cohort_retention", "grouped_ols",
     "transition_matrix", "wilson_rank", "mutual_information",
     "chi_square", "psi_drift", "ks_test", "user_journeys",

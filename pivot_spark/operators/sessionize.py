@@ -62,6 +62,46 @@ def session_stats(
     )
 
 
+def session_stats_native(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap: str,
+) -> DataFrame:
+    """Batch sessionization via the native ``F.session_window`` aggregate
+    (the same expression the streaming path uses — one operator, both
+    modes). ``gap`` is a duration string ("30 minutes"). One row per
+    (user, session): ``(user, t_start BIGINT epoch-micros — first event,
+    t_end BIGINT — last event + gap, the reported window end, n_events
+    BIGINT)``.
+
+    Scale shape vs the lag+cumsum ``sessionize``: session merging happens
+    INSIDE the aggregate (partial merge of adjacent windows), one shuffle
+    on the user key, no per-user sort pass, and state is one open window
+    per key — the plan Structured Streaming runs unchanged. Sessions
+    merge while the inter-event gap is <= the duration (an event landing
+    exactly on the previous window's end still merges) and break only
+    when the gap exceeds it.
+    """
+    return (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(user_col),
+            # cast: parquet TIMESTAMP_NTZ bounds -> TIMESTAMP (identity
+            # under the session's UTC zone) for unix_micros
+            F.unix_micros(F.col("session_window.start").cast("timestamp")).alias(
+                "t_start"
+            ),
+            F.unix_micros(F.col("session_window.end").cast("timestamp")).alias(
+                "t_end"
+            ),
+            F.col("n_events"),
+        )
+    )
+
+
 def sessionize_stream(
     df: DataFrame,
     user_col: str,

@@ -4737,3 +4737,218 @@ def e105_column_entropy(spark, sf_dir):
         "event_type", (F.col("user_id") % 10).alias("user_bucket"), "props"
     )
     return column_entropy(ev, ["event_type", "user_bucket", "props"])
+
+
+# --- E106: time-series resample + LOCF gap-fill — per-user daily grid
+# from first to last observation, last value carried across empty days.
+# Integer epoch-day buckets (no calendar arithmetic), F.sequence spine,
+# one window fill. Oracle: generate_series spine + IGNORE NULLS window.
+_E106_ORACLE = """
+WITH obs AS (
+  SELECT user_id AS k, CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket,
+         (max({'t': ts, 'e': event_id, 'v': value})).v AS obsv
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), bounds AS (
+  SELECT k, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1
+), spine AS (
+  SELECT k, unnest(generate_series(lo, hi)) AS bucket FROM bounds
+), j AS (
+  SELECT s.k, s.bucket, o.obsv
+  FROM spine s LEFT JOIN obs o ON s.k = o.k AND s.bucket = o.bucket
+)
+SELECT k AS user_id, bucket,
+       round(last_value(obsv IGNORE NULLS) OVER (
+         PARTITION BY k ORDER BY bucket ROWS UNBOUNDED PRECEDING), 4) AS v,
+       obsv IS NULL AS filled
+FROM j
+"""
+
+
+@query("e106_resample_locf", _E106_ORACLE)
+def e106_resample_locf(spark, sf_dir):
+    from pivot_spark.operators.resample import resample_locf
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = resample_locf(
+        ev, "user_id", "ts", "value", bucket_seconds=86400, tiebreak_col="event_id"
+    )
+    return out.select("user_id", "bucket", F.round("v", 4).alias("v"), "filled")
+
+
+# --- E107: PageRank over the MinHash near-dup graph (same edges as
+# e103) — 3 synchronous power iterations, damping 0.85, uniform init.
+# Oracle: the e103 exact-Jaccard edge CTE + the iterations unrolled.
+def _e107_oracle() -> str:
+    edges = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+), e AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.4
+), se AS (
+  SELECT a AS s, b AS d FROM e UNION ALL SELECT b, a FROM e
+), deg AS (
+  SELECT s, count(*) AS dg FROM se GROUP BY 1
+), nn AS (
+  SELECT count(*)::DOUBLE AS n FROM deg
+), r0 AS (
+  SELECT s AS node, dg, 1.0 / (SELECT n FROM nn) AS r FROM deg
+)"""
+    steps = []
+    prev = "r0"
+    for it in range(1, 4):
+        steps.append(
+            f""", c{it} AS (
+  SELECT se.d AS node, sum({prev}.r / {prev}.dg) AS inr
+  FROM se JOIN {prev} ON {prev}.node = se.s GROUP BY 1
+), r{it} AS (
+  SELECT d0.s AS node, d0.dg,
+         0.15 / (SELECT n FROM nn)
+           + 0.85 * coalesce(c{it}.inr, 0) AS r
+  FROM deg d0 LEFT JOIN c{it} ON c{it}.node = d0.s
+)"""
+        )
+        prev = f"r{it}"
+    return edges + "".join(steps) + f"\nSELECT node, round(r, 4) AS pagerank FROM {prev}"
+
+
+@query("e107_pagerank", _e107_oracle())
+def e107_pagerank(spark, sf_dir):
+    from pivot_spark.operators.components import pagerank
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(docs, threshold=0.4, num_hashes=128, bands=64)
+    return pagerank(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        iterations=3,
+        damping=0.85,
+    )
+
+
+# --- E108: distributed covariance matrix of the embedding corpus —
+# d(d+1)/2 sufficient statistics are the ONLY thing leaving executors
+# (one Arrow GEMM pass + one tiny hash aggregate). Oracle: positional
+# unnest self-join replay of S, column sums and the centering algebra.
+_E108_ORACLE = """
+WITH ex AS (
+  SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+         generate_subscripts(embedding, 1) - 1 AS i
+  FROM embeddings WHERE embedding IS NOT NULL
+), nn AS (
+  SELECT count(*)::DOUBLE AS n FROM embeddings WHERE embedding IS NOT NULL
+), m AS (
+  SELECT i, sum(v) AS s FROM ex GROUP BY 1
+), p AS (
+  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sp
+  FROM ex a JOIN ex b USING (vec_id) WHERE a.i <= b.i
+  GROUP BY 1, 2
+)
+SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+       round((sp - ma.s * mb.s / (SELECT n FROM nn)) / (SELECT n FROM nn), 4) AS cov
+FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
+"""
+
+
+@query("e108_covariance", _E108_ORACLE)
+def e108_covariance(spark, sf_dir):
+    from pivot_spark.operators.pca import covariance_matrix
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return covariance_matrix(emb, "embedding", dim=64)
+
+
+# --- E108b: PCA projection onto the top-2 principal axes. The eigen
+# step is driver-side numpy over the d x d covariance (not SQL-
+# expressible — rows-only; orthonormality / variance-order /
+# reconstruction invariants are unit-tested in tests/test_pca.py).
+@query("e108b_pca_project")
+def e108b_pca_project(spark, sf_dir):
+    from pivot_spark.operators.pca import pca_project
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "embedding", dim=64, k=2)
+    return serialize_arrays(out.select("vec_id", "pc"))
+
+
+# --- E109: hashed-feature linear classifier scoring (fastText-style
+# quality filter) — tokenize, feature-hash, weight-fold, sigmoid, all
+# scan-stage scalar expressions: zero shuffles, zero Python. The seeded
+# weight table is md5 arithmetic, replayed term-for-term in SQL.
+_E109_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           1.0 / (1.0 + exp(-(0.0 + list_sum(list_transform(toks, tk ->
+             (('0x' || substring(md5('w:quality:' || CAST(
+                 ('0x' || substring(md5('fh:quality:' || tk), 1, 15))::BIGINT % 1024
+               AS VARCHAR)), 1, 15))::BIGINT % 2000001) / 1000000.0 - 1.0
+           )) / len(toks))))
+         END AS score
+  FROM t
+)
+SELECT doc_id, round(score, 4) AS score,
+       coalesce(score >= 0.5, false) AS keep
+FROM s
+"""
+
+
+@query("e109_quality_classifier", _E109_ORACLE)
+def e109_quality_classifier(spark, sf_dir):
+    from pivot_spark.operators.classifier import hashed_linear_score
+
+    docs = _read(spark, sf_dir, "documents")
+    out = hashed_linear_score(
+        docs, "text", num_buckets=1024, seed="quality", bias=0.0, threshold=0.5
+    )
+    return out.select("doc_id", F.round("score", 4).alias("score"), "keep")
+
+
+# --- E110: batch sessionization via the native session_window aggregate
+# (the Structured Streaming operator run in batch — one shuffle, merge-
+# in-aggregate, no per-user sort). Oracle: lag + cumsum with the window
+# merge rule (events merge while the gap is <= the duration; probed in
+# tests/test_round2_ops.py — an event exactly at the previous window's
+# end still merges).
+_E110_ORACLE = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS em
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), b AS (
+  SELECT user_id, em,
+         CASE WHEN em - lag(em) OVER (PARTITION BY user_id ORDER BY em)
+                   <= 1800000000
+              THEN 0 ELSE 1 END AS brk
+  FROM e
+), s AS (
+  SELECT user_id, em,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY em
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT user_id, CAST(min(em) AS BIGINT) AS t_start,
+       CAST(max(em) + 1800000000 AS BIGINT) AS t_end,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@query("e110_session_window", _E110_ORACLE)
+def e110_session_window(spark, sf_dir):
+    from pivot_spark.operators.sessionize import session_stats_native
+
+    ev = _read(spark, sf_dir, "events")
+    return session_stats_native(ev, "user_id", "ts", "30 minutes")

@@ -1,0 +1,250 @@
+"""Round-2 operator batch: resample/LOCF, PageRank, covariance/PCA,
+hashed linear classifier, native session windows."""
+
+import datetime
+import math
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+# --- resample_locf -----------------------------------------------------------
+
+
+def test_resample_locf_fills_gaps(spark):
+    t0 = 1_700_000_000  # epoch seconds
+    rows = [
+        # key 1: observations on buckets 0, 2 (gap at 1)
+        (1, t0 + 10, 10.0),
+        (1, t0 + 2 * 86400 + 5, 30.0),
+        # key 2: single observation
+        (2, t0 + 50, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, sec long, value double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "value"
+    )
+    from pivot_spark.operators.resample import resample_locf
+
+    out = resample_locf(df, "k", "ts", "value").collect()
+    b0 = t0 // 86400
+    got = {(r.k, r.bucket): (r.v, r.filled) for r in out}
+    assert got[(1, b0)] == (10.0, False)
+    assert got[(1, b0 + 1)] == (10.0, True)  # carried forward
+    assert got[(1, b0 + 2)] == (30.0, False)
+    assert got[(2, b0)] == (7.0, False)
+    assert len(out) == 4
+
+
+def test_resample_locf_last_in_bucket_wins(spark):
+    t0 = 1_700_000_000
+    rows = [
+        (1, t0 + 10, 5, 1.0),
+        (1, t0 + 10, 6, 2.0),  # same ts, higher tiebreak wins
+        (1, t0 + 20, 1, 3.0),  # later ts wins the bucket
+    ]
+    df = spark.createDataFrame(rows, "k long, sec long, eid long, value double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "eid", "value"
+    )
+    from pivot_spark.operators.resample import resample_locf
+
+    out = resample_locf(df, "k", "ts", "value", tiebreak_col="eid").collect()
+    assert len(out) == 1 and out[0].v == 3.0
+
+    # drop the later ts: tiebreak decides
+    out2 = resample_locf(
+        df.filter("eid != 1"), "k", "ts", "value", tiebreak_col="eid"
+    ).collect()
+    assert out2[0].v == 2.0
+
+
+def test_resample_locf_rejects_bad_bucket(spark):
+    df = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1), 1.0)], "k long, ts timestamp, value double")
+    from pivot_spark.operators.resample import resample_locf
+
+    with pytest.raises(ValueError):
+        resample_locf(df, "k", "ts", "value", bucket_seconds=0)
+
+
+# --- pagerank ----------------------------------------------------------------
+
+
+def _numpy_pagerank(edges, iterations=3, damping=0.85):
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    adj = [[] for _ in range(n)]
+    deg = [0] * n
+    for a, b in edges:
+        adj[idx[a]].append(idx[b])
+        adj[idx[b]].append(idx[a])
+        deg[idx[a]] += 1
+        deg[idx[b]] += 1
+    r = [1.0 / n] * n
+    for _ in range(iterations):
+        nxt = [(1 - damping) / n] * n
+        for u in range(n):
+            for v in adj[u]:
+                nxt[v] += damping * r[u] / deg[u]
+        r = nxt
+    return {v: r[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]  # triangle + pendant
+    df = spark.createDataFrame(edges, "src long, dst long")
+    from pivot_spark.operators.components import pagerank
+
+    got = {r.node: r.pagerank for r in pagerank(df).collect()}
+    want = _numpy_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-3
+    # mass conservation (no dangling nodes in a symmetrized graph)
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    # the hub (3) outranks the pendant (4)
+    assert got[3] > got[4]
+
+
+def test_pagerank_dedups_and_ignores_self_loops(spark):
+    df = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (1, 2)], "src long, dst long"
+    )
+    from pivot_spark.operators.components import pagerank
+
+    got = {r.node: r.pagerank for r in pagerank(df, iterations=2).collect()}
+    # two symmetric nodes: equal rank, sums to 1
+    assert got[1] == got[2]
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+# --- covariance / PCA --------------------------------------------------------
+
+
+def _vec_df(spark, X):
+    return spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_covariance_matches_numpy(spark):
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 3) * [1.0, 2.0, 0.5] + [5.0, -1.0, 0.0]
+    from pivot_spark.operators.pca import covariance_matrix
+
+    got = {(r.i, r.j): r.cov for r in covariance_matrix(_vec_df(spark, X), "embedding", 3).collect()}
+    C = np.cov(X.T, bias=True)
+    for i in range(3):
+        for j in range(i, 3):
+            assert abs(got[(i, j)] - round(C[i, j], 4)) < 1e-9
+    assert len(got) == 6
+
+
+def test_pca_project_invariants(spark):
+    rng = np.random.RandomState(11)
+    # anisotropic cloud: variance concentrated along a known direction
+    base = rng.randn(200, 4) * [3.0, 1.0, 0.3, 0.1]
+    from pivot_spark.operators.pca import (
+        explained_variance,
+        pca_project,
+        _principal_axes,
+    )
+
+    df = _vec_df(spark, base)
+    comps, mu, vals = _principal_axes(df, "embedding", 4, 2)
+    # orthonormal rows
+    G = comps @ comps.T
+    assert np.allclose(G, np.eye(2), atol=1e-8)
+    # variance ordering
+    assert vals[0] >= vals[1]
+    # sign canonicalization: largest-|coord| entry positive
+    for c in comps:
+        assert c[np.argmax(np.abs(c))] > 0
+    # projection matches numpy
+    out = pca_project(df, "embedding", 4, k=2).orderBy("vec_id").collect()
+    P = np.array([r.pc for r in out])
+    want = (base - base.mean(axis=0)) @ comps.T
+    assert np.allclose(P, np.round(want, 4), atol=2e-4)
+    ev = explained_variance(df, "embedding", 4, 2)
+    assert ev[0] == pytest.approx(np.var(want[:, 0]), rel=1e-6)
+
+
+def test_pca_rejects_bad_k(spark):
+    from pivot_spark.operators.pca import pca_project
+
+    df = _vec_df(spark, np.eye(3))
+    with pytest.raises(ValueError):
+        pca_project(df, "embedding", 3, k=4)
+
+
+# --- hashed linear classifier ------------------------------------------------
+
+
+def test_hashed_linear_score_shape(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, ""), (3, None), (4, "the quick brown fox")],
+        "doc_id long, text string",
+    )
+    from pivot_spark.operators.classifier import hashed_linear_score
+
+    rows = {r.doc_id: r for r in hashed_linear_score(df, "text").collect()}
+    assert 0.0 < rows[1].score < 1.0
+    assert rows[2].score is None and rows[2].keep is False
+    assert rows[3].score is None and rows[3].keep is False
+    # deterministic: same text, same score
+    assert rows[1].score == rows[4].score
+    assert rows[1].keep == (rows[1].score >= 0.5)
+
+
+def test_hashed_linear_score_bias_shifts(spark):
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    from pivot_spark.operators.classifier import hashed_linear_score
+
+    lo = hashed_linear_score(df, "text", bias=-5.0).collect()[0].score
+    hi = hashed_linear_score(df, "text", bias=5.0).collect()[0].score
+    assert lo < 0.01 and hi > 0.99
+
+    with pytest.raises(ValueError):
+        hashed_linear_score(df, "text", num_buckets=0)
+
+
+# --- native session windows --------------------------------------------------
+
+
+def test_session_window_native_matches_lag_cumsum(spark):
+    t0 = 1_700_000_000
+    gap = 1800
+    rows = []
+    # user 1: two sessions (events 0s,100s | 4000s); user 2: boundary case
+    for sec in (0, 100, 4000):
+        rows.append((1, t0 + sec))
+    # user 2: diff exactly == gap -> still MERGES (gap <= duration)
+    rows.append((2, t0))
+    rows.append((2, t0 + gap))
+    df = spark.createDataFrame(rows, "user_id long, sec long").select(
+        "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    from pivot_spark.operators.sessionize import session_stats_native
+
+    out = session_stats_native(df, "user_id", "ts", "30 minutes")
+    got = sorted(
+        [(r.user_id, r.t_start, r.t_end, r.n_events) for r in out.collect()]
+    )
+    us = 1_000_000
+    assert got == [
+        (1, t0 * us, (t0 + 100 + gap) * us, 2),
+        (1, (t0 + 4000) * us, (t0 + 4000 + gap) * us, 1),
+        (2, t0 * us, (t0 + 2 * gap) * us, 2),
+    ]
+
+
+def test_session_window_native_drops_null_keys(spark):
+    df = spark.createDataFrame(
+        [(None, datetime.datetime(2024, 1, 1)), (1, None), (1, datetime.datetime(2024, 1, 1))],
+        "user_id long, ts timestamp",
+    )
+    from pivot_spark.operators.sessionize import session_stats_native
+
+    assert session_stats_native(df, "user_id", "ts", "30 minutes").count() == 1
