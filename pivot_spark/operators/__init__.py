@@ -100,6 +100,7 @@ from pivot_spark.operators.skew import (
 from pivot_spark.operators.analytics import (
     association_rules,
     chi_square,
+    seasonal_anomalies,
     cohort_retention,
     grouped_ols,
     ks_test,
@@ -113,6 +114,7 @@ from pivot_spark.operators.attribution import attribute
 from pivot_spark.operators.funnel import funnel
 from pivot_spark.operators.rolling import (
     decayed_aggregates,
+    ewma,
     rolling_features,
     rolling_time_features,
 )
@@ -199,6 +201,7 @@ __all__ = [
     "chi_square", "psi_drift", "ks_test", "user_journeys",
     "association_rules",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
+    "ewma", "seasonal_anomalies",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

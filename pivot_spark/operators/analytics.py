@@ -542,3 +542,60 @@ def association_rules(
     if min_support > 0.0:
         res = res.filter(F.col("support") >= min_support)
     return res
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    sigma: float = 3.0,
+    period_seconds: int = 86400,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Seasonal-profile anomaly detection: build the per-(key, phase)
+    mean/stddev profile — phase = which ``bucket_seconds`` slot of the
+    ``period_seconds`` cycle the event falls in (default: hour of day) —
+    then flag observations deviating more than ``sigma`` population
+    stddevs from their slot's profile. The ops-metrics / engagement
+    anomaly alarm with day-of-cycle seasonality removed.
+
+    Output: one row per observation — (event keys + ``phase INT``,
+    ``v DOUBLE``, ``z DOUBLE`` rounded 4 (NULL when the slot's stddev
+    is 0 or the slot has one row), ``is_anomaly BOOLEAN`` (NULL z →
+    false)).
+
+    Scale shape: the profile is ONE hash aggregate, keys×(period/bucket)
+    rows — broadcast back onto the fact scan, which is never shuffled
+    (the ``zscore_normalize`` pattern with a derived seasonal key).
+    Phases are integer epoch arithmetic — engine-portable, no calendar
+    functions in the hashed path.
+    """
+    if period_seconds <= 0 or bucket_seconds <= 0 or period_seconds % bucket_seconds:
+        raise ValueError(
+            "period_seconds must be a positive multiple of bucket_seconds, "
+            f"got {period_seconds} / {bucket_seconds}"
+        )
+    if sigma <= 0:
+        raise ValueError(f"sigma must be positive, got {sigma}")
+    t = F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    epoch = F.floor(F.unix_micros(t.cast("timestamp")) / F.lit(1_000_000))
+    phase = F.pmod(F.floor(epoch / F.lit(bucket_seconds)), F.lit(period_seconds // bucket_seconds)).cast("int")
+    base = df.filter(F.col(key_col).isNotNull() & t.isNotNull() & v.isNotNull()).withColumn(
+        "phase", phase
+    )
+    prof = base.groupBy(key_col, "phase").agg(
+        F.avg(v).alias("__mu"),
+        F.stddev_pop(v).alias("__sd"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    joined = base.join(F.broadcast(prof), [key_col, "phase"])
+    z = F.when((F.col("__n") > 1) & (F.col("__sd") > 0), (v - F.col("__mu")) / F.col("__sd"))
+    return joined.select(
+        *[c for c in df.columns],
+        F.col("phase"),
+        v.alias("v"),
+        F.round(z, 4).alias("z"),
+        F.coalesce(F.abs(z) >= F.lit(sigma), F.lit(False)).alias("is_anomaly"),
+    )

@@ -125,3 +125,62 @@ def decayed_aggregates(
             F.max(t).alias("last_ts"),
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    order_cols: Sequence[str] = (),
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Per-key exponential moving average in event order — the classic
+    sequential smoother (EWMA_1 = x_1; EWMA_i = α·x_i + (1-α)·EWMA_i-1).
+    Emits one row per input observation: (keys..., seq INT — 1-based
+    position in the key's ordered stream, value DOUBLE, ewma DOUBLE).
+
+    The recurrence is inherently sequential per key, so — like
+    ``dedup.debounce`` — it is computed as an ordered ``F.aggregate``
+    fold over the key's collected event array (a window ``lag`` cannot
+    express a recurrence on its own output, and the closed-form
+    (1-α)^-i rescaling overflows for long streams). State is one key's
+    events; power-key skew is the documented bound, exactly as for any
+    per-key sequence operator (``user_journeys``, ``debounce``).
+    ``order_cols`` break timestamp ties deterministically.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    keys = list(key_cols)
+    t = F.col(ts_col)
+    base = df.filter(t.isNotNull() & F.col(value_col).isNotNull())
+    ev = F.struct(
+        t.alias("__t"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    # one collect per key; the sort, value projection and fold are
+    # scan-stage array expressions AFTER the aggregate
+    agg = base.groupBy(*keys).agg(F.collect_list(ev).alias("__arr"))
+    vals = F.transform(F.array_sort(F.col("__arr")), lambda s: s["__v"])
+    folded = F.aggregate(
+        F.col("__vs"),
+        F.array().cast("array<double>"),
+        lambda acc, x: F.array_append(
+            acc,
+            F.when(F.size(acc) == 0, x).otherwise(
+                F.lit(alpha) * x + F.lit(1.0 - alpha) * F.element_at(acc, -1)
+            ),
+        ),
+    )
+    agg = agg.select(*keys, vals.alias("__vs")).select(
+        *keys, F.col("__vs"), folded.alias("__sm")
+    )
+    pos = F.posexplode(F.arrays_zip(F.col("__vs").alias("v"), F.col("__sm").alias("s")))
+    return agg.select(*keys, pos.alias("__i", "__z")).select(
+        *keys,
+        (F.col("__i") + 1).cast("int").alias("seq"),
+        F.col("__z.v").alias("value"),
+        F.col("__z.s").alias(out_col),
+    )

@@ -4952,3 +4952,67 @@ def e110_session_window(spark, sf_dir):
 
     ev = _read(spark, sf_dir, "events")
     return session_stats_native(ev, "user_id", "ts", "30 minutes")
+
+
+# --- E111: per-key EWMA smoothing — a true sequential recurrence
+# (EWMA_i = a·x_i + (1-a)·EWMA_{i-1}), computed as an ordered array
+# fold per key (a lag window cannot reference its own output, and
+# closed-form rescaling overflows on long streams). Oracle: the e53
+# recursive-CTE replay, same arithmetic in the same order.
+_E111_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), w AS (
+  SELECT user_id, rn, v, v AS s FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.v, 0.3 * e.v + 0.7 * w.s
+  FROM ev e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(rn AS INTEGER) AS seq, v AS value, round(s, 4) AS ewma
+FROM w
+"""
+
+
+@query("e111_ewma", _E111_ORACLE)
+def e111_ewma(spark, sf_dir):
+    from pivot_spark.operators.rolling import ewma
+
+    ev = _read(spark, sf_dir, "events")
+    out = ewma(ev, ["user_id"], "ts", "value", alpha=0.3, order_cols=["event_id"])
+    return out.select(
+        "user_id", "seq", "value", F.round("ewma", 4).alias("ewma")
+    )
+
+
+# --- E112: seasonal-profile anomaly detection — hour-of-day z-scores
+# per event_type, profile broadcast back onto an unshuffled fact scan.
+# Integer epoch phase arithmetic, replayed term-for-term.
+_E112_ORACLE = """
+WITH b AS (
+  SELECT event_id, event_type,
+         CAST(floor(floor(epoch_us(ts) / 1000000) / 3600) % 24 AS INTEGER) AS phase,
+         value::DOUBLE AS v
+  FROM events
+  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), p AS (
+  SELECT event_type, phase, avg(v) AS mu, stddev_pop(v) AS sd, count(*) AS n
+  FROM b GROUP BY 1, 2
+)
+SELECT b.event_id, b.event_type, b.phase, b.v,
+       round(CASE WHEN p.n > 1 AND p.sd > 0 THEN (b.v - p.mu) / p.sd END, 4) AS z,
+       coalesce(abs(CASE WHEN p.n > 1 AND p.sd > 0 THEN (b.v - p.mu) / p.sd END)
+                >= 3.0, false) AS is_anomaly
+FROM b JOIN p USING (event_type, phase)
+"""
+
+
+@query("e112_seasonal_anomaly", _E112_ORACLE)
+def e112_seasonal_anomaly(spark, sf_dir):
+    from pivot_spark.operators.analytics import seasonal_anomalies
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
+    out = seasonal_anomalies(ev, "event_type", "ts", "value", sigma=3.0)
+    return out.select("event_id", "event_type", "phase", "v", "z", "is_anomaly")

@@ -25,7 +25,13 @@ def get_spark(app_name: str = "pivot_spark", shuffle_partitions: int | None = No
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs driver + all executor threads in ONE JVM: size the
+        # heap for N concurrent tasks, not for a driver. 8g showed suite-
+        # long GC inflation (late queries 3-6x their isolated medians).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # default codegen cache (100 classes) thrashes across a 130+
+        # query suite — every rerun recompiles every stage
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -248,3 +248,75 @@ def test_session_window_native_drops_null_keys(spark):
     from pivot_spark.operators.sessionize import session_stats_native
 
     assert session_stats_native(df, "user_id", "ts", "30 minutes").count() == 1
+
+
+# --- ewma --------------------------------------------------------------------
+
+
+def test_ewma_matches_reference_recurrence(spark):
+    t0 = 1_700_000_000
+    xs = [10.0, 20.0, 5.0, 15.0]
+    rows = [(1, t0 + i, i, x) for i, x in enumerate(xs)]
+    rows.append((2, t0, 99, 100.0))
+    df = spark.createDataFrame(rows, "k long, sec long, eid long, value double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "eid", "value"
+    )
+    from pivot_spark.operators.rolling import ewma
+
+    out = ewma(df, ["k"], "ts", "value", alpha=0.3, order_cols=["eid"])
+    got = {(r.k, r.seq): r.ewma for r in out.collect()}
+    want = []
+    s = None
+    for x in xs:
+        s = x if s is None else 0.3 * x + 0.7 * s
+        want.append(s)
+    for i, w in enumerate(want):
+        assert got[(1, i + 1)] == pytest.approx(w, abs=1e-12)
+    assert got[(2, 1)] == 100.0
+    assert len(got) == 5
+
+
+def test_ewma_tie_break_and_validation(spark):
+    t0 = 1_700_000_000
+    # same ts: eid orders the fold
+    rows = [(1, t0, 2, 50.0), (1, t0, 1, 10.0)]
+    df = spark.createDataFrame(rows, "k long, sec long, eid long, value double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "eid", "value"
+    )
+    from pivot_spark.operators.rolling import ewma
+
+    out = {r.seq: r.ewma for r in ewma(df, ["k"], "ts", "value", alpha=0.5, order_cols=["eid"]).collect()}
+    assert out[1] == 10.0 and out[2] == 0.5 * 50.0 + 0.5 * 10.0
+
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], "ts", "value", alpha=0.0)
+
+
+# --- seasonal anomalies ------------------------------------------------------
+
+
+def test_seasonal_anomalies_flags_outlier(spark):
+    t0 = (1_700_000_000 // 86400) * 86400  # midnight
+    rows = []
+    # hour 0 of consecutive days: stable values + one wild outlier
+    for d in range(10):
+        rows.append((d, "click", t0 + d * 86400, 10.0 + (d % 2)))
+    rows.append((99, "click", t0 + 10 * 86400, 1000.0))
+    # hour 5: constant (sd=0 -> z NULL, not anomalous)
+    rows.append((200, "view", t0 + 5 * 3600, 7.0))
+    rows.append((201, "view", t0 + 86400 + 5 * 3600, 7.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec long, value double"
+    ).select("event_id", "event_type", F.timestamp_seconds("sec").alias("ts"), "value")
+    from pivot_spark.operators.analytics import seasonal_anomalies
+
+    out = {r.event_id: r for r in seasonal_anomalies(df, "event_type", "ts", "value").collect()}
+    assert out[99].is_anomaly is True and out[99].z > 3
+    assert all(not out[i].is_anomaly for i in range(10))
+    assert out[200].z is None and out[200].is_anomaly is False
+    assert out[200].phase == 5
+
+    with pytest.raises(ValueError):
+        seasonal_anomalies(df, "event_type", "ts", "value", sigma=-1)
+    with pytest.raises(ValueError):
+        seasonal_anomalies(df, "event_type", "ts", "value", period_seconds=100, bucket_seconds=33)
