@@ -2,8 +2,11 @@ from pivot_spark.sources.catalog import TABLES, load_table, load_tables, registe
 from pivot_spark.sources.io import (
     FORMATS,
     avro_available,
+    read_binary_files,
     read_source,
     run_file_pipeline,
+    write_bucketed_table,
+    write_manifest,
     write_sink,
 )
 
@@ -14,7 +17,10 @@ __all__ = [
     "register_views",
     "FORMATS",
     "avro_available",
+    "read_binary_files",
     "read_source",
     "write_sink",
     "run_file_pipeline",
+    "write_bucketed_table",
+    "write_manifest",
 ]

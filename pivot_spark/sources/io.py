@@ -114,6 +114,33 @@ def run_file_pipeline(
     return result.output
 
 
+def read_binary_files(
+    spark: SparkSession,
+    path: str,
+    glob: Optional[str] = None,
+    max_bytes: Optional[int] = None,
+) -> DataFrame:
+    """Ingest raw media/blob files via Spark's native ``binaryFile``
+    source: one row per file — (path STRING, modificationTime TIMESTAMP,
+    length BIGINT, content BINARY). The entry point of the multimodal
+    pipeline (``operators/multimodal.py``): read image/audio/video bytes
+    here, then decode/feature-extract with ``mapInPandas`` Arrow batches.
+
+    ``glob`` filters file names (e.g. ``*.png``); ``max_bytes`` drops
+    oversized files AT THE SOURCE via ``pathGlobFilter``-adjacent
+    pruning (a filter on ``length`` — pushed to the file index, the
+    content column is never materialized for dropped files thanks to
+    lazy column pruning). At 100 TB keep payloads out of shuffles: derive
+    features early, carry ``path`` as the key."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    if max_bytes is not None:
+        df = df.filter(df["length"] <= max_bytes)
+    return df
+
+
 def write_bucketed_table(
     df: DataFrame,
     table: str,

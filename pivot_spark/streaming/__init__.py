@@ -1,4 +1,21 @@
-from pivot_spark.streaming.dedup_stream import dedup_stream, first_seen_stream
+from pivot_spark.streaming.dedup_stream import (
+    debounce_stream,
+    dedup_stream,
+    first_seen_stream,
+)
+from pivot_spark.streaming.enrich_stream import enrich_stream
+from pivot_spark.streaming.join_stream import interval_join_stream
 from pivot_spark.streaming.pivot_stream import pivot_stream
+from pivot_spark.streaming.session_stream import session_stream
+from pivot_spark.streaming.topk_stream import topk_stream
 
-__all__ = ["pivot_stream", "dedup_stream", "first_seen_stream"]
+__all__ = [
+    "pivot_stream",
+    "dedup_stream",
+    "first_seen_stream",
+    "debounce_stream",
+    "enrich_stream",
+    "interval_join_stream",
+    "session_stream",
+    "topk_stream",
+]
