@@ -60,6 +60,7 @@ from pivot_spark.operators.quality import (
     gopher_rules,
     line_dedup,
 )
+from pivot_spark.operators.bpe import bpe_encode, bpe_learn
 from pivot_spark.operators.classifier import hashed_linear_score
 from pivot_spark.operators.repetition import repetition_signals
 from pivot_spark.operators.tfidf import tfidf_top_terms
@@ -182,6 +183,7 @@ __all__ = [
     "gopher_rules", "gopher_filter", "c4_line_signals", "line_dedup",
     "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
     "bigram_lm_score", "dsir_logweights", "hashed_linear_score",
+    "bpe_learn", "bpe_encode",
     # retrieval
     "bm25_topk", "bm25_topk_batch",
     # sampling / selection

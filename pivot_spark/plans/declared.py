@@ -5016,3 +5016,110 @@ def e112_seasonal_anomaly(spark, sf_dir):
     ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "ts", "value")
     out = seasonal_anomalies(ev, "event_type", "ts", "value", sigma=3.0)
     return out.select("event_id", "event_type", "phase", "v", "z", "is_anomaly")
+
+
+# --- E113/E114: distributed BPE subword learning + tokenization
+# (Sennrich et al. 2016). Learning touches the corpus once (word
+# histogram), then iterates on the vocab-sized frame; merges are greedy
+# left-to-right literal replaces on space-joined symbol strings — which
+# makes even the iterative learning SQL-replayable (kmeans-style
+# unrolled iterations, driver argmax == ORDER/LIMIT CTE).
+_BPE_N = 3
+
+
+def _bpe_cte(n: int) -> str:
+    parts = [
+        r"""
+WITH w AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY 1
+), s0 AS (
+  SELECT array_to_string(list_transform(range(1, len(w) + 1), i -> w[i]), ' ')
+           || ' </w>' AS sym, c
+  FROM w
+)"""
+    ]
+    for it in range(1, n + 1):
+        parts.append(
+            f""", p{it} AS (
+  SELECT sp[i] AS l, sp[i + 1] AS r, sum(c) AS n
+  FROM (SELECT string_split(sym, ' ') AS sp, c FROM s{it - 1}),
+       unnest(range(1, len(sp))) AS u(i)
+  GROUP BY 1, 2
+), t{it} AS (SELECT l, r, n FROM p{it} ORDER BY n DESC, l, r LIMIT 1),
+s{it} AS (
+  SELECT trim(replace(' ' || sym || ' ',
+                      (SELECT ' '||l||' '||r||' ' FROM t{it}),
+                      (SELECT ' '||l||r||' ' FROM t{it}))) AS sym, c
+  FROM s{it - 1}
+)"""
+        )
+    return "".join(parts)
+
+
+def _e113_oracle() -> str:
+    selects = [
+        f"SELECT {it} AS merge_idx, l AS left, r AS right, CAST(n AS BIGINT) AS pair_count FROM t{it}"
+        for it in range(1, _BPE_N + 1)
+    ]
+    return _bpe_cte(_BPE_N) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("e113_bpe_learn", _e113_oracle())
+def e113_bpe_learn(spark, sf_dir):
+    from pivot_spark.operators.bpe import bpe_learn
+
+    docs = _read(spark, sf_dir, "documents")
+    out = bpe_learn(docs, "text", num_merges=_BPE_N)
+    return out.select(
+        "merge_idx",
+        F.col("left").alias("left"),
+        F.col("right").alias("right"),
+        "pair_count",
+    )
+
+
+def _e114_oracle() -> str:
+    # encode every document with the learned merges: per-doc symbol
+    # strings through the same 3 replaces, then split back to tokens
+    enc = r""", d0 AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''),
+           wd -> array_to_string(list_transform(range(1, len(wd) + 1), i -> wd[i]), ' ')
+                   || ' </w>') AS syms
+  FROM documents
+)"""
+    for it in range(1, _BPE_N + 1):
+        # the merge pattern joins in as a plain column (DuckDB forbids
+        # subqueries inside lambda bodies)
+        enc += f""", d{it} AS (
+  SELECT doc_id,
+         list_transform(syms, s -> trim(replace(' ' || s || ' ', m{it}.pat, m{it}.rep))) AS syms
+  FROM d{it - 1},
+       (SELECT ' '||l||' '||r||' ' AS pat, ' '||l||r||' ' AS rep FROM t{it}) m{it}
+)"""
+    return (
+        _bpe_cte(_BPE_N)
+        + enc
+        + f"""
+SELECT doc_id,
+       '[' || array_to_string(flatten(list_transform(syms, s -> string_split(s, ' '))), '|') || ']' AS tokens,
+       CAST(len(flatten(list_transform(syms, s -> string_split(s, ' ')))) AS BIGINT) AS n_tokens
+FROM d{_BPE_N}"""
+    )
+
+
+@query("e114_bpe_encode", _e114_oracle())
+def e114_bpe_encode(spark, sf_dir):
+    from pivot_spark.operators.bpe import bpe_encode, bpe_learn
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = [(r.left, r.right) for r in bpe_learn(docs, "text", num_merges=_BPE_N).collect()]
+    out = bpe_encode(docs, "text", merges)
+    out = out.select(
+        "doc_id", "tokens", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return serialize_arrays(out)
