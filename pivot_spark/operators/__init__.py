@@ -87,6 +87,7 @@ from pivot_spark.operators.sample import (
     hash_sample,
     hash_split,
     mixture_sample,
+    negative_sample_k,
     repeat_upsample,
     stratified_hash_sample,
     weighted_sample_k,
@@ -190,6 +191,7 @@ __all__ = [
     "select_extreme", "topk_per_group", "topk_per_group_agg", "mode_by_key",
     "hash_split", "hash_sample", "stratified_hash_sample",
     "mixture_sample", "repeat_upsample", "group_hash_sample_k",
+    "negative_sample_k",
     "weighted_sample_k", "ntile_buckets", "threshold_buckets",
     # joins
     "asof_join", "fuzzy_join", "best_fuzzy_match", "range_join",

@@ -337,3 +337,100 @@ def weighted_sample_k(
         .filter(F.col("__r") <= k)
         .drop("__r")
     )
+
+
+def negative_sample_k(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    positives: "DataFrame | None" = None,
+    pos_a: str = "id_a",
+    pos_b: str = "id_b",
+    salt: str = "neg",
+    oversample: int = 3,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Deterministic k-negatives-per-anchor for contrastive training:
+    every id in ``df`` gets up to ``k`` pseudo-random OTHER ids as
+    negatives — reproducible on any engine/partitioning (md5 probe
+    positions), with known positives (``positives`` pair frame, either
+    orientation) and self-pairs excluded. Output: (``anchor``,
+    ``negative``, ``neg_rank`` 1..k).
+
+    Scale shape: ids get a dense 0-based index from the DISTRIBUTED
+    range-partitioned ranker (``profile._avg_rank_map`` — no global
+    single-partition sort); each anchor emits ``k*oversample`` probe
+    positions scan-stage; candidates resolve by an equi-join on the
+    position (shuffle ∝ probes, never n²); known-positive/self hits are
+    dropped and the first k survivors per anchor kept by probe order.
+    Only the id COUNT touches the driver. Anchors with fewer than k
+    survivors (hash collisions + dense positive neighborhoods eating
+    probes) emit what survived — raise ``oversample`` for more slack.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    from pivot_spark.operators.profile import _avg_rank_map
+
+    ids = df.select(F.col(id_col)).distinct()
+    n = ids.count()
+    if n < 2:
+        raise ValueError("need at least 2 distinct ids to sample negatives")
+    ranks = _avg_rank_map(ids, id_col, num_ranges)
+    idx = ranks.select(
+        F.col(id_col).alias("__cand"),
+        (F.col(f"__r_{id_col}") - 1).cast("long").alias("__pos"),
+    )
+    m = k * oversample
+    anchors = ids.select(F.col(id_col).alias("__anchor"))
+    probes = anchors.select(
+        "__anchor",
+        F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("__j"),
+    )
+    probe_pos = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{salt}:"),
+                        F.col("__anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("__j").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(n),
+    )
+    cand = (
+        probes.withColumn("__pos", probe_pos)
+        .join(idx, "__pos")
+        .filter(F.col("__cand") != F.col("__anchor"))
+    )
+    if positives is not None:
+        pos = positives.select(
+            F.col(pos_a).alias("__anchor"), F.col(pos_b).alias("__cand")
+        ).unionByName(
+            positives.select(
+                F.col(pos_b).alias("__anchor"), F.col(pos_a).alias("__cand")
+            )
+        )
+        cand = cand.join(pos, ["__anchor", "__cand"], "left_anti")
+    best = cand.groupBy("__anchor", "__cand").agg(F.min("__j").alias("__j"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__anchor").orderBy("__j", "__cand")
+    return (
+        best.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select(
+            F.col("__anchor").alias("anchor"),
+            F.col("__cand").alias("negative"),
+            F.col("__rk").alias("neg_rank"),
+        )
+    )

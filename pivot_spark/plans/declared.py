@@ -5123,3 +5123,94 @@ def e114_bpe_encode(spark, sf_dir):
         "doc_id", "tokens", F.size("tokens").cast("long").alias("n_tokens")
     )
     return serialize_arrays(out)
+
+
+# --- E115: leakage-safe train/valid/test split — the e25 hash split
+# keyed by the near-dup CLUSTER representative instead of the doc id,
+# so near-duplicate documents can never straddle train and eval (the
+# contamination mode plain id-hashing misses). Composition: minhash
+# pairs -> connected components -> scan-stage CASE split on the label.
+def _e115_oracle() -> str:
+    t1 = _sample_threshold(0.8)
+    t2 = _sample_threshold(0.9)
+    return (
+        _E31_ORACLE.rsplit("SELECT d.doc_id", 1)[0]
+        + f"""SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster,
+       CASE
+         WHEN substring(md5('s42:' || CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 4) < '{t1}' THEN 'train'
+         WHEN substring(md5('s42:' || CAST(coalesce(c.component, d.doc_id) AS VARCHAR)), 1, 4) < '{t2}' THEN 'valid'
+         ELSE 'test'
+       END AS split
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+    )
+
+
+@query("e115_leakage_safe_split", _e115_oracle())
+def e115_leakage_safe_split(spark, sf_dir):
+    from pivot_spark.operators.components import dedup_clusters
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+    from pivot_spark.operators.sample import hash_split
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(docs, threshold=0.5, num_hashes=128, bands=64)
+    clustered = dedup_clusters(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), "doc_id"
+    ).select("doc_id", "cluster")
+    return hash_split(
+        clustered, "cluster", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="s42"
+    )
+
+
+# --- E116: deterministic negative sampling for contrastive training —
+# k pseudo-random non-neighbor ids per anchor, self and known near-dup
+# positives excluded; md5 probe positions resolve against a dense id
+# index built by the DISTRIBUTED ranker (no global sort). Oracle:
+# row_number index + probe arithmetic + anti-join replay.
+def _e116_oracle() -> str:
+    pairs_cte = _E31_ORACLE.split("), edges AS (")[0].replace(
+        "WITH RECURSIVE sh AS (", "WITH sh AS ("
+    )
+    return (
+        pairs_cte
+        + r"""
+), idx AS (
+  SELECT doc_id AS cand, row_number() OVER (ORDER BY doc_id) - 1 AS pos
+  FROM documents
+), nn AS (SELECT count(*) AS n FROM documents),
+probes AS (
+  SELECT d.doc_id AS anchor, t.j,
+         ('0x' || substring(md5('neg:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)), 1, 15))::BIGINT
+           % (SELECT n FROM nn) AS pos
+  FROM documents d, unnest(range(0, 15)) AS t(j)
+), cand AS (
+  SELECT p.anchor, i.cand, p.j
+  FROM probes p JOIN idx i USING (pos)
+  WHERE i.cand != p.anchor
+    AND NOT EXISTS (SELECT 1 FROM pairs x
+                    WHERE (x.id_a = p.anchor AND x.id_b = i.cand)
+                       OR (x.id_b = p.anchor AND x.id_a = i.cand))
+), best AS (
+  SELECT anchor, cand, min(j) AS j FROM cand GROUP BY 1, 2
+)
+SELECT anchor, cand AS negative, CAST(rk AS INTEGER) AS neg_rank FROM (
+  SELECT anchor, cand,
+         row_number() OVER (PARTITION BY anchor ORDER BY j, cand) AS rk
+  FROM best
+) WHERE rk <= 5"""
+    )
+
+
+@query("e116_negative_sampling", _e116_oracle())
+def e116_negative_sampling(spark, sf_dir):
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+    from pivot_spark.operators.sample import negative_sample_k
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(docs, threshold=0.5, num_hashes=128, bands=64)
+    return negative_sample_k(
+        docs.select("doc_id"),
+        "doc_id",
+        k=5,
+        positives=pairs.select("id_a", "id_b"),
+    )

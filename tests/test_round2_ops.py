@@ -320,3 +320,38 @@ def test_seasonal_anomalies_flags_outlier(spark):
         seasonal_anomalies(df, "event_type", "ts", "value", sigma=-1)
     with pytest.raises(ValueError):
         seasonal_anomalies(df, "event_type", "ts", "value", period_seconds=100, bucket_seconds=33)
+
+
+# --- negative sampling -------------------------------------------------------
+
+
+def test_negative_sample_k_contract(spark):
+    from pivot_spark.operators.sample import negative_sample_k
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    pos = spark.createDataFrame([(0, 1), (2, 3)], "id_a long, id_b long")
+    out = negative_sample_k(ids, "doc_id", k=3, positives=pos).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor, []).append((r.neg_rank, r.negative))
+        assert r.negative != r.anchor
+        # positives excluded in both orientations
+        assert (r.anchor, r.negative) not in [(0, 1), (1, 0), (2, 3), (3, 2)]
+    assert set(by_anchor) == set(range(20))
+    for a, negs in by_anchor.items():
+        assert len(negs) <= 3
+        assert [rk for rk, _ in sorted(negs)] == list(range(1, len(negs) + 1))
+
+    # deterministic across invocations
+    again = negative_sample_k(ids, "doc_id", k=3, positives=pos).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_negative_sample_k_validation(spark):
+    from pivot_spark.operators.sample import negative_sample_k
+
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError):
+        negative_sample_k(ids, "doc_id", k=0)
+    with pytest.raises(ValueError):
+        negative_sample_k(ids, "doc_id", k=1)  # < 2 ids
