@@ -154,3 +154,118 @@ def frame_sample_stub(
             yield pd.DataFrame(rows, columns=cols + ["frame_idx", "frame"])
 
     return df.mapInPandas(run, out_schema)
+
+
+def ahash(
+    df: DataFrame,
+    binary_col: str = "image",
+    out_col: str = "ahash",
+    grid: int = 60,
+) -> DataFrame:
+    """Perceptual average-hash (aHash — the classic public image
+    fingerprint: downsample, threshold each pixel against the mean,
+    pack the bits) over the fake-image payload: ``grid`` "pixels" are
+    the payload bytes cycled, the hash is the <=63-bit packed
+    above-mean bitmap (BIGINT — stays in signed-64 range on every
+    engine; default 60 matches the md5_60 SimHash convention).
+
+    With a real codec the pixel step becomes a decode inside the same
+    expression pipeline (or an Arrow batch); everything from the mean
+    threshold down is unchanged. Pure scan-stage Catalyst — no shuffle,
+    no Python.
+    """
+    if not 1 <= grid <= 63:
+        raise ValueError(f"grid must be in [1, 63], got {grid}")
+    raw = F.col(binary_col)
+    plen = F.length(raw) - F.lit(12)  # FIMG | w:u32 | h:u32 header
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(grid - 1)),
+        lambda i: F.conv(
+            F.hex(F.substring(raw, (F.lit(13) + F.pmod(i, plen)).cast("int"), 1)),
+            16,
+            10,
+        ).cast("long"),
+    )
+    staged = df.withColumn("__px", px).withColumn(
+        "__mean",
+        F.aggregate(F.col("__px"), F.lit(0.0), lambda a, x: a + x) / F.lit(float(grid)),
+    )
+    # literal shift amounts (shiftleft takes a python int), one term per
+    # bit over the staged pixel array
+    packed = sum(
+        (
+            F.when(
+                F.element_at(F.col("__px"), i + 1).cast("double") > F.col("__mean"),
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(grid)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return staged.withColumn(out_col, packed).drop("__px", "__mean")
+
+
+def ahash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "image",
+    max_hamming: int = 5,
+    grid: int = 60,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance:
+    ``(id_a, id_b, hamming INT)`` for pairs with distance <=
+    ``max_hamming``. Candidate generation is the SimHash block trick
+    (``neardup.neardup_simhash``): split the hash into ``max_hamming+1``
+    bit blocks — pigeonhole guarantees every qualifying pair collides on
+    at least one block — equi-join per block, then verify the exact
+    ``bit_count(xor)``. Work scales with block-bucket load, never n²."""
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    n_blocks = max_hamming + 1
+    width = (grid + n_blocks - 1) // n_blocks
+    h = (
+        ahash(df, binary_col, grid=grid)
+        .select(F.col(id_col).alias("__id"), F.col("ahash").alias("__h"))
+        # (id, hash) is 16 bytes/doc; fence it so the interpreted
+        # byte-extraction pipeline runs once, not once per join side
+        .localCheckpoint(eager=False)
+    )
+    blocks = h.select(
+        "__id",
+        "__h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.pmod(
+                            F.shiftright(F.col("__h"), b * width),
+                            F.lit(1 << width),
+                        ).alias("v"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("__blk"),
+    )
+    ham = F.bit_count(F.col("a.__h").bitwiseXOR(F.col("b.__h")))
+    # verify INSIDE the join projection, dedupe after: the hamming test
+    # is a scalar on the join output, so block-collision fan-out (tight
+    # hash clusters make it ~1000x the true pair count) never reaches
+    # the dropDuplicates shuffle — measured 5.0s -> 3.3s on 5k docs
+    cand = (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (ham <= F.lit(max_hamming)),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand

@@ -5214,3 +5214,46 @@ def e116_negative_sampling(spark, sf_dir):
         k=5,
         positives=pairs.select("id_a", "id_b"),
     )
+
+
+# --- E117: perceptual-hash (aHash) image near-dup — the multimodal
+# dedup rung: payload-byte "pixels" (the codec is the only stub, as in
+# e07/e87), above-mean bit packing, SimHash-style block candidate join,
+# exact bit_count(xor) verify. The oracle replays pixels from the SAME
+# ascii text bytes (the payload), the packing arithmetic bit for bit,
+# and an all-pairs hamming filter — the block join is a guaranteed
+# superset (6 blocks > max hamming 5), so both sides agree exactly.
+_E117_ORACLE = """
+WITH px AS (
+  SELECT doc_id,
+         list_transform(range(0, 60),
+                        i -> ascii(text[((i % length(text)) + 1)])) AS p
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, 60), i ->
+           CASE WHEN p[i + 1] > list_sum(p) / 60.0
+                THEN (1::BIGINT << i) ELSE 0::BIGINT END))::BIGINT AS hash
+  FROM px
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.hash, b.hash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.hash, b.hash)) <= 5
+"""
+
+
+@query("e117_image_neardup", _E117_ORACLE)
+def e117_image_neardup(spark, sf_dir):
+    from pivot_spark.operators import multimodal as M
+
+    docs = _read(spark, sf_dir, "documents")
+    imgs = docs.select(
+        "doc_id",
+        M.make_fake_image(
+            (F.col("doc_id") % 64 + 1).cast("int"),
+            (F.col("doc_id") % 48 + 1).cast("int"),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("image"),
+    )
+    return M.ahash_pairs(imgs, "doc_id", "image", max_hamming=5)

@@ -355,3 +355,51 @@ def test_negative_sample_k_validation(spark):
         negative_sample_k(ids, "doc_id", k=0)
     with pytest.raises(ValueError):
         negative_sample_k(ids, "doc_id", k=1)  # < 2 ids
+
+
+# --- perceptual hash ---------------------------------------------------------
+
+
+def test_ahash_identical_and_perturbed(spark):
+    from pivot_spark.operators import multimodal as M
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base[:-5] + "cats "   # small payload change
+    far = "completely different content with other bytes " * 3
+    rows = [(1, base), (2, base), (3, near), (4, far)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        M.make_fake_image(F.lit(8), F.lit(8), F.encode("text", "UTF-8")).alias("image"),
+    )
+    h = {r.doc_id: r.ahash for r in M.ahash(df).collect()}
+    assert h[1] == h[2]                      # identical payloads -> same hash
+    assert h[1] != h[4]
+    assert 0 <= h[1] < (1 << 60)
+
+    pairs = {(r.id_a, r.id_b): r.hamming for r in M.ahash_pairs(df, max_hamming=5).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 4) not in pairs or pairs[(1, 4)] > 0  # far pair absent unless trivially close
+
+
+def test_ahash_pairs_exactness_vs_bruteforce(spark):
+    from pivot_spark.operators import multimodal as M
+
+    rows = [(i, f"document number {i} with shared boilerplate text body") for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").select(
+        "doc_id",
+        M.make_fake_image(F.lit(4), F.lit(4), F.encode("text", "UTF-8")).alias("image"),
+    )
+    got = {(r.id_a, r.id_b, r.hamming) for r in M.ahash_pairs(df, max_hamming=8).collect()}
+    h = {r.doc_id: r.ahash for r in M.ahash(df).collect()}
+    want = set()
+    for a in range(12):
+        for b in range(a + 1, 12):
+            d = bin(h[a] ^ h[b]).count("1")
+            if d <= 8:
+                want.add((a, b, d))
+    assert got == want
+
+    with pytest.raises(ValueError):
+        M.ahash(df, grid=64)
+    with pytest.raises(ValueError):
+        M.ahash_pairs(df, max_hamming=-1)
