@@ -560,13 +560,21 @@ def neardup_simhash(
             )
         ).alias("__blk", "__val"),
     )
+    # hamming verify INSIDE the join condition: the test is a scalar on
+    # carried signatures, so block-collision fan-out is cut before the
+    # dropDuplicates shuffle instead of after it (same reorder measured
+    # 5.0s -> 3.3s on the aHash twin, multimodal.ahash_pairs)
     cand = (
         blocks.alias("a")
         .join(
             blocks.alias("b"),
             (F.col("a.__blk") == F.col("b.__blk"))
             & (F.col("a.__val") == F.col("b.__val"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                hamming64(F.col("a.__sig"), F.col("b.__sig"))
+                <= F.lit(max_hamming)
+            ),
         )
         .select(
             F.col("a.__id").alias("id_a"),
@@ -574,7 +582,6 @@ def neardup_simhash(
             hamming64(F.col("a.__sig"), F.col("b.__sig")).alias("hamming"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .filter(F.col("hamming") <= max_hamming)
     )
     return cand
 
