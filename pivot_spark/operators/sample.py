@@ -373,7 +373,10 @@ def negative_sample_k(
         raise ValueError(f"oversample must be >= 1, got {oversample}")
     from pivot_spark.operators.profile import _avg_rank_map
 
-    ids = df.select(F.col(id_col)).distinct()
+    # fenced: the distinct-id frame feeds three consumers (count, the
+    # rank index, the anchor probes) — one narrow column, never re-scan
+    # the source per consumer
+    ids = df.select(F.col(id_col)).distinct().localCheckpoint(eager=False)
     n = ids.count()
     if n < 2:
         raise ValueError("need at least 2 distinct ids to sample negatives")

@@ -809,7 +809,47 @@ def e08_neardup_simhash(spark, sf_dir):
     return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
-@query("e09_knn_lsh")
+
+def _srp_sig_sql(vec_expr: str, n_planes: int, dim: int, seed: int) -> str:
+    """SQL replay of ``similarity.srp_signature``: the seeded Gaussian
+    plane weights as literals (e95 idiom), sign bits packed to BIGINT."""
+    from pivot_spark.operators.similarity import _srp_planes
+
+    bits = []
+    for i, plane in enumerate(_srp_planes(n_planes, dim, seed)):
+        dot = " + ".join(
+            f"{vec_expr}[{j + 1}]::DOUBLE * ({w!r})" for j, w in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN ({dot}) > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _e09_oracle() -> str:
+    # SRP signatures replayed with the plane literals (4 tables, 12
+    # planes, seed 42 + 1000*t — similarity.srp_signatures_pd); candidate
+    # = any-table signature match, then exact cosine rank over candidates
+    sigs = ", ".join(
+        _srp_sig_sql("embedding", 12, 64, 42 + 1000 * t) + f" AS s{t}"
+        for t in range(4)
+    )
+    match = " OR ".join(f"q.s{t} = c.s{t}" for t in range(4))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sigs} FROM embeddings
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id
+         ) AS INTEGER) AS rank
+  FROM sigs q, sigs c
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id AND ({match})
+) WHERE rank <= 3"""
+
+
+@query("e09_knn_lsh", _e09_oracle())
 def e09_knn_lsh(spark, sf_dir):
     from pivot_spark.operators.similarity import cosine_topk_lsh
 
@@ -896,9 +936,28 @@ def e11_neardup_cosine(spark, sf_dir):
     )
 
 
-# E12: same operator, SRP-LSH bucketed path (the 100 TB scale path —
-# xxhash64-seeded hyperplanes are not SQL-expressible: rows-only check).
-@query("e12_neardup_cosine_lsh")
+# E12: same operator, SRP-LSH bucketed path (the 100 TB scale path).
+# The seeded Gaussian hyperplanes are plan literals, so the whole
+# bucket-join + exact-verify pipeline replays in SQL (e95 idiom) — the
+# only divergence risk is a sign flip at |dot| ~ 1e-13, measure zero.
+def _e12_oracle() -> str:
+    sigs = ", ".join(
+        _srp_sig_sql("embedding", 6, 64, 42 + 1000 * t) + f" AS s{t}"
+        for t in range(8)
+    )
+    match = " OR ".join(f"a.s{t} = b.s{t}" for t in range(8))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sigs} FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+FROM sigs a, sigs b
+WHERE a.vec_id < b.vec_id AND ({match})
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
+
+
+@query("e12_neardup_cosine_lsh", _e12_oracle())
 def e12_neardup_cosine_lsh(spark, sf_dir):
     from pivot_spark.operators.neardup import neardup_embedding_cosine
 
