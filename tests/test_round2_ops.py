@@ -403,3 +403,31 @@ def test_ahash_pairs_exactness_vs_bruteforce(spark):
         M.ahash(df, grid=64)
     with pytest.raises(ValueError):
         M.ahash_pairs(df, max_hamming=-1)
+
+
+# --- SQL PIVOT parity --------------------------------------------------------
+
+
+def test_sql_pivot_clause_parity(spark, sales_df):
+    """The engine's pivot() and Spark SQL's native PIVOT clause agree on
+    the same config (modulo the engine's extra semantics: empty-cell
+    identities, default fill, error routing — which SQL PIVOT lacks)."""
+    from pivot_spark import PivotConfig, pivot
+
+    cfg = PivotConfig(
+        pivot_columns="Quarter=Q1,Q2,Q3,Q4",
+        pivot_rows="Product",
+        aggregates="s:sum(Sales)",
+    )
+    ours = pivot(sales_df, cfg).output
+    sales_df.createOrReplaceTempView("sales_parity")
+    sql = spark.sql(
+        """
+        SELECT * FROM (SELECT Product, Quarter, Sales FROM sales_parity)
+        PIVOT (sum(Sales) AS s FOR Quarter IN ('Q1', 'Q2', 'Q3', 'Q4'))
+        """
+    )
+    a = {tuple(r) for r in ours.collect()}
+    b = {tuple(r) for r in sql.collect()}
+    assert a == b
+    assert ours.columns == ["Product", "Q1_s", "Q2_s", "Q3_s", "Q4_s"]
