@@ -33,3 +33,53 @@ def redact_pii(text: Column, patterns=PII_PATTERNS) -> Column:
     for pattern, repl in patterns:
         out = F.regexp_replace(out, pattern, repl)
     return out
+
+
+CARD_CANDIDATE = r"\b\d(?:[ -]?\d){12,18}\b"  # 13-19 digits, single separators
+
+
+def luhn_valid(cand: Column) -> Column:
+    """Luhn checksum validation (ISO/IEC 7812, the public card-number
+    check digit) of a digit-run candidate, as pure array expressions:
+    from the right, double every second digit (minus 9 past 9), valid
+    iff the sum is divisible by 10 and 13-19 digits long."""
+    ds = F.transform(
+        F.regexp_extract_all(cand, F.lit(r"\d"), 0), lambda d: d.cast("int")
+    )
+    n = F.size(ds)
+    terms = F.zip_with(
+        F.reverse(ds),
+        F.sequence(F.lit(0), n - 1),
+        lambda d, i: F.when(
+            i % 2 == 1, F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        ).otherwise(d),
+    )
+    total = F.aggregate(terms, F.lit(0), lambda a, x: a + x)
+    return F.when(
+        n == 0, F.lit(False)
+    ).otherwise((n >= 13) & (n <= 19) & (F.pmod(total, F.lit(10)) == 0))
+
+
+def redact_cards(text: Column, placeholder: str = "<CARD>") -> Column:
+    """Replace Luhn-VALID card-shaped digit runs with ``placeholder``,
+    leaving invalid runs (order ids, timestamps) untouched — the
+    validation step a pure-regex scrub cannot do. Scan-stage only:
+    candidate extraction is one regex pass, validation is an array fold
+    per candidate, replacement folds valid candidates longest-first (so
+    a candidate that is a substring of a longer one cannot break it).
+    Replayable in SQL via regexp_extract_all + list_reduce(prepend)."""
+    cands = F.regexp_extract_all(text, F.lit(CARD_CANDIDATE), 0)
+    valid = F.filter(cands, luhn_valid)
+    ordered = F.transform(
+        F.reverse(
+            F.array_sort(
+                F.transform(
+                    valid, lambda c: F.struct(F.length(c).alias("l"), c.alias("c"))
+                )
+            )
+        ),
+        lambda s: s["c"],
+    )
+    return F.aggregate(
+        ordered, text, lambda acc, c: F.replace(acc, c, F.lit(placeholder))
+    )

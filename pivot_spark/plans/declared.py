@@ -5316,3 +5316,58 @@ def e117_image_neardup(spark, sf_dir):
         ).alias("image"),
     )
     return M.ahash_pairs(imgs, "doc_id", "image", max_hamming=5)
+
+
+# --- E118: Luhn-validated credit-card redaction — the PII scrub step a
+# pure regex cannot do: card-shaped digit runs are replaced only when
+# the ISO/IEC 7812 check digit validates, so order ids / timestamps
+# survive. Text augmented with deterministic synthetic numbers (the
+# corpus has none): one fixed VALID test number and one doc-dependent
+# run whose validity varies with doc_id — the oracle replays the
+# checksum, not a pattern list.
+_E118_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' pay 4111 1111 1111 1111 order 410000000000' ||
+           lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), cand AS (
+  SELECT doc_id, t, unnest(regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b')) AS c
+  FROM aug
+), val AS (
+  SELECT doc_id, c FROM (
+    SELECT doc_id, c,
+           list_transform(regexp_extract_all(c, '\d'), d -> d::INT) AS ds
+    FROM cand
+  )
+  WHERE len(ds) BETWEEN 13 AND 19
+    AND list_sum(list_transform(range(0, len(ds)), i ->
+          CASE WHEN i % 2 = 1
+               THEN CASE WHEN 2 * ds[len(ds) - i] > 9
+                         THEN 2 * ds[len(ds) - i] - 9
+                         ELSE 2 * ds[len(ds) - i] END
+               ELSE ds[len(ds) - i] END)) % 10 = 0
+), folded AS (
+  SELECT a.doc_id,
+         list_reduce(
+           list_prepend(any_value(a.t),
+                        coalesce(list(DISTINCT v.c ORDER BY length(v.c) DESC, v.c), [])),
+           (acc, c) -> replace(acc, c, '<CARD>')) AS redacted
+  FROM aug a LEFT JOIN val v USING (doc_id)
+  GROUP BY a.doc_id
+)
+SELECT doc_id, redacted FROM folded
+"""
+
+
+@query("e118_redact_cards", _E118_ORACLE)
+def e118_redact_cards(spark, sf_dir):
+    from pivot_spark.functions.redact import redact_cards
+
+    df = _read(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" pay 4111 1111 1111 1111 order 410000000000"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return df.select("doc_id", redact_cards(aug).alias("redacted"))

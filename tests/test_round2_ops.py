@@ -431,3 +431,32 @@ def test_sql_pivot_clause_parity(spark, sales_df):
     b = {tuple(r) for r in sql.collect()}
     assert a == b
     assert ours.columns == ["Product", "Q1_s", "Q2_s", "Q3_s", "Q4_s"]
+
+
+# --- Luhn card redaction -----------------------------------------------------
+
+
+def test_redact_cards_luhn(spark):
+    from pivot_spark.functions.redact import luhn_valid, redact_cards
+
+    rows = [
+        (1, "pay 4111 1111 1111 1111 now"),           # valid visa test number
+        (2, "ref 4111111111111112 is an order id"),   # checksum fails
+        (3, "mc 5500-0000-0000-0004 and visa 4111111111111111"),
+        (4, "short 1234 long 12345678901234567890123"),  # no 13-19 digit run
+        (5, None),
+        (6, "no digits at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r.id: r.red for r in df.select("id", redact_cards(F.col("text")).alias("red")).collect()}
+    assert out[1] == "pay <CARD> now"
+    assert out[2] == "ref 4111111111111112 is an order id"   # invalid untouched
+    assert out[3] == "mc <CARD> and visa <CARD>"
+    assert out[4] == rows[3][1]
+    assert out[5] is None
+    assert out[6] == "no digits at all"
+
+    v = df.select(luhn_valid(F.lit("4111111111111111")).alias("a"),
+                  luhn_valid(F.lit("4111111111111112")).alias("b"),
+                  luhn_valid(F.lit("")).alias("c")).collect()[0]
+    assert (v.a, v.b, v.c) == (True, False, False)
