@@ -8,6 +8,7 @@ from pivot_spark.streaming.join_stream import interval_join_stream
 from pivot_spark.streaming.pivot_stream import pivot_stream
 from pivot_spark.streaming.session_stream import session_stream
 from pivot_spark.streaming.topk_stream import topk_stream
+from pivot_spark.streaming.upsert_sink import read_upsert_state, start_upsert_sink
 
 __all__ = [
     "pivot_stream",
@@ -18,4 +19,6 @@ __all__ = [
     "interval_join_stream",
     "session_stream",
     "topk_stream",
+    "start_upsert_sink",
+    "read_upsert_state",
 ]

@@ -72,3 +72,49 @@ def test_read_binary_files(spark, tmp_path):
     assert {f.name for f in df.schema.fields} == {
         "path", "modificationTime", "length", "content"
     }
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    from pivot_spark.streaming.upsert_sink import read_upsert_state, start_upsert_sink
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    # batch 1: initial inserts
+    # one part-file per logical batch: micro-batch order is the CDC
+    # order contract; multiple part-files would split arbitrarily
+    spark.createDataFrame(
+        [(1, "a", 1, False), (2, "b", 1, False)],
+        "id int, val string, ver int, is_deleted boolean",
+    ).coalesce(1).write.parquet(str(src / "b1"))
+    stream = spark.readStream.schema(
+        "id int, val string, ver int, is_deleted boolean"
+    ).parquet(str(src) + "/*")
+    q = start_upsert_sink(
+        stream, state, ["id"], ckpt, order_col="ver", deleted_col="is_deleted"
+    )
+    q.awaitTermination(120)
+    got = {r.id: r.val for r in read_upsert_state(spark, state).collect()}
+    assert got == {1: "a", 2: "b"}
+
+    # batch 2: update key 1 (two versions, max wins), delete key 2, insert 3
+    spark.createDataFrame(
+        [(1, "a2", 2, False), (1, "a3", 3, False), (2, "b", 2, True), (3, "c", 1, False)],
+        "id int, val string, ver int, is_deleted boolean",
+    ).coalesce(1).write.parquet(str(src / "b2"))
+    q = start_upsert_sink(
+        stream, state, ["id"], ckpt, order_col="ver", deleted_col="is_deleted"
+    )
+    q.awaitTermination(120)
+    got = {r.id: (r.val, r.ver) for r in read_upsert_state(spark, state).collect()}
+    assert got == {1: ("a3", 3), 3: ("c", 1)}
+
+
+def test_upsert_sink_requires_stream(spark, tmp_path):
+    from pivot_spark.streaming.upsert_sink import start_upsert_sink
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(ValueError):
+        start_upsert_sink(df, str(tmp_path / "s"), ["id"], str(tmp_path / "c"))
