@@ -102,7 +102,9 @@ from pivot_spark.operators.skew import (
 from pivot_spark.operators.analytics import (
     association_rules,
     chi_square,
+    cuped_adjust,
     seasonal_anomalies,
+    welch_t_test,
     cohort_retention,
     grouped_ols,
     ks_test,
@@ -205,7 +207,7 @@ __all__ = [
     "chi_square", "psi_drift", "ks_test", "user_journeys",
     "association_rules",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
-    "ewma", "seasonal_anomalies",
+    "ewma", "seasonal_anomalies", "welch_t_test", "cuped_adjust",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

@@ -599,3 +599,74 @@ def seasonal_anomalies(
         F.round(z, 4).alias("z"),
         F.coalesce(F.abs(z) >= F.lit(sigma), F.lit(False)).alias("is_anomaly"),
     )
+
+
+def welch_t_test(
+    a: DataFrame, b: DataFrame, value_col: str
+) -> DataFrame:
+    """Two-sample Welch t statistic (unequal variances) + Satterthwaite
+    degrees of freedom — the A/B-test significance summary (public
+    textbook formulas; pair with ``ks_test`` for a distribution-level
+    check). One row: (n_a, n_b BIGINT, mean_a, mean_b, t, dof DOUBLE
+    rounded 4). The p-value needs a t-CDF, which neither engine has as
+    a builtin — downstream tooling converts (t, dof).
+
+    One aggregate per side (sample variance + mean + count — partial/
+    final hash agg, no shuffle of raw rows beyond it), crossed into a
+    single scalar row."""
+    def stats(df, suffix):
+        return df.select(F.col(value_col).cast("double").alias("v")).agg(
+            F.count("v").alias(f"n_{suffix}"),
+            F.avg("v").alias(f"m_{suffix}"),
+            F.var_samp("v").alias(f"s2_{suffix}"),
+        )
+
+    sa, sb = stats(a, "a"), stats(b, "b")
+    j = sa.crossJoin(F.broadcast(sb))
+    va = F.col("s2_a") / F.col("n_a")
+    vb = F.col("s2_b") / F.col("n_b")
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(va + vb)
+    dof = (va + vb) * (va + vb) / (
+        va * va / (F.col("n_a") - 1) + vb * vb / (F.col("n_b") - 1)
+    )
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("m_a", 4).alias("mean_a"),
+        F.round("m_b", 4).alias("mean_b"),
+        F.round(t, 4).alias("t"),
+        F.round(dof, 4).alias("dof"),
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    out_col: str = "y_adj",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. WSDM 2013, public): adjust
+    the experiment metric with a pre-experiment covariate,
+    ``y_adj = y - theta * (x - mean(x))`` with
+    ``theta = cov(x, y) / var(x)`` — same mean, strictly smaller
+    variance when the covariate correlates.
+
+    Scale shape: theta and mean(x) come from ONE tiny aggregate
+    broadcast back onto the unshuffled fact scan (the
+    ``zscore_normalize`` pattern); rows with NULL metric/covariate pass
+    through unadjusted. Zero-variance covariate -> theta 0 (no-op)."""
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    stats = df.filter(x.isNotNull() & y.isNotNull()).agg(
+        F.covar_pop(x, y).alias("__cxy"),
+        F.var_pop(x).alias("__vx"),
+        F.avg(x).alias("__mx"),
+    )
+    theta = F.when(
+        F.col("__vx") > 0, F.col("__cxy") / F.col("__vx")
+    ).otherwise(F.lit(0.0))
+    j = df.crossJoin(F.broadcast(stats))
+    adj = F.when(
+        x.isNotNull() & y.isNotNull(), y - theta * (x - F.col("__mx"))
+    ).otherwise(y)
+    return j.select(*df.columns, F.round(adj, 4).alias(out_col))

@@ -5371,3 +5371,97 @@ def e118_redact_cards(spark, sf_dir):
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
     return df.select("doc_id", redact_cards(aug).alias("redacted"))
+
+
+# --- E119: two-sample Welch t statistic over the md5-split halves (the
+# e99/e100 drift family's mean-level significance summary) — one
+# aggregate per arm, closed-form t + Satterthwaite dof replayed
+# term-for-term (no t-CDF builtin in either engine; downstream converts).
+_E119_ORACLE = """
+WITH tagged AS (
+  SELECT value AS v,
+         ('0x' || substring(md5('drift:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT
+           % 100 < 50 AS in_a
+  FROM events WHERE value IS NOT NULL
+), sa AS (
+  SELECT count(*)::DOUBLE AS n_a, avg(v) AS m_a, var_samp(v) AS s2_a
+  FROM tagged WHERE in_a
+), sb AS (
+  SELECT count(*)::DOUBLE AS n_b, avg(v) AS m_b, var_samp(v) AS s2_b
+  FROM tagged WHERE NOT in_a
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(m_a, 4) AS mean_a, round(m_b, 4) AS mean_b,
+       round((m_a - m_b) / sqrt(s2_a / n_a + s2_b / n_b), 4) AS t,
+       round(pow(s2_a / n_a + s2_b / n_b, 2) /
+             (pow(s2_a / n_a, 2) / (n_a - 1) + pow(s2_b / n_b, 2) / (n_b - 1)),
+             4) AS dof
+FROM sa, sb
+"""
+
+
+@query("e119_welch_t", _E119_ORACLE)
+def e119_welch_t(spark, sf_dir):
+    from pivot_spark.operators.analytics import welch_t_test
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    in_a = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("drift:"), F.col("event_id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(100),
+        )
+        < 50
+    )
+    tagged = ev.select(F.col("value").alias("v"), in_a.alias("in_a"))
+    return welch_t_test(
+        tagged.filter("in_a"), tagged.filter("NOT in_a"), "v"
+    )
+
+
+# --- E120: CUPED variance reduction (Deng et al. 2013): per-user
+# post-period metric adjusted by the pre-period covariate, theta from
+# ONE tiny aggregate broadcast back — the experiment-analysis staple.
+# Period split at a fixed epoch day (data covers 2024-01); replayed
+# with the same integer-day arithmetic and theta algebra.
+_E120_ORACLE = """
+WITH per_user AS (
+  SELECT user_id,
+         avg(CASE WHEN floor(epoch(ts) / 86400) >= 19738 THEN value END) AS y,
+         avg(CASE WHEN floor(epoch(ts) / 86400) <  19738 THEN value END) AS x
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), st AS (
+  SELECT covar_pop(x, y) AS cxy, var_pop(x) AS vx, avg(x) AS mx
+  FROM per_user WHERE x IS NOT NULL AND y IS NOT NULL
+)
+SELECT user_id, round(y, 4) AS y, round(x, 4) AS x,
+       round(CASE WHEN x IS NOT NULL AND y IS NOT NULL
+                  THEN y - (CASE WHEN vx > 0 THEN cxy / vx ELSE 0 END) * (x - mx)
+                  ELSE y END, 4) AS y_adj
+FROM per_user, st
+"""
+
+
+@query("e120_cuped", _E120_ORACLE)
+def e120_cuped(spark, sf_dir):
+    from pivot_spark.operators.analytics import cuped_adjust
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1_000_000) / F.lit(86400))
+    per_user = ev.groupBy("user_id").agg(
+        F.avg(F.when(day >= 19738, F.col("value"))).alias("y"),
+        F.avg(F.when(day < 19738, F.col("value"))).alias("x"),
+    )
+    out = cuped_adjust(per_user, "y", "x")
+    return out.select(
+        "user_id", F.round("y", 4).alias("y"), F.round("x", 4).alias("x"), "y_adj"
+    )

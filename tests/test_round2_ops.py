@@ -460,3 +460,46 @@ def test_redact_cards_luhn(spark):
                   luhn_valid(F.lit("4111111111111112")).alias("b"),
                   luhn_valid(F.lit("")).alias("c")).collect()[0]
     assert (v.a, v.b, v.c) == (True, False, False)
+
+
+# --- A/B analytics -----------------------------------------------------------
+
+
+def test_welch_t_matches_closed_form(spark):
+    import statistics
+
+    from pivot_spark.operators.analytics import welch_t_test
+
+    xs = [1.0, 2.0, 3.0, 4.0, 5.0]
+    ys = [2.0, 4.0, 6.0, 8.0]
+    a = spark.createDataFrame([(v,) for v in xs], "v double")
+    b = spark.createDataFrame([(v,) for v in ys], "v double")
+    r = welch_t_test(a, b, "v").collect()[0]
+    va, vb = statistics.variance(xs) / len(xs), statistics.variance(ys) / len(ys)
+    t = (statistics.mean(xs) - statistics.mean(ys)) / (va + vb) ** 0.5
+    dof = (va + vb) ** 2 / (va**2 / (len(xs) - 1) + vb**2 / (len(ys) - 1))
+    assert (r.n_a, r.n_b) == (5, 4)
+    assert r.t == round(t, 4) and r.dof == round(dof, 4)
+
+
+def test_cuped_reduces_variance_preserves_mean(spark):
+    import random
+
+    from pivot_spark.operators.analytics import cuped_adjust
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(200):
+        x = rng.gauss(10, 2)
+        rows.append((i, x + rng.gauss(0, 0.5), x))  # y strongly correlates with x
+    rows.append((999, 5.0, None))  # null covariate passes through
+    df = spark.createDataFrame(rows, "id long, y double, x double")
+    out = cuped_adjust(df, "y", "x").collect()
+    ys = [r.y for r in out if r.x is not None]
+    adj = [r.y_adj for r in out if r.x is not None]
+    import statistics
+
+    assert abs(statistics.mean(adj) - statistics.mean(ys)) < 1e-6
+    assert statistics.variance(adj) < 0.5 * statistics.variance(ys)
+    null_row = [r for r in out if r.id == 999][0]
+    assert null_row.y_adj == 5.0  # unadjusted passthrough
