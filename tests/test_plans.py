@@ -249,3 +249,57 @@ def test_denormalize_all_broadcast_no_fact_shuffle(spark):
     assert plan.count("BroadcastHashJoin") == 2
     assert "SortMergeJoin" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_classifier_scoring_is_scan_stage(spark, tmp_path):
+    """hashed_linear_score must stay a zero-shuffle projection over a
+    pruned scan — model inference at read bandwidth."""
+    from pivot_spark.operators.classifier import hashed_linear_score
+
+    path = str(tmp_path / "docs_pq")
+    spark.createDataFrame(
+        [(1, "hello world", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    out = hashed_linear_score(df.select("doc_id", "text"), "text")
+    plan = plan_of(out)
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read  # pruned
+
+
+def test_seasonal_anomalies_broadcasts_profile(spark):
+    """The per-(key, phase) profile joins back as a broadcast — the fact
+    side must never sort-merge."""
+    import datetime
+
+    from pivot_spark.operators.analytics import seasonal_anomalies
+
+    df = spark.createDataFrame(
+        [(1, "click", datetime.datetime(2024, 1, 1), 1.0)],
+        "event_id long, event_type string, ts timestamp, value double",
+    )
+    plan = plan_of(seasonal_anomalies(df, "event_type", "ts", "value"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cuped_broadcasts_stats(spark):
+    from pivot_spark.operators.analytics import cuped_adjust
+
+    df = spark.createDataFrame([(1, 2.0, 3.0)], "id long, y double, x double")
+    plan = plan_of(cuped_adjust(df, "y", "x"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_session_window_single_exchange(spark):
+    import datetime
+
+    from pivot_spark.operators.sessionize import session_stats_native
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "user_id long, ts timestamp"
+    )
+    plan = plan_of(session_stats_native(df, "user_id", "ts", "30 minutes"))
+    assert plan.count("Exchange hashpartitioning") == 1
