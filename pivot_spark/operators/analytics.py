@@ -670,3 +670,67 @@ def cuped_adjust(
         x.isNotNull() & y.isNotNull(), y - theta * (x - F.col("__mx"))
     ).otherwise(y)
     return j.select(*df.columns, F.round(adj, 4).alias(out_col))
+
+
+def rfm_segments(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    amount_col: str,
+    n_tiles: int = 5,
+) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary), the
+    classic marketing-analytics cut: per key, days since last activity,
+    activity count, and total spend, each scored 1..``n_tiles`` against
+    exact corpus quantile boundaries (score = 1 + number of boundaries
+    strictly exceeded; recency is scored on the *last-activity day* so
+    more-recent keys get the higher score).
+
+    Scale shape: one per-key hash aggregate (shuffle on key), then ONE
+    single-row aggregate computing max(last_day) and all 3×(n_tiles-1)
+    exact percentile boundaries, broadcast back onto the per-key frame
+    — the fact table is scanned once and the per-key frame is never
+    re-shuffled. Boundary scoring beats a global ``ntile`` window (a
+    single-partition sort at scale); exact ``F.percentile`` keeps the
+    cut points engine-portable (== DuckDB ``quantile_cont``); swap
+    ``percentile_approx`` for bounded-state boundaries on huge key
+    populations. Output: (key, recency_days, frequency, monetary,
+    r_score, f_score, m_score, rfm)."""
+    probs = [i / n_tiles for i in range(1, n_tiles)]
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000) / F.lit(86400)
+    )
+    per = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col(amount_col).cast("double")).alias("__mon"),
+        F.max(day).alias("__last_d"),
+    )
+    st = per.agg(
+        F.max("__last_d").alias("__mx"),
+        F.percentile(F.col("__last_d").cast("double"), probs).alias("__ql"),
+        F.percentile(F.col("frequency").cast("double"), probs).alias("__qf"),
+        F.percentile(F.col("__mon"), probs).alias("__qm"),
+    )
+
+    def score(col, qcol):
+        s = F.lit(1)
+        for i in range(1, n_tiles):
+            s = s + F.when(col > F.element_at(F.col(qcol), i), 1).otherwise(0)
+        return s.cast("int")
+
+    j = per.crossJoin(F.broadcast(st))
+    r = score(F.col("__last_d").cast("double"), "__ql")
+    f = score(F.col("frequency").cast("double"), "__qf")
+    m = score(F.col("__mon"), "__qm")
+    return j.select(
+        F.col("key").alias(key_col),
+        (F.col("__mx") - F.col("__last_d")).cast("long").alias("recency_days"),
+        "frequency",
+        F.round("__mon", 4).alias("monetary"),
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+        F.concat(
+            r.cast("string"), f.cast("string"), m.cast("string")
+        ).alias("rfm"),
+    )

@@ -184,3 +184,96 @@ def ewma(
         F.col("__z.v").alias("value"),
         F.col("__z.s").alias(out_col),
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 4.0,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per key (Page 1954): the
+    classic sequential mean-shift alarm. Values are standardized against
+    the key's own mean/stddev, then the one-sided statistics
+
+        s+_i = max(0, s+_{i-1} + z_i - k)
+        s-_i = max(0, s-_{i-1} - z_i - k)
+
+    accumulate drift above/below the mean; ``alarm`` fires while either
+    exceeds ``h``. ``k`` is the slack (in sigmas) and ``h`` the decision
+    threshold.
+
+    Like ``ewma`` the recurrence is inherently sequential per key, so it
+    runs as an ordered ``F.aggregate`` fold over the key's collected
+    event array — ONE shuffle (the groupBy), with the per-key mean/std
+    computed from the same array (pure scan-stage expressions, no second
+    aggregate). Zero-variance keys emit z = 0 everywhere. State is one
+    key's events; power-key skew is the documented bound shared by every
+    per-key sequence operator here. Output: (keys..., seq, value,
+    s_pos, s_neg, alarm)."""
+    if not k >= 0.0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    keys = list(key_cols)
+    t = F.col(ts_col)
+    base = df.filter(t.isNotNull() & F.col(value_col).isNotNull())
+    ev = F.struct(
+        t.alias("__t"),
+        *[F.col(c).alias(f"__o{i}") for i, c in enumerate(order_cols)],
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    agg = base.groupBy(*keys).agg(F.collect_list(ev).alias("__arr"))
+    vals = F.transform(F.array_sort(F.col("__arr")), lambda s: s["__v"])
+    agg = agg.select(*keys, vals.alias("__vs"))
+    n = F.size(F.col("__vs")).cast("double")
+    mu = F.aggregate(F.col("__vs"), F.lit(0.0), lambda a, x: a + x) / n
+    var = (
+        F.aggregate(F.col("__vs"), F.lit(0.0), lambda a, x: a + x * x) / n
+        - mu * mu
+    )
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    agg = agg.select(*keys, "__vs", mu.alias("__mu"), sd.alias("__sd"))
+    z = F.transform(
+        F.col("__vs"),
+        lambda x: F.when(
+            F.col("__sd") > 0, (x - F.col("__mu")) / F.col("__sd")
+        ).otherwise(F.lit(0.0)),
+    )
+    # fold carries array<struct<p,m>> of the running (s+, s-) pair
+    folded = F.aggregate(
+        F.col("__zs"),
+        F.array().cast("array<struct<p:double,m:double>>"),
+        lambda acc, zz: F.array_append(
+            acc,
+            F.struct(
+                F.greatest(
+                    F.lit(0.0),
+                    F.coalesce(F.try_element_at(acc, F.lit(-1))["p"], F.lit(0.0))
+                    + zz
+                    - F.lit(k),
+                ).alias("p"),
+                F.greatest(
+                    F.lit(0.0),
+                    F.coalesce(F.try_element_at(acc, F.lit(-1))["m"], F.lit(0.0))
+                    - zz
+                    - F.lit(k),
+                ).alias("m"),
+            ),
+        ),
+    )
+    agg = agg.select(*keys, "__vs", z.alias("__zs")).select(
+        *keys, "__vs", folded.alias("__ss")
+    )
+    pos = F.posexplode(
+        F.arrays_zip(F.col("__vs").alias("v"), F.col("__ss").alias("s"))
+    )
+    return agg.select(*keys, pos.alias("__i", "__z")).select(
+        *keys,
+        (F.col("__i") + 1).cast("int").alias("seq"),
+        F.col("__z.v").alias("value"),
+        F.col("__z.s.p").alias("s_pos"),
+        F.col("__z.s.m").alias("s_neg"),
+        ((F.col("__z.s.p") > h) | (F.col("__z.s.m") > h)).alias("alarm"),
+    )

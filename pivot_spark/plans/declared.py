@@ -5465,3 +5465,99 @@ def e120_cuped(spark, sf_dir):
     return out.select(
         "user_id", F.round("y", 4).alias("y"), F.round("x", 4).alias("x"), "y_adj"
     )
+
+
+# --- E121: RFM segmentation over orders — per-customer recency /
+# frequency / monetary scored 1-5 against exact corpus quantile
+# boundaries from ONE broadcast single-row aggregate (no global ntile
+# sort). Replayed with quantile_cont and the same strictly-greater
+# boundary rule.
+_E121_ORACLE = """
+WITH per AS (
+  SELECT o_custkey AS custkey, count(*) AS frequency,
+         sum(o_totalprice) AS mon,
+         max(floor(epoch(o_orderdate) / 86400)) AS last_d
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT max(last_d) AS mx,
+         quantile_cont(last_d::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS ql,
+         quantile_cont(frequency::DOUBLE, [0.2, 0.4, 0.6, 0.8]) AS qf,
+         quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS qm
+  FROM per
+), sc AS (
+  SELECT custkey, CAST(mx - last_d AS BIGINT) AS recency_days, frequency,
+         round(mon, 4) AS monetary,
+         CAST(1 + (last_d::DOUBLE > ql[1])::INT + (last_d::DOUBLE > ql[2])::INT
+                + (last_d::DOUBLE > ql[3])::INT + (last_d::DOUBLE > ql[4])::INT
+              AS INTEGER) AS r_score,
+         CAST(1 + (frequency::DOUBLE > qf[1])::INT + (frequency::DOUBLE > qf[2])::INT
+                + (frequency::DOUBLE > qf[3])::INT + (frequency::DOUBLE > qf[4])::INT
+              AS INTEGER) AS f_score,
+         CAST(1 + (mon > qm[1])::INT + (mon > qm[2])::INT
+                + (mon > qm[3])::INT + (mon > qm[4])::INT
+              AS INTEGER) AS m_score
+  FROM per, st
+)
+SELECT custkey, recency_days, frequency, monetary, r_score, f_score, m_score,
+       CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) ||
+         CAST(m_score AS VARCHAR) AS rfm
+FROM sc
+"""
+
+
+@query("e121_rfm", _E121_ORACLE)
+def e121_rfm(spark, sf_dir):
+    from pivot_spark.operators.analytics import rfm_segments
+
+    o = _read(spark, sf_dir, "orders")
+    out = rfm_segments(o, "o_custkey", "o_orderdate", "o_totalprice", n_tiles=5)
+    return out.withColumnRenamed("o_custkey", "custkey")
+
+
+# --- E122: two-sided CUSUM change-point detection (Page 1954) per user
+# — a sequential recurrence on its own output, run as the e111 ordered
+# array fold; per-key mean/std come from the same collected array (one
+# shuffle total). Oracle: per-key stats CTE + recursive-CTE replay in
+# the same fold order.
+_E122_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, value::DOUBLE AS v,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+), st AS (
+  SELECT user_id, avg(v) AS mu, stddev_pop(v) AS sd FROM ev GROUP BY 1
+), z AS (
+  SELECT e.user_id, e.rn, e.v,
+         CASE WHEN s.sd > 0 THEN (e.v - s.mu) / s.sd ELSE 0.0 END AS z
+  FROM ev e JOIN st s USING (user_id)
+), w AS (
+  SELECT user_id, rn, v,
+         greatest(0.0, z - 0.5) AS sp, greatest(0.0, -z - 0.5) AS sm
+  FROM z WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.rn, e.v,
+         greatest(0.0, w.sp + e.z - 0.5), greatest(0.0, w.sm - e.z - 0.5)
+  FROM z e JOIN w ON e.user_id = w.user_id AND e.rn = w.rn + 1
+)
+SELECT user_id, CAST(rn AS INTEGER) AS seq, v AS value,
+       round(sp, 4) AS s_pos, round(sm, 4) AS s_neg,
+       (sp > 4.0 OR sm > 4.0) AS alarm
+FROM w
+"""
+
+
+@query("e122_cusum", _E122_ORACLE)
+def e122_cusum(spark, sf_dir):
+    from pivot_spark.operators.rolling import cusum_changepoints
+
+    ev = _read(spark, sf_dir, "events")
+    out = cusum_changepoints(
+        ev, ["user_id"], "ts", "value", k=0.5, h=4.0, order_cols=["event_id"]
+    )
+    return out.select(
+        "user_id", "seq", "value",
+        F.round("s_pos", 4).alias("s_pos"),
+        F.round("s_neg", 4).alias("s_neg"),
+        "alarm",
+    )

@@ -503,3 +503,75 @@ def test_cuped_reduces_variance_preserves_mean(spark):
     assert statistics.variance(adj) < 0.5 * statistics.variance(ys)
     null_row = [r for r in out if r.id == 999][0]
     assert null_row.y_adj == 5.0  # unadjusted passthrough
+
+
+# --- cusum -------------------------------------------------------------------
+
+
+def test_cusum_matches_reference_recurrence(spark):
+    t0 = 1_700_000_000
+    # mean shift at index 5: CUSUM s+ should climb after it
+    xs = [0.0, 1.0, -1.0, 0.5, -0.5, 10.0, 11.0, 9.0, 10.5, 10.0]
+    rows = [(1, t0 + i, i, x) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "k long, sec long, eid long, value double").select(
+        "k", F.timestamp_seconds("sec").alias("ts"), "eid", "value"
+    )
+    from pivot_spark.operators.rolling import cusum_changepoints
+
+    k, h = 0.5, 2.0
+    out = cusum_changepoints(df, ["k"], "ts", "value", k=k, h=h, order_cols=["eid"])
+    got = {r.seq: (r.s_pos, r.s_neg, r.alarm) for r in out.collect()}
+
+    mu = sum(xs) / len(xs)
+    var = sum(x * x for x in xs) / len(xs) - mu * mu
+    sd = var ** 0.5
+    sp = sm = 0.0
+    for i, x in enumerate(xs):
+        z = (x - mu) / sd
+        sp = max(0.0, sp + z - k)
+        sm = max(0.0, sm - z - k)
+        assert got[i + 1][0] == pytest.approx(sp, abs=1e-9)
+        assert got[i + 1][1] == pytest.approx(sm, abs=1e-9)
+        assert got[i + 1][2] == (sp > h or sm > h)
+    # the post-shift plateau must eventually alarm on the high side
+    assert any(v[2] for v in got.values())
+
+
+def test_cusum_zero_variance_and_validation(spark):
+    df = spark.createDataFrame(
+        [(1, 1_700_000_000 + i, i, 5.0) for i in range(4)],
+        "k long, sec long, eid long, value double",
+    ).select("k", F.timestamp_seconds("sec").alias("ts"), "eid", "value")
+    from pivot_spark.operators.rolling import cusum_changepoints
+
+    out = cusum_changepoints(df, ["k"], "ts", "value").collect()
+    assert all(r.s_pos == 0.0 and r.s_neg == 0.0 and not r.alarm for r in out)
+    with pytest.raises(ValueError):
+        cusum_changepoints(df, ["k"], "ts", "value", k=-1.0)
+
+
+# --- rfm ---------------------------------------------------------------------
+
+
+def test_rfm_scores_and_boundaries(spark):
+    day = 86400
+    # 5 customers with strictly increasing frequency / monetary / recency
+    rows = []
+    for c in range(5):
+        for j in range(c + 1):  # frequency 1..5
+            rows.append((c, (1000 + c) * day, 100.0 * (c + 1)))
+    df = spark.createDataFrame(rows, "cust long, sec long, amt double").select(
+        "cust", F.timestamp_seconds("sec").alias("ts"), "amt"
+    )
+    from pivot_spark.operators.analytics import rfm_segments
+
+    out = {r.cust: r for r in rfm_segments(df, "cust", "ts", "amt").collect()}
+    assert len(out) == 5
+    # strictly increasing metrics -> scores are the 1..5 ranks on each axis
+    for c in range(5):
+        r = out[c]
+        assert r.frequency == c + 1
+        assert r.recency_days == 4 - c
+        assert (r.r_score, r.f_score, r.m_score) == (c + 1, c + 1, c + 1)
+        assert r.rfm == f"{c+1}{c+1}{c+1}"
+    assert out[4].monetary == pytest.approx(5 * 500.0)
