@@ -105,3 +105,89 @@ def inverted_index(
         )
         .withColumn("truncated", F.col("df") > F.size("postings"))
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    terms_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT thresholded cosine-similarity self-join over TF-IDF vectors
+    — the *weighted* sibling of the e10 n-gram Jaccard join (AllPairs /
+    Bayardo et al. 2007, WWW). ``terms_col`` is an ``array<string>`` of
+    terms per document (unigrams, bigrams, shingles — caller's choice);
+    weights are tf·ln(N/df), L2-normalized per document, and the output
+    is every unordered pair with cosine >= ``threshold``.
+
+    Plan (exactness-preserving candidate pruning, no all-pairs):
+    1. explode -> per-(doc, term) tf           [shuffle on (doc, term)]
+    2. per-term df, idf = ln(N/df); weights joined back, normalized by
+       the per-doc L2 norm                     [two term/doc-keyed aggs]
+    3. PREFIX FILTER: order each doc's terms by (df DESC, term) — most
+       frequent first, so the *rare* discriminative terms land in the
+       prefix — and keep the shortest prefix whose remaining suffix has
+       L2 mass < threshold/2. By Cauchy–Schwarz, two docs sharing no
+       prefix-prefix term have cos < 2·(threshold/2) = threshold, so
+       candidates = the prefix-postings equi-join only. A stop-word
+       term (df ~ N) has idf ~ 0 AND sorts first, so it never generates
+       candidates — the hot-key join problem removes itself.
+    4. exact verify: candidate pairs re-join both docs' full weight
+       vectors on term and sum the products  [pair-keyed agg, bounded
+       by candidate count x terms-per-doc]
+
+    Scale: candidate volume is sum(df'^2) over *prefix* postings —
+    controlled by the threshold, never n^2; every stage is a hash
+    aggregate or equi-join. Output: (id_a, id_b, cosine) with
+    id_a < id_b."""
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    n_docs = df.select(id_col).distinct().count()
+    pairs = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.col(terms_col)).alias("term")
+    )
+    tf = pairs.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = tf.join(dfreq, "term").select(
+        "doc",
+        "term",
+        "df",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+    )
+    norm = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    wn = (
+        w.join(norm, "doc")
+        .filter(F.col("nrm") > 0)
+        .select("doc", "term", "df", (F.col("w") / F.col("nrm")).alias("wn"))
+    )
+    wn = wn.persist()
+    # suffix L2 mass in (df DESC, term) order; prefix = rows where the
+    # mass from this term onward is still >= (threshold/2)^2
+    win = Window.partitionBy("doc").orderBy(
+        F.col("df").desc(), F.col("term")
+    ).rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tail = F.sum(F.col("wn") * F.col("wn")).over(win)
+    prefix = wn.withColumn("__tail", tail).filter(
+        F.col("__tail") >= F.lit((threshold / 2.0) ** 2)
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "term")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+        .distinct()
+    )
+    dots = (
+        cand.join(wn.alias("wa"), cand["da"] == F.col("wa.doc"))
+        .join(
+            wn.alias("wb"),
+            (F.col("wb.doc") == cand["db"]) & (F.col("wa.term") == F.col("wb.term")),
+        )
+        .groupBy("da", "db")
+        .agg(F.sum(F.col("wa.wn") * F.col("wb.wn")).alias("cosine"))
+    )
+    return dots.filter(F.col("cosine") >= threshold).select(
+        F.col("da").alias("id_a"), F.col("db").alias("id_b"), "cosine"
+    )

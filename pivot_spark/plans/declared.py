@@ -5561,3 +5561,104 @@ def e122_cusum(spark, sf_dir):
         F.round("s_neg", 4).alias("s_neg"),
         "alarm",
     )
+
+
+# --- E123: EXACT thresholded cosine self-join over bigram TF-IDF
+# vectors (AllPairs, Bayardo et al. 2007) — the weighted sibling of the
+# e10 Jaccard join; candidates come from an L2 prefix filter (suffix
+# mass < t/2 in global df-DESC term order), verified by a full dot
+# product. Oracle: the naive all-pairs replay of the same tf/idf/
+# normalize arithmetic (the filter is exactness-preserving).
+_E123_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, t.g
+  FROM toks,
+       LATERAL unnest(list_transform(range(1, len(w)),
+                                     i -> array_to_string(w[i:i+1], ' '))) AS t(g)
+), tf AS (
+  SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2
+), dfq AS (
+  SELECT g, count(*) AS df FROM tf GROUP BY 1
+), w AS (
+  SELECT tf.doc_id, tf.g,
+         tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfq.df) AS w
+  FROM tf JOIN dfq USING (g)
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+), wn AS (
+  SELECT w.doc_id, w.g, w.w / nrm.nrm AS wn
+  FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(sum(a.wn * b.wn), 4) AS cosine
+FROM wn a JOIN wn b ON a.g = b.g AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING sum(a.wn * b.wn) >= 0.35
+"""
+
+
+@query("e123_tfidf_cosine_join", _E123_ORACLE)
+def e123_tfidf_cosine_join(spark, sf_dir):
+    from pivot_spark.operators.tfidf import tfidf_cosine_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    n = F.size(w)
+    grams = F.zip_with(
+        F.slice(w, 1, n - 1),
+        F.slice(w, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    docs = d.select("doc_id", grams.alias("grams"))
+    out = tfidf_cosine_pairs(docs, "doc_id", "grams", threshold=0.35)
+    return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+# --- E124: document-level PMI / NPMI co-occurrence (Church & Hanks
+# 1990) — collocation mining over per-doc DISTINCT terms; pair fan-out
+# is vocab-bounded per doc (the e102 basket shape), never corpus-
+# quadratic. Oracle: the same joins replayed.
+_E124_ORACLE = r"""
+WITH dt AS (
+  SELECT DISTINCT doc_id, t.term
+  FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> w <> '')) AS t(term)
+), marg AS (
+  SELECT term, count(*) AS n FROM dt GROUP BY 1
+), nd AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING count(*) >= 50
+)
+SELECT term_a, term_b, n_ab, ma.n AS n_a, mb.n AS n_b,
+       round(ln(n_ab * nd.n_docs / (ma.n * mb.n)), 4) AS pmi,
+       round(CASE WHEN n_ab = nd.n_docs THEN 1.0
+                  ELSE ln(n_ab * nd.n_docs / (ma.n * mb.n))
+                       / -ln(n_ab / nd.n_docs) END, 4) AS npmi
+FROM pairs
+JOIN marg ma ON pairs.term_a = ma.term
+JOIN marg mb ON pairs.term_b = mb.term
+CROSS JOIN nd
+"""
+
+
+@query("e124_pmi_cooccurrence", _E124_ORACLE)
+def e124_pmi_cooccurrence(spark, sf_dir):
+    from pivot_spark.operators.cooccur import pmi_pairs
+
+    d = _read(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
+    docs = d.select("doc_id", toks.alias("toks"))
+    out = pmi_pairs(docs, "doc_id", "toks", min_pair_count=50)
+    return out.select(
+        "term_a", "term_b", "n_ab", "n_a", "n_b",
+        F.round("pmi", 4).alias("pmi"),
+        F.round("npmi", 4).alias("npmi"),
+    )
