@@ -193,3 +193,48 @@ def winnow_fingerprints(
         lambda i: F.array_min(F.slice(grams, i + 1, window)),
     )
     return F.array_sort(F.array_distinct(mins))
+
+
+def syllable_count(text: Column) -> Column:
+    """Corpus-scale syllable heuristic: per whitespace token, the number
+    of vowel groups (``[aeiouy]+`` runs, lowercase input assumed),
+    floored at 1 — no silent-e modeling (declared: a deterministic,
+    engine-portable proxy, the standard readability-pipeline shortcut).
+    Pure scan-stage array arithmetic."""
+    per_word = F.transform(
+        tokens(text),
+        lambda w: F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), 0))
+        ),
+    )
+    return F.aggregate(per_word, F.lit(0), lambda a, x: a + x)
+
+
+def sentence_count(text: Column) -> Column:
+    """Number of terminal-punctuation runs (``[.!?]+``), floored at 1 so
+    punctuation-free text counts as a single run-on sentence."""
+    return F.greatest(F.lit(1), F.regexp_count(text, F.lit(r"[.!?]+")))
+
+
+def flesch_reading_ease(text: Column) -> Column:
+    """Flesch reading ease (Flesch 1948): 206.835 - 1.015*(W/S) -
+    84.6*(Syl/W) over the syllable/sentence heuristics above. NULL for
+    wordless text."""
+    w = token_count(text).cast("double")
+    s = sentence_count(text).cast("double")
+    syl = syllable_count(text).cast("double")
+    return F.when(
+        w > 0,
+        F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (syl / w),
+    )
+
+
+def fk_grade(text: Column) -> Column:
+    """Flesch–Kincaid grade level (Kincaid 1975): 0.39*(W/S) +
+    11.8*(Syl/W) - 15.59. NULL for wordless text."""
+    w = token_count(text).cast("double")
+    s = sentence_count(text).cast("double")
+    syl = syllable_count(text).cast("double")
+    return F.when(
+        w > 0, F.lit(0.39) * (w / s) + F.lit(11.8) * (syl / w) - F.lit(15.59)
+    )

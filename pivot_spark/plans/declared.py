@@ -5662,3 +5662,131 @@ def e124_pmi_cooccurrence(spark, sf_dir):
         F.round("pmi", 4).alias("pmi"),
         F.round("npmi", 4).alias("npmi"),
     )
+
+
+# --- E125: Flesch reading ease + Flesch–Kincaid grade over
+# deterministically sentence-augmented text (a period spliced after
+# every 7th token — the corpus has no punctuation) — scan-stage
+# token/sentence/vowel-group arithmetic, zero shuffles. Replayed
+# term-for-term (Java regex and RE2 agree on the splice pattern;
+# only the replacement backref syntax differs).
+_E125_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         regexp_replace(lower(text), '((?:\S+ ){6}\S+) ', '\1. ', 'g') AS t
+  FROM documents
+), f AS (
+  SELECT doc_id, t,
+         list_filter(string_split_regex(t, '\s+'), w -> w <> '') AS ws,
+         greatest(1, len(regexp_extract_all(t, '[.!?]+'))) AS s
+  FROM aug
+), g AS (
+  SELECT doc_id, len(ws) AS w, s,
+         list_sum(list_transform(ws,
+           x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))) AS syl
+  FROM f
+)
+SELECT doc_id, CAST(w AS INTEGER) AS n_words, CAST(s AS INTEGER) AS n_sentences,
+       CAST(syl AS INTEGER) AS n_syllables,
+       round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                     - 84.6 * (syl / CAST(w AS DOUBLE)), 4) AS flesch,
+       round(0.39 * (w / CAST(s AS DOUBLE))
+             + 11.8 * (syl / CAST(w AS DOUBLE)) - 15.59, 4) AS fk_grade
+FROM g
+"""
+
+
+@query("e125_readability", _E125_ORACLE)
+def e125_readability(spark, sf_dir):
+    from pivot_spark.functions.text import (
+        fk_grade,
+        flesch_reading_ease,
+        sentence_count,
+        syllable_count,
+        token_count,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    aug = F.regexp_replace(
+        F.lower(F.col("text")), r"((?:\S+ ){6}\S+) ", r"$1. "
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    return t.select(
+        "doc_id",
+        token_count(F.col("t")).alias("n_words"),
+        sentence_count(F.col("t")).alias("n_sentences"),
+        syllable_count(F.col("t")).alias("n_syllables"),
+        F.round(flesch_reading_ease(F.col("t")), 4).alias("flesch"),
+        F.round(fk_grade(F.col("t")), 4).alias("fk_grade"),
+    )
+
+
+# --- E126: per-domain corpus composition + blocklist audit (the C4
+# badlist filter's reporting side) over deterministically URL-augmented
+# documents: parse_url host -> registrable-domain heuristic (public-
+# suffix-lite) -> ONE domain-keyed aggregate, total broadcast back.
+# Oracle: host via regexp, same label arithmetic.
+_E126_ORACLE = """
+WITH u AS (
+  SELECT doc_id, lang, n_chars,
+         'https://' ||
+         CASE doc_id % 3 WHEN 0 THEN 'www.' WHEN 1 THEN '' ELSE 'cdn.assets.' END ||
+         source ||
+         CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk'
+                         WHEN 2 THEN '.org' ELSE '.io' END ||
+         '/' || lang || '/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), h AS (
+  SELECT doc_id, lang, n_chars,
+         string_split(lower(regexp_extract(url, '^[a-z]+://([^/]+)', 1)), '.') AS ls
+  FROM u
+), r AS (
+  SELECT doc_id, lang, n_chars,
+         CASE WHEN len(ls) >= 3 AND length(ls[len(ls)]) = 2
+                   AND ls[len(ls) - 1] IN ('co','com','ac','gov','org','net','edu')
+              THEN array_to_string(ls[len(ls) - 2:len(ls)], '.')
+              ELSE array_to_string(ls[greatest(1, len(ls) - 1):len(ls)], '.') END
+           AS domain
+  FROM h
+), per AS (
+  SELECT domain, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         avg(n_chars) AS avg_size
+  FROM r GROUP BY 1
+), tot AS (SELECT sum(n_docs) AS t FROM per)
+SELECT domain, n_docs, n_langs, round(avg_size, 4) AS avg_size,
+       round(n_docs / CAST(t AS DOUBLE), 4) AS share,
+       domain IN ('src0.com', 'src3.org') AS blocked
+FROM per, tot
+"""
+
+
+@query("e126_domain_stats", _E126_ORACLE)
+def e126_domain_stats(spark, sf_dir):
+    from pivot_spark.operators.web import domain_stats
+
+    d = _read(spark, sf_dir, "documents")
+    sub = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www."))
+        .when(F.col("doc_id") % 3 == 1, F.lit(""))
+        .otherwise(F.lit("cdn.assets."))
+    )
+    tld = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(".com"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(".co.uk"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(".org"))
+        .otherwise(F.lit(".io"))
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.col("source"), tld,
+        F.lit("/"), F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+    )
+    docs = d.select("doc_id", "lang", "n_chars", url.alias("url"))
+    out = domain_stats(docs, "url", lang_col="lang", size_col="n_chars")
+    return out.select(
+        "domain",
+        "n_docs",
+        "n_langs",
+        F.round("avg_size", 4).alias("avg_size"),
+        F.round("share", 4).alias("share"),
+        F.col("domain").isin("src0.com", "src3.org").alias("blocked"),
+    )
