@@ -112,38 +112,42 @@ def tfidf_cosine_pairs(
     id_col: str,
     terms_col: str,
     threshold: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """EXACT thresholded cosine-similarity self-join over TF-IDF vectors
-    — the *weighted* sibling of the e10 n-gram Jaccard join (AllPairs /
-    Bayardo et al. 2007, WWW). ``terms_col`` is an ``array<string>`` of
-    terms per document (unigrams, bigrams, shingles — caller's choice);
-    weights are tf·ln(N/df), L2-normalized per document, and the output
-    is every unordered pair with cosine >= ``threshold``.
+    — the *weighted* sibling of the e10 n-gram Jaccard join.
+    ``terms_col`` is an ``array<string>`` of terms per document
+    (unigrams, bigrams, shingles — caller's choice); weights are
+    tf·ln(N/df), L2-normalized per document, and the output is every
+    unordered pair with cosine >= ``threshold``.
 
-    Plan (exactness-preserving candidate pruning, no all-pairs):
+    Default plan — inverted-index sparse dot product:
     1. explode -> per-(doc, term) tf           [shuffle on (doc, term)]
     2. per-term df, idf = ln(N/df); weights joined back, normalized by
        the per-doc L2 norm                     [two term/doc-keyed aggs]
-    3. PREFIX FILTER: order each doc's terms by (df DESC, term) — most
-       frequent first, so the *rare* discriminative terms land in the
-       prefix — and keep the shortest prefix whose remaining suffix has
-       L2 mass < threshold/2. By Cauchy–Schwarz, two docs sharing no
-       prefix-prefix term have cos < 2·(threshold/2) = threshold, so
-       candidates = the prefix-postings equi-join only. A stop-word
-       term (df ~ N) has idf ~ 0 AND sorts first, so it never generates
-       candidates — the hot-key join problem removes itself.
-    4. exact verify: candidate pairs re-join both docs' full weight
-       vectors on term and sum the products  [pair-keyed agg, bounded
-       by candidate count x terms-per-doc]
+    3. postings self-join on term, doc_a < doc_b, summing w_a·w_b per
+       pair in ONE pair-keyed aggregate        [shuffle on (a, b)]
+    Exact by construction; join volume is sum(df^2) over terms — the
+    sparse-matrix-product bound, Zipf-shaped by the term granularity
+    (use shingles, not unigrams, to keep df small; measured 90s->2s at
+    sf0.1 moving bigrams->trigrams on a uniform-weight corpus). Hot
+    stop-terms cost join rows but contribute ~0 weight (idf->0); at
+    true corpus scale cap them out-of-band or start from MinHash/LSH
+    (e03/e12) and use this as the exact verifier.
 
-    Scale: candidate volume is sum(df'^2) over *prefix* postings —
-    controlled by the threshold, never n^2; every stage is a hash
-    aggregate or equi-join. Output: (id_a, id_b, cosine) with
-    id_a < id_b."""
+    ``prefix_filter=True`` adds the AllPairs/Bayardo (WWW 2007)
+    candidate pruning for *skewed-weight* corpora at high thresholds:
+    order each doc's terms by (df DESC, term) and index only the
+    shortest prefix whose remaining suffix has L2 mass < threshold/2 —
+    by Cauchy-Schwarz two docs sharing no prefix-prefix term have
+    cos < threshold, so the pair shuffle shrinks to prefix postings,
+    then candidates are verified with a full dot product. On
+    near-uniform weights the prefix is ~everything and the extra
+    verify join only adds cost (measured: keep it off there).
+
+    Output: (id_a, id_b, cosine) with id_a < id_b."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    from pyspark.sql import Window
-
     n_docs = df.select(id_col).distinct().count()
     pairs = df.select(
         F.col(id_col).alias("doc"), F.explode(F.col(terms_col)).alias("term")
@@ -162,6 +166,24 @@ def tfidf_cosine_pairs(
         .filter(F.col("nrm") > 0)
         .select("doc", "term", "df", (F.col("w") / F.col("nrm")).alias("wn"))
     )
+    if not prefix_filter:
+        # persist: the self-join reads wn twice, and everything upstream
+        # (the higher-order tokenize chain, two aggregates, two joins)
+        # would otherwise run once per side (measured 1.5x query cost)
+        wn = wn.persist()
+        dots = (
+            wn.alias("a")
+            .join(wn.alias("b"), "term")
+            .filter(F.col("a.doc") < F.col("b.doc"))
+            .groupBy(F.col("a.doc").alias("da"), F.col("b.doc").alias("db"))
+            .agg(F.sum(F.col("a.wn") * F.col("b.wn")).alias("cosine"))
+        )
+        return dots.filter(F.col("cosine") >= threshold).select(
+            F.col("da").alias("id_a"), F.col("db").alias("id_b"), "cosine"
+        )
+
+    from pyspark.sql import Window
+
     wn = wn.persist()
     # suffix L2 mass in (df DESC, term) order; prefix = rows where the
     # mass from this term onward is still >= (threshold/2)^2

@@ -5563,35 +5563,40 @@ def e122_cusum(spark, sf_dir):
     )
 
 
-# --- E123: EXACT thresholded cosine self-join over bigram TF-IDF
-# vectors (AllPairs, Bayardo et al. 2007) — the weighted sibling of the
-# e10 Jaccard join; candidates come from an L2 prefix filter (suffix
-# mass < t/2 in global df-DESC term order), verified by a full dot
-# product. Oracle: the naive all-pairs replay of the same tf/idf/
-# normalize arithmetic (the filter is exactness-preserving).
+# --- E123: EXACT thresholded cosine self-join over 3-gram TF-IDF
+# vectors — the *weighted* sibling of the e10 Jaccard join: shingle
+# sets (Arrow-batched, the e03/e10 corpus-scale tokenizer) weighted by
+# idf, L2-normalized, and multiplied via the inverted-index sparse dot
+# product (ONE pair-keyed aggregate; join volume = sum(df^2), bounded
+# by shingle granularity — bigram terms on this uniform-weight corpus
+# measured 90s at sf0.1, trigrams ~4s). The operator's AllPairs prefix
+# filter stays off here: near-uniform weights defeat weight-based
+# pruning (measured). Oracle: naive all-pairs replay of the same
+# tf/idf/normalize arithmetic.
 _E123_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
   FROM documents
-), grams AS (
+), sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(w) - 2, 1) + 1),
+    i -> array_to_string(w[i:i+2], ' '))) AS grams
+  FROM toks
+), g AS (
   SELECT doc_id, t.g
-  FROM toks,
-       LATERAL unnest(list_transform(range(1, len(w)),
-                                     i -> array_to_string(w[i:i+1], ' '))) AS t(g)
-), tf AS (
-  SELECT doc_id, g, count(*) AS tf FROM grams GROUP BY 1, 2
+  FROM sh, LATERAL unnest(grams) AS t(g)
 ), dfq AS (
-  SELECT g, count(*) AS df FROM tf GROUP BY 1
-), w AS (
-  SELECT tf.doc_id, tf.g,
-         tf.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfq.df) AS w
-  FROM tf JOIN dfq USING (g)
+  SELECT g, count(*) AS df FROM g GROUP BY 1
+), wv AS (
+  SELECT g.doc_id, g.g,
+         ln((SELECT CAST(count(*) AS DOUBLE) FROM documents) / dfq.df) AS w
+  FROM g JOIN dfq USING (g)
 ), nrm AS (
-  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+  SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wv GROUP BY 1
 ), wn AS (
-  SELECT w.doc_id, w.g, w.w / nrm.nrm AS wn
-  FROM w JOIN nrm USING (doc_id) WHERE nrm.nrm > 0
+  SELECT wv.doc_id, wv.g, wv.w / nrm.nrm AS wn
+  FROM wv JOIN nrm USING (doc_id) WHERE nrm.nrm > 0
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        round(sum(a.wn * b.wn), 4) AS cosine
@@ -5603,17 +5608,13 @@ HAVING sum(a.wn * b.wn) >= 0.35
 
 @query("e123_tfidf_cosine_join", _E123_ORACLE)
 def e123_tfidf_cosine_join(spark, sf_dir):
+    from pivot_spark.operators.neardup import word_shingles_pd
     from pivot_spark.operators.tfidf import tfidf_cosine_pairs
 
     d = _read(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda x: x != "")
-    n = F.size(w)
-    grams = F.zip_with(
-        F.slice(w, 1, n - 1),
-        F.slice(w, 2, n - 1),
-        lambda a, b: F.concat(a, F.lit(" "), b),
+    docs = d.select(
+        "doc_id", word_shingles_pd(F.lower(F.col("text")), 3).alias("grams")
     )
-    docs = d.select("doc_id", grams.alias("grams"))
     out = tfidf_cosine_pairs(docs, "doc_id", "grams", threshold=0.35)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
