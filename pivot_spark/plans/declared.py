@@ -5791,3 +5791,99 @@ def e126_domain_stats(spark, sf_dir):
         F.round("share", 4).alias("share"),
         F.col("domain").isin("src0.com", "src3.org").alias("blocked"),
     )
+
+
+# --- E127: maximal duplicated-span extraction — the exact-substring
+# dedup rung (Lee et al. 2021 suffix-array method, re-expressed as
+# stride-1 sliding k-gram windows + corpus counts + per-doc interval
+# merge; unlike e32's fixed chunks this catches unaligned repeats).
+# Oracle: window/lag/cumsum replay of the same merge rule.
+_E127_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+), pw AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+         array_to_string(w[t.i:t.i+4], ' ') AS gram
+  FROM toks, LATERAL unnest(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+), c AS (
+  SELECT gram FROM pw GROUP BY gram HAVING count(*) >= 2
+), dup AS (
+  SELECT pw.doc_id, pw.pos FROM pw JOIN c USING (gram)
+), b AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+              THEN 1 ELSE 0 END AS brk
+  FROM dup
+), s AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM b
+)
+SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end,
+       max(pos) + 4 - min(pos) + 1 AS span_tokens
+FROM s GROUP BY doc_id, sid
+"""
+
+
+@query("e127_duplicated_spans", _E127_ORACLE)
+def e127_duplicated_spans(spark, sf_dir):
+    from pivot_spark.operators.spans import duplicated_spans
+
+    d = _read(spark, sf_dir, "documents")
+    return duplicated_spans(d, "doc_id", "text", k=5)
+
+
+# --- E128: degenerate-loop detection ('the the the' / 'a b a b'):
+# longest period-1 and period-2 token-repeat chains per doc — pure
+# scan-stage array folds, zero shuffles. Oracle: gaps-and-islands
+# window replay (run id = cumsum of non-matches).
+_E128_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+), pos AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS i, w[t.i] AS tok
+  FROM toks, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+), m AS (
+  SELECT doc_id, i,
+         CASE WHEN tok = lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY i)
+              THEN 1 ELSE 0 END AS m1,
+         CASE WHEN tok = lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY i)
+              THEN 1 ELSE 0 END AS m2
+  FROM pos
+), r AS (
+  SELECT doc_id, i, m1, m2,
+         sum(CASE WHEN m1 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS r1,
+         sum(CASE WHEN m2 = 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS r2
+  FROM m
+), a1 AS (
+  SELECT doc_id, max(cnt) AS run FROM (
+    SELECT doc_id, r1, count(*) AS cnt FROM r WHERE m1 = 1 GROUP BY 1, 2
+  ) GROUP BY 1
+), a2 AS (
+  SELECT doc_id, max(cnt) AS run FROM (
+    SELECT doc_id, r2, count(*) AS cnt FROM r WHERE m2 = 1 GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT t.doc_id, CAST(len(t.w) AS INTEGER) AS n_tokens,
+       CAST(coalesce(a1.run, 0) AS INTEGER) AS run_p1,
+       CAST(coalesce(a2.run, 0) AS INTEGER) AS run_p2
+FROM toks t
+LEFT JOIN a1 ON t.doc_id = a1.doc_id
+LEFT JOIN a2 ON t.doc_id = a2.doc_id
+"""
+
+
+@query("e128_repetition_runs", _E128_ORACLE)
+def e128_repetition_runs(spark, sf_dir):
+    from pivot_spark.operators.spans import repetition_runs
+
+    d = _read(spark, sf_dir, "documents")
+    return repetition_runs(d, "doc_id", "text", max_period=2)
