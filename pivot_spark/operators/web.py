@@ -64,7 +64,9 @@ def domain_stats(
         aggs.append(F.count_distinct(F.col(lang_col)).alias("n_langs"))
     if size_col:
         aggs.append(F.avg(F.col(size_col).cast("double")).alias("avg_size"))
-    per = base.groupBy("domain").agg(*aggs)
+    # persist: both the output and the total read `per` — without it the
+    # whole corpus scan + domain aggregate runs twice (plan-pinned)
+    per = base.groupBy("domain").agg(*aggs).persist()
     total = per.agg(F.sum("n_docs").alias("__total"))
     return per.crossJoin(F.broadcast(total)).select(
         *per.columns,

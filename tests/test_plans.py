@@ -303,3 +303,66 @@ def test_session_window_single_exchange(spark):
     )
     plan = plan_of(session_stats_native(df, "user_id", "ts", "30 minutes"))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_repetition_runs_is_scan_stage(spark, tmp_path):
+    """Loop detection must stay a zero-shuffle projection (array folds
+    over a pruned scan)."""
+    from pivot_spark.operators.spans import repetition_runs
+
+    path = str(tmp_path / "docs_rr")
+    spark.createDataFrame(
+        [(1, "a a b", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    plan = plan_of(repetition_runs(df.select("doc_id", "text")))
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read
+
+
+def test_readability_is_scan_stage(spark):
+    from pivot_spark.functions.text import flesch_reading_ease
+
+    df = spark.createDataFrame([(1, "hello world.")], "id long, t string")
+    from pyspark.sql import functions as F
+
+    plan = plan_of(df.select("id", flesch_reading_ease(F.col("t"))))
+    assert "Exchange" not in plan
+
+
+def test_rfm_broadcasts_boundaries(spark):
+    """The quantile-boundary frame must come back as a broadcast — the
+    per-key frame is never globally sorted (no ntile window, no
+    single-partition Exchange)."""
+    import datetime
+
+    from pivot_spark.operators.analytics import rfm_segments
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 5), 10.0)],
+        "cust long, ts timestamp, amt double",
+    )
+    plan = plan_of(rfm_segments(df, "cust", "ts", "amt"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan.replace(
+        "Exchange SinglePartition", "", 1
+    )  # exactly one single-partition exchange: the tiny boundary agg itself
+
+
+def test_domain_stats_reuses_per_domain_frame(spark):
+    """The per-domain aggregate is persisted: the corpus scan + domain
+    agg must run once, with both the output and the broadcast total
+    reading the cached frame (no second scan), and the total coming
+    back as a broadcast (no sort-merge)."""
+    from pivot_spark.operators.web import domain_stats
+
+    df = spark.createDataFrame(
+        [(1, "https://a.example.com/x", "en", 10)],
+        "id long, url string, lang string, n long",
+    )
+    plan = plan_of(domain_stats(df, "url", "lang", "n"))
+    assert plan.count("InMemoryTableScan") >= 2  # output + total reuse
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
