@@ -796,3 +796,80 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def neardup_minhash_incremental(
+    index: DataFrame,
+    delta: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 128,
+    bands: int = 64,
+    shingle_len: int = 3,
+    seed: int = 42,
+    verify_broadcast: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup detection — the daily-ingest path: a new
+    ``delta`` batch is checked against an already-built signature
+    ``index`` (the frame returned by ``minhash_signatures``, persisted
+    by the caller between runs) WITHOUT re-shingling the corpus. Only
+    delta text is hashed; the corpus participates through its compact
+    (id, minhash, shingle-hash) index — at 100 TB that is the
+    difference between scanning 100 TB and scanning the day's batch
+    plus an index ~1% its size.
+
+    Returns ``(pairs, updated_index)``: pairs (id_a, id_b, jaccard)
+    covering delta x index and delta x delta (same banding + exact
+    verify as ``neardup_minhash_lsh``, so results == the full rebuild
+    restricted to pairs touching delta, modulo the ~1e-8 banding miss
+    rate), and the union index for the next increment. ``index`` ids
+    must be disjoint from delta ids (enforce upstream with the e58
+    merge semantics if deltas can replace docs)."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    dsigs = _materialize(
+        minhash_signatures(delta, id_col, text_col, num_hashes, shingle_len, seed)
+    )
+    all_sigs = index.unionByName(dsigs)
+
+    def banded(sigs):
+        band_keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b), *[F.col("__minhash")[b * r + i] for i in range(r)]
+                )
+                for b in range(bands)
+            ]
+        )
+        return sigs.select("__id", F.posexplode(band_keys).alias("__band", "__key"))
+
+    cand = (
+        banded(dsigs)
+        .alias("a")
+        .join(
+            banded(all_sigs).alias("b"),
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__key") == F.col("b.__key"))
+            & (F.col("a.__id") != F.col("b.__id")),
+        )
+        .select(
+            F.least(F.col("a.__id"), F.col("b.__id")).alias("__ida"),
+            F.greatest(F.col("a.__id"), F.col("b.__id")).alias("__idb"),
+        )
+        .dropDuplicates(["__ida", "__idb"])
+    )
+    sets = all_sigs.select("__id", "__shingles")
+    sa = sets.withColumnsRenamed({"__id": "__ida", "__shingles": "__sa"})
+    sb = sets.withColumnsRenamed({"__id": "__idb", "__shingles": "__sb"})
+    if verify_broadcast:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    pairs = cand.join(sa, "__ida").join(sb, "__idb")
+    inter = F.size(F.array_intersect("__sa", "__sb"))
+    union = F.size("__sa") + F.size("__sb") - inter
+    out = pairs.select(
+        F.col("__ida").alias("id_a"),
+        F.col("__idb").alias("id_b"),
+        (inter.cast("double") / union).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    return out, all_sigs

@@ -106,3 +106,42 @@ def cms_estimate(
         joined.groupBy(*probes.columns)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_name))
     )
+
+
+def hll_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    member_col: str,
+    lg_k: int = 14,
+) -> DataFrame:
+    """Pairwise audience overlap between groups via HLL sketches and
+    inclusion–exclusion: |A∩B| ~= |A| + |B| - |A∪B|, with |A∪B| from a
+    lossless sketch union — the standard segment-overlap / reach dedup
+    analysis. One member-distinct sketch aggregate per group (bounded
+    2^lg_k state each), then a group-pair self-join that unions
+    SKETCHES, never member sets — the members are scanned exactly once
+    no matter how many pairs are reported.
+
+    Approximate by construction (HLL relative error ~1.04/sqrt(2^lg_k);
+    intersection error compounds for small overlaps — the documented
+    inclusion-exclusion caveat). Output: (group_a, group_b, n_a, n_b,
+    n_union, n_overlap, jaccard) with group_a < group_b; estimates as
+    BIGINT, overlap floored at 0."""
+    sk = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.hll_sketch_agg(F.col(member_col), F.lit(lg_k)).alias("sk")
+    )
+    a, b = sk.alias("a"), sk.alias("b")
+    j = a.join(b, F.col("a.g") < F.col("b.g"))
+    n_a = F.hll_sketch_estimate(F.col("a.sk"))
+    n_b = F.hll_sketch_estimate(F.col("b.sk"))
+    n_u = F.hll_sketch_estimate(F.hll_union(F.col("a.sk"), F.col("b.sk")))
+    ov = F.greatest(n_a + n_b - n_u, F.lit(0))
+    return j.select(
+        F.col("a.g").alias("group_a"),
+        F.col("b.g").alias("group_b"),
+        n_a.alias("n_a"),
+        n_b.alias("n_b"),
+        n_u.alias("n_union"),
+        ov.alias("n_overlap"),
+        (ov.cast("double") / n_u).alias("jaccard"),
+    )

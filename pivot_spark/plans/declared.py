@@ -5887,3 +5887,61 @@ def e128_repetition_runs(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     return repetition_runs(d, "doc_id", "text", max_period=2)
+
+
+# --- E129: incremental MinHash near-dup — the daily-ingest path: the
+# delta batch (doc_id % 10 = 0) is shingled and checked against the
+# pre-built signature index of the rest of the corpus; corpus text is
+# never re-read. Oracle: brute-force Jaccard restricted to pairs
+# touching the delta (the e03 idiom; banding misses ~1e-8).
+_E129_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND (a.doc_id % 10 = 0 OR b.doc_id % 10 = 0)
+  AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+"""
+
+
+@query("e129_neardup_incremental", _E129_ORACLE)
+def e129_neardup_incremental(spark, sf_dir):
+    from pivot_spark.operators.neardup import (
+        minhash_signatures,
+        neardup_minhash_incremental,
+    )
+
+    d = _read(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    delta = d.filter(F.col("doc_id") % 10 == 0)
+    index = minhash_signatures(corpus, "doc_id", "text")
+    pairs, _new_index = neardup_minhash_incremental(index, delta, "doc_id", "text")
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+# --- E130: HLL audience-overlap matrix (inclusion–exclusion over
+# sketch unions): pairwise shared-user estimates between event types —
+# members scanned ONCE into 2^lg_k-bounded sketches, pairs formed by
+# unioning sketches, never sets. Rows-only (sketch-valued estimates;
+# ±3σ-of-exact and union algebra unit-tested in tests/test_sketch2.py).
+@query("e130_hll_overlap")
+def e130_hll_overlap(spark, sf_dir):
+    from pivot_spark.operators.sketch import hll_overlap_matrix
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    out = hll_overlap_matrix(ev, "event_type", "user_id", lg_k=14)
+    return out.select(
+        "group_a", "group_b", "n_a", "n_b", "n_union", "n_overlap",
+        F.round("jaccard", 4).alias("jaccard"),
+    )
