@@ -76,3 +76,53 @@ def hashed_linear_score(
     return df.withColumn(out_col, score).withColumn(
         "keep", F.coalesce(score >= F.lit(threshold), F.lit(False))
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected calibration error (Guo et al.
+    2017) for a probabilistic classifier — the ML-ops check that a
+    quality-filter score of 0.8 actually means ~80% positives before
+    the score is used as a sampling weight (e83/e37) or keep threshold.
+
+    Scores in [0, 1] are cut into ``n_bins`` equal-width bins (bin i
+    covers [i/n, (i+1)/n); score 1.0 clamps into the last bin); one
+    hash aggregate computes per-bin count, mean score (confidence) and
+    positive rate (accuracy); the corpus total joins back as a
+    broadcast for shares. ECE = sum share*|acc - conf| is emitted on
+    every row (``ece`` — constant column, the scalar summary).
+    Output: (bin, bin_lo, n, share, mean_score, pos_rate, gap, ece)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        b.alias("bin"), s.alias("__s"), y.alias("__y")
+    )
+    per = base.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("__s").alias("mean_score"),
+        F.avg("__y").alias("pos_rate"),
+    ).persist()
+    tot = per.agg(
+        F.sum("n").alias("__tot"),
+        F.sum(
+            F.col("n") * F.abs(F.col("pos_rate") - F.col("mean_score"))
+        ).alias("__werr"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    return j.select(
+        "bin",
+        (F.col("bin").cast("double") / n_bins).alias("bin_lo"),
+        "n",
+        (F.col("n") / F.col("__tot")).alias("share"),
+        "mean_score",
+        "pos_rate",
+        F.abs(F.col("pos_rate") - F.col("mean_score")).alias("gap"),
+        (F.col("__werr") / F.col("__tot")).alias("ece"),
+    )

@@ -437,3 +437,54 @@ def negative_sample_k(
             F.col("__rk").alias("neg_rank"),
         )
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    weight_col: "Column | str",
+    alpha: float = 0.3,
+    budget: "float | None" = None,
+) -> DataFrame:
+    """Temperature-scaled sampling shares (Conneau & Lample 2019 /
+    XLM-R): target share q_s ∝ p_s^alpha where p_s is the stratum's raw
+    corpus share — alpha < 1 flattens the distribution toward the tail
+    (low-resource languages), alpha = 1 is proportional, alpha -> 0 is
+    uniform. With ``budget`` (same additive unit as ``weight_col``) the
+    per-stratum keep rate min(1, q_s*budget/w_s) is emitted for feeding
+    ``stratified_hash_sample``.
+
+    ONE stratum-keyed aggregate (strata ≈ languages/sources, tiny)
+    plus a broadcast total — the corpus is scanned once; the
+    exponentiation/normalization is driver-free scan-stage arithmetic
+    on the aggregate frame. Output: (stratum, weight, share,
+    target_share[, keep_rate])."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    per = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.sum(w.cast("double")).alias("weight")
+    ).persist()
+    tot = per.agg(
+        F.sum("weight").alias("__tot"),
+        F.sum(F.pow(F.col("weight"), F.lit(alpha))).alias("__pow_tot_raw"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    share = F.col("weight") / F.col("__tot")
+    # q_s = w_s^a / sum(w^a)  ==  p_s^a / sum(p^a) (totals cancel)
+    target = F.pow(F.col("weight"), F.lit(alpha)) / F.col("__pow_tot_raw")
+    cols = [
+        F.col("stratum"),
+        F.col("weight"),
+        share.alias("share"),
+        target.alias("target_share"),
+    ]
+    if budget is not None:
+        if budget <= 0:
+            raise ValueError(f"budget must be positive, got {budget}")
+        cols.append(
+            F.least(F.lit(1.0), target * F.lit(float(budget)) / F.col("weight")).alias(
+                "keep_rate"
+            )
+        )
+    return j.select(*cols)

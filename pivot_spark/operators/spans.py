@@ -142,3 +142,64 @@ def repetition_runs(
     for p in range(1, max_period + 1):
         cols.append(longest_run(p).alias(f"run_p{p}"))
     return out.select(id_col, *cols)
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply-side of ``duplicated_spans`` — Lee et al. 2021's actual
+    dedup action: every duplicated k-token window is REMOVED except its
+    first corpus occurrence (ordered by (doc, pos) — deterministic on
+    any engine/partitioning), so exactly one copy of each repeated
+    passage survives. Tokens covered by any non-first duplicate window
+    are cut and the document re-assembled from the survivors.
+
+    Plan: the e127 sliding windows [scan-stage] -> per-gram first-
+    occurrence rank (ONE gram-keyed window — the gram is the shuffle
+    key, so boilerplate fan-out is the duplication itself) -> covered
+    token positions exploded + deduped per doc [doc-keyed agg] ->
+    doc-keyed join back onto the corpus (only docs that lose tokens
+    appear on the build side). Position filtering and re-assembly are
+    pure array expressions; output text is the lowercased,
+    whitespace-normalized token join (declared). Output: (``id_col``,
+    ``text_col`` cleaned, n_tokens, n_removed)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n = F.size(toks)
+    wins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.struct(
+            i.alias("pos"), F.array_join(F.slice(toks, i, k), " ").alias("gram")
+        ),
+    )
+    pw = (
+        df.filter(n >= k)
+        .select(F.col(id_col).alias("__id"), F.explode(wins).alias("w"))
+        .select("__id", F.col("w.pos").alias("pos"), F.col("w.gram").alias("gram"))
+    )
+    w_first = Window.partitionBy("gram").orderBy("__id", "pos")
+    marked = (
+        pw.withColumn("__rn", F.row_number().over(w_first))
+        .filter(F.col("__rn") > 1)
+        .select("__id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p"))
+        .distinct()
+    )
+    rem = marked.groupBy("__id").agg(F.sort_array(F.collect_list("p")).alias("__rem"))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    j = base.join(rem, base[id_col] == rem["__id"], "left")
+    remc = F.coalesce(F.col("__rem"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__t"), lambda x, i: ~F.array_contains(remc, (i + 1).cast("int"))
+    )
+    return j.select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias(text_col),
+        F.size("__t").alias("n_tokens"),
+        F.size(remc).alias("n_removed"),
+    )

@@ -5945,3 +5945,133 @@ def e130_hll_overlap(spark, sf_dir):
         "group_a", "group_b", "n_a", "n_b", "n_union", "n_overlap",
         F.round("jaccard", 4).alias("jaccard"),
     )
+
+
+# --- E131: classifier calibration report (Guo et al. 2017 reliability
+# bins + ECE) over a deterministic sigmoid score on events — ONE bin
+# aggregate + broadcast total; the check that a quality score means
+# what it says before it drives sampling (e83/e37). Replayed
+# bin-for-bin.
+_E131_ORACLE = """
+WITH b AS (
+  SELECT least(CAST(floor((1 / (1 + exp(-(value - 50) / 20.0))) * 10) AS INTEGER), 9)
+           AS bin,
+         1 / (1 + exp(-(value - 50) / 20.0)) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), per AS (
+  SELECT bin, count(*) AS n, avg(s) AS mean_score, avg(y) AS pos_rate
+  FROM b GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS t, sum(n * abs(pos_rate - mean_score)) AS werr FROM per
+)
+SELECT bin, round(bin / 10.0, 4) AS bin_lo, n,
+       round(n / CAST(t AS DOUBLE), 4) AS share,
+       round(mean_score, 4) AS mean_score, round(pos_rate, 4) AS pos_rate,
+       round(abs(pos_rate - mean_score), 4) AS gap,
+       round(werr / t, 4) AS ece
+FROM per, tot
+"""
+
+
+@query("e131_calibration", _E131_ORACLE)
+def e131_calibration(spark, sf_dir):
+    from pivot_spark.operators.classifier import calibration_report
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50) / F.lit(20.0)))).alias("score"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    )
+    out = calibration_report(scored, "score", "label", n_bins=10)
+    return out.select(
+        "bin",
+        F.round("bin_lo", 4).alias("bin_lo"),
+        "n",
+        F.round("share", 4).alias("share"),
+        F.round("mean_score", 4).alias("mean_score"),
+        F.round("pos_rate", 4).alias("pos_rate"),
+        F.round("gap", 4).alias("gap"),
+        F.round("ece", 4).alias("ece"),
+    )
+
+
+# --- E132: temperature-scaled mixture shares (Conneau & Lample 2019):
+# q_s ∝ share_s^alpha flattening toward low-resource strata, keep
+# rates for a char budget — one tiny stratum aggregate + broadcast
+# total. Replayed share-for-share.
+_E132_ORACLE = """
+WITH per AS (
+  SELECT lang AS stratum, sum(CAST(n_chars AS DOUBLE)) AS weight
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT sum(weight) AS t, sum(pow(weight, 0.3)) AS pt FROM per
+)
+SELECT stratum, weight, round(weight / t, 4) AS share,
+       round(pow(weight, 0.3) / pt, 4) AS target_share,
+       round(least(1.0, (pow(weight, 0.3) / pt) * 100000 / weight), 4) AS keep_rate
+FROM per, tot
+"""
+
+
+@query("e132_temperature_mixture", _E132_ORACLE)
+def e132_temperature_mixture(spark, sf_dir):
+    from pivot_spark.operators.sample import temperature_mixture_rates
+
+    d = _read(spark, sf_dir, "documents")
+    out = temperature_mixture_rates(d, "lang", "n_chars", alpha=0.3, budget=100_000)
+    return out.select(
+        "stratum",
+        "weight",
+        F.round("share", 4).alias("share"),
+        F.round("target_share", 4).alias("target_share"),
+        F.round("keep_rate", 4).alias("keep_rate"),
+    )
+
+
+# --- E133: keep-first duplicated-span REMOVAL (the apply side of e127,
+# Lee et al. 2021's dedup action): every duplicated 5-gram window is
+# cut except its first (doc, pos) occurrence; documents re-assembled
+# from surviving tokens. Replayed with the same first-occurrence rank
+# and positional rebuild.
+_E133_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+), pw AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+         array_to_string(w[t.i:t.i+4], ' ') AS gram
+  FROM toks, LATERAL unnest(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+), mk AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM pw
+  ) WHERE rn > 1
+), remp AS (
+  SELECT DISTINCT doc_id, CAST(t.p AS INTEGER) AS p
+  FROM mk, LATERAL unnest(range(pos, pos + 5)) AS t(p)
+), rem AS (
+  SELECT doc_id, list(p ORDER BY p) AS rem FROM remp GROUP BY 1
+)
+SELECT t.doc_id,
+       array_to_string(list_filter(list_transform(range(1, len(t.w) + 1),
+         i -> CASE WHEN NOT coalesce(list_contains(r.rem, i), false)
+                   THEN t.w[i] END),
+         x -> x IS NOT NULL), ' ') AS text,
+       CAST(len(t.w) AS INTEGER) AS n_tokens,
+       CAST(coalesce(len(r.rem), 0) AS INTEGER) AS n_removed
+FROM toks t LEFT JOIN rem r USING (doc_id)
+"""
+
+
+@query("e133_remove_dup_spans", _E133_ORACLE)
+def e133_remove_dup_spans(spark, sf_dir):
+    from pivot_spark.operators.spans import remove_duplicated_spans
+
+    d = _read(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, "doc_id", "text", k=5)
