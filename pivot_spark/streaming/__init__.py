@@ -1,3 +1,4 @@
+from pivot_spark.streaming.anomaly_stream import ewma_anomaly_stream
 from pivot_spark.streaming.dedup_stream import (
     debounce_stream,
     dedup_stream,
@@ -19,6 +20,7 @@ __all__ = [
     "interval_join_stream",
     "session_stream",
     "topk_stream",
+    "ewma_anomaly_stream",
     "start_upsert_sink",
     "read_upsert_state",
 ]
