@@ -1,0 +1,101 @@
+"""Deterministic Poisson bootstrap — uncertainty estimation for massive
+data (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+Streams", Google): the classical bootstrap's resample-n-of-n is
+impossible distributed (it needs global coordination), but giving every
+row an independent Poisson(1) weight per replica is embarrassingly
+parallel and converges to the same distribution. Here the Poisson draw
+is DERANDOMIZED: replica r's weight for a row comes from inverting the
+Poisson(1) CDF at a 48-bit md5 uniform of (salt, r, id) — the exact
+same resample on any engine, any partitioning, any day (the e18/e61
+determinism contract extended to resampling).
+
+Plan shape: ONE single-row hash aggregate carrying 2R+2 sums (per
+replica: sum of weights, sum of weight*value; plus the full-sample sum
+and count) — no explode, no R-fold data duplication; replica means, the
+bootstrap SE and the percentile CI are scan-stage array arithmetic on
+the one-row result. Cost is R md5 evaluations per row inside
+whole-stage codegen; state is 2R+2 doubles.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# P(Poisson(1) <= k) for k = 0..7; weights cap at 8 (P ~ 1e-6 of a draw
+# past the table — the truncation bias is far below bootstrap noise)
+POISSON1_CDF = [
+    math.exp(-1.0) * sum(1.0 / math.factorial(i) for i in range(k + 1))
+    for k in range(8)
+]
+
+
+def _uniform48(col, salt: str):
+    h = F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 12)
+    return (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(16**12))
+
+
+def poisson_weight(id_col, replica: int, salt: str = "boot"):
+    """Deterministic Poisson(1) weight of ``id_col`` in replica
+    ``replica``: count of CDF thresholds at or below the row's 48-bit
+    md5 uniform (inverse-CDF lookup as 8 comparisons)."""
+    u = _uniform48(id_col, f"{salt}:{replica}:")
+    w = F.lit(0)
+    for c in POISSON1_CDF:
+        w = w + (u >= F.lit(c)).cast("int")
+    return w
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicas: int = 30,
+    ci: float = 0.9,
+    salt: str = "boot",
+) -> DataFrame:
+    """Bootstrap mean of ``value_col`` with standard error and
+    percentile confidence interval. Output is ONE row: (estimate —
+    the plain full-sample mean; boot_mean — mean of replica means;
+    se — stddev of replica means, the bootstrap standard error;
+    ci_lo / ci_hi — empirical percentile bounds at (1±ci)/2, indices
+    floor((1-ci)/2 * R)+1 and R minus that, 1-based on the sorted
+    replica means; n — row count; n_replicas)."""
+    if n_replicas < 2:
+        raise ValueError(f"n_replicas must be >= 2, got {n_replicas}")
+    if not 0.0 < ci < 1.0:
+        raise ValueError(f"ci must be in (0, 1), got {ci}")
+    x = F.col(value_col).cast("double")
+    idc = F.col(id_col)
+    base = df.filter(x.isNotNull() & idc.isNotNull())
+    aggs = [F.sum(x).alias("__sx"), F.count(x).alias("__n")]
+    for r in range(n_replicas):
+        w = poisson_weight(idc, r, salt)
+        aggs.append(F.sum(w).alias(f"__w{r}"))
+        aggs.append(F.sum(w * x).alias(f"__wx{r}"))
+    row = base.agg(*aggs)
+    means = F.array(
+        *[
+            F.try_divide(F.col(f"__wx{r}"), F.col(f"__w{r}").cast("double"))
+            for r in range(n_replicas)
+        ]
+    )
+    R = float(n_replicas)
+    m = F.aggregate(means, F.lit(0.0), lambda a, v: a + v) / F.lit(R)
+    var = (
+        F.aggregate(means, F.lit(0.0), lambda a, v: a + v * v) / F.lit(R) - m * m
+    )
+    lo_idx = int(math.floor((1.0 - ci) / 2.0 * n_replicas)) + 1
+    hi_idx = n_replicas - lo_idx + 1
+    srt = F.array_sort(means)
+    return row.select(
+        (F.col("__sx") / F.col("__n")).alias("estimate"),
+        m.alias("boot_mean"),
+        F.sqrt(F.greatest(var, F.lit(0.0))).alias("se"),
+        F.element_at(srt, lo_idx).alias("ci_lo"),
+        F.element_at(srt, hi_idx).alias("ci_hi"),
+        F.col("__n").alias("n"),
+        F.lit(n_replicas).alias("n_replicas"),
+    )

@@ -445,3 +445,57 @@ def column_entropy(
             4,
         ).alias("norm_entropy"),
     )
+
+
+def join_size_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    top: int = 5,
+) -> DataFrame:
+    """Pre-join diagnostics — the optimizer-style equi-join cardinality
+    check run BEFORE committing to a join: exact output size
+    sum_k n_left(k) * n_right(k) from two per-key count aggregates
+    joined on the (far smaller) distinct-key frames, never the join
+    itself. Pairs with ``skew_report`` (e90): ``top_share`` tells you
+    whether one hot key produces half the output (salt it — e47) and
+    ``est_rows`` whether the join explodes (pre-aggregate first).
+
+    Output is ONE row: (est_rows, n_keys_matched, n_keys_left,
+    n_keys_right, top_contrib — output rows from the ``top`` hottest
+    keys, top_share). Cost: two key-keyed aggs + one key-keyed join of
+    key-cardinality-sized frames + a bounded TakeOrdered."""
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    lc = left.filter(F.col(on).isNotNull()).groupBy(on).agg(
+        F.count(F.lit(1)).alias("__nl")
+    )
+    rc = right.filter(F.col(on).isNotNull()).groupBy(on).agg(
+        F.count(F.lit(1)).alias("__nr")
+    )
+    per = lc.join(rc, on).select(
+        F.col(on), (F.col("__nl") * F.col("__nr")).alias("__c")
+    ).persist()
+    tot = per.agg(
+        F.sum("__c").alias("est_rows"), F.count(F.lit(1)).alias("n_keys_matched")
+    )
+    topc = per.orderBy(F.col("__c").desc(), F.col(on)).limit(top).agg(
+        F.sum("__c").alias("top_contrib")
+    )
+    nl = lc.agg(F.count(F.lit(1)).alias("n_keys_left"))
+    nr = rc.agg(F.count(F.lit(1)).alias("n_keys_right"))
+    return (
+        tot.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(topc))
+        .select(
+            "est_rows",
+            "n_keys_matched",
+            "n_keys_left",
+            "n_keys_right",
+            "top_contrib",
+            F.try_divide(
+                F.col("top_contrib").cast("double"), F.col("est_rows")
+            ).alias("top_share"),
+        )
+    )

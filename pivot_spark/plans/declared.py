@@ -6075,3 +6075,96 @@ def e133_remove_dup_spans(spark, sf_dir):
 
     d = _read(spark, sf_dir, "documents")
     return remove_duplicated_spans(d, "doc_id", "text", k=5)
+
+
+# --- E134: deterministic Poisson bootstrap (Chamandy et al. 2012) —
+# the distributed bootstrap: per-replica Poisson(1) weights from
+# md5-uniform inverse-CDF lookups, ALL replicas carried as 2R sums in
+# ONE single-row aggregate (no explode, no data duplication); SE + CI
+# from scan-stage array math. Oracle: full md5/CDF/indexing replay.
+_E134_ORACLE = """
+WITH b AS (
+  SELECT event_id AS id, value::DOUBLE AS x FROM events
+  WHERE value IS NOT NULL AND event_id IS NOT NULL
+), e AS (
+  SELECT t.r AS r, b.x,
+         (CAST('0x' || substring(md5('boot:' || CAST(t.r AS VARCHAR) || ':'
+                || CAST(b.id AS VARCHAR)), 1, 12) AS UBIGINT)::DOUBLE + 0.5)
+           / 281474976710656.0 AS u
+  FROM b, LATERAL unnest(range(0, 30)) AS t(r)
+), f AS (
+  SELECT r, x, (u >= 0.36787944117144233)::INT + (u >= 0.7357588823428847)::INT + (u >= 0.9196986029286058)::INT + (u >= 0.9810118431238462)::INT + (u >= 0.9963401531726562)::INT + (u >= 0.9994058151824182)::INT + (u >= 0.999916758850712)::INT + (u >= 0.9999897508033254)::INT AS wt FROM e
+), g AS (
+  SELECT r, sum(wt) AS w, sum(wt * x) AS wx FROM f GROUP BY r
+), m AS (
+  SELECT list(wx / w ORDER BY r) AS l FROM g
+)
+SELECT round((SELECT sum(x) FROM b) / (SELECT count(*) FROM b), 4) AS estimate,
+       round(list_sum(l) / 30, 4) AS boot_mean,
+       round(sqrt(greatest(list_sum(list_transform(l, v -> v * v)) / 30
+                           - pow(list_sum(l) / 30, 2), 0)), 4) AS se,
+       round(list_sort(l)[2], 4) AS ci_lo,
+       round(list_sort(l)[29], 4) AS ci_hi,
+       (SELECT count(*) FROM b) AS n,
+       30 AS n_replicas
+FROM m
+"""
+
+
+@query("e134_poisson_bootstrap", _E134_ORACLE)
+def e134_poisson_bootstrap(spark, sf_dir):
+    from pivot_spark.operators.bootstrap import poisson_bootstrap_mean
+
+    ev = _read(spark, sf_dir, "events")
+    out = poisson_bootstrap_mean(ev, "event_id", "value", n_replicas=30, ci=0.9)
+    return out.select(
+        F.round("estimate", 4).alias("estimate"),
+        F.round("boot_mean", 4).alias("boot_mean"),
+        F.round("se", 4).alias("se"),
+        F.round("ci_lo", 4).alias("ci_lo"),
+        F.round("ci_hi", 4).alias("ci_hi"),
+        "n",
+        "n_replicas",
+    )
+
+
+# --- E135: equi-join cardinality estimate BEFORE the join (the
+# optimizer-style sanity check): exact sum of n_left*n_right over the
+# per-key count frames — never materializes the join; top-share flags
+# the e47-salting case. Oracle: same per-key algebra.
+_E135_ORACLE = """
+WITH lc AS (
+  SELECT l_orderkey AS k, count(*) AS nl FROM lineitem
+  WHERE l_orderkey IS NOT NULL GROUP BY 1
+), rc AS (
+  SELECT o_orderkey AS k, count(*) AS nr FROM orders
+  WHERE o_orderkey IS NOT NULL GROUP BY 1
+), per AS (
+  SELECT lc.k, nl * nr AS c FROM lc JOIN rc USING (k)
+), tc AS (
+  SELECT sum(c) AS top_contrib FROM (
+    SELECT c FROM per ORDER BY c DESC, k LIMIT 5
+  )
+)
+SELECT (SELECT sum(c) FROM per) AS est_rows,
+       (SELECT count(*) FROM per) AS n_keys_matched,
+       (SELECT count(*) FROM lc) AS n_keys_left,
+       (SELECT count(*) FROM rc) AS n_keys_right,
+       top_contrib,
+       round(top_contrib / CAST((SELECT sum(c) FROM per) AS DOUBLE), 4)
+         AS top_share
+FROM tc
+"""
+
+
+@query("e135_join_size_estimate", _E135_ORACLE)
+def e135_join_size_estimate(spark, sf_dir):
+    from pivot_spark.operators.profile import join_size_estimate
+
+    li = _read(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "k")
+    o = _read(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "k")
+    out = join_size_estimate(li, o, "k", top=5)
+    return out.select(
+        "est_rows", "n_keys_matched", "n_keys_left", "n_keys_right",
+        "top_contrib", F.round("top_share", 4).alias("top_share"),
+    )
