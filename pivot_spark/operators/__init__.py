@@ -25,11 +25,18 @@ from pivot_spark.operators.components import (
 )
 from pivot_spark.operators.dedup import debounce, dedup_against, dedup_exact
 from pivot_spark.operators.neardup import (
+    minhash_signatures,
     neardup_embedding_cosine,
+    neardup_minhash_incremental,
     neardup_minhash_lsh,
     neardup_simhash,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+)
+from pivot_spark.operators.spans import (
+    duplicated_spans,
+    remove_duplicated_spans,
+    repetition_runs,
 )
 from pivot_spark.operators.semdedup import semdedup
 
@@ -61,9 +68,16 @@ from pivot_spark.operators.quality import (
     line_dedup,
 )
 from pivot_spark.operators.bpe import bpe_encode, bpe_learn
-from pivot_spark.operators.classifier import hashed_linear_score
+from pivot_spark.operators.classifier import calibration_report, hashed_linear_score
 from pivot_spark.operators.repetition import repetition_signals
-from pivot_spark.operators.tfidf import tfidf_top_terms
+from pivot_spark.operators.bootstrap import poisson_bootstrap_mean
+from pivot_spark.operators.cooccur import pmi_pairs
+from pivot_spark.operators.tfidf import tfidf_cosine_pairs, tfidf_top_terms
+from pivot_spark.operators.web import (
+    domain_stats,
+    drop_blocklisted,
+    registered_domain,
+)
 
 # --- retrieval
 from pivot_spark.operators.bm25 import bm25_topk, bm25_topk_batch
@@ -83,6 +97,7 @@ from pivot_spark.operators.bucketize import (
     zscore_normalize,
 )
 from pivot_spark.operators.sample import (
+    temperature_mixture_rates,
     group_hash_sample_k,
     hash_sample,
     hash_split,
@@ -100,6 +115,7 @@ from pivot_spark.operators.skew import (
 
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
+    rfm_segments,
     association_rules,
     chi_square,
     cuped_adjust,
@@ -117,6 +133,7 @@ from pivot_spark.operators.analytics import (
 from pivot_spark.operators.attribution import attribute
 from pivot_spark.operators.funnel import funnel
 from pivot_spark.operators.rolling import (
+    cusum_changepoints,
     decayed_aggregates,
     ewma,
     rolling_features,
@@ -134,6 +151,7 @@ from pivot_spark.operators.sessionize import (
 from pivot_spark.operators.heavy import heavy_hitters
 from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
+    join_size_estimate,
     benford_audit,
     column_entropy,
     corr_matrix,
@@ -142,7 +160,7 @@ from pivot_spark.operators.profile import (
     quantiles,
     spearman_matrix,
 )
-from pivot_spark.operators.sketch import cms_build, cms_estimate, cms_merge
+from pivot_spark.operators.sketch import cms_build, cms_estimate, cms_merge, hll_overlap_matrix
 
 # --- decontamination
 from pivot_spark.operators.bloom import (
@@ -176,6 +194,9 @@ __all__ = [
     "connected_components", "pagerank", "triangle_stats", "dedup_clusters", "dedup_clusters_keep_best",
     "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
+    "minhash_signatures", "neardup_minhash_incremental",
+    "duplicated_spans", "remove_duplicated_spans", "repetition_runs",
+    "tfidf_cosine_pairs", "pmi_pairs",
     # similarity / embeddings
     "cosine_topk", "cosine_topk_lsh", "cosine_topk_ivf", "ivf_index",
     "ivf_search", "kmeans", "kmeans_fit", "assign_clusters",
@@ -186,13 +207,14 @@ __all__ = [
     "gopher_rules", "gopher_filter", "c4_line_signals", "line_dedup",
     "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
     "bigram_lm_score", "dsir_logweights", "hashed_linear_score",
-    "bpe_learn", "bpe_encode",
+    "bpe_learn", "bpe_encode", "calibration_report",
+    "domain_stats", "drop_blocklisted", "registered_domain",
     # retrieval
     "bm25_topk", "bm25_topk_batch",
     # sampling / selection
     "select_extreme", "topk_per_group", "topk_per_group_agg", "mode_by_key",
     "hash_split", "hash_sample", "stratified_hash_sample",
-    "mixture_sample", "repeat_upsample", "group_hash_sample_k",
+    "mixture_sample", "temperature_mixture_rates", "repeat_upsample", "group_hash_sample_k",
     "negative_sample_k",
     "weighted_sample_k", "ntile_buckets", "threshold_buckets",
     # joins
@@ -207,12 +229,14 @@ __all__ = [
     "chi_square", "psi_drift", "ks_test", "user_journeys",
     "association_rules",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
-    "ewma", "seasonal_anomalies", "welch_t_test", "cuped_adjust",
+    "ewma", "cusum_changepoints", "seasonal_anomalies", "welch_t_test",
+    "cuped_adjust", "rfm_segments",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",
     "heavy_hitters", "mad_outliers", "winsorized_stats",
-    "cms_build", "cms_estimate", "cms_merge",
+    "cms_build", "cms_estimate", "cms_merge", "hll_overlap_matrix",
+    "poisson_bootstrap_mean", "join_size_estimate",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents
