@@ -18,6 +18,7 @@ from pivot_spark.operators.pivot import (
 from pivot_spark.operators.chunk_dedup import chunk_dup_signals
 from pivot_spark.operators.components import (
     connected_components,
+    label_propagation,
     pagerank,
     triangle_stats,
     dedup_clusters,
@@ -115,6 +116,7 @@ from pivot_spark.operators.skew import (
 
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
+    kaplan_meier,
     rfm_segments,
     association_rules,
     chi_square,
@@ -191,7 +193,7 @@ __all__ = [
     "pivot", "PivotResult", "PivotError", "output_schema", "lineage",
     # dedup
     "dedup_exact", "dedup_against", "debounce", "chunk_dup_signals",
-    "connected_components", "pagerank", "triangle_stats", "dedup_clusters", "dedup_clusters_keep_best",
+    "connected_components", "pagerank", "triangle_stats", "label_propagation", "dedup_clusters", "dedup_clusters_keep_best",
     "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
     "minhash_signatures", "neardup_minhash_incremental",
@@ -230,7 +232,7 @@ __all__ = [
     "association_rules",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     "ewma", "cusum_changepoints", "seasonal_anomalies", "welch_t_test",
-    "cuped_adjust", "rfm_segments",
+    "cuped_adjust", "rfm_segments", "kaplan_meier",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

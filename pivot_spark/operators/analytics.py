@@ -734,3 +734,53 @@ def rfm_segments(
             r.cast("string"), f.cast("string"), m.cast("string")
         ).alias("rfm"),
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimate (Kaplan & Meier
+    1958) — time-to-event analysis with right-censoring: churn/retention
+    curves, time-to-conversion, hardware failure. Input is one row per
+    subject: ``duration_col`` (numeric time observed) and ``event_col``
+    (1/true = the event happened at that time, 0/false = censored —
+    observation ended event-free). Output is one row per distinct
+    event time t with d > 0 plus censoring-only times: (t, n_risk,
+    d, censored, survival) where survival = prod_{t_j <= t}
+    (1 - d_j / n_j).
+
+    Distributed shape: ONE duration-keyed aggregate collapses subjects
+    to (t, d, c) — the frame is distinct-time-sized from here on — then
+    two windows over it: a descending cumulative sum for the risk sets
+    and an ascending sum of ln(1 - d/n) exponentiated back for the
+    product (the log-sum trick keeps the running product associative;
+    d == n at the last time yields ln 0 -> -inf -> survival 0.0,
+    exactly the textbook curve). No subject-level sort or window ever
+    happens."""
+    t = F.col(duration_col).cast("double")
+    ev = F.col(event_col).cast("int")
+    base = df.filter(t.isNotNull() & ev.isNotNull())
+    per = base.groupBy(t.alias("t")).agg(
+        F.sum(ev).alias("d"),
+        F.sum(1 - ev).alias("censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    per = per.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("censored")).over(w_desc)
+    )
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d") / F.col("n_risk")),
+    ).otherwise(F.lit(float("-inf")))
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    surv = F.exp(F.sum(F.when(F.col("d") > 0, term).otherwise(F.lit(0.0))).over(w_asc))
+    return per.select(
+        "t", "n_risk", "d", "censored", surv.alias("survival")
+    )

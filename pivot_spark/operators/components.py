@@ -381,3 +381,55 @@ def pagerank(
             .localCheckpoint(eager=False)
         )
     return r.select("node", F.round("__r", 4).alias("pagerank"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected edge list — community detection one rung above connected
+    components: labels start as node ids, and each round every node
+    adopts the most frequent label among its neighbors (tie -> smallest
+    label; a node with no better information keeps drifting toward the
+    dominant local community). Fixed iteration count keeps the
+    algorithm deterministic and the oracle replayable — exactly the
+    e107 PageRank contract. Output: ``(node, label)``.
+
+    Distributed shape per round: one join of the edge frame against the
+    node-sized label frame + one (node, label)-keyed count aggregate +
+    one node-keyed struct arg-max (the e94 mode idiom — hot labels
+    collapse map-side, ties resolve to the smallest label without a
+    sort). Lineage truncated per round with ``localCheckpoint``.
+    Numeric node ids required (the tie-break negates the label inside
+    the arg-max struct)."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    e = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        nbr = e.join(
+            labels.withColumnsRenamed({"node": "b", "label": "__nl"}), "b"
+        ).select(F.col("a").alias("node"), F.col("__nl").alias("label"))
+        counted = nbr.groupBy("node", "label").agg(F.count(F.lit(1)).alias("__c"))
+        picked = counted.groupBy("node").agg(
+            F.max(F.struct(F.col("__c"), (-F.col("label")).alias("__neg"))).alias(
+                "__best"
+            )
+        )
+        labels = picked.select(
+            "node", (-F.col("__best.__neg")).alias("label")
+        ).localCheckpoint(eager=True)
+    return labels

@@ -6168,3 +6168,126 @@ def e135_join_size_estimate(spark, sf_dir):
         "est_rows", "n_keys_matched", "n_keys_left", "n_keys_right",
         "top_contrib", F.round("top_share", 4).alias("top_share"),
     )
+
+
+# --- E136: label-propagation communities (Raghavan et al. 2007) over
+# the near-dup graph — the community rung above e31's components; 3
+# synchronous rounds, tie -> smallest label (deterministic, the e107
+# fixed-iteration contract). Oracle: brute-force Jaccard edges + the
+# rounds unrolled as CTEs (mode via count/row_number).
+_E136_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+), ed AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+), l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM ed
+), l1 AS (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM ed e JOIN l0 l ON e.b = l.node GROUP BY e.a, l.label
+  ) WHERE rn = 1
+), l2 AS (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM ed e JOIN l1 l ON e.b = l.node GROUP BY e.a, l.label
+  ) WHERE rn = 1
+), l3 AS (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM ed e JOIN l2 l ON e.b = l.node GROUP BY e.a, l.label
+  ) WHERE rn = 1
+)
+SELECT node, label FROM l3
+"""
+
+
+@query("e136_label_propagation", _E136_ORACLE)
+def e136_label_propagation(spark, sf_dir):
+    from pivot_spark.operators.components import label_propagation
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(d, threshold=0.5, num_hashes=128, bands=64)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return label_propagation(edges, iterations=3)
+
+
+# --- E137: Kaplan–Meier survival curve (Kaplan & Meier 1958) —
+# time-to-first-purchase per user with right-censoring at last
+# activity; one duration-keyed aggregate, then risk sets + the
+# log-sum running product over the DISTINCT-TIME frame (bounded by
+# time resolution, never subject count). Oracle: the same windows.
+_E137_ORACLE = """
+WITH per AS (
+  SELECT user_id,
+         min(epoch_us(ts)) AS first_us,
+         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us,
+         max(epoch_us(ts)) AS last_us
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+  GROUP BY 1
+), subj AS (
+  SELECT user_id,
+         CAST(floor((coalesce(p_us, last_us) - first_us) / 3600000000.0)
+              AS DOUBLE) AS t,
+         CASE WHEN p_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM per
+), g AS (
+  SELECT t, sum(ev) AS d, sum(1 - ev) AS censored FROM subj GROUP BY 1
+), r AS (
+  SELECT t, d, censored,
+         sum(d + censored) OVER (ORDER BY t
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
+  FROM g
+)
+SELECT t, n_risk, d, censored,
+       round(exp(sum(CASE WHEN d > 0 THEN
+                       CASE WHEN d < n_risk THEN ln(1 - d / CAST(n_risk AS DOUBLE))
+                            ELSE '-infinity'::DOUBLE END
+                     ELSE 0.0 END)
+                 OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 4) AS survival
+FROM r
+"""
+
+
+@query("e137_kaplan_meier", _E137_ORACLE)
+def e137_kaplan_meier(spark, sf_dir):
+    from pivot_spark.operators.analytics import kaplan_meier
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    per = ev.groupBy("user_id").agg(
+        F.min(us).alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", us)).alias("p_us"),
+        F.max(us).alias("last_us"),
+    )
+    subj = per.select(
+        F.floor(
+            (F.coalesce("p_us", "last_us") - F.col("first_us")) / F.lit(3_600_000_000.0)
+        ).cast("double").alias("dur"),
+        F.col("p_us").isNotNull().cast("int").alias("ev"),
+    )
+    out = kaplan_meier(subj, "dur", "ev")
+    return out.select(
+        "t", "n_risk", "d", "censored", F.round("survival", 4).alias("survival")
+    )

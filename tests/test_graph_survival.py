@@ -1,0 +1,51 @@
+"""label_propagation + kaplan_meier."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pivot_spark.operators.analytics import kaplan_meier
+from pivot_spark.operators.components import label_propagation
+
+
+def test_lpa_two_cliques(spark):
+    # clique {1,2,3} + clique {10,11,12}, bridged weakly by 3-10
+    edges = [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iterations=3).collect()}
+    assert len(out) == 6
+    # each clique converges to one dominant label; cliques stay distinct
+    assert out[1] == out[2]
+    assert out[11] == out[12]
+    assert out[1] != out[11]
+
+
+def test_lpa_tie_breaks_to_smallest(spark):
+    # node 2's neighbors 1 and 3 tie -> smallest label wins
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    out = {r.node: r.label for r in label_propagation(df, iterations=1).collect()}
+    assert out[2] == 1
+    with pytest.raises(ValueError):
+        label_propagation(df, iterations=0)
+
+
+def test_kaplan_meier_textbook(spark):
+    # classic hand example: times 1(d),2(c),3(d),4(d) with n=4
+    rows = [(1.0, 1), (2.0, 0), (3.0, 1), (4.0, 1)]
+    df = spark.createDataFrame(rows, "dur double, ev int")
+    out = {r.t: r for r in kaplan_meier(df, "dur", "ev").collect()}
+    assert out[1.0].n_risk == 4 and out[1.0].d == 1
+    assert out[1.0].survival == pytest.approx(3 / 4)
+    # t=2 censored only: survival unchanged
+    assert out[2.0].survival == pytest.approx(3 / 4)
+    # t=3: n_risk 2, S = 3/4 * 1/2
+    assert out[3.0].n_risk == 2
+    assert out[3.0].survival == pytest.approx(3 / 8)
+    # t=4: last subject fails -> S = 0
+    assert out[4.0].n_risk == 1
+    assert out[4.0].survival == 0.0
+    # monotone non-increasing
+    ts = sorted(out)
+    for a, b in zip(ts, ts[1:]):
+        assert out[b].survival <= out[a].survival + 1e-12
