@@ -72,6 +72,7 @@ from pivot_spark.operators.bpe import bpe_encode, bpe_learn
 from pivot_spark.operators.classifier import calibration_report, hashed_linear_score
 from pivot_spark.operators.repetition import repetition_signals
 from pivot_spark.operators.bootstrap import poisson_bootstrap_mean
+from pivot_spark.operators.sharding import rebalance_report, rendezvous_shard
 from pivot_spark.operators.cooccur import pmi_pairs
 from pivot_spark.operators.tfidf import tfidf_cosine_pairs, tfidf_top_terms
 from pivot_spark.operators.web import (
@@ -116,6 +117,7 @@ from pivot_spark.operators.skew import (
 
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
+    classification_report,
     kaplan_meier,
     rfm_segments,
     association_rules,
@@ -238,7 +240,8 @@ __all__ = [
     "benford_audit", "column_entropy",
     "heavy_hitters", "mad_outliers", "winsorized_stats",
     "cms_build", "cms_estimate", "cms_merge", "hll_overlap_matrix",
-    "poisson_bootstrap_mean", "join_size_estimate",
+    "poisson_bootstrap_mean", "join_size_estimate", "classification_report",
+    "rendezvous_shard", "rebalance_report",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

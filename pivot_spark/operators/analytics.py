@@ -784,3 +784,62 @@ def kaplan_meier(
     return per.select(
         "t", "n_risk", "d", "censored", surv.alias("survival")
     )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision / recall / F1 + overall accuracy from ONE
+    contingency aggregate — the standard classifier evaluation
+    (scikit-learn's report, distributed): the corpus is scanned once
+    into (label, pred, n) cells (classes² rows, tiny), and every metric
+    is algebra over that frame — true/predicted marginals as two
+    class-keyed aggregates over the cells, never a second data pass.
+    Classes = union of observed labels and predictions; zero-support
+    precision/recall/F1 report 0.0. Output: (class, n_true, n_pred,
+    tp, precision, recall, f1, accuracy — constant column)."""
+    y = F.col(label_col).cast("string")
+    p = F.col(pred_col).cast("string")
+    ct = (
+        df.filter(y.isNotNull() & p.isNotNull())
+        .groupBy(y.alias("label"), p.alias("pred"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    true_m = ct.groupBy(F.col("label").alias("class")).agg(F.sum("n").alias("n_true"))
+    pred_m = ct.groupBy(F.col("pred").alias("class")).agg(F.sum("n").alias("n_pred"))
+    tp = (
+        ct.filter(F.col("label") == F.col("pred"))
+        .select(F.col("label").alias("class"), F.col("n").alias("tp"))
+    )
+    acc = ct.agg(
+        (
+            F.sum(F.when(F.col("label") == F.col("pred"), F.col("n")).otherwise(0))
+            / F.sum("n")
+        ).alias("accuracy")
+    )
+    base = (
+        true_m.join(pred_m, "class", "full_outer")
+        .join(tp, "class", "left")
+        .select(
+            "class",
+            F.coalesce("n_true", F.lit(0)).alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+        )
+    )
+    prec = F.coalesce(
+        F.try_divide(F.col("tp").cast("double"), F.col("n_pred")), F.lit(0.0)
+    )
+    rec = F.coalesce(
+        F.try_divide(F.col("tp").cast("double"), F.col("n_true")), F.lit(0.0)
+    )
+    f1 = F.coalesce(
+        F.try_divide(F.lit(2.0) * prec * rec, prec + rec), F.lit(0.0)
+    )
+    return base.crossJoin(F.broadcast(acc)).select(
+        "class", "n_true", "n_pred", "tp",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"), "accuracy",
+    )

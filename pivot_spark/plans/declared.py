@@ -6291,3 +6291,132 @@ def e137_kaplan_meier(spark, sf_dir):
     return out.select(
         "t", "n_risk", "d", "censored", F.round("survival", 4).alias("survival")
     )
+
+
+# --- E138: classification report for the built-in lang-ID against gold
+# labels — per-class precision/recall/F1 + accuracy from ONE
+# contingency aggregate (the scikit report, distributed). Oracle:
+# the e05 lang-guess replay feeding the same cell algebra.
+def _e138_oracle() -> str:
+    from pivot_spark.functions.text import LANG_STOPWORDS
+
+    score = {}
+    for lang, words in LANG_STOPWORDS.items():
+        if lang == "zh":
+            score[lang] = "len(regexp_extract_all(text, '[一-鿿]'))"
+        else:
+            wl = ", ".join(f"'{w}'" for w in words)
+            score[lang] = f"len(list_filter(ltoks, w -> list_contains([{wl}], w)))"
+    langs = list(score)
+    cases = " ".join(
+        "WHEN s_{0} > 0 AND {1} THEN '{0}'".format(
+            lang, " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        )
+        for lang in langs
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, lang, text,
+    list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ltoks
+  FROM documents
+), s AS (
+  SELECT doc_id, lang,
+    {', '.join(f'{expr} AS s_{lang}' for lang, expr in score.items())}
+  FROM b
+), g AS (
+  SELECT lang AS label, CASE {cases} ELSE 'und' END AS pred FROM s
+), ct AS (
+  SELECT label, pred, count(*) AS n FROM g GROUP BY 1, 2
+), tm AS (SELECT label AS class, sum(n) AS n_true FROM ct GROUP BY 1),
+pm AS (SELECT pred AS class, sum(n) AS n_pred FROM ct GROUP BY 1),
+tp AS (SELECT label AS class, n AS tp FROM ct WHERE label = pred),
+acc AS (
+  SELECT sum(CASE WHEN label = pred THEN n ELSE 0 END) / CAST(sum(n) AS DOUBLE)
+    AS accuracy FROM ct
+), base AS (
+  SELECT coalesce(tm.class, pm.class) AS class,
+         coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+         coalesce(tp, 0) AS tp
+  FROM tm FULL JOIN pm ON tm.class = pm.class
+  LEFT JOIN tp ON coalesce(tm.class, pm.class) = tp.class
+)
+SELECT class, n_true, n_pred, tp,
+       round(coalesce(tp / nullif(CAST(n_pred AS DOUBLE), 0), 0), 4) AS precision,
+       round(coalesce(tp / nullif(CAST(n_true AS DOUBLE), 0), 0), 4) AS recall,
+       round(coalesce(2 * (tp / nullif(CAST(n_pred AS DOUBLE), 0))
+                        * (tp / nullif(CAST(n_true AS DOUBLE), 0))
+                      / nullif(tp / nullif(CAST(n_pred AS DOUBLE), 0)
+                               + tp / nullif(CAST(n_true AS DOUBLE), 0), 0), 0), 4)
+         AS f1,
+       round(accuracy, 4) AS accuracy
+FROM base, acc
+"""
+
+
+@query("e138_classification_report", _e138_oracle())
+def e138_classification_report(spark, sf_dir):
+    from pivot_spark.functions.text import lang_guess
+    from pivot_spark.operators.analytics import classification_report
+
+    d = _read(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("lang").alias("label"), lang_guess(F.col("text")).alias("pred")
+    )
+    out = classification_report(scored, "label", "pred")
+    return out.select(
+        "class", "n_true", "n_pred", "tp",
+        F.round("precision", 4).alias("precision"),
+        F.round("recall", 4).alias("recall"),
+        F.round("f1", 4).alias("f1"),
+        F.round("accuracy", 4).alias("accuracy"),
+    )
+
+
+# --- E139: rendezvous-hash shard rebalance audit (Thaler &
+# Ravishankar 1998): HRW argmax per key for 8 and 10 shards, movement
+# share vs the (M-N)/M guarantee, hottest-shard balance — all
+# scan-stage md5 argmax + one aggregate. Replayed with arg_max over
+# the same hashes.
+_E139_ORACLE = """
+WITH keys AS (
+  SELECT DISTINCT user_id AS key FROM events WHERE user_id IS NOT NULL
+), hf AS (
+  SELECT key, t.s AS s,
+         md5('shard:' || CAST(t.s AS VARCHAR) || ':' || CAST(key AS VARCHAR)) AS h
+  FROM keys, LATERAL unnest(range(0, 10)) AS t(s)
+), f8 AS (
+  SELECT key, CAST(arg_max(s, h) AS INTEGER) AS s_from FROM hf WHERE s < 8 GROUP BY key
+), f10 AS (
+  SELECT key, CAST(arg_max(s, h) AS INTEGER) AS s_to FROM hf GROUP BY key
+), j AS (
+  SELECT f8.key, s_from, s_to FROM f8 JOIN f10 USING (key)
+), a AS (
+  SELECT count(*) AS n_keys, sum(CASE WHEN s_from <> s_to THEN 1 ELSE 0 END) AS moved
+  FROM j
+), mf AS (
+  SELECT max(c) AS m FROM (SELECT s_from, count(*) AS c FROM j GROUP BY 1)
+), mt AS (
+  SELECT max(c) AS m FROM (SELECT s_to, count(*) AS c FROM j GROUP BY 1)
+)
+SELECT n_keys, moved,
+       round(moved / CAST(n_keys AS DOUBLE), 4) AS moved_share,
+       CAST(0.2 AS DOUBLE) AS expected_share,
+       round(mf.m / CAST(n_keys AS DOUBLE), 4) AS max_share_from,
+       round(mt.m / CAST(n_keys AS DOUBLE), 4) AS max_share_to
+FROM a, mf, mt
+"""
+
+
+@query("e139_rendezvous_rebalance", _E139_ORACLE)
+def e139_rendezvous_rebalance(spark, sf_dir):
+    from pivot_spark.operators.sharding import rebalance_report
+
+    ev = _read(spark, sf_dir, "events")
+    out = rebalance_report(ev, "user_id", n_from=8, n_to=10)
+    return out.select(
+        "n_keys", "moved",
+        F.round("moved_share", 4).alias("moved_share"),
+        F.round("expected_share", 4).alias("expected_share"),
+        F.round("max_share_from", 4).alias("max_share_from"),
+        F.round("max_share_to", 4).alias("max_share_to"),
+    )
