@@ -117,7 +117,9 @@ from pivot_spark.operators.skew import (
 
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
+    anova_oneway,
     classification_report,
+    mannwhitney_u,
     kaplan_meier,
     rfm_segments,
     association_rules,
@@ -234,7 +236,8 @@ __all__ = [
     "association_rules",
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     "ewma", "cusum_changepoints", "seasonal_anomalies", "welch_t_test",
-    "cuped_adjust", "rfm_segments", "kaplan_meier",
+    "cuped_adjust", "rfm_segments", "kaplan_meier", "anova_oneway",
+    "mannwhitney_u",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

@@ -843,3 +843,112 @@ def classification_report(
         "class", "n_true", "n_pred", "tp",
         prec.alias("precision"), rec.alias("recall"), f1.alias("f1"), "accuracy",
     )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F statistic — the k-sample extension of the e119
+    Welch pair test: does the metric's mean differ across groups
+    (event types, experiment arms, sources)? Sums of squares come from
+    ONE group-keyed aggregate (n, mean, population variance per group)
+    followed by a single-row aggregate over the tiny group frame —
+    SSW = sum n_g*var_g, SSB = sum n_g*(m_g - m)^2 with m the pooled
+    mean; the fact table is scanned once. Output is ONE row: (k,
+    n, ssb, ssw, df_between = k-1, df_within = n-k, f_stat,
+    eta_sq = SSB/(SSB+SSW) — effect size). No p-value (no F CDF
+    builtin in either engine; downstream converts)."""
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    per = (
+        df.filter(g.isNotNull() & x.isNotNull())
+        .groupBy(g.alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.avg(x).alias("m_g"),
+            F.var_pop(x).alias("v_g"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n_g").alias("n"),
+        (F.sum(F.col("n_g") * F.col("m_g")) / F.sum("n_g")).alias("__m"),
+        F.sum(F.col("n_g") * F.col("v_g")).alias("ssw"),
+        F.sum(F.col("n_g") * F.col("m_g") * F.col("m_g")).alias("__sm2"),
+    )
+    ssb = F.col("__sm2") - F.col("n") * F.col("__m") * F.col("__m")
+    fstat = F.try_divide(
+        F.try_divide(ssb, (F.col("k") - 1).cast("double")),
+        F.try_divide(F.col("ssw"), (F.col("n") - F.col("k")).cast("double")),
+    )
+    return agg.select(
+        "k",
+        "n",
+        ssb.alias("ssb"),
+        "ssw",
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("n") - F.col("k")).alias("df_within"),
+        fstat.alias("f_stat"),
+        F.try_divide(ssb, ssb + F.col("ssw")).alias("eta_sq"),
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) two-sample test — the
+    nonparametric sibling of ``welch_t_test`` for skewed/heavy-tailed
+    metrics where mean comparisons mislead. Combined-sample average
+    ranks come from the e81 distributed ranker (range-partitioned
+    parallel prefix over the DISTINCT-value frame — no row-sized global
+    sort); U_a = R_a - n_a(n_a+1)/2, and z uses the normal
+    approximation with the standard tie correction
+    sigma^2 = n_a n_b/12 * ((N+1) - sum(t^3-t)/(N(N-1))).
+    Output is ONE row: (n_a, n_b, u_a, u_b, mean_rank_a, mean_rank_b,
+    z)."""
+    from pivot_spark.operators.profile import _avg_rank_map
+
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    base = df.filter(g.isin(group_a, group_b) & x.isNotNull()).select(
+        (g == group_a).alias("__a"), x.alias("__v")
+    )
+    ranked = base.join(_avg_rank_map(base.select("__v"), "__v"), "__v")
+    ties = (
+        base.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.sum(
+                F.col("__c").cast("double") * F.col("__c") * F.col("__c")
+                - F.col("__c")
+            ).alias("__t3")
+        )
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("__a"), 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("__a"), F.col("__r___v"))).alias("__ra"),
+        F.sum(F.when(~F.col("__a"), F.col("__r___v"))).alias("__rb"),
+    )
+    j = agg.crossJoin(F.broadcast(ties))
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n = na + nb
+    ua = F.col("__ra") - na * (na + 1) / 2
+    ub = F.col("__rb") - nb * (nb + 1) / 2
+    var = na * nb / 12.0 * ((n + 1) - F.col("__t3") / (n * (n - 1)))
+    z = F.try_divide(ua - na * nb / 2, F.sqrt(var))
+    return j.select(
+        "n_a",
+        "n_b",
+        ua.alias("u_a"),
+        ub.alias("u_b"),
+        F.try_divide(F.col("__ra"), na).alias("mean_rank_a"),
+        F.try_divide(F.col("__rb"), nb).alias("mean_rank_b"),
+        z.alias("z"),
+    )

@@ -6420,3 +6420,96 @@ def e139_rendezvous_rebalance(spark, sf_dir):
         F.round("max_share_from", 4).alias("max_share_from"),
         F.round("max_share_to", 4).alias("max_share_to"),
     )
+
+
+# --- E140: one-way ANOVA F over event-type value means — the k-sample
+# rung of the e119 drift family; SSB/SSW from one group aggregate +
+# one single-row aggregate over the group frame. Replayed
+# term-for-term.
+_E140_ORACLE = """
+WITH per AS (
+  SELECT event_type AS g, count(*) AS n_g, avg(value) AS m_g,
+         var_pop(value) AS v_g
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), a AS (
+  SELECT count(*) AS k, sum(n_g) AS n,
+         sum(n_g * m_g) / sum(n_g) AS m,
+         sum(n_g * v_g) AS ssw,
+         sum(n_g * m_g * m_g) AS sm2
+  FROM per
+)
+SELECT k, n, round(sm2 - n * m * m, 4) AS ssb, round(ssw, 4) AS ssw,
+       k - 1 AS df_between, n - k AS df_within,
+       round(((sm2 - n * m * m) / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
+       round((sm2 - n * m * m) / ((sm2 - n * m * m) + ssw), 4) AS eta_sq
+FROM a
+"""
+
+
+@query("e140_anova", _E140_ORACLE)
+def e140_anova(spark, sf_dir):
+    from pivot_spark.operators.analytics import anova_oneway
+
+    ev = _read(spark, sf_dir, "events")
+    out = anova_oneway(ev, "event_type", "value")
+    return out.select(
+        "k", "n", F.round("ssb", 4).alias("ssb"), F.round("ssw", 4).alias("ssw"),
+        "df_between", "df_within",
+        F.round("f_stat", 4).alias("f_stat"),
+        F.round("eta_sq", 4).alias("eta_sq"),
+    )
+
+
+# --- E141: Mann–Whitney U (rank-sum) between purchase and click
+# values — nonparametric drift; combined ranks from the e81
+# distributed ranker (no global sort), tie-corrected normal z.
+# Oracle: the rank()+(cnt-1)/2 average-rank identity in windows.
+_E141_ORACLE = """
+WITH b AS (
+  SELECT (event_type = 'purchase') AS a, value::DOUBLE AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+), r AS (
+  SELECT a, v,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk
+  FROM b
+), t AS (
+  SELECT sum(c * c * c - c)::DOUBLE AS t3 FROM (
+    SELECT count(*) AS c FROM b GROUP BY v
+  )
+), agg AS (
+  SELECT sum(CASE WHEN a THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN a THEN 0 ELSE 1 END) AS n_b,
+         sum(CASE WHEN a THEN rk END) AS ra,
+         sum(CASE WHEN a THEN NULL ELSE rk END) AS rb
+  FROM r
+)
+SELECT n_a, n_b,
+       round(ra - n_a * (n_a + 1) / 2.0, 4) AS u_a,
+       round(rb - n_b * (n_b + 1) / 2.0, 4) AS u_b,
+       round(ra / n_a, 4) AS mean_rank_a,
+       round(rb / n_b, 4) AS mean_rank_b,
+       round((ra - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+             / sqrt(n_a * n_b / 12.0
+                    * ((n_a + n_b + 1) - t3 / ((n_a + n_b) * (n_a + n_b - 1.0)))),
+             4) AS z
+FROM agg, t
+"""
+
+
+@query("e141_mannwhitney", _E141_ORACLE)
+def e141_mannwhitney(spark, sf_dir):
+    from pivot_spark.operators.analytics import mannwhitney_u
+
+    ev = _read(spark, sf_dir, "events")
+    out = mannwhitney_u(ev, "event_type", "value", "purchase", "click")
+    return out.select(
+        "n_a", "n_b",
+        F.round("u_a", 4).alias("u_a"),
+        F.round("u_b", 4).alias("u_b"),
+        F.round("mean_rank_a", 4).alias("mean_rank_a"),
+        F.round("mean_rank_b", 4).alias("mean_rank_b"),
+        F.round("z", 4).alias("z"),
+    )

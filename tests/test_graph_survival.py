@@ -49,3 +49,44 @@ def test_kaplan_meier_textbook(spark):
     ts = sorted(out)
     for a, b in zip(ts, ts[1:]):
         assert out[b].survival <= out[a].survival + 1e-12
+
+
+def test_anova_hand_computed(spark):
+    # groups with clearly different means
+    rows = [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0), ("b", 8.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    from pivot_spark.operators.analytics import anova_oneway
+
+    r = anova_oneway(df, "g", "v").first()
+    assert (r.k, r.n) == (2, 6)
+    # SSB = 3*(2-5)^2 + 3*(8-5)^2 = 54; SSW = 2 + 2 = 4
+    assert r.ssb == pytest.approx(54.0)
+    assert r.ssw == pytest.approx(4.0)
+    assert r.f_stat == pytest.approx((54 / 1) / (4 / 4))
+    assert r.eta_sq == pytest.approx(54 / 58)
+    # identical groups -> F ~ 0
+    df2 = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0)], "g string, v double"
+    )
+    assert anova_oneway(df2, "g", "v").first().f_stat == pytest.approx(0.0)
+
+
+def test_mannwhitney_hand_computed(spark):
+    from pivot_spark.operators.analytics import mannwhitney_u
+
+    # A = {1,2,3}, B = {4,5,6}: complete separation, U_a = 0
+    rows = [("A", 1.0), ("A", 2.0), ("A", 3.0), ("B", 4.0), ("B", 5.0), ("B", 6.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = mannwhitney_u(df, "g", "v", "A", "B").first()
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.u_a == pytest.approx(0.0)
+    assert r.u_b == pytest.approx(9.0)
+    assert r.u_a + r.u_b == pytest.approx(r.n_a * r.n_b)
+    assert r.z < 0  # A ranks lower
+    # ties get average ranks: identical samples -> U_a = U_b, z = 0
+    rows2 = [("A", 5.0), ("A", 7.0), ("B", 5.0), ("B", 7.0)]
+    r2 = mannwhitney_u(
+        spark.createDataFrame(rows2, "g string, v double"), "g", "v", "A", "B"
+    ).first()
+    assert r2.u_a == pytest.approx(r2.u_b)
+    assert r2.z == pytest.approx(0.0)
