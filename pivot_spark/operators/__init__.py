@@ -69,7 +69,12 @@ from pivot_spark.operators.quality import (
     line_dedup,
 )
 from pivot_spark.operators.bpe import bpe_encode, bpe_learn
-from pivot_spark.operators.classifier import calibration_report, hashed_linear_score
+from pivot_spark.operators.classifier import (
+    calibration_report,
+    hashed_linear_score,
+    rocchio_predict,
+    rocchio_train,
+)
 from pivot_spark.operators.repetition import repetition_signals
 from pivot_spark.operators.bootstrap import poisson_bootstrap_mean
 from pivot_spark.operators.sharding import rebalance_report, rendezvous_shard
@@ -214,6 +219,7 @@ __all__ = [
     "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
     "bigram_lm_score", "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",
+    "rocchio_train", "rocchio_predict",
     "domain_stats", "drop_blocklisted", "registered_domain",
     # retrieval
     "bm25_topk", "bm25_topk_batch",

@@ -126,3 +126,110 @@ def calibration_report(
         F.abs(F.col("pos_rate") - F.col("mean_score")).alias("gap"),
         (F.col("__werr") / F.col("__tot")).alias("ece"),
     )
+
+
+def rocchio_train(
+    df: DataFrame,
+    label_col: str,
+    text_col: str,
+    num_buckets: int = 256,
+    seed: str = "rocchio",
+) -> DataFrame:
+    """Train a Rocchio / nearest-centroid text classifier (the
+    centroid method of Rocchio 1971, the fastText-speed baseline):
+    tokens feature-hash into ``num_buckets`` (the e109 md5 idiom,
+    engine-replayable), per-label bucket counts accumulate in ONE
+    (label, bucket)-keyed aggregate, and each label's vector is
+    L2-normalized. Returns the model frame (label, bucket, w) —
+    k*num_buckets rows, broadcast-sized by construction."""
+    if num_buckets <= 0:
+        raise ValueError(f"num_buckets must be positive, got {num_buckets}")
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    pairs = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(label_col).alias("label"), F.explode(toks).alias("__t")
+    )
+    bc = pairs.select(
+        "label", _bucket_expr(F.col("__t"), num_buckets, seed).alias("bucket")
+    ).groupBy("label", "bucket").agg(F.count(F.lit(1)).alias("__c"))
+    nrm = bc.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("__c").cast("double") * F.col("__c"))).alias("__n")
+    )
+    return bc.join(nrm, "label").select(
+        "label", "bucket", (F.col("__c") / F.col("__n")).alias("w")
+    )
+
+
+def rocchio_predict(
+    df: DataFrame,
+    model: "DataFrame | list",
+    text_col: str,
+    num_buckets: int = 256,
+    seed: str = "rocchio",
+    out_col: str = "pred",
+) -> DataFrame:
+    """Score every row against the Rocchio centroids and pick the
+    argmax label (ties -> smallest label). The k centroid vectors are
+    collected to the driver (k*num_buckets doubles — the e54
+    centroid-literal contract) and inlined as in-plan array literals,
+    so scoring is a pure scan-stage fold per label over the token
+    array: zero shuffles, zero joins, zero Python at inference time.
+    Adds ``pred`` (STRING, NULL for token-less text) and ``margin``
+    (best minus second-best dot product, 0.0 when k == 1)."""
+    if hasattr(model, "collect"):
+        rows = model.collect()
+    else:
+        rows = model
+    cents: dict[str, list[float]] = {}
+    for r in rows:
+        cents.setdefault(r["label"], [0.0] * num_buckets)[int(r["bucket"])] = float(
+            r["w"]
+        )
+    if not cents:
+        raise ValueError("empty model")
+    labels = sorted(cents)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    # hash every token ONCE into a projected bucket array — the k label
+    # folds then index their literal vectors without re-running md5
+    # (measured 6.6s -> 2.0s at sf0.1, k=5)
+    buckets = F.transform(
+        toks, lambda t: (_bucket_expr(t, num_buckets, seed) + 1).cast("int")
+    )
+    df = df.withColumn("__bks", buckets)
+
+    def dot_with(vec):
+        return F.aggregate(
+            F.col("__bks"),
+            F.lit(0.0),
+            lambda acc, b: acc + F.element_at(vec, b),
+        )
+
+    scores = [
+        dot_with(F.array(*[F.lit(v) for v in cents[lab]])) for lab in labels
+    ]
+    arr = F.array(
+        *[
+            F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+            for i, s in enumerate(scores)
+        ]
+    )
+    srt = F.reverse(F.array_sort(arr))
+    best = F.element_at(srt, 1)
+    second = F.when(F.lit(len(labels)) > 1, F.element_at(srt, 2)["s"]).otherwise(
+        F.lit(0.0)
+    )
+    lab_arr = F.array(*[F.lit(l) for l in labels])
+    pred = F.when(
+        F.size(F.col("__bks")) > 0,
+        F.element_at(lab_arr, (-best["ni"] + 1).cast("int")),
+    )
+    margin = F.when(
+        F.size(F.col("__bks")) > 0,
+        F.when(F.lit(len(labels)) > 1, best["s"] - second).otherwise(F.lit(0.0)),
+    )
+    return (
+        df.withColumn(out_col, pred).withColumn("margin", margin).drop("__bks")
+    )

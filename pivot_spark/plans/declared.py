@@ -6513,3 +6513,62 @@ def e141_mannwhitney(spark, sf_dir):
         F.round("mean_rank_b", 4).alias("mean_rank_b"),
         F.round("z", 4).alias("z"),
     )
+
+
+# --- E142: Rocchio nearest-centroid text classifier — trained
+# DISTRIBUTED on the even-doc split (one (label, bucket) aggregate over
+# md5 feature hashes, L2-normalized), scored scan-stage via centroid
+# literals (the e54 contract: only k×B doubles reach the driver).
+# Oracle: training + scoring replayed join-for-join, scores coalesced
+# to 0 for unmatched labels.
+_E142_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, lang, t.tok
+  FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> w <> '')) AS t(tok)
+), bc AS (
+  SELECT lang AS label,
+         ('0x' || substring(md5('fh:rocchio:' || tok), 1, 15))::BIGINT % 256
+           AS bucket,
+         count(*) AS c
+  FROM tok WHERE doc_id % 2 = 0 GROUP BY 1, 2
+), nrm AS (
+  SELECT label, sqrt(sum(c::DOUBLE * c)) AS n FROM bc GROUP BY 1
+), m AS (
+  SELECT bc.label, bucket, c / n AS w FROM bc JOIN nrm USING (label)
+), db AS (
+  SELECT doc_id,
+         ('0x' || substring(md5('fh:rocchio:' || tok), 1, 15))::BIGINT % 256
+           AS bucket
+  FROM tok
+), sc AS (
+  SELECT db.doc_id, m.label, sum(m.w) AS s
+  FROM db JOIN m USING (bucket) GROUP BY 1, 2
+), alldl AS (
+  SELECT d.doc_id, l.label
+  FROM (SELECT DISTINCT doc_id FROM documents) d,
+       (SELECT DISTINCT label FROM m) l
+), sc2 AS (
+  SELECT alldl.doc_id, alldl.label, coalesce(sc.s, 0) AS s
+  FROM alldl LEFT JOIN sc ON alldl.doc_id = sc.doc_id
+                         AND alldl.label = sc.label
+), pick AS (
+  SELECT doc_id, label, s,
+         lead(s) OVER (PARTITION BY doc_id ORDER BY s DESC, label ASC) AS s2,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, label ASC) AS rn
+  FROM sc2
+)
+SELECT doc_id, label AS pred, round(s - s2, 4) AS margin
+FROM pick WHERE rn = 1
+"""
+
+
+@query("e142_rocchio", _E142_ORACLE)
+def e142_rocchio(spark, sf_dir):
+    from pivot_spark.operators.classifier import rocchio_predict, rocchio_train
+
+    d = _read(spark, sf_dir, "documents")
+    model = rocchio_train(d.filter(F.col("doc_id") % 2 == 0), "lang", "text")
+    out = rocchio_predict(d, model, "text")
+    return out.select("doc_id", "pred", F.round("margin", 4).alias("margin"))

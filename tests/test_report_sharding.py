@@ -59,3 +59,36 @@ def test_rendezvous_stability_and_balance(spark):
         rebalance_report(df, "key", 0, 8)
     with pytest.raises(ValueError):
         rendezvous_shard(F.col("key"), 0)
+
+
+def test_rocchio_separable(spark):
+    from pivot_spark.operators.classifier import rocchio_predict, rocchio_train
+
+    rows = [
+        (1, "cat", "meow purr whiskers feline meow"),
+        (2, "cat", "purr meow feline paws"),
+        (3, "dog", "woof bark fetch canine woof"),
+        (4, "dog", "bark woof canine tail"),
+    ]
+    df = spark.createDataFrame(rows, "id long, label string, text string")
+    model = rocchio_train(df, "label", "text")
+    # model is L2-normalized per label
+    norms = (
+        model.groupBy("label")
+        .agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        .collect()
+    )
+    for r in norms:
+        assert r.n2 == pytest.approx(1.0)
+    test = spark.createDataFrame(
+        [(10, "meow feline"), (11, "bark fetch"), (12, "")],
+        "id long, text string",
+    )
+    out = {r.id: r for r in rocchio_predict(test, model, "text").collect()}
+    assert out[10].pred == "cat" and out[10].margin > 0
+    assert out[11].pred == "dog" and out[11].margin > 0
+    assert out[12].pred is None
+    with pytest.raises(ValueError):
+        rocchio_train(df, "label", "text", num_buckets=0)
+    with pytest.raises(ValueError):
+        rocchio_predict(test, [], "text")
