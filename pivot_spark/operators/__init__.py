@@ -194,7 +194,7 @@ from pivot_spark.operators.incremental import (
     merge_states,
 )
 from pivot_spark.operators.merge import upsert
-from pivot_spark.operators.scd import scd2_apply, scd2_build
+from pivot_spark.operators.scd import scd2_apply, scd2_build, scd2_lookup
 from pivot_spark.operators.validate import validate
 
 __all__ = [
@@ -256,7 +256,7 @@ __all__ = [
     # documents
     "chunk_documents",
     # maintenance / lakehouse
-    "upsert", "scd2_build", "scd2_apply", "table_diff", "validate",
+    "upsert", "scd2_build", "scd2_lookup", "scd2_apply", "table_diff", "validate",
     "incremental_agg", "merge_states", "agg_state", "finalize_state",
     "incremental_distinct", "estimate_distinct",
 ]

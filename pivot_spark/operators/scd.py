@@ -162,3 +162,44 @@ def scd2_apply(
         .withColumn(current_col, F.lit(True))
     )
     return closed.unionByName(updated_current).unionByName(inserts)
+
+
+def scd2_lookup(
+    fact: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time dimension lookup — the feature-store / reporting
+    join every SCD2 history exists for: each fact row joins the dim
+    version that was valid AT its timestamp (``valid_from <= ts <
+    valid_to``, open versions have NULL ``valid_to``). By SCD2
+    construction versions per key are non-overlapping, so at most one
+    version matches — no post-join dedup.
+
+    Scale shape: a plain KEY equi-join (hash-partitioned or broadcast
+    when the dim is small) with the validity predicate folded into the
+    join condition — fan-out is bounded by versions-per-key, so the
+    e50 bucketized range join is NOT needed here (that machinery is
+    for intervals without an equi-key). Fact and dim column names must
+    not collide except the keys. ``how``: 'left' keeps facts with no
+    valid version (nulls), 'inner' drops them."""
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how}")
+    keys = list(keys)
+    ts = fact[ts_col]
+    cond = None
+    for k in keys:
+        c = fact[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (dim[valid_from] <= ts)
+        & (dim[valid_to].isNull() | (ts < dim[valid_to]))
+    )
+    j = fact.join(dim, cond, how)
+    dim_cols = [c for c in dim.columns if c not in keys]
+    return j.select(*[fact[c] for c in fact.columns], *[dim[c] for c in dim_cols])

@@ -6572,3 +6572,63 @@ def e142_rocchio(spark, sf_dir):
     model = rocchio_train(d.filter(F.col("doc_id") % 2 == 0), "lang", "text")
     out = rocchio_predict(d, model, "text")
     return out.select("doc_id", "pred", F.round("margin", 4).alias("margin"))
+
+
+# --- E143: point-in-time SCD2 lookup — each order joins the customer
+# status version valid AT its date (the feature-store / as-was
+# reporting join): plain key equi-join with the validity predicate in
+# the join condition; fan-out bounded by versions-per-key, so no range
+# bucketing is needed. Oracle: the e69 build CTEs + the same theta
+# predicate.
+_E143_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+         lag(o_orderstatus) OVER w AS prev,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), changes AS (
+  SELECT * FROM ordered WHERE rn = 1 OR (prev IS DISTINCT FROM o_orderstatus)
+), hist AS (
+  SELECT o_custkey AS k, o_orderstatus AS status_at,
+         epoch_us(o_orderdate) AS vf,
+         epoch_us(lead(o_orderdate) OVER w2) AS vt
+  FROM changes
+  WINDOW w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+)
+SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS ts_us,
+       h.status_at, h.vf AS valid_from_us
+FROM orders o
+LEFT JOIN hist h
+  ON o.o_custkey = h.k
+ AND h.vf <= epoch_us(o.o_orderdate)
+ AND (h.vt IS NULL OR epoch_us(o.o_orderdate) < h.vt)
+"""
+
+
+@query("e143_scd2_lookup", _E143_ORACLE)
+def e143_scd2_lookup(spark, sf_dir):
+    from pivot_spark.operators.scd import scd2_build, scd2_lookup
+
+    orders = _read(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    hist = scd2_build(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        keys=["o_custkey"],
+        tracked=["o_orderstatus"],
+        order_col="o_orderdate",
+        tiebreak=["o_orderkey"],
+    ).select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status_at"),
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+    )
+    fact = orders.select("o_orderkey", "o_custkey", us.alias("ts_us"))
+    out = scd2_lookup(
+        fact, hist, ["o_custkey"], "ts_us",
+        valid_from="valid_from_us", valid_to="valid_to_us",
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "ts_us", "status_at", "valid_from_us"
+    )

@@ -129,3 +129,35 @@ def test_apply_never_shuffles_history(spark, hist, tmp_path):
     # broadcast joins only: no exchange may hash-partition the history
     assert "BroadcastHashJoin" in plan
     assert "hashpartitioning" not in plan
+
+
+def test_scd2_lookup_point_in_time(spark):
+    from pivot_spark.operators.scd import scd2_lookup
+
+    dim = spark.createDataFrame(
+        [
+            (1, "bronze", 0, 100),
+            (1, "silver", 100, 200),
+            (1, "gold", 200, None),
+            (2, "bronze", 50, None),
+        ],
+        "k long, tier string, valid_from long, valid_to long",
+    )
+    fact = spark.createDataFrame(
+        [(10, 1, 0), (11, 1, 150), (12, 1, 200), (13, 1, 9999), (14, 2, 10), (15, 3, 60)],
+        "fid long, k long, ts long",
+    )
+    out = {r.fid: r for r in scd2_lookup(fact, dim, ["k"], "ts").collect()}
+    assert out[10].tier == "bronze"        # boundary: vf <= ts
+    assert out[11].tier == "silver"
+    assert out[12].tier == "gold"          # vt exclusive
+    assert out[13].tier == "gold"          # open version
+    assert out[14].tier is None            # before first version
+    assert out[15].tier is None            # unknown key kept (left)
+    assert len(out) == 6                   # at most one version each
+    inner = scd2_lookup(fact, dim, ["k"], "ts", how="inner")
+    assert inner.count() == 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        scd2_lookup(fact, dim, ["k"], "ts", how="full")
