@@ -96,7 +96,7 @@ from pivot_spark.operators.topk import mode_by_key, topk_per_group, topk_per_gro
 # --- joins
 from pivot_spark.operators.asof import asof_join
 from pivot_spark.operators.denorm import Dim, denormalize
-from pivot_spark.operators.fuzzy import best_fuzzy_match, fuzzy_join
+from pivot_spark.operators.fuzzy import sorted_neighborhood_pairs, best_fuzzy_match, fuzzy_join
 from pivot_spark.operators.range_join import range_join
 from pivot_spark.operators.bucketize import (
     ntile_buckets,
@@ -104,6 +104,7 @@ from pivot_spark.operators.bucketize import (
     zscore_normalize,
 )
 from pivot_spark.operators.sample import (
+    rake_weights,
     temperature_mixture_rates,
     group_hash_sample_k,
     hash_sample,
@@ -162,6 +163,7 @@ from pivot_spark.operators.sessionize import (
 from pivot_spark.operators.heavy import heavy_hitters
 from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
+    cdf_transform,
     join_size_estimate,
     benford_audit,
     column_entropy,
@@ -226,11 +228,11 @@ __all__ = [
     # sampling / selection
     "select_extreme", "topk_per_group", "topk_per_group_agg", "mode_by_key",
     "hash_split", "hash_sample", "stratified_hash_sample",
-    "mixture_sample", "temperature_mixture_rates", "repeat_upsample", "group_hash_sample_k",
+    "mixture_sample", "temperature_mixture_rates", "rake_weights", "repeat_upsample", "group_hash_sample_k",
     "negative_sample_k",
     "weighted_sample_k", "ntile_buckets", "threshold_buckets",
     # joins
-    "asof_join", "fuzzy_join", "best_fuzzy_match", "range_join",
+    "asof_join", "fuzzy_join", "best_fuzzy_match", "sorted_neighborhood_pairs", "range_join",
     "denormalize", "Dim",
     "salted_join", "count_distinct_skewed", "skew_report", "zscore_normalize",
     # time / event analytics
@@ -250,7 +252,7 @@ __all__ = [
     "heavy_hitters", "mad_outliers", "winsorized_stats",
     "cms_build", "cms_estimate", "cms_merge", "hll_overlap_matrix",
     "poisson_bootstrap_mean", "join_size_estimate", "classification_report",
-    "rendezvous_shard", "rebalance_report",
+    "rendezvous_shard", "rebalance_report", "cdf_transform",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

@@ -499,3 +499,30 @@ def join_size_estimate(
             ).alias("top_share"),
         )
     )
+
+
+def cdf_transform(
+    df: DataFrame,
+    col: str,
+    out_col: str = "u",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Empirical-CDF (rank-uniform) feature transform — the RankGauss
+    family's first stage: each value maps to its average-rank quantile
+    u = avg_rank / (n + 1) in (0, 1) — the Weibull plotting position,
+    flattening any distribution to uniform while preserving order (ties
+    share one u). Feed u through a probit downstream for the full
+    RankGauss.
+
+    Distributed shape: the e81 average-rank map (range-partitioned
+    parallel prefix over the DISTINCT-value frame — no row-sized global
+    sort) joined back on value + a broadcast row count. NULLs pass
+    through with NULL ``out_col``."""
+    base = df.filter(F.col(col).isNotNull())
+    n = base.count()
+    rmap = _avg_rank_map(base.select(F.col(col).cast("double").alias("__v")), "__v", num_ranges)
+    tagged = df.withColumn("__v", F.col(col).cast("double"))
+    out = tagged.join(rmap, "__v", "left").withColumn(
+        out_col, F.col("__r___v") / F.lit(float(n + 1))
+    )
+    return out.drop("__v", "__r___v")

@@ -488,3 +488,60 @@ def temperature_mixture_rates(
             )
         )
     return j.select(*cols)
+
+
+def rake_weights(
+    df: DataFrame,
+    dim_a: str,
+    dim_b: str,
+    targets_a: Mapping[str, float],
+    targets_b: Mapping[str, float],
+    iterations: int = 2,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan 1940)
+    — the survey-weighting staple: per-row weights that make BOTH
+    marginal distributions (e.g. language and source) match target
+    shares simultaneously, without requiring the full joint target.
+    Starting from weight 1, each half-iteration rescales within one
+    dimension's categories to hit that margin exactly; alternating
+    converges geometrically (2 iterations ~ exact for compatible
+    margins).
+
+    Distributed shape per half-iteration: ONE category-keyed aggregate
+    (categories ≈ languages/sources, tiny) + a broadcast ratio join —
+    2*iterations linear passes, no row-sized shuffles; plan depth grows
+    with iterations (localCheckpoint between rounds if you run many).
+    Rows in categories absent from the targets get weight 0. Output:
+    input columns + ``weight``."""
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    for name, t in (("targets_a", targets_a), ("targets_b", targets_b)):
+        tot = sum(t.values())
+        if abs(tot - 1.0) > 1e-9:
+            raise ValueError(f"{name} shares must sum to 1, got {tot}")
+    n_rows = df.count()
+    cur = df.withColumn(weight_col, F.lit(1.0))
+    spark = df.sparkSession
+    for _ in range(iterations):
+        for dim, targets in ((dim_a, targets_a), (dim_b, targets_b)):
+            tgt = F.create_map(
+                *[x for k, v in targets.items() for x in (F.lit(k), F.lit(float(v)))]
+            )
+            sums = cur.groupBy(dim).agg(F.sum(weight_col).alias("__s"))
+            ratio = sums.select(
+                dim,
+                F.coalesce(
+                    F.try_divide(
+                        F.element_at(tgt, F.col(dim)) * F.lit(float(n_rows)),
+                        F.col("__s"),
+                    ),
+                    F.lit(0.0),
+                ).alias("__ratio"),
+            )
+            cur = (
+                cur.join(F.broadcast(ratio), dim)
+                .withColumn(weight_col, F.col(weight_col) * F.col("__ratio"))
+                .drop("__ratio")
+            )
+    return cur

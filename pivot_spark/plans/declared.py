@@ -6632,3 +6632,107 @@ def e143_scd2_lookup(spark, sf_dir):
     return out.select(
         "o_orderkey", "o_custkey", "ts_us", "status_at", "valid_from_us"
     )
+
+
+# --- E144: sorted-neighborhood ER blocking (Hernandez & Stolfo 1995)
+# over clean + mutated customer names — rank-window candidates with
+# levenshtein verify; ranking is the e81 parallel prefix (no global
+# sort of the data). Oracle: global row_number replay of the same
+# (key, id) order + the same window/distance predicates.
+_E144_ORACLE = """
+WITH u AS (
+  SELECT c_custkey AS id, c_name AS k FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, substring(c_name, 1, 17) || 'X'
+  FROM customer WHERE c_custkey % 7 = 0
+), r AS (
+  SELECT id, k, row_number() OVER (ORDER BY k, id) AS r FROM u
+)
+SELECT a.id AS id_a, b.id AS id_b, a.k AS key_a, b.k AS key_b,
+       CAST(b.r - a.r AS INTEGER) AS rank_gap,
+       CAST(levenshtein(a.k, b.k) AS INTEGER) AS dist
+FROM r a JOIN r b
+  ON b.r > a.r AND b.r - a.r <= 5 AND levenshtein(a.k, b.k) <= 2
+"""
+
+
+@query("e144_sorted_neighborhood", _E144_ORACLE)
+def e144_sorted_neighborhood(spark, sf_dir):
+    from pivot_spark.operators.fuzzy import sorted_neighborhood_pairs
+
+    cust = _read(spark, sf_dir, "customer")
+    clean = cust.select(F.col("c_custkey").alias("id"), F.col("c_name").alias("k"))
+    dirty = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1_000_000).alias("id"),
+        F.concat(F.substring("c_name", 1, 17), F.lit("X")).alias("k"),
+    )
+    u = clean.unionByName(dirty)
+    return sorted_neighborhood_pairs(u, "id", "k", window=5, max_dist=2)
+
+
+# --- E145: raking / iterative proportional fitting (Deming & Stephan
+# 1940): weights hitting uniform language AND source margins after 2
+# alternating half-iterations — each a tiny category aggregate +
+# broadcast ratio join. Oracle: the 4 half-iterations unrolled as CTEs.
+def _e145_oracle() -> str:
+    halves = []
+    prev = "w0"
+    for i, dim in enumerate(["lang", "source", "lang", "source"], start=1):
+        share = "0.2" if dim == "lang" else "0.05"
+        halves.append(f"""s{i} AS (
+  SELECT {dim} AS c, sum(w) AS s FROM {prev} GROUP BY 1
+), w{i} AS (
+  SELECT {prev}.* REPLACE (w * ({share} * (SELECT count(*) FROM documents)) / s{i}.s AS w)
+  FROM {prev} JOIN s{i} ON {prev}.{dim} = s{i}.c
+)""")
+        prev = f"w{i}"
+    joined = ", ".join(halves)
+    return f"""
+WITH w0 AS (
+  SELECT doc_id, lang, source, CAST(1.0 AS DOUBLE) AS w FROM documents
+), {joined}
+SELECT doc_id, lang, source, round(w, 4) AS weight FROM {prev}
+"""
+
+
+@query("e145_rake_weights", _e145_oracle())
+def e145_rake_weights(spark, sf_dir):
+    from pivot_spark.operators.sample import rake_weights
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    langs = {k: 0.2 for k in ["en", "de", "fr", "es", "zh"]}
+    sources = {f"src{i}": 0.05 for i in range(20)}
+    out = rake_weights(d, "lang", "source", langs, sources, iterations=2)
+    return out.select("doc_id", "lang", "source", F.round("weight", 4).alias("weight"))
+
+
+# --- E146: empirical-CDF (rank-uniform) feature transform — the
+# RankGauss first stage: u = avg_rank/(n+1) (Weibull plotting
+# position — the (r-0.5)/n form lands every value on the .xxxx5
+# round-half boundary where Spark HALF_UP and DuckDB disagree) from
+# the e81 distributed ranker, no global sort. Oracle: the average-rank
+# window identity.
+_E146_ORACLE = """
+WITH b AS (
+  SELECT event_id, value::DOUBLE AS v FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT event_id, v,
+         rank() OVER (ORDER BY v)
+           + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS rk
+  FROM b
+)
+SELECT event_id, v AS value,
+       round(rk / ((SELECT count(*) FROM b) + 1), 4) AS u
+FROM r
+"""
+
+
+@query("e146_cdf_transform", _E146_ORACLE)
+def e146_cdf_transform(spark, sf_dir):
+    from pivot_spark.operators.profile import cdf_transform
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_id", F.col("value").cast("double").alias("value")
+    )
+    out = cdf_transform(ev, "value")
+    return out.select("event_id", "value", F.round("u", 4).alias("u"))

@@ -1,0 +1,75 @@
+"""rake_weights + sorted_neighborhood_pairs + cdf_transform."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pivot_spark.operators.fuzzy import sorted_neighborhood_pairs
+from pivot_spark.operators.profile import cdf_transform
+from pivot_spark.operators.sample import rake_weights
+
+
+def test_rake_hits_both_margins(spark):
+    # joint counts deliberately skewed vs uniform targets
+    rows = (
+        [("en", "web")] * 6 + [("en", "book")] * 2
+        + [("fr", "web")] * 1 + [("fr", "book")] * 3
+    )
+    df = spark.createDataFrame(
+        [(i, l, s) for i, (l, s) in enumerate(rows)], "id long, lang string, src string"
+    )
+    out = rake_weights(
+        df, "lang", "src", {"en": 0.5, "fr": 0.5}, {"web": 0.5, "book": 0.5},
+        iterations=4,
+    )
+    n = 12
+    m_lang = {
+        r.lang: r.s for r in out.groupBy("lang").agg(F.sum("weight").alias("s")).collect()
+    }
+    m_src = {
+        r.src: r.s for r in out.groupBy("src").agg(F.sum("weight").alias("s")).collect()
+    }
+    for v in m_lang.values():
+        assert v == pytest.approx(0.5 * n, rel=1e-3)
+    for v in m_src.values():
+        assert v == pytest.approx(0.5 * n, rel=1e-3)
+    with pytest.raises(ValueError):
+        rake_weights(df, "lang", "src", {"en": 0.9}, {"web": 1.0})
+    with pytest.raises(ValueError):
+        rake_weights(df, "lang", "src", {"en": 1.0}, {"web": 1.0}, iterations=0)
+
+
+def test_sorted_neighborhood_matches_window_semantics(spark):
+    rows = [(i, f"name{i:03d}") for i in range(20)]
+    rows.append((100, "name005X"))  # sorts right after name005
+    df = spark.createDataFrame(rows, "id long, k string")
+    out = sorted_neighborhood_pairs(df, "id", "k", window=2)
+    got = {(r.id_a, r.id_b): r.rank_gap for r in out.collect()}
+    # expected: every pair within 2 positions of the (k, id) order
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    want = {}
+    for i in range(len(ordered)):
+        for j in range(i + 1, min(i + 3, len(ordered))):
+            want[(ordered[i][0], ordered[j][0])] = j - i
+    assert got == want
+    # with distance verify only the near-identical pair survives
+    v = sorted_neighborhood_pairs(df, "id", "k", window=2, max_dist=1).collect()
+    assert {(r.id_a, r.id_b) for r in v} >= {(5, 100)}
+    for r in v:
+        assert r.dist <= 1
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "id", "k", window=0)
+
+
+def test_cdf_transform_uniform_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 20.0), (4, 40.0), (5, None)],
+        "id long, v double",
+    )
+    out = {r.id: r.u for r in cdf_transform(df, "v").collect()}
+    # ranks: 10->1, 20->2.5 (tie), 40->4; n=4 -> u = r/5
+    assert out[1] == pytest.approx(1 / 5)
+    assert out[2] == pytest.approx(2.5 / 5)
+    assert out[2] == out[3]
+    assert out[4] == pytest.approx(4 / 5)
+    assert out[5] is None
+    assert all(u is None or 0 < u < 1 for u in out.values())
