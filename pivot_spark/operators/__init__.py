@@ -124,6 +124,7 @@ from pivot_spark.operators.skew import (
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
     anova_oneway,
+    linear_regression,
     classification_report,
     mannwhitney_u,
     kaplan_meier,
@@ -164,6 +165,7 @@ from pivot_spark.operators.heavy import heavy_hitters
 from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
     cdf_transform,
+    pareto_frontier_2d,
     join_size_estimate,
     benford_audit,
     column_entropy,
@@ -245,7 +247,7 @@ __all__ = [
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     "ewma", "cusum_changepoints", "seasonal_anomalies", "welch_t_test",
     "cuped_adjust", "rfm_segments", "kaplan_meier", "anova_oneway",
-    "mannwhitney_u",
+    "mannwhitney_u", "linear_regression",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",
@@ -253,6 +255,7 @@ __all__ = [
     "cms_build", "cms_estimate", "cms_merge", "hll_overlap_matrix",
     "poisson_bootstrap_mean", "join_size_estimate", "classification_report",
     "rendezvous_shard", "rebalance_report", "cdf_transform",
+    "pareto_frontier_2d", "plan_compaction",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

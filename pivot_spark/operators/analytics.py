@@ -952,3 +952,64 @@ def mannwhitney_u(
         F.try_divide(F.col("__rb"), nb).alias("mean_rank_b"),
         z.alias("z"),
     )
+
+
+def linear_regression(
+    df: DataFrame,
+    feature_cols: Sequence[str],
+    target_col: str,
+) -> DataFrame:
+    """Multivariate OLS by normal equations — the k-feature extension
+    of ``grouped_ols``: coefficients solve (X'X) b = X'y where every
+    sufficient statistic (k(k+1)/2 Gram entries + k cross-moments +
+    means) comes from ONE two-pass centered aggregate (the e62
+    numerical-stability contract: raw moments cancel catastrophically
+    on shifted data, so features and target are centered against
+    broadcast means first). Only the k×k Gram matrix reaches the
+    driver, where numpy solves it — the e54 centroid-literal contract
+    for model fitting. Output is ONE row: (coef array<double> in
+    ``feature_cols`` order, intercept, r2, n)."""
+    import numpy as np
+
+    feats = list(feature_cols)
+    k = len(feats)
+    if k < 1:
+        raise ValueError("need at least 1 feature")
+    y = F.col(target_col).cast("double")
+    xs = [F.col(c).cast("double") for c in feats]
+    base = df.filter(y.isNotNull())
+    for x in xs:
+        base = base.filter(x.isNotNull())
+    means = base.agg(
+        *[F.avg(x).alias(f"__mx{i}") for i, x in enumerate(xs)],
+        F.avg(y).alias("__my"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    c = base.crossJoin(F.broadcast(means))
+    cx = [xs[i] - F.col(f"__mx{i}") for i in range(k)]
+    cy = y - F.col("__my")
+    aggs = []
+    for i in range(k):
+        for j in range(i, k):
+            aggs.append(F.sum(cx[i] * cx[j]).alias(f"__g_{i}_{j}"))
+        aggs.append(F.sum(cx[i] * cy).alias(f"__xy_{i}"))
+    aggs.append(F.sum(cy * cy).alias("__syy"))
+    row = c.agg(*aggs).crossJoin(F.broadcast(means)).first()
+
+    G = np.zeros((k, k))
+    for i in range(k):
+        for j in range(i, k):
+            G[i, j] = G[j, i] = row[f"__g_{i}_{j}"]
+    xy = np.array([row[f"__xy_{i}"] for i in range(k)])
+    beta = np.linalg.solve(G, xy)
+    ssr = float(beta @ xy)
+    syy = float(row["__syy"])
+    r2 = ssr / syy if syy > 0 else 0.0
+    intercept = float(row["__my"]) - float(
+        sum(beta[i] * row[f"__mx{i}"] for i in range(k))
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [([float(b) for b in beta], intercept, r2, int(row["__n"]))],
+        "coef array<double>, intercept double, r2 double, n long",
+    )

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -133,3 +133,55 @@ def compact(
     df = spark.read.format(fmt).load(in_path)
     df.repartition(int(n_files)).write.format(fmt).mode("overwrite").save(out_path)
     return int(n_files)
+
+
+def plan_compaction(
+    df: DataFrame,
+    id_col: str,
+    size_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Small-file compaction planner — the lakehouse OPTIMIZE
+    prerequisite: group files into rewrite tasks of ~``target_bytes``
+    each. Files order by (size DESC, id) and split by running size:
+    bin = floor((cumsum - size) / target) — deterministic sorted
+    next-fit, within 2x of optimal bin count like any first-fit
+    family, and replayable on any engine (no driver-side bin state).
+
+    The running sum uses the e81 range-partitioned parallel prefix
+    (per-partition cumsum + broadcast partition offsets) — file
+    listings are millions of rows at lake scale, so no global-sort
+    single-partition window. Output: (``id_col``, ``size_col``, bin,
+    bin_bytes — total of the file's bin)."""
+    if target_bytes <= 0:
+        raise ValueError(f"target_bytes must be positive, got {target_bytes}")
+    base = df.select(
+        F.col(id_col).alias("__id"), F.col(size_col).cast("long").alias("__sz")
+    ).filter(F.col("__sz").isNotNull())
+    part = base.repartitionByRange(
+        32, F.col("__sz").desc(), F.col("__id")
+    ).withColumn("__pid", F.spark_partition_id())
+    tot = part.groupBy("__pid").agg(F.sum("__sz").alias("__t"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__pid", F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__off")
+    )
+    wrn = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__sz").desc(), F.col("__id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("__sz").over(wrn) + F.col("__off")
+    binned = part.join(F.broadcast(offs), "__pid").withColumn(
+        "bin", F.floor((cum - F.col("__sz")) / target_bytes)
+    )
+    sizes = binned.groupBy("bin").agg(F.sum("__sz").alias("bin_bytes"))
+    return (
+        binned.join(sizes, "bin")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__sz").alias(size_col),
+            "bin",
+            "bin_bytes",
+        )
+    )

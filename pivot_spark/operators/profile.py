@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -526,3 +526,55 @@ def cdf_transform(
         out_col, F.col("__r___v") / F.lit(float(n + 1))
     )
     return out.drop("__v", "__r___v")
+
+
+def pareto_frontier_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    num_ranges: int = 32,
+) -> DataFrame:
+    """2-D skyline / Pareto frontier (Börzsönyi et al. 2001, maximize
+    both axes): the rows no other row dominates (x' >= x AND y' >= y
+    with one strict) — multi-objective selection (quality vs brevity,
+    score vs cost). A point survives iff its y strictly exceeds the
+    running max y over all points with larger x — computed WITHOUT a
+    global sort: range-partition by (x DESC, tiebreaks), per-partition
+    running max, partition-prefix maxima broadcast back (the e81
+    parallel-prefix applied to max instead of sum).
+
+    Dominated ties: among rows with identical (x, y) only the smallest
+    ``id_col`` survives (deterministic). Output: the surviving rows
+    (``id_col``, x, y)."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+    part = base.repartitionByRange(
+        num_ranges, F.col("__x").desc(), F.col("__y").desc(), F.col("__id")
+    ).withColumn("__pid", F.spark_partition_id())
+    tot = part.groupBy("__pid").agg(F.max("__y").alias("__t"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__pid", F.coalesce(F.max("__t").over(woff), F.lit(float("-inf"))).alias("__off")
+    )
+    wrn = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("__x").desc(), F.col("__y").desc(), F.col("__id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_max = F.greatest(
+        F.coalesce(F.max("__y").over(wrn), F.lit(float("-inf"))), F.col("__off")
+    )
+    out = (
+        part.join(F.broadcast(offs), "__pid")
+        .withColumn("__pm", prev_max)
+        .filter(F.col("__y") > F.col("__pm"))
+    )
+    return out.select(
+        F.col("__id").alias(id_col),
+        F.col("__x").alias(x_col),
+        F.col("__y").alias(y_col),
+    )

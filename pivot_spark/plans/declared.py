@@ -6736,3 +6736,122 @@ def e146_cdf_transform(spark, sf_dir):
     )
     out = cdf_transform(ev, "value")
     return out.select("event_id", "value", F.round("u", 4).alias("u"))
+
+
+# --- E147: multivariate OLS by normal equations — two-pass centered
+# Gram matrix in ONE aggregate, k×k solve on the driver (e54
+# contract). Declared with k=2 so the oracle solves closed-form
+# (Cramer); the numpy path is unit-tested against it.
+_E147_ORACLE = """
+WITH b AS (
+  SELECT l_quantity::DOUBLE AS x1, l_discount::DOUBLE AS x2,
+         l_extendedprice::DOUBLE AS y
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL
+), m AS (
+  SELECT avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my, count(*) AS n FROM b
+), g AS (
+  SELECT sum((x1-m1)*(x1-m1)) AS s11, sum((x1-m1)*(x2-m2)) AS s12,
+         sum((x2-m2)*(x2-m2)) AS s22, sum((x1-m1)*(y-my)) AS s1y,
+         sum((x2-m2)*(y-my)) AS s2y, sum((y-my)*(y-my)) AS syy
+  FROM b, m
+)
+SELECT round((s22*s1y - s12*s2y) / (s11*s22 - s12*s12), 4) AS b1,
+       round((s11*s2y - s12*s1y) / (s11*s22 - s12*s12), 4) AS b2,
+       round(my - ((s22*s1y - s12*s2y) / (s11*s22 - s12*s12)) * m1
+                - ((s11*s2y - s12*s1y) / (s11*s22 - s12*s12)) * m2, 4)
+         AS intercept,
+       round((((s22*s1y - s12*s2y) / (s11*s22 - s12*s12)) * s1y
+              + ((s11*s2y - s12*s1y) / (s11*s22 - s12*s12)) * s2y) / syy, 4)
+         AS r2,
+       n
+FROM g, m
+"""
+
+
+@query("e147_linear_regression", _E147_ORACLE)
+def e147_linear_regression(spark, sf_dir):
+    from pivot_spark.operators.analytics import linear_regression
+
+    li = _read(spark, sf_dir, "lineitem")
+    out = linear_regression(li, ["l_quantity", "l_discount"], "l_extendedprice")
+    return out.select(
+        F.round(F.col("coef")[0], 4).alias("b1"),
+        F.round(F.col("coef")[1], 4).alias("b2"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 4).alias("r2"),
+        "n",
+    )
+
+
+# --- E148: small-file compaction planner (the OPTIMIZE prerequisite):
+# deterministic sorted next-fit by running size — cumsum via the e81
+# parallel prefix, never a single-partition window over the listing.
+# Oracle: the same (size DESC, path) cumsum replayed globally.
+_E148_ORACLE = """
+WITH files AS (
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) || '.parquet' AS path,
+         CAST(n_chars AS BIGINT) AS size
+  FROM documents
+), c AS (
+  SELECT path, size,
+         sum(size) OVER (ORDER BY size DESC, path
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM files
+), binned AS (
+  SELECT path, size, CAST(floor((cum - size) / 4000.0) AS BIGINT) AS bin FROM c
+)
+SELECT b.path, b.size, b.bin, s.bin_bytes
+FROM binned b
+JOIN (SELECT bin, sum(size) AS bin_bytes FROM binned GROUP BY 1) s USING (bin)
+"""
+
+
+@query("e148_plan_compaction", _E148_ORACLE)
+def e148_plan_compaction(spark, sf_dir):
+    from pivot_spark.operators.layout import plan_compaction
+
+    d = _read(spark, sf_dir, "documents")
+    files = d.select(
+        F.concat(
+            F.col("source"), F.lit("/"), F.col("doc_id").cast("string"),
+            F.lit(".parquet"),
+        ).alias("path"),
+        F.col("n_chars").cast("long").alias("size"),
+    )
+    return plan_compaction(files, "path", "size", target_bytes=4000)
+
+
+# --- E149: 2-D skyline / Pareto frontier (Börzsönyi et al. 2001,
+# maximize price and quantity): survive iff y strictly beats the
+# running max over larger-x rows — parallel-prefix max, no global
+# sort. Oracle: the same running-max window globally.
+_E149_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey * 8 + l_linenumber AS id,
+         l_extendedprice::DOUBLE AS x, l_quantity::DOUBLE AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+), r AS (
+  SELECT id, x, y,
+         max(y) OVER (ORDER BY x DESC, y DESC, id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM b
+)
+SELECT id, x, y FROM r WHERE y > coalesce(pm, -1e308)
+"""
+
+
+@query("e149_pareto_frontier", _E149_ORACLE)
+def e149_pareto_frontier(spark, sf_dir):
+    from pivot_spark.operators.profile import pareto_frontier_2d
+
+    li = _read(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("id"),
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").alias("y"),
+    )
+    out = pareto_frontier_2d(pts, "x", "y", "id")
+    return out.select("id", "x", "y")
