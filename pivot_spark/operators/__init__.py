@@ -77,6 +77,11 @@ from pivot_spark.operators.classifier import (
 )
 from pivot_spark.operators.repetition import repetition_signals
 from pivot_spark.operators.bootstrap import poisson_bootstrap_mean
+from pivot_spark.operators.layout import (
+    cluster_by_zorder,
+    plan_compaction,
+    zorder_key,
+)
 from pivot_spark.operators.sharding import rebalance_report, rendezvous_shard
 from pivot_spark.operators.cooccur import pmi_pairs
 from pivot_spark.operators.tfidf import tfidf_cosine_pairs, tfidf_top_terms
@@ -255,7 +260,7 @@ __all__ = [
     "cms_build", "cms_estimate", "cms_merge", "hll_overlap_matrix",
     "poisson_bootstrap_mean", "join_size_estimate", "classification_report",
     "rendezvous_shard", "rebalance_report", "cdf_transform",
-    "pareto_frontier_2d", "plan_compaction",
+    "pareto_frontier_2d", "plan_compaction", "cluster_by_zorder", "zorder_key",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents
