@@ -129,6 +129,9 @@ from pivot_spark.operators.skew import (
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
     anova_oneway,
+    conformal_threshold,
+    lift_curve,
+    lift_curve_ranked,
     linear_regression,
     classification_report,
     mannwhitney_u,
@@ -170,6 +173,7 @@ from pivot_spark.operators.heavy import heavy_hitters
 from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
     cdf_transform,
+    row_rank,
     pareto_frontier_2d,
     join_size_estimate,
     benford_audit,
@@ -252,7 +256,8 @@ __all__ = [
     "rolling_features", "rolling_time_features", "decayed_aggregates",
     "ewma", "cusum_changepoints", "seasonal_anomalies", "welch_t_test",
     "cuped_adjust", "rfm_segments", "kaplan_meier", "anova_oneway",
-    "mannwhitney_u", "linear_regression",
+    "mannwhitney_u", "linear_regression", "conformal_threshold",
+    "lift_curve", "lift_curve_ranked",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",
@@ -261,6 +266,7 @@ __all__ = [
     "poisson_bootstrap_mean", "join_size_estimate", "classification_report",
     "rendezvous_shard", "rebalance_report", "cdf_transform",
     "pareto_frontier_2d", "plan_compaction", "cluster_by_zorder", "zorder_key",
+    "row_rank",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

@@ -1013,3 +1013,145 @@ def linear_regression(
         [([float(b) for b in beta], intercept, r2, int(row["__n"]))],
         "coef array<double>, intercept double, r2 double, n long",
     )
+
+
+def conformal_threshold(
+    calib: DataFrame,
+    residual_col: str,
+    alpha: float = 0.1,
+    test: "DataFrame | None" = None,
+) -> DataFrame:
+    """Split conformal prediction calibration (Vovk; Angelopoulos &
+    Bates 2021 tutorial): the residual threshold q_hat such that
+    prediction intervals |y - y_hat| <= q_hat cover >= 1-alpha of
+    future points — q_hat is the k-th smallest calibration residual
+    with the finite-sample correction k = ceil((n+1)(1-alpha)).
+
+    The order statistic comes from the residual VALUE-COUNT frame with
+    a parallel-prefix cumulative count (no row-sized sort): q_hat =
+    min r with cum_count(r) >= k. With ``test``, empirical coverage on
+    the held-out split is appended (the conformal guarantee check).
+    Output is ONE row: (n_calib, k, q_hat[, n_test, coverage])."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    import math
+
+    r = F.col(residual_col).cast("double")
+    base = calib.filter(r.isNotNull()).select(r.alias("__r"))
+    n = base.count()
+    if n == 0:
+        raise ValueError("empty calibration set")
+    k = min(n, int(math.ceil((n + 1) * (1.0 - alpha))))
+    vc = base.groupBy("__r").agg(F.count(F.lit(1)).alias("__c"))
+    part = (
+        vc.repartitionByRange(32, F.col("__r"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    tot = part.groupBy("__pid").agg(F.sum("__c").alias("__t"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__pid", F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__off")
+    )
+    wcum = (
+        Window.partitionBy("__pid")
+        .orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("__c").over(wcum) + F.col("__off")
+    qrow = (
+        part.join(F.broadcast(offs), "__pid")
+        .withColumn("__cum", cum)
+        .filter(F.col("__cum") >= k)
+        .agg(F.min("__r").alias("q_hat"))
+    )
+    out = qrow.select(
+        F.lit(n).alias("n_calib"), F.lit(k).alias("k"), "q_hat"
+    )
+    if test is not None:
+        rt = F.col(residual_col).cast("double")
+        tcov = (
+            test.filter(rt.isNotNull())
+            .crossJoin(F.broadcast(out))
+            .agg(
+                F.count(F.lit(1)).alias("n_test"),
+                F.avg((rt <= F.col("q_hat")).cast("double")).alias("coverage"),
+            )
+        )
+        out = out.crossJoin(F.broadcast(tcov))
+    return out
+
+
+def lift_curve(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Lift / cumulative-gains table — the campaign-targeting view of a
+    classifier: rows rank by score descending, split into ``n_bins``
+    equal-population bins, and each bin reports its positive rate
+    against the base rate. Ranking uses the parallel-prefix
+    ``row_rank`` (no global sort); bin = floor((rank-1)*n_bins/n)+1 —
+    the exact ntile identity, replayable anywhere. Output per bin:
+    (bin, n, n_pos, pos_rate, lift, cum_pos_share, cum_pop_share)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from pivot_spark.operators.profile import row_rank
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), y.alias("__y"), F.monotonically_increasing_id().alias("__m")
+    )
+    # monotonically_increasing_id is partition-dependent — callers who
+    # need cross-engine determinism must pass a unique score tiebreak
+    # themselves; the declared query ranks on (score DESC, event_id)
+    ranked = row_rank(base, [F.col("__s").desc(), F.col("__m")], out_col="__rk")
+    return _lift_from_ranked(ranked, n_bins)
+
+
+def lift_curve_ranked(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """``lift_curve`` with an explicit unique tiebreaker — fully
+    deterministic on any engine/partitioning (the declared form)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    from pivot_spark.operators.profile import row_rank
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), y.alias("__y"), F.col(tiebreak_col).alias("__m")
+    )
+    ranked = row_rank(base, [F.col("__s").desc(), F.col("__m")], out_col="__rk")
+    return _lift_from_ranked(ranked, n_bins)
+
+
+def _lift_from_ranked(ranked: DataFrame, n_bins: int) -> DataFrame:
+    n = ranked.count()
+    b = (F.floor((F.col("__rk") - 1) * n_bins / F.lit(n)) + 1).cast("int")
+    per = ranked.groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__y").alias("n_pos")
+    )
+    tot = per.agg(F.sum("n_pos").alias("__tp"), F.sum("n").alias("__tn"))
+    j = per.crossJoin(F.broadcast(tot))
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    j = j.withColumn("__cp", F.sum("n_pos").over(wcum)).withColumn(
+        "__cn", F.sum("n").over(wcum)
+    )
+    base_rate = F.col("__tp") / F.col("__tn")
+    return j.select(
+        "bin",
+        "n",
+        F.col("n_pos").cast("long").alias("n_pos"),
+        (F.col("n_pos") / F.col("n")).alias("pos_rate"),
+        F.try_divide(F.col("n_pos") / F.col("n"), base_rate).alias("lift"),
+        F.try_divide(F.col("__cp"), F.col("__tp")).alias("cum_pos_share"),
+        (F.col("__cn") / F.col("__tn")).alias("cum_pop_share"),
+    )

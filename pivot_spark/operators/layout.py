@@ -158,9 +158,11 @@ def plan_compaction(
     base = df.select(
         F.col(id_col).alias("__id"), F.col(size_col).cast("long").alias("__sz")
     ).filter(F.col("__sz").isNotNull())
-    part = base.repartitionByRange(
-        32, F.col("__sz").desc(), F.col("__id")
-    ).withColumn("__pid", F.spark_partition_id())
+    part = (
+        base.repartitionByRange(32, F.col("__sz").desc(), F.col("__id"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
     tot = part.groupBy("__pid").agg(F.sum("__sz").alias("__t"))
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = tot.select(

@@ -223,8 +223,13 @@ def _avg_rank_map(base: DataFrame, col: str, num_ranges: int = 32) -> DataFrame:
     from pyspark.sql import Window
 
     vc = base.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
-    vcp = vc.repartitionByRange(num_ranges, F.col(col)).withColumn(
-        "__pid", F.spark_partition_id()
+    # persist fence: the offsets aggregate and the rank projection both
+    # read this frame; RangePartitioner re-samples per evaluation, so
+    # two un-persisted computations can disagree on pids (see row_rank)
+    vcp = (
+        vc.repartitionByRange(num_ranges, F.col(col))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
     # RangePartitioner orders ranges by partition id: offset(p) = rows
     # in all earlier ranges. num_ranges scalars — the single-partition
@@ -552,9 +557,13 @@ def pareto_frontier_2d(
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
     ).filter(F.col("__x").isNotNull() & F.col("__y").isNotNull())
-    part = base.repartitionByRange(
-        num_ranges, F.col("__x").desc(), F.col("__y").desc(), F.col("__id")
-    ).withColumn("__pid", F.spark_partition_id())
+    part = (
+        base.repartitionByRange(
+            num_ranges, F.col("__x").desc(), F.col("__y").desc(), F.col("__id")
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
     tot = part.groupBy("__pid").agg(F.max("__y").alias("__t"))
     woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offs = tot.select(
@@ -577,4 +586,40 @@ def pareto_frontier_2d(
         F.col("__id").alias(id_col),
         F.col("__x").alias(x_col),
         F.col("__y").alias(y_col),
+    )
+
+
+def row_rank(
+    df: DataFrame,
+    order_cols: Sequence,
+    out_col: str = "rank",
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Global 1-based row rank in ``order_cols`` order WITHOUT a global
+    sort: range-partition on the order columns, row_number each
+    partition independently, add broadcast per-partition offsets (the
+    e81 parallel prefix applied to rows — same machinery as
+    ``sorted_neighborhood_pairs``). ``order_cols`` must be a total
+    order (include a unique tiebreaker)."""
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    # persist: the offsets aggregate and the final rank projection both
+    # read `part`, and RangePartitioner re-SAMPLES per evaluation — two
+    # un-persisted computations can assign rows to different partitions,
+    # corrupting the offsets (observed as duplicate/gapped ranks)
+    part = (
+        df.repartitionByRange(num_ranges, *cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    tot = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__t"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__pid", F.coalesce(F.sum("__t").over(woff), F.lit(0)).alias("__off")
+    )
+    wrn = Window.partitionBy("__pid").orderBy(*cols)
+    return (
+        part.withColumn("__rn", F.row_number().over(wrn))
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(out_col, F.col("__off") + F.col("__rn"))
+        .drop("__pid", "__rn", "__off")
     )

@@ -6855,3 +6855,115 @@ def e149_pareto_frontier(spark, sf_dir):
     )
     out = pareto_frontier_2d(pts, "x", "y", "id")
     return out.select("id", "x", "y")
+
+
+# --- E150: split conformal calibration (Angelopoulos & Bates 2021):
+# q_hat = the ceil((n+1)(1-alpha))-th smallest calibration residual
+# (finite-sample-corrected order statistic via a parallel-prefix
+# cumulative count — no row sort), plus held-out coverage. Prediction:
+# the calibration split's per-type mean value. Oracle: the same order
+# statistic via a window.
+_E150_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type, value::DOUBLE AS v FROM events
+  WHERE value IS NOT NULL AND event_type IS NOT NULL
+), pred AS (
+  SELECT event_type, avg(v) AS p FROM base WHERE event_id % 2 = 0 GROUP BY 1
+), res AS (
+  SELECT b.event_id, abs(b.v - pred.p) AS r
+  FROM base b JOIN pred USING (event_type)
+), calib AS (
+  SELECT r FROM res WHERE event_id % 2 = 0
+), kk AS (
+  SELECT count(*) AS n, least(count(*),
+         CAST(ceil((count(*) + 1) * 0.9) AS BIGINT)) AS k
+  FROM calib
+), q AS (
+  SELECT min(r) AS q_hat FROM (
+    SELECT r, row_number() OVER (ORDER BY r) AS rn FROM calib
+  ), kk WHERE rn >= k
+)
+SELECT kk.n AS n_calib, CAST(kk.k AS INTEGER) AS k, round(q.q_hat, 4) AS q_hat,
+       (SELECT count(*) FROM res WHERE event_id % 2 = 1) AS n_test,
+       round((SELECT avg(CASE WHEN r <= q.q_hat THEN 1.0 ELSE 0.0 END)
+              FROM res WHERE event_id % 2 = 1), 4) AS coverage
+FROM kk, q
+"""
+
+
+@query("e150_conformal", _E150_ORACLE)
+def e150_conformal(spark, sf_dir):
+    from pivot_spark.operators.analytics import conformal_threshold
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    calib_raw = ev.filter(F.col("event_id") % 2 == 0)
+    pred = calib_raw.groupBy("event_type").agg(F.avg("value").alias("__p"))
+    scored = ev.join(F.broadcast(pred), "event_type").select(
+        "event_id", F.abs(F.col("value") - F.col("__p")).alias("resid")
+    )
+    calib = scored.filter(F.col("event_id") % 2 == 0)
+    test = scored.filter(F.col("event_id") % 2 == 1)
+    out = conformal_threshold(calib, "resid", alpha=0.1, test=test)
+    return out.select(
+        "n_calib", F.col("k").cast("int").alias("k"),
+        F.round("q_hat", 4).alias("q_hat"),
+        "n_test", F.round("coverage", 4).alias("coverage"),
+    )
+
+
+# --- E151: lift / cumulative-gains table for the e131 sigmoid score —
+# equal-population score deciles from the parallel-prefix row rank
+# (exact ntile identity, no global sort), per-bin lift vs base rate.
+# Oracle: global row_number replay of the same (score DESC, id) order.
+_E151_ORACLE = """
+WITH b AS (
+  SELECT event_id, 1 / (1 + exp(-(value - 50) / 20.0)) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), r AS (
+  SELECT s, y, row_number() OVER (ORDER BY s DESC, event_id) AS rk,
+         (SELECT count(*) FROM b) AS n
+  FROM b
+), per AS (
+  SELECT CAST(floor((rk - 1) * 10 / n) + 1 AS INTEGER) AS bin,
+         count(*) AS n, sum(y) AS n_pos
+  FROM r GROUP BY 1
+), tot AS (
+  SELECT sum(n_pos) AS tp, sum(n) AS tn FROM per
+), c AS (
+  SELECT bin, n, n_pos,
+         sum(n_pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cp,
+         sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn
+  FROM per
+)
+SELECT bin, n, CAST(n_pos AS BIGINT) AS n_pos,
+       round(n_pos / CAST(n AS DOUBLE), 4) AS pos_rate,
+       round((n_pos / CAST(n AS DOUBLE)) / (tp / CAST(tn AS DOUBLE)), 4) AS lift,
+       round(cp / tp, 4) AS cum_pos_share,
+       round(cn / CAST(tn AS DOUBLE), 4) AS cum_pop_share
+FROM c, tot
+"""
+
+
+@query("e151_lift_curve", _E151_ORACLE)
+def e151_lift_curve(spark, sf_dir):
+    from pivot_spark.operators.analytics import lift_curve_ranked
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        "event_id",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50) / F.lit(20.0)))).alias("score"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    )
+    out = lift_curve_ranked(scored, "score", "label", "event_id", n_bins=10)
+    return out.select(
+        "bin", "n", "n_pos",
+        F.round("pos_rate", 4).alias("pos_rate"),
+        F.round("lift", 4).alias("lift"),
+        F.round("cum_pos_share", 4).alias("cum_pos_share"),
+        F.round("cum_pop_share", 4).alias("cum_pop_share"),
+    )

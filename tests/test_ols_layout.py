@@ -58,3 +58,45 @@ def test_pareto_frontier_small(spark):
     df = spark.createDataFrame(pts, "id long, x double, y double")
     out = sorted(r.id for r in pareto_frontier_2d(df, "x", "y", "id").collect())
     assert out == [1, 2, 3]
+
+
+def test_conformal_threshold_and_coverage(spark):
+    from pivot_spark.operators.analytics import conformal_threshold
+
+    # residuals 1..100: alpha=0.1 -> k = ceil(101*0.9) = 91 -> q_hat = 91
+    calib = spark.createDataFrame([(float(i),) for i in range(1, 101)], "resid double")
+    test = spark.createDataFrame([(float(i),) for i in range(1, 101)], "resid double")
+    r = conformal_threshold(calib, "resid", alpha=0.1, test=test).first()
+    assert (r.n_calib, r.k) == (100, 91)
+    assert r.q_hat == 91.0
+    assert r.coverage == pytest.approx(0.91)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        conformal_threshold(calib, "resid", alpha=0.0)
+
+
+def test_lift_curve_perfect_classifier(spark):
+    from pivot_spark.operators.analytics import lift_curve_ranked
+
+    # top 20% scores are exactly the positives -> bins 1-2 capture all
+    rows = [(i, float(100 - i), 1.0 if i < 20 else 0.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, score double, label double")
+    out = {r.bin: r for r in lift_curve_ranked(df, "score", "label", "id").collect()}
+    assert len(out) == 10
+    assert all(out[b].n == 10 for b in out)
+    assert out[1].n_pos == 10 and out[2].n_pos == 10
+    assert out[1].lift == pytest.approx(1 / 0.2)
+    assert out[2].cum_pos_share == pytest.approx(1.0)
+    assert out[10].n_pos == 0
+    assert out[10].cum_pop_share == pytest.approx(1.0)
+
+
+def test_row_rank_is_permutation(spark):
+    from pivot_spark.operators.profile import row_rank
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, float(i % 17)) for i in range(2000)], "id long, v double")
+    ranked = row_rank(df, [F.col("v").desc(), F.col("id")], out_col="r")
+    rs = sorted(r.r for r in ranked.collect())
+    assert rs == list(range(1, 2001))
