@@ -129,6 +129,8 @@ from pivot_spark.operators.skew import (
 # --- time / event analytics
 from pivot_spark.operators.analytics import (
     anova_oneway,
+    average_precision,
+    binary_auc,
     conformal_threshold,
     lift_curve,
     lift_curve_ranked,
@@ -257,7 +259,7 @@ __all__ = [
     "ewma", "cusum_changepoints", "seasonal_anomalies", "welch_t_test",
     "cuped_adjust", "rfm_segments", "kaplan_meier", "anova_oneway",
     "mannwhitney_u", "linear_regression", "conformal_threshold",
-    "lift_curve", "lift_curve_ranked",
+    "lift_curve", "lift_curve_ranked", "binary_auc", "average_precision",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

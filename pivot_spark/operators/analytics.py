@@ -1155,3 +1155,64 @@ def _lift_from_ranked(ranked: DataFrame, n_bins: int) -> DataFrame:
         F.try_divide(F.col("__cp"), F.col("__tp")).alias("cum_pos_share"),
         (F.col("__cn") / F.col("__tn")).alias("cum_pop_share"),
     )
+
+
+def binary_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Exact tie-corrected ROC-AUC via the Mann–Whitney rank identity:
+    AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos * n_neg) with R_pos the
+    sum of the positives' AVERAGE score ranks — ties contribute 1/2,
+    matching the trapezoidal ROC definition exactly. Ranks come from
+    the e81 distributed value ranker (distinct-score frame, parallel
+    prefix, no row sort); one aggregate finishes. Output ONE row:
+    (n_pos, n_neg, auc)."""
+    from pivot_spark.operators.profile import _avg_rank_map
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__v"), (y > 0).alias("__p")
+    )
+    ranked = base.join(_avg_rank_map(base.select("__v"), "__v"), "__v")
+    agg = ranked.agg(
+        F.sum(F.when(F.col("__p"), 1).otherwise(0)).alias("n_pos"),
+        F.sum(F.when(~F.col("__p"), 1).otherwise(0)).alias("n_neg"),
+        F.sum(F.when(F.col("__p"), F.col("__r___v"))).alias("__rp"),
+    )
+    np_, nn = F.col("n_pos").cast("double"), F.col("n_neg").cast("double")
+    auc = F.try_divide(F.col("__rp") - np_ * (np_ + 1) / 2, np_ * nn)
+    return agg.select("n_pos", "n_neg", auc.alias("auc"))
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Average precision (PR-AUC, the ranked-retrieval definition):
+    AP = mean over positives of precision@their-rank, on the unique
+    total order (score DESC, tiebreak). precision@rank for the i-th
+    positive equals i / global_rank(i), so AP needs exactly TWO
+    parallel-prefix row ranks — one over all rows, one over the
+    positives — and one aggregate; no per-row running windows over the
+    corpus. Output ONE row: (n_pos, n, ap)."""
+    from pivot_spark.operators.profile import row_rank
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__s"), (y > 0).alias("__p"), F.col(tiebreak_col).alias("__t")
+    )
+    ranked = row_rank(base, [F.col("__s").desc(), F.col("__t")], out_col="__g")
+    pos = ranked.filter(F.col("__p"))
+    pranked = row_rank(pos, [F.col("__s").desc(), F.col("__t")], out_col="__i")
+    agg = pranked.agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.avg(F.col("__i") / F.col("__g")).alias("ap"),
+    )
+    n = ranked.count()
+    return agg.select("n_pos", F.lit(n).alias("n"), "ap")

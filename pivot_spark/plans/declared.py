@@ -6967,3 +6967,83 @@ def e151_lift_curve(spark, sf_dir):
         F.round("cum_pos_share", 4).alias("cum_pos_share"),
         F.round("cum_pop_share", 4).alias("cum_pop_share"),
     )
+
+
+# --- E152: exact tie-corrected ROC-AUC (Mann–Whitney rank identity)
+# for the e131 sigmoid score — average ranks from the e81 distributed
+# ranker, one finishing aggregate. Oracle: the rank()+(cnt-1)/2
+# identity.
+_E152_ORACLE = """
+WITH b AS (
+  SELECT 1 / (1 + exp(-(value - 50) / 20.0)) AS s,
+         (event_type = 'purchase') AS p
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), r AS (
+  SELECT p, rank() OVER (ORDER BY s)
+           + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS rk
+  FROM b
+), a AS (
+  SELECT sum(CASE WHEN p THEN 1 ELSE 0 END) AS n_pos,
+         sum(CASE WHEN p THEN 0 ELSE 1 END) AS n_neg,
+         sum(CASE WHEN p THEN rk END) AS rp
+  FROM r
+)
+SELECT n_pos, n_neg,
+       round((rp - n_pos * (n_pos + 1) / 2.0) / (n_pos * CAST(n_neg AS DOUBLE)),
+             4) AS auc
+FROM a
+"""
+
+
+@query("e152_roc_auc", _E152_ORACLE)
+def e152_roc_auc(spark, sf_dir):
+    from pivot_spark.operators.analytics import binary_auc
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50) / F.lit(20.0)))).alias("score"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    )
+    out = binary_auc(scored, "score", "label")
+    return out.select("n_pos", "n_neg", F.round("auc", 4).alias("auc"))
+
+
+# --- E153: average precision (ranked-retrieval PR-AUC) on the unique
+# (score DESC, event_id) order — TWO parallel-prefix row ranks (all
+# rows; positives) + one aggregate. Oracle: two row_numbers replayed.
+_E153_ORACLE = """
+WITH b AS (
+  SELECT event_id, 1 / (1 + exp(-(value - 50) / 20.0)) AS s,
+         (event_type = 'purchase') AS p
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), g AS (
+  SELECT event_id, s, p,
+         row_number() OVER (ORDER BY s DESC, event_id) AS gr
+  FROM b
+), pr AS (
+  SELECT gr, row_number() OVER (ORDER BY s DESC, event_id) AS ir
+  FROM g WHERE p
+)
+SELECT (SELECT count(*) FROM pr) AS n_pos,
+       (SELECT count(*) FROM g) AS n,
+       round(avg(ir / CAST(gr AS DOUBLE)), 4) AS ap
+FROM pr
+"""
+
+
+@query("e153_average_precision", _E153_ORACLE)
+def e153_average_precision(spark, sf_dir):
+    from pivot_spark.operators.analytics import average_precision
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        "event_id",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50) / F.lit(20.0)))).alias("score"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    )
+    out = average_precision(scored, "score", "label", "event_id")
+    return out.select("n_pos", "n", F.round("ap", 4).alias("ap"))

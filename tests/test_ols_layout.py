@@ -100,3 +100,30 @@ def test_row_rank_is_permutation(spark):
     ranked = row_rank(df, [F.col("v").desc(), F.col("id")], out_col="r")
     rs = sorted(r.r for r in ranked.collect())
     assert rs == list(range(1, 2001))
+
+
+def test_auc_and_ap_hand_computed(spark):
+    from pivot_spark.operators.analytics import average_precision, binary_auc
+
+    # perfect separation -> AUC 1, AP 1
+    rows = [(i, float(i), 1.0 if i >= 5 else 0.0) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, score double, label double")
+    r = binary_auc(df, "score", "label").first()
+    assert (r.n_pos, r.n_neg) == (5, 5)
+    assert r.auc == pytest.approx(1.0)
+    assert average_precision(df, "score", "label", "id").first().ap == pytest.approx(1.0)
+
+    # random-ish interleave: compute AUC by brute force pair counting
+    rows2 = [(0, 1.0, 0.0), (1, 2.0, 1.0), (2, 2.0, 0.0), (3, 3.0, 1.0), (4, 0.5, 0.0)]
+    df2 = spark.createDataFrame(rows2, "id long, score double, label double")
+    pos = [r[1] for r in rows2 if r[2] == 1.0]
+    neg = [r[1] for r in rows2 if r[2] == 0.0]
+    brute = sum(
+        1.0 if p > q else (0.5 if p == q else 0.0) for p in pos for q in neg
+    ) / (len(pos) * len(neg))
+    r2 = binary_auc(df2, "score", "label").first()
+    assert r2.auc == pytest.approx(brute)
+
+    # AP by hand on (score desc, id): order 3(+), 1(+), 2(-), 0(-), 4(-)
+    ap = (1 / 1 + 2 / 2) / 2
+    assert average_precision(df2, "score", "label", "id").first().ap == pytest.approx(ap)
