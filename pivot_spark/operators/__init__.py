@@ -176,6 +176,7 @@ from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
     cdf_transform,
     row_rank,
+    vocab_richness,
     pareto_frontier_2d,
     join_size_estimate,
     benford_audit,
@@ -268,7 +269,7 @@ __all__ = [
     "poisson_bootstrap_mean", "join_size_estimate", "classification_report",
     "rendezvous_shard", "rebalance_report", "cdf_transform",
     "pareto_frontier_2d", "plan_compaction", "cluster_by_zorder", "zorder_key",
-    "row_rank",
+    "row_rank", "vocab_richness",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

@@ -623,3 +623,53 @@ def row_rank(
         .withColumn(out_col, F.col("__off") + F.col("__rn"))
         .drop("__pid", "__rn", "__off")
     )
+
+
+def vocab_richness(
+    df: DataFrame,
+    text_col: str,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary-richness estimates — the "how much more is out
+    there" summary for scaling decisions: from the token-type frequency
+    spectrum, Chao1's unseen-species lower bound (Chao 1984)
+    D + f1^2/(2 f2), the Good–Turing unseen-probability mass f1/N
+    (the chance the next token is a NEW type), type–token ratio and
+    Herdan's C (ln D / ln N — the TTR that doesn't collapse with
+    corpus size).
+
+    Plan: tokens explode -> per-type counts [one type-keyed agg,
+    map-side combine absorbs hot types] -> frequency-of-frequency
+    aggregate (f1, f2, D, N) in ONE single-row agg over the type frame.
+    Output ONE row: (n_tokens, n_types, f1, f2, chao1, p_unseen, ttr,
+    herdan_c)."""
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    types = (
+        df.select(F.explode(toks).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = types.agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("f2"),
+    )
+    d = F.col("n_types").cast("double")
+    n = F.col("n_tokens").cast("double")
+    f1 = F.col("f1").cast("double")
+    f2 = F.col("f2").cast("double")
+    chao1 = F.when(F.col("f2") > 0, d + f1 * f1 / (2 * f2)).otherwise(
+        d + f1 * (f1 - 1) / 2  # Chao1 bias-corrected form when f2 = 0
+    )
+    return agg.select(
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        chao1.alias("chao1"),
+        F.try_divide(f1, n).alias("p_unseen"),
+        F.try_divide(d, n).alias("ttr"),
+        F.try_divide(F.log(d), F.log(n)).alias("herdan_c"),
+    )

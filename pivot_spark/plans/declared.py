@@ -7047,3 +7047,46 @@ def e153_average_precision(spark, sf_dir):
     )
     out = average_precision(scored, "score", "label", "event_id")
     return out.select("n_pos", "n", F.round("ap", 4).alias("ap"))
+
+
+# --- E154: vocabulary-richness estimates (Chao1 unseen-species bound,
+# Good–Turing unseen mass, TTR, Herdan's C) from the token-type
+# frequency spectrum — one type-keyed aggregate + one single-row
+# frequency-of-frequency aggregate. Replayed term-for-term.
+_E154_ORACLE = r"""
+WITH toks AS (
+  SELECT t.tok FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> w <> '')) AS t(tok)
+), types AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY 1
+), a AS (
+  SELECT sum(c) AS n_tokens, count(*) AS n_types,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+         sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
+  FROM types
+)
+SELECT n_tokens, n_types, f1, f2,
+       round(CASE WHEN f2 > 0
+                  THEN n_types + f1 * f1 / (2.0 * f2)
+                  ELSE n_types + f1 * (f1 - 1) / 2.0 END, 4) AS chao1,
+       round(f1 / CAST(n_tokens AS DOUBLE), 4) AS p_unseen,
+       round(n_types / CAST(n_tokens AS DOUBLE), 4) AS ttr,
+       round(ln(n_types) / ln(n_tokens), 4) AS herdan_c
+FROM a
+"""
+
+
+@query("e154_vocab_richness", _E154_ORACLE)
+def e154_vocab_richness(spark, sf_dir):
+    from pivot_spark.operators.profile import vocab_richness
+
+    d = _read(spark, sf_dir, "documents")
+    out = vocab_richness(d, "text")
+    return out.select(
+        "n_tokens", "n_types", "f1", "f2",
+        F.round("chao1", 4).alias("chao1"),
+        F.round("p_unseen", 4).alias("p_unseen"),
+        F.round("ttr", 4).alias("ttr"),
+        F.round("herdan_c", 4).alias("herdan_c"),
+    )

@@ -127,3 +127,22 @@ def test_auc_and_ap_hand_computed(spark):
     # AP by hand on (score desc, id): order 3(+), 1(+), 2(-), 0(-), 4(-)
     ap = (1 / 1 + 2 / 2) / 2
     assert average_precision(df2, "score", "label", "id").first().ap == pytest.approx(ap)
+
+
+def test_vocab_richness_hand_computed(spark):
+    from pivot_spark.operators.profile import vocab_richness
+
+    # corpus: a a a b b c d -> N=7, D=4, f1=2 (c,d), f2=1 (b)
+    df = spark.createDataFrame([("a a a b b",), ("c d",)], "text string")
+    r = vocab_richness(df, "text").first()
+    assert (r.n_tokens, r.n_types, r.f1, r.f2) == (7, 4, 2, 1)
+    assert r.chao1 == pytest.approx(4 + 4 / 2)
+    assert r.p_unseen == pytest.approx(2 / 7)
+    assert r.ttr == pytest.approx(4 / 7)
+    import math
+
+    assert r.herdan_c == pytest.approx(math.log(4) / math.log(7))
+    # f2 = 0 -> bias-corrected form
+    df2 = spark.createDataFrame([("x y z",)], "text string")
+    r2 = vocab_richness(df2, "text").first()
+    assert r2.chao1 == pytest.approx(3 + 3 * 2 / 2)
