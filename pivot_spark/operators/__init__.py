@@ -131,6 +131,7 @@ from pivot_spark.operators.analytics import (
     anova_oneway,
     average_precision,
     binary_auc,
+    brier_decomposition,
     conformal_threshold,
     lift_curve,
     lift_curve_ranked,
@@ -177,6 +178,7 @@ from pivot_spark.operators.profile import (
     cdf_transform,
     row_rank,
     vocab_richness,
+    weighted_quantile,
     pareto_frontier_2d,
     join_size_estimate,
     benford_audit,
@@ -261,6 +263,7 @@ __all__ = [
     "cuped_adjust", "rfm_segments", "kaplan_meier", "anova_oneway",
     "mannwhitney_u", "linear_regression", "conformal_threshold",
     "lift_curve", "lift_curve_ranked", "binary_auc", "average_precision",
+    "brier_decomposition", "weighted_quantile",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

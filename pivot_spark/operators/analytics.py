@@ -1216,3 +1216,66 @@ def average_precision(
     )
     n = ranked.count()
     return agg.select("n_pos", F.lit(n).alias("n"), "ap")
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score with the Murphy (1973) decomposition — the proper
+    scoring rule completing the e131 calibration family:
+    BS = reliability - resolution + uncertainty, where reliability
+    penalizes miscalibrated bins, resolution rewards bins that separate
+    outcomes, and uncertainty = base_rate(1-base_rate) is the data's
+    irreducible floor. Bins follow ``calibration_report`` (equal-width
+    on [0,1], score 1.0 clamps into the last).
+
+    ONE bin-keyed aggregate + one single-row aggregate over the bin
+    frame (plus the exact BS as a direct mean for the identity check —
+    same scan). Output ONE row: (n, brier, reliability, resolution,
+    uncertainty, base_rate)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(s * n_bins).cast("int"), F.lit(n_bins - 1))
+    base = df.filter(s.isNotNull() & y.isNotNull()).select(
+        b.alias("__b"), s.alias("__s"), y.alias("__y")
+    )
+    per = base.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("__s").alias("__ms"),
+        F.avg("__y").alias("__my"),
+        F.avg((F.col("__s") - F.col("__y")) * (F.col("__s") - F.col("__y"))).alias(
+            "__bs"
+        ),
+    )
+    agg = per.agg(
+        F.sum("__n").alias("n"),
+        (F.sum(F.col("__n") * F.col("__bs")) / F.sum("__n")).alias("brier"),
+        (
+            F.sum(
+                F.col("__n")
+                * (F.col("__ms") - F.col("__my"))
+                * (F.col("__ms") - F.col("__my"))
+            )
+            / F.sum("__n")
+        ).alias("reliability"),
+        (F.sum(F.col("__n") * F.col("__my")) / F.sum("__n")).alias("__rate"),
+        F.sum(F.col("__n") * F.col("__my") * F.col("__my")).alias("__smy2"),
+    )
+    res = (
+        F.col("__smy2") / F.col("n")
+        - F.col("__rate") * F.col("__rate")
+    )
+    unc = F.col("__rate") * (1 - F.col("__rate"))
+    return agg.select(
+        "n",
+        "brier",
+        "reliability",
+        res.alias("resolution"),
+        unc.alias("uncertainty"),
+        F.col("__rate").alias("base_rate"),
+    )

@@ -673,3 +673,73 @@ def vocab_richness(
         F.try_divide(d, n).alias("ttr"),
         F.try_divide(F.log(d), F.log(n)).alias("herdan_c"),
     )
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+    num_ranges: int = 32,
+) -> DataFrame:
+    """Exact weighted quantiles — the token-weighted sibling of
+    ``quantiles`` (a median document BY TOKEN MASS, not by document
+    count, is what a packing or budget decision needs): quantile(p) =
+    the smallest value whose cumulative weight reaches p of the total.
+
+    Value-count collapse first (one value-keyed aggregate summing
+    weights), then the e81 parallel-prefix cumulative weight over the
+    DISTINCT-value frame, then one bounded filter+min per prob — no
+    row-sized sort anywhere. Output: (prob, value, cum_weight,
+    total_weight) one row per prob."""
+    ps = list(probs)
+    if not ps or any(not 0.0 < p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be within (0, 1], got {ps}")
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    vc = (
+        df.filter(v.isNotNull() & w.isNotNull() & (w > 0))
+        .groupBy(v.alias("__v"))
+        .agg(F.sum(w).alias("__w"))
+    )
+    part = (
+        vc.repartitionByRange(num_ranges, F.col("__v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    tot = part.groupBy("__pid").agg(F.sum("__w").alias("__t"))
+    woff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = tot.select(
+        "__pid", F.coalesce(F.sum("__t").over(woff), F.lit(0.0)).alias("__off")
+    )
+    wcum = (
+        Window.partitionBy("__pid")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = part.join(F.broadcast(offs), "__pid").withColumn(
+        "__cum", F.sum("__w").over(wcum) + F.col("__off")
+    ).persist()
+    total = cum.agg(F.max("__cum").alias("__total"))
+    outs = []
+    for p in ps:
+        hit = (
+            cum.crossJoin(F.broadcast(total))
+            .filter(F.col("__cum") >= F.lit(float(p)) * F.col("__total"))
+            .agg(
+                F.min(F.struct(F.col("__v"), F.col("__cum"), F.col("__total"))).alias(
+                    "__h"
+                )
+            )
+            .select(
+                F.lit(float(p)).alias("prob"),
+                F.col("__h.__v").alias("value"),
+                F.col("__h.__cum").alias("cum_weight"),
+                F.col("__h.__total").alias("total_weight"),
+            )
+        )
+        outs.append(hit)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -7090,3 +7090,90 @@ def e154_vocab_richness(spark, sf_dir):
         F.round("ttr", 4).alias("ttr"),
         F.round("herdan_c", 4).alias("herdan_c"),
     )
+
+
+# --- E155: Brier score + Murphy decomposition for the e131 sigmoid
+# score (BS = REL - RES + UNC) — one bin aggregate + one single-row
+# aggregate. Replayed bin-for-bin.
+_E155_ORACLE = """
+WITH b AS (
+  SELECT least(CAST(floor((1 / (1 + exp(-(value - 50) / 20.0))) * 10) AS INTEGER), 9)
+           AS bin,
+         1 / (1 + exp(-(value - 50) / 20.0)) AS s,
+         CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), per AS (
+  SELECT bin, count(*) AS n, avg(s) AS ms, avg(y) AS my,
+         avg((s - y) * (s - y)) AS bs
+  FROM b GROUP BY 1
+), a AS (
+  SELECT sum(n) AS n, sum(n * bs) / sum(n) AS brier,
+         sum(n * (ms - my) * (ms - my)) / sum(n) AS rel,
+         sum(n * my) / sum(n) AS rate,
+         sum(n * my * my) AS smy2
+  FROM per
+)
+SELECT n, round(brier, 4) AS brier, round(rel, 4) AS reliability,
+       round(smy2 / n - rate * rate, 4) AS resolution,
+       round(rate * (1 - rate), 4) AS uncertainty,
+       round(rate, 4) AS base_rate
+FROM a
+"""
+
+
+@query("e155_brier", _E155_ORACLE)
+def e155_brier(spark, sf_dir):
+    from pivot_spark.operators.analytics import brier_decomposition
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    scored = ev.select(
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-(F.col("value") - 50) / F.lit(20.0)))).alias("score"),
+        (F.col("event_type") == "purchase").cast("double").alias("label"),
+    )
+    out = brier_decomposition(scored, "score", "label", n_bins=10)
+    return out.select(
+        "n", F.round("brier", 4).alias("brier"),
+        F.round("reliability", 4).alias("reliability"),
+        F.round("resolution", 4).alias("resolution"),
+        F.round("uncertainty", 4).alias("uncertainty"),
+        F.round("base_rate", 4).alias("base_rate"),
+    )
+
+
+# --- E156: exact weighted quantiles (token-mass medians): value-count
+# collapse + e81 parallel-prefix cumulative weight over the DISTINCT
+# value frame, min value reaching p of total mass per prob. Oracle:
+# global cumulative-weight window replay.
+_E156_ORACLE = """
+WITH vc AS (
+  SELECT CAST(n_chars AS DOUBLE) AS v, sum(CAST(n_chars AS DOUBLE)) AS w
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+  GROUP BY 1
+), c AS (
+  SELECT v, sum(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(w) OVER () AS total
+  FROM vc
+)
+SELECT p.prob, min(c.v) AS value,
+       round(min_by(c.cum, c.v), 4) AS cum_weight,
+       round(any_value(c.total), 4) AS total_weight
+FROM (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+             (CAST(0.99 AS DOUBLE))) AS p(prob), c
+WHERE c.cum >= p.prob * c.total
+GROUP BY p.prob
+"""
+
+
+@query("e156_weighted_quantile", _E156_ORACLE)
+def e156_weighted_quantile(spark, sf_dir):
+    from pivot_spark.operators.profile import weighted_quantile
+
+    d = _read(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    out = weighted_quantile(d, "n_chars", "n_chars", probs=[0.5, 0.9, 0.99])
+    return out.select(
+        "prob", "value",
+        F.round("cum_weight", 4).alias("cum_weight"),
+        F.round("total_weight", 4).alias("total_weight"),
+    )

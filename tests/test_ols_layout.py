@@ -146,3 +146,37 @@ def test_vocab_richness_hand_computed(spark):
     df2 = spark.createDataFrame([("x y z",)], "text string")
     r2 = vocab_richness(df2, "text").first()
     assert r2.chao1 == pytest.approx(3 + 3 * 2 / 2)
+
+
+def test_brier_decomposition_identity(spark):
+    from pivot_spark.operators.analytics import brier_decomposition
+
+    rows = [(0.1, 0.0), (0.1, 0.0), (0.1, 1.0), (0.8, 1.0), (0.8, 1.0), (0.8, 0.0)]
+    df = spark.createDataFrame(rows, "score double, label double")
+    r = brier_decomposition(df, "score", "label").first()
+    bs = sum((s - y) ** 2 for s, y in rows) / len(rows)
+    assert r.brier == pytest.approx(bs)
+    # Murphy identity holds exactly for bin-constant scores
+    assert r.brier == pytest.approx(
+        r.reliability - r.resolution + r.uncertainty, abs=1e-12
+    )
+    assert r.base_rate == pytest.approx(0.5)
+    assert r.uncertainty == pytest.approx(0.25)
+
+
+def test_weighted_quantile_hand_computed(spark):
+    from pivot_spark.operators.profile import weighted_quantile
+
+    # values 1..4 with weights 1,1,1,7 -> half the mass sits on value 4
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 1.0), (4.0, 7.0)], "v double, w double"
+    )
+    out = {r.prob: r for r in weighted_quantile(df, "v", "w", [0.3, 0.5, 0.99]).collect()}
+    assert out[0.3].value == 3.0   # cum 3 >= 0.3*10
+    assert out[0.5].value == 4.0
+    assert out[0.99].value == 4.0
+    assert out[0.5].total_weight == pytest.approx(10.0)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        weighted_quantile(df, "v", "w", [0.0])
