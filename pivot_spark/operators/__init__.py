@@ -15,7 +15,7 @@ from pivot_spark.operators.pivot import (
 )
 
 # --- dedup family
-from pivot_spark.operators.chunk_dedup import chunk_dup_signals
+from pivot_spark.operators.chunk_dedup import chunk_dup_signals, cross_source_dup_matrix
 from pivot_spark.operators.components import (
     connected_components,
     label_propagation,
@@ -176,6 +176,7 @@ from pivot_spark.operators.heavy import heavy_hitters
 from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
     cdf_transform,
+    key_containment,
     row_rank,
     vocab_richness,
     weighted_quantile,
@@ -220,6 +221,7 @@ __all__ = [
     "pivot", "PivotResult", "PivotError", "output_schema", "lineage",
     # dedup
     "dedup_exact", "dedup_against", "debounce", "chunk_dup_signals",
+    "cross_source_dup_matrix",
     "connected_components", "pagerank", "triangle_stats", "label_propagation", "dedup_clusters", "dedup_clusters_keep_best",
     "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
@@ -272,7 +274,7 @@ __all__ = [
     "poisson_bootstrap_mean", "join_size_estimate", "classification_report",
     "rendezvous_shard", "rebalance_report", "cdf_transform",
     "pareto_frontier_2d", "plan_compaction", "cluster_by_zorder", "zorder_key",
-    "row_rank", "vocab_richness",
+    "row_rank", "vocab_richness", "key_containment",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

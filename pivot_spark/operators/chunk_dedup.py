@@ -79,3 +79,34 @@ def chunk_dup_signals(
             ).alias("dup_chunk_fraction"),
         )
     )
+
+
+def cross_source_dup_matrix(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Cross-source duplication matrix — the curation diagnosis that
+    tells you WHICH feeds copy from which: near-dup pairs (from any of
+    the e03/e08/e10/e123 detectors) roll up to unordered source-pair
+    counts plus each source's internal-dup count. Two broadcast-scale
+    joins of the (tiny) pair frame against the (id, source) projection
+    — the corpus itself is scanned once for the projection and never
+    shuffled wide. Output: (source_a <= source_b, n_pairs,
+    within_source BOOLEAN)."""
+    sides = docs.select(F.col(id_col), F.col(source_col))
+    a = sides.withColumnsRenamed({id_col: id_a, source_col: "__sa"})
+    b = sides.withColumnsRenamed({id_col: id_b, source_col: "__sb"})
+    j = pairs.join(F.broadcast(a), id_a).join(F.broadcast(b), id_b)
+    return (
+        j.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .withColumn("within_source", F.col("source_a") == F.col("source_b"))
+    )

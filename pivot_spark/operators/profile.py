@@ -743,3 +743,44 @@ def weighted_quantile(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def key_containment(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Inclusion-dependency / foreign-key discovery probe (the
+    Metanome-family primitive): what fraction of ``left_col``'s
+    distinct values appear in ``right_col``? containment ~ 1.0 with
+    right unique means left->right is FK-shaped. Two distinct-value
+    frames (value-keyed aggregates — bounded by cardinality, never row
+    count) + one join. Output ONE row: (n_left_distinct,
+    n_right_distinct, n_shared, containment = shared/left,
+    right_unique BOOLEAN — whether right_col has no duplicate rows)."""
+    lv = left.filter(F.col(left_col).isNotNull()).select(
+        F.col(left_col).cast("string").alias("__v")
+    )
+    rv_all = right.filter(F.col(right_col).isNotNull()).select(
+        F.col(right_col).cast("string").alias("__v")
+    )
+    ld = lv.distinct().persist()
+    rstats = rv_all.agg(
+        F.count(F.lit(1)).alias("__rn"), F.count_distinct("__v").alias("__rd")
+    )
+    shared = ld.join(rv_all.distinct(), "__v").agg(
+        F.count(F.lit(1)).alias("__sh")
+    )
+    nl = ld.agg(F.count(F.lit(1)).alias("__ln"))
+    return (
+        nl.crossJoin(F.broadcast(shared))
+        .crossJoin(F.broadcast(rstats))
+        .select(
+            F.col("__ln").alias("n_left_distinct"),
+            F.col("__rd").alias("n_right_distinct"),
+            F.col("__sh").alias("n_shared"),
+            (F.col("__sh") / F.col("__ln")).alias("containment"),
+            (F.col("__rn") == F.col("__rd")).alias("right_unique"),
+        )
+    )

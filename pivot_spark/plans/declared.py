@@ -7177,3 +7177,70 @@ def e156_weighted_quantile(spark, sf_dir):
         F.round("cum_weight", 4).alias("cum_weight"),
         F.round("total_weight", 4).alias("total_weight"),
     )
+
+
+# --- E157: cross-source duplication matrix — e03's MinHash pairs
+# rolled up to unordered source pairs (which feeds copy from which).
+# Oracle: the brute-force Jaccard pair CTE + the same source joins.
+_E157_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, source, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+)
+SELECT least(sa, sb) AS source_a, greatest(sa, sb) AS source_b,
+       count(*) AS n_pairs,
+       least(sa, sb) = greatest(sa, sb) AS within_source
+FROM pairs GROUP BY 1, 2
+"""
+
+
+@query("e157_cross_source_dups", _E157_ORACLE)
+def e157_cross_source_dups(spark, sf_dir):
+    from pivot_spark.operators.chunk_dedup import cross_source_dup_matrix
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(d, threshold=0.5, num_hashes=128, bands=64)
+    return cross_source_dup_matrix(pairs.select("id_a", "id_b"), d)
+
+
+# --- E158: inclusion-dependency probe (FK discovery): containment of
+# lineitem.l_orderkey in orders.o_orderkey — distinct-value frames +
+# one join, cardinality-bounded. Oracle: the same algebra.
+_E158_ORACLE = """
+WITH lv AS (
+  SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS v FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+), rv AS (
+  SELECT CAST(o_orderkey AS VARCHAR) AS v FROM orders WHERE o_orderkey IS NOT NULL
+)
+SELECT (SELECT count(*) FROM lv) AS n_left_distinct,
+       (SELECT count(DISTINCT v) FROM rv) AS n_right_distinct,
+       (SELECT count(*) FROM lv WHERE v IN (SELECT v FROM rv)) AS n_shared,
+       round((SELECT count(*) FROM lv WHERE v IN (SELECT v FROM rv))
+             / CAST((SELECT count(*) FROM lv) AS DOUBLE), 4) AS containment,
+       (SELECT count(*) FROM rv) = (SELECT count(DISTINCT v) FROM rv)
+         AS right_unique
+"""
+
+
+@query("e158_key_containment", _E158_ORACLE)
+def e158_key_containment(spark, sf_dir):
+    from pivot_spark.operators.profile import key_containment
+
+    li = _read(spark, sf_dir, "lineitem")
+    o = _read(spark, sf_dir, "orders")
+    out = key_containment(li, o, "l_orderkey", "o_orderkey")
+    return out.select(
+        "n_left_distinct", "n_right_distinct", "n_shared",
+        F.round("containment", 4).alias("containment"), "right_unique",
+    )

@@ -73,3 +73,35 @@ def test_cdf_transform_uniform_and_ties(spark):
     assert out[4] == pytest.approx(4 / 5)
     assert out[5] is None
     assert all(u is None or 0 < u < 1 for u in out.values())
+
+
+def test_cross_source_dup_matrix(spark):
+    from pivot_spark.operators.chunk_dedup import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "book"), (4, "wiki")],
+        "doc_id long, source string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "id_a long, id_b long"
+    )
+    out = {(r.source_a, r.source_b): r for r in
+           cross_source_dup_matrix(pairs, docs).collect()}
+    assert out[("web", "web")].n_pairs == 1
+    assert out[("web", "web")].within_source
+    assert out[("book", "web")].n_pairs == 2
+    assert not out[("book", "web")].within_source
+    assert out[("book", "wiki")].n_pairs == 1
+
+
+def test_key_containment_fk_shape(spark):
+    from pivot_spark.operators.profile import key_containment
+
+    child = spark.createDataFrame([(i % 5,) for i in range(20)], "fk long")
+    parent = spark.createDataFrame([(i,) for i in range(10)], "pk long")
+    r = key_containment(child, parent, "fk", "pk").first()
+    assert (r.n_left_distinct, r.n_right_distinct, r.n_shared) == (5, 10, 5)
+    assert r.containment == 1.0 and r.right_unique
+    # reversed: parent keys not contained in child
+    r2 = key_containment(parent, child, "pk", "fk").first()
+    assert r2.containment == 0.5 and not r2.right_unique
