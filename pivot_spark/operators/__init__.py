@@ -130,6 +130,8 @@ from pivot_spark.operators.skew import (
 from pivot_spark.operators.analytics import (
     anova_oneway,
     average_precision,
+    sequence_surprise,
+    trending_keys,
     binary_auc,
     brier_decomposition,
     conformal_threshold,
@@ -265,7 +267,8 @@ __all__ = [
     "cuped_adjust", "rfm_segments", "kaplan_meier", "anova_oneway",
     "mannwhitney_u", "linear_regression", "conformal_threshold",
     "lift_curve", "lift_curve_ranked", "binary_auc", "average_precision",
-    "brier_decomposition", "weighted_quantile",
+    "brier_decomposition", "weighted_quantile", "trending_keys",
+    "sequence_surprise",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

@@ -1279,3 +1279,96 @@ def brier_decomposition(
         unc.alias("uncertainty"),
         F.col("__rate").alias("base_rate"),
     )
+
+
+def trending_keys(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_seconds: int = 86400,
+) -> DataFrame:
+    """Trending detection — which keys surged in the LATEST complete
+    time window vs the one before: per-key counts in the two most
+    recent ``window_seconds`` buckets (epoch-aligned), smoothed lift
+    (c_cur+1)/(c_prev+1) and the two-Poisson rate z
+    (c_cur - c_prev)/sqrt(c_cur + c_prev) — the standard burst score.
+
+    One scan-stage bucket expression + ONE key-keyed conditional
+    aggregate (the latest bucket id comes from a tiny max-aggregate
+    broadcast back); keys absent from both windows don't appear.
+    Output: (key, n_prev, n_cur, lift, z)."""
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be positive, got {window_seconds}")
+    b = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(1_000_000)
+        / F.lit(window_seconds)
+    )
+    base = df.filter(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull()).select(
+        F.col(key_col).alias("key"), b.alias("__b")
+    )
+    mx = base.agg(F.max("__b").alias("__mx"))
+    j = base.crossJoin(F.broadcast(mx))
+    per = (
+        j.filter(F.col("__b") >= F.col("__mx") - 1)
+        .groupBy("key")
+        .agg(
+            F.sum((F.col("__b") == F.col("__mx") - 1).cast("long")).alias("n_prev"),
+            F.sum((F.col("__b") == F.col("__mx")).cast("long")).alias("n_cur"),
+        )
+    )
+    z = F.when(
+        F.col("n_cur") + F.col("n_prev") > 0,
+        (F.col("n_cur") - F.col("n_prev"))
+        / F.sqrt((F.col("n_cur") + F.col("n_prev")).cast("double")),
+    )
+    return per.select(
+        "key",
+        "n_prev",
+        "n_cur",
+        ((F.col("n_cur") + 1) / (F.col("n_prev") + 1.0)).alias("lift"),
+        z.alias("z"),
+    )
+
+
+def sequence_surprise(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    order_cols: Sequence[str],
+) -> DataFrame:
+    """Markov sequence-surprise scoring — the behavioral-anomaly rung
+    above ``transition_matrix`` (e64): each key's event sequence is
+    scored by the corpus first-order model, surprise = mean -ln
+    P(to|from) over its transitions. Bots and broken instrumentation
+    surface as keys whose sequences the corpus model finds improbable.
+
+    Plan: transitions via one lead window (the e64 exchange), corpus
+    transition probabilities from a (from,to)-keyed aggregate with a
+    window-sum normalizer (state-vocabulary-sized frame, broadcast
+    back), one key-keyed aggregate for the mean. Every observed
+    transition has p > 0 by construction (probs come from the same
+    corpus). Output: (key, n_transitions, surprise DOUBLE)."""
+    oc = [F.col(c) for c in order_cols]
+    w = Window.partitionBy(key_col).orderBy(*oc)
+    trans = (
+        df.filter(F.col(key_col).isNotNull() & F.col(state_col).isNotNull())
+        .select(
+            F.col(key_col).alias("key"),
+            F.col(state_col).alias("__f"),
+            F.lead(state_col).over(
+                Window.partitionBy(key_col).orderBy(*oc)
+            ).alias("__t"),
+        )
+        .filter(F.col("__t").isNotNull())
+    ).persist()
+    counts = trans.groupBy("__f", "__t").agg(F.count(F.lit(1)).alias("__n"))
+    tot = Window.partitionBy("__f")
+    probs = counts.select(
+        "__f", "__t", (F.col("__n") / F.sum("__n").over(tot)).alias("__p")
+    )
+    scored = trans.join(F.broadcast(probs), ["__f", "__t"])
+    return scored.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.avg(-F.log("__p")).alias("surprise"),
+    )

@@ -7244,3 +7244,81 @@ def e158_key_containment(spark, sf_dir):
         "n_left_distinct", "n_right_distinct", "n_shared",
         F.round("containment", 4).alias("containment"), "right_unique",
     )
+
+
+# --- E159: trending keys — per-user activity surge in the latest
+# complete day vs the previous (smoothed lift + two-Poisson burst z):
+# one scan-stage bucket + one conditional aggregate, latest bucket
+# broadcast back. Replayed with the same epoch arithmetic.
+_E159_ORACLE = """
+WITH b AS (
+  SELECT user_id AS key, floor(epoch_us(ts) / 1000000 / 86400) AS bk
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), mx AS (
+  SELECT max(bk) AS m FROM b
+), per AS (
+  SELECT key,
+         sum(CASE WHEN bk = m - 1 THEN 1 ELSE 0 END) AS n_prev,
+         sum(CASE WHEN bk = m THEN 1 ELSE 0 END) AS n_cur
+  FROM b, mx WHERE bk >= m - 1 GROUP BY key
+)
+SELECT key, n_prev, n_cur,
+       round((n_cur + 1) / (n_prev + 1.0), 4) AS lift,
+       round(CASE WHEN n_cur + n_prev > 0
+                  THEN (n_cur - n_prev) / sqrt(CAST(n_cur + n_prev AS DOUBLE))
+             END, 4) AS z
+FROM per
+"""
+
+
+@query("e159_trending_keys", _E159_ORACLE)
+def e159_trending_keys(spark, sf_dir):
+    from pivot_spark.operators.analytics import trending_keys
+
+    ev = _read(spark, sf_dir, "events")
+    out = trending_keys(ev, "user_id", "ts", window_seconds=86400)
+    return out.select(
+        "key", "n_prev", "n_cur",
+        F.round("lift", 4).alias("lift"),
+        F.round("z", 4).alias("z"),
+    )
+
+
+# --- E160: Markov sequence-surprise scoring (the anomaly rung above
+# e64): per-user mean -ln P(to|from) under the corpus first-order
+# model — one lead exchange, vocabulary-sized prob frame broadcast
+# back, one key aggregate. Replayed lead/window/join-for-join.
+_E160_ORACLE = """
+WITH t AS (
+  SELECT user_id AS key, event_type AS f,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS tt
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), tr AS (
+  SELECT key, f, tt FROM t WHERE tt IS NOT NULL
+), c AS (
+  SELECT f, tt, count(*) AS n FROM tr GROUP BY 1, 2
+), p AS (
+  SELECT f, tt, n / CAST(sum(n) OVER (PARTITION BY f) AS DOUBLE) AS p FROM c
+)
+SELECT tr.key, count(*) AS n_transitions,
+       round(avg(-ln(p.p)), 4) AS surprise
+FROM tr JOIN p ON tr.f = p.f AND tr.tt = p.tt
+GROUP BY tr.key
+"""
+
+
+@query("e160_sequence_surprise", _E160_ORACLE)
+def e160_sequence_surprise(spark, sf_dir):
+    from pivot_spark.operators.analytics import sequence_surprise
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    out = sequence_surprise(ev, "user_id", "event_type", ["ts", "event_id"])
+    return out.select(
+        F.col("key"), "n_transitions", F.round("surprise", 4).alias("surprise")
+    )

@@ -105,3 +105,49 @@ def test_key_containment_fk_shape(spark):
     # reversed: parent keys not contained in child
     r2 = key_containment(parent, child, "pk", "fk").first()
     assert r2.containment == 0.5 and not r2.right_unique
+
+
+def test_trending_keys(spark):
+    import datetime as dt
+
+    from pivot_spark.operators.analytics import trending_keys
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # key 1: 2 prev, 8 cur (surge); key 2: 5 prev, 0 cur (drop);
+    # key 3: only ancient history (excluded)
+    for i in range(2):
+        rows.append((1, d0 + dt.timedelta(days=1, hours=i)))
+    for i in range(8):
+        rows.append((1, d0 + dt.timedelta(days=2, hours=i)))
+    for i in range(5):
+        rows.append((2, d0 + dt.timedelta(days=1, hours=i)))
+    rows.append((3, d0 - dt.timedelta(days=10)))
+    df = spark.createDataFrame(rows, "k long, ts timestamp")
+    out = {r.key: r for r in trending_keys(df, "k", "ts").collect()}
+    assert set(out) == {1, 2}
+    assert (out[1].n_prev, out[1].n_cur) == (2, 8)
+    assert out[1].lift == pytest.approx(9 / 3)
+    assert out[1].z == pytest.approx(6 / (10 ** 0.5))
+    assert (out[2].n_prev, out[2].n_cur) == (5, 0)
+    assert out[2].z < 0
+
+
+def test_sequence_surprise(spark):
+    import math
+
+    from pivot_spark.operators.analytics import sequence_surprise
+
+    # corpus: a->b dominates (3 of 4 from-a transitions); a->c is rare
+    rows = [
+        (1, 1, "a"), (1, 2, "b"),
+        (2, 1, "a"), (2, 2, "b"),
+        (3, 1, "a"), (3, 2, "b"),
+        (4, 1, "a"), (4, 2, "c"),     # the surprising user
+    ]
+    df = spark.createDataFrame(rows, "k long, seq long, s string")
+    out = {r.key: r for r in sequence_surprise(df, "k", "s", ["seq"]).collect()}
+    assert out[1].surprise == pytest.approx(-math.log(0.75))
+    assert out[4].surprise == pytest.approx(-math.log(0.25))
+    assert out[4].surprise > out[1].surprise
+    assert out[1].n_transitions == 1
