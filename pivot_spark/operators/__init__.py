@@ -15,7 +15,11 @@ from pivot_spark.operators.pivot import (
 )
 
 # --- dedup family
-from pivot_spark.operators.chunk_dedup import chunk_dup_signals, cross_source_dup_matrix
+from pivot_spark.operators.chunk_dedup import (
+    chunk_dup_signals,
+    cross_source_dup_matrix,
+    source_diversity,
+)
 from pivot_spark.operators.components import (
     connected_components,
     label_propagation,
@@ -223,7 +227,7 @@ __all__ = [
     "pivot", "PivotResult", "PivotError", "output_schema", "lineage",
     # dedup
     "dedup_exact", "dedup_against", "debounce", "chunk_dup_signals",
-    "cross_source_dup_matrix",
+    "cross_source_dup_matrix", "source_diversity",
     "connected_components", "pagerank", "triangle_stats", "label_propagation", "dedup_clusters", "dedup_clusters_keep_best",
     "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",

@@ -20,7 +20,7 @@ plain hash aggregates with map-side partial combine. No UDFs anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -109,4 +109,68 @@ def cross_source_dup_matrix(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .withColumn("within_source", F.col("source_a") == F.col("source_b"))
+    )
+
+
+def source_diversity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    sample_k: int = 10,
+    shingle_len: int = 3,
+    salt: str = "div",
+) -> DataFrame:
+    """Within-group redundancy audit — how internally repetitive is
+    each feed: a deterministic md5-ranked sample of ``sample_k`` docs
+    per group (the e52 machinery — reproducible on any engine), all
+    within-group sample pairs compared by word-shingle Jaccard, and the
+    group summarized by its mean/max pairwise similarity. The pair
+    count is bounded by k(k-1)/2 per group regardless of group size —
+    the audit costs the same on a 10^9-doc feed as on 10^4.
+
+    Output: (group, n_docs, n_pairs, mean_jaccard, max_jaccard) —
+    high mean = the feed is boilerplate-heavy (dedup it first)."""
+    if sample_k < 2:
+        raise ValueError(f"sample_k must be >= 2, got {sample_k}")
+    from pivot_spark.operators.neardup import word_shingles_pd
+
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(group_col).isNotNull()
+    )
+    rk = F.md5(F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(rk, F.col(id_col))
+    sampled = (
+        base.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= sample_k)
+        .select(
+            F.col(group_col).alias("grp"),
+            F.col(id_col).alias("__id"),
+            word_shingles_pd(F.lower(F.col(text_col)), shingle_len).alias("__g"),
+        )
+        .persist()
+    )
+    n_docs = base.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    a, b = sampled.alias("a"), sampled.alias("b")
+    pairs = a.join(
+        b, (F.col("a.grp") == F.col("b.grp")) & (F.col("a.__id") < F.col("b.__id"))
+    )
+    inter = F.size(F.array_intersect(F.col("a.__g"), F.col("b.__g")))
+    union = F.size(F.col("a.__g")) + F.size(F.col("b.__g")) - inter
+    per = pairs.select(
+        F.col("a.grp").alias("grp"),
+        F.try_divide(inter.cast("double"), union.cast("double")).alias("__j"),
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.avg("__j").alias("mean_jaccard"),
+        F.max("__j").alias("max_jaccard"),
+    )
+    return n_docs.join(per, "grp", "left").select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        "mean_jaccard",
+        "max_jaccard",
     )

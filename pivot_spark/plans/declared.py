@@ -7322,3 +7322,51 @@ def e160_sequence_surprise(spark, sf_dir):
     return out.select(
         F.col("key"), "n_transitions", F.round("surprise", 4).alias("surprise")
     )
+
+
+# --- E161: within-source redundancy audit — deterministic k-per-group
+# md5 sample (e52), all within-group sample pairs by shingle Jaccard
+# (pair cost bounded at k(k-1)/2 per feed regardless of feed size).
+# Oracle: same sample ranks + pairwise list algebra.
+_E161_ORACLE = r"""
+WITH ranked AS (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5('div:' || CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS r
+  FROM documents
+), sampled AS (
+  SELECT doc_id, source, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(lower(text),'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(lower(text),'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS g
+  FROM ranked WHERE r <= 10
+), nd AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY 1
+), pairs AS (
+  SELECT a.source,
+         len(list_intersect(a.g, b.g))::DOUBLE /
+         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+  FROM sampled a JOIN sampled b
+    ON a.source = b.source AND a.doc_id < b.doc_id
+), per AS (
+  SELECT source, count(*) AS n_pairs, avg(j) AS mj, max(j) AS xj
+  FROM pairs GROUP BY 1
+)
+SELECT nd.source, nd.n_docs, coalesce(per.n_pairs, 0) AS n_pairs,
+       round(per.mj, 4) AS mean_jaccard, round(per.xj, 4) AS max_jaccard
+FROM nd LEFT JOIN per USING (source)
+"""
+
+
+@query("e161_source_diversity", _E161_ORACLE)
+def e161_source_diversity(spark, sf_dir):
+    from pivot_spark.operators.chunk_dedup import source_diversity
+
+    d = _read(spark, sf_dir, "documents")
+    out = source_diversity(d, "doc_id", "source", "text", sample_k=10)
+    return out.select(
+        "source", "n_docs", "n_pairs",
+        F.round("mean_jaccard", 4).alias("mean_jaccard"),
+        F.round("max_jaccard", 4).alias("max_jaccard"),
+    )

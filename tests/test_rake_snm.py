@@ -151,3 +151,25 @@ def test_sequence_surprise(spark):
     assert out[4].surprise == pytest.approx(-math.log(0.25))
     assert out[4].surprise > out[1].surprise
     assert out[1].n_transitions == 1
+
+
+def test_source_diversity_redundant_vs_diverse(spark):
+    from pivot_spark.operators.chunk_dedup import source_diversity
+
+    boiler = "the quick brown fox jumps over the lazy dog again"
+    rows = []
+    for i in range(5):
+        rows.append((i, "dup", boiler))                   # identical docs
+    for i in range(5, 10):
+        rows.append((i, "var", f"unique words {i} alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"))
+    rows.append((99, "solo", "one lonely doc here"))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in source_diversity(df, sample_k=5).collect()}
+    assert out["dup"].mean_jaccard == pytest.approx(1.0)
+    assert out["dup"].n_pairs == 10
+    assert out["var"].mean_jaccard < 0.2
+    assert out["solo"].n_pairs == 0 and out["solo"].mean_jaccard is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        source_diversity(df, sample_k=1)
