@@ -22,6 +22,7 @@ from pivot_spark.operators.chunk_dedup import (
 )
 from pivot_spark.operators.components import (
     connected_components,
+    degree_stats,
     label_propagation,
     pagerank,
     triangle_stats,
@@ -134,6 +135,7 @@ from pivot_spark.operators.skew import (
 from pivot_spark.operators.analytics import (
     anova_oneway,
     average_precision,
+    rolling_active_users,
     sequence_surprise,
     trending_keys,
     binary_auc,
@@ -228,7 +230,7 @@ __all__ = [
     # dedup
     "dedup_exact", "dedup_against", "debounce", "chunk_dup_signals",
     "cross_source_dup_matrix", "source_diversity",
-    "connected_components", "pagerank", "triangle_stats", "label_propagation", "dedup_clusters", "dedup_clusters_keep_best",
+    "connected_components", "pagerank", "triangle_stats", "label_propagation", "degree_stats", "dedup_clusters", "dedup_clusters_keep_best",
     "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
     "minhash_signatures", "neardup_minhash_incremental",
@@ -272,7 +274,7 @@ __all__ = [
     "mannwhitney_u", "linear_regression", "conformal_threshold",
     "lift_curve", "lift_curve_ranked", "binary_auc", "average_precision",
     "brier_decomposition", "weighted_quantile", "trending_keys",
-    "sequence_surprise",
+    "sequence_surprise", "rolling_active_users",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

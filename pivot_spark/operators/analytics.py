@@ -1372,3 +1372,50 @@ def sequence_surprise(
         F.count(F.lit(1)).alias("n_transitions"),
         F.avg(-F.log("__p")).alias("surprise"),
     )
+
+
+def rolling_active_users(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """DAU / rolling-WAU engagement table — the product-analytics
+    staple with the subtle exact-distinct trap: W-day active users is
+    NOT the sum of daily actives. Exact plan: collapse to the DISTINCT
+    (day, user) frame first [one shuffle — the frame is
+    days x daily-actives], then fan each (day, user) out to the
+    ``window_days`` window-end days it supports [scan-stage explode,
+    x W] and count DISTINCT users per window-end [second shuffle].
+    Output per day: (day BIGINT epoch-days, dau, wau, stickiness =
+    dau/wau — the DAU/MAU-style ratio). Days with no activity are
+    absent (join a day spine for a dense axis); the first W-1 days
+    aggregate partial windows."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    day = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1_000_000) / F.lit(86400)
+    )
+    du = (
+        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(day.alias("__day"), F.col(user_col).alias("__u"))
+        .distinct()
+        .persist()
+    )
+    dau = du.groupBy(F.col("__day").alias("day")).agg(
+        F.count(F.lit(1)).alias("dau")
+    )
+    span = du.select(
+        F.explode(
+            F.sequence(F.col("__day"), F.col("__day") + (window_days - 1))
+        ).alias("day"),
+        "__u",
+    ).distinct()
+    # keep only window-ends that are real activity days (partial
+    # trailing windows past the last day would otherwise appear)
+    wau = span.join(dau.select("day"), "day").groupBy("day").agg(
+        F.count(F.lit(1)).alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day", "dau", "wau", (F.col("dau") / F.col("wau")).alias("stickiness")
+    )

@@ -433,3 +433,45 @@ def label_propagation(
             "node", (-F.col("__best.__neg")).alias("label")
         ).localCheckpoint(eager=True)
     return labels
+
+
+def degree_stats(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Degree distribution + power-law fit for an undirected edge list
+    — the graph-shape audit run before any per-node iteration (does a
+    celebrity node exist? is the degree tail heavy enough to salt?):
+    per-degree node counts plus the Clauset/Shalizi/Newman (2009)
+    continuous-MLE exponent alpha = 1 + n / sum ln(d / d_min) over
+    nodes with d >= d_min = 1 (discrete data, the standard quick
+    estimate). One node-keyed degree aggregate + one degree-keyed
+    count + a single-row aggregate broadcast back. Output: one row per
+    degree (degree, n_nodes, share, alpha — constant column, the
+    scalar summary; n_nodes_total, max_degree likewise)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+    )
+    e = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("__d"))
+    hist = deg.groupBy(F.col("__d").alias("degree")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("__d").alias("max_degree"),
+        F.sum(F.log(F.col("__d").cast("double"))).alias("__slog"),
+    )
+    alpha = F.when(
+        F.col("__slog") > 0, 1.0 + F.col("__n") / F.col("__slog")
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "degree",
+        "n_nodes",
+        (F.col("n_nodes") / F.col("__n")).alias("share"),
+        alpha.alias("alpha"),
+        F.col("__n").alias("n_nodes_total"),
+        "max_degree",
+    )

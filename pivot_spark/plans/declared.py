@@ -7370,3 +7370,88 @@ def e161_source_diversity(spark, sf_dir):
         F.round("mean_jaccard", 4).alias("mean_jaccard"),
         F.round("max_jaccard", 4).alias("max_jaccard"),
     )
+
+
+# --- E162: near-dup graph degree distribution + power-law MLE
+# (Clauset/Shalizi/Newman 2009, d_min = 1) — the shape audit before
+# per-node iterations. Oracle: Jaccard edge CTE + the same algebra.
+_E162_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+), ed AS (
+  SELECT id_a AS a, id_b AS b FROM pairs UNION SELECT id_b, id_a FROM pairs
+), deg AS (
+  SELECT a, count(*) AS d FROM ed GROUP BY 1
+), hist AS (
+  SELECT d AS degree, count(*) AS n_nodes FROM deg GROUP BY 1
+), tot AS (
+  SELECT count(*) AS n, max(d) AS max_degree, sum(ln(d::DOUBLE)) AS slog FROM deg
+)
+SELECT degree, n_nodes,
+       round(n_nodes / CAST(n AS DOUBLE), 4) AS share,
+       round(CASE WHEN slog > 0 THEN 1.0 + n / slog END, 4) AS alpha,
+       n AS n_nodes_total, max_degree
+FROM hist, tot
+"""
+
+
+@query("e162_degree_stats", _E162_ORACLE)
+def e162_degree_stats(spark, sf_dir):
+    from pivot_spark.operators.components import degree_stats
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    d = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(d, threshold=0.5, num_hashes=128, bands=64)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    out = degree_stats(edges)
+    return out.select(
+        "degree", "n_nodes",
+        F.round("share", 4).alias("share"),
+        F.round("alpha", 4).alias("alpha"),
+        "n_nodes_total", "max_degree",
+    )
+
+
+# --- E163: DAU / rolling-7-day-WAU stickiness — the exact-distinct
+# engagement table (WAU is NOT a sum of DAUs): distinct (day, user)
+# collapse, scan-stage window fan-out, distinct count per window end.
+# Replayed with the same two-stage distinct algebra.
+_E163_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT floor(epoch_us(ts) / 1000000 / 86400) AS day, user_id AS u
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+), dau AS (
+  SELECT day, count(*) AS dau FROM du GROUP BY 1
+), span AS (
+  SELECT DISTINCT du.day + t.o AS day, du.u
+  FROM du, LATERAL unnest(range(0, 7)) AS t(o)
+), wau AS (
+  SELECT s.day, count(*) AS wau
+  FROM span s JOIN (SELECT day FROM dau) d USING (day)
+  GROUP BY 1
+)
+SELECT CAST(dau.day AS BIGINT) AS day, dau.dau, wau.wau,
+       round(dau.dau / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+
+@query("e163_rolling_active", _E163_ORACLE)
+def e163_rolling_active(spark, sf_dir):
+    from pivot_spark.operators.analytics import rolling_active_users
+
+    ev = _read(spark, sf_dir, "events")
+    out = rolling_active_users(ev, "user_id", "ts", window_days=7)
+    return out.select(
+        "day", "dau", "wau", F.round("stickiness", 4).alias("stickiness")
+    )

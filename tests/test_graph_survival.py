@@ -90,3 +90,46 @@ def test_mannwhitney_hand_computed(spark):
     ).first()
     assert r2.u_a == pytest.approx(r2.u_b)
     assert r2.z == pytest.approx(0.0)
+
+
+def test_degree_stats_star_graph(spark):
+    from pivot_spark.operators.components import degree_stats
+
+    # star: hub 0 connected to 1..5 -> hub degree 5, leaves degree 1
+    edges = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.degree: r for r in degree_stats(df).collect()}
+    assert out[5].n_nodes == 1
+    assert out[1].n_nodes == 5
+    assert out[1].share == pytest.approx(5 / 6)
+    assert out[1].max_degree == 5 and out[1].n_nodes_total == 6
+    import math
+
+    want_alpha = 1 + 6 / math.log(5)  # only the hub contributes ln d
+    assert out[1].alpha == pytest.approx(want_alpha)
+
+
+def test_rolling_active_users_exact_distinct(spark):
+    import datetime as dt
+
+    from pivot_spark.operators.analytics import rolling_active_users
+
+    d0 = dt.datetime(2024, 1, 10)
+    rows = []
+    # user 1 active days 0 and 1; user 2 active day 1 twice (dedup);
+    # user 3 active day 5 only
+    rows += [(1, d0), (1, d0 + dt.timedelta(days=1))]
+    rows += [(2, d0 + dt.timedelta(days=1)), (2, d0 + dt.timedelta(days=1, hours=2))]
+    rows += [(3, d0 + dt.timedelta(days=5))]
+    df = spark.createDataFrame(rows, "u long, ts timestamp")
+    out = {r.day - rows[0][1].toordinal() + 719163: r for r in []}  # placeholder
+    res = {r.day: r for r in rolling_active_users(df, "u", "ts", 7).collect()}
+    days = sorted(res)
+    base = days[0]
+    assert res[base].dau == 1 and res[base].wau == 1
+    assert res[base + 1].dau == 2
+    # 7-day window ending day1 covers day0+day1 -> users {1,2}
+    assert res[base + 1].wau == 2
+    # window ending day5 covers days 0..5 -> users {1,2,3}
+    assert res[base + 5].dau == 1 and res[base + 5].wau == 3
+    assert res[base + 5].stickiness == pytest.approx(1 / 3)
