@@ -135,6 +135,7 @@ from pivot_spark.operators.skew import (
 from pivot_spark.operators.analytics import (
     anova_oneway,
     average_precision,
+    dispersion_test,
     rolling_active_users,
     sequence_surprise,
     trending_keys,
@@ -274,7 +275,7 @@ __all__ = [
     "mannwhitney_u", "linear_regression", "conformal_threshold",
     "lift_curve", "lift_curve_ranked", "binary_auc", "average_precision",
     "brier_decomposition", "weighted_quantile", "trending_keys",
-    "sequence_surprise", "rolling_active_users",
+    "sequence_surprise", "rolling_active_users", "dispersion_test",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

@@ -1419,3 +1419,56 @@ def rolling_active_users(
     return dau.join(wau, "day").select(
         "day", "dau", "wau", (F.col("dau") / F.col("wau")).alias("stickiness")
     )
+
+
+def dispersion_test(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Index-of-dispersion / overdispersion test — is each group's
+    event arrival Poisson-like or bursty? Counts per time bucket, then
+    per group the variance-to-mean ratio (VMR = 1 under Poisson) and
+    the chi-square statistic (n_buckets - 1) * VMR whose df is
+    n_buckets - 1 (the classic count-data burstiness screen feeding
+    rate-model choices and the e159 trend alarm's null). Buckets with
+    zero events inside the group's observed span COUNT (a burst is
+    precisely many-then-none) — the span is densified per group from
+    its min/max bucket via a scan-stage sequence explode; state is
+    buckets per group, never events. Output: (group, n_buckets,
+    mean_per_bucket, vmr, chi2, df)."""
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {bucket_seconds}")
+    b = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(1_000_000)
+        / F.lit(bucket_seconds)
+    )
+    base = df.filter(F.col(group_col).isNotNull() & F.col(ts_col).isNotNull()).select(
+        F.col(group_col).alias("grp"), b.alias("__b")
+    )
+    counts = base.groupBy("grp", "__b").agg(F.count(F.lit(1)).alias("__c"))
+    span = counts.groupBy("grp").agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    dense = span.select(
+        "grp", F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__b")
+    )
+    filled = dense.join(counts, ["grp", "__b"], "left").select(
+        "grp", F.coalesce("__c", F.lit(0)).alias("__c")
+    )
+    agg = filled.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.avg("__c").alias("mean_per_bucket"),
+        F.var_samp(F.col("__c").cast("double")).alias("__v"),
+    )
+    vmr = F.try_divide(F.col("__v"), F.col("mean_per_bucket"))
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_buckets",
+        "mean_per_bucket",
+        vmr.alias("vmr"),
+        ((F.col("n_buckets") - 1) * vmr).alias("chi2"),
+        (F.col("n_buckets") - 1).alias("df"),
+    )

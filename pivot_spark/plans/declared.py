@@ -7455,3 +7455,49 @@ def e163_rolling_active(spark, sf_dir):
     return out.select(
         "day", "dau", "wau", F.round("stickiness", 4).alias("stickiness")
     )
+
+
+# --- E164: index-of-dispersion burstiness test per event type —
+# bucket counts densified over each group's span (zero buckets count),
+# VMR + chi2 against the Poisson null. Replayed with generate_series.
+_E164_ORACLE = """
+WITH base AS (
+  SELECT event_type AS grp,
+         CAST(floor(epoch_us(ts) / 1000000 / 86400) AS BIGINT) AS b
+  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+), counts AS (
+  SELECT grp, b, count(*) AS c FROM base GROUP BY 1, 2
+), span AS (
+  SELECT grp, min(b) AS lo, max(b) AS hi FROM counts GROUP BY 1
+), dense AS (
+  SELECT span.grp, t.b FROM span,
+       LATERAL unnest(generate_series(span.lo, span.hi)) AS t(b)
+), filled AS (
+  SELECT d.grp, coalesce(c.c, 0) AS c
+  FROM dense d LEFT JOIN counts c ON d.grp = c.grp AND d.b = c.b
+), a AS (
+  SELECT grp, count(*) AS n_buckets, avg(c) AS mean_per_bucket,
+         var_samp(c::DOUBLE) AS v
+  FROM filled GROUP BY 1
+)
+SELECT grp AS event_type, n_buckets, round(mean_per_bucket, 4) AS mean_per_bucket,
+       round(v / mean_per_bucket, 4) AS vmr,
+       round((n_buckets - 1) * v / mean_per_bucket, 4) AS chi2,
+       n_buckets - 1 AS df
+FROM a
+"""
+
+
+@query("e164_dispersion", _E164_ORACLE)
+def e164_dispersion(spark, sf_dir):
+    from pivot_spark.operators.analytics import dispersion_test
+
+    ev = _read(spark, sf_dir, "events")
+    out = dispersion_test(ev, "event_type", "ts", bucket_seconds=86400)
+    return out.select(
+        "event_type", "n_buckets",
+        F.round("mean_per_bucket", 4).alias("mean_per_bucket"),
+        F.round("vmr", 4).alias("vmr"),
+        F.round("chi2", 4).alias("chi2"),
+        "df",
+    )

@@ -133,3 +133,29 @@ def test_rolling_active_users_exact_distinct(spark):
     # window ending day5 covers days 0..5 -> users {1,2,3}
     assert res[base + 5].dau == 1 and res[base + 5].wau == 3
     assert res[base + 5].stickiness == pytest.approx(1 / 3)
+
+
+def test_dispersion_poisson_vs_bursty(spark):
+    import datetime as dt
+
+    from pivot_spark.operators.analytics import dispersion_test
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'steady': exactly 2 events every day for 10 days -> VMR = 0
+    for i in range(10):
+        rows += [("steady", d0 + dt.timedelta(days=i, hours=h)) for h in (1, 2)]
+    # 'bursty': all 20 events on day 0, then silence until day 9
+    rows += [("bursty", d0 + dt.timedelta(hours=h)) for h in range(20)]
+    rows.append(("bursty", d0 + dt.timedelta(days=9)))
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r.g: r for r in dispersion_test(df, "g", "ts").collect()}
+    assert out["steady"].n_buckets == 10
+    assert out["steady"].vmr == pytest.approx(0.0)
+    assert out["bursty"].n_buckets == 10   # zero days count
+    assert out["bursty"].vmr > 5.0
+    assert out["bursty"].chi2 == pytest.approx(9 * out["bursty"].vmr)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dispersion_test(df, "g", "ts", bucket_seconds=0)
