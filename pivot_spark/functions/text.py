@@ -238,3 +238,34 @@ def fk_grade(text: Column) -> Column:
     return F.when(
         w > 0, F.lit(0.39) * (w / s) + F.lit(11.8) * (syl / w) - F.lit(15.59)
     )
+
+
+def hapax_novelty(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Per-document lexical novelty against the corpus — which docs
+    carry vocabulary nobody else uses (OCR noise, code, genuinely new
+    domains): the fraction of the doc's tokens whose corpus frequency
+    is 1 (corpus hapax legomena) and the fraction whose corpus
+    frequency is <= 10 (rare mass). One corpus type-count aggregate
+    (the e154 frame) joined back onto the exploded tokens, one doc
+    aggregate. Output: (``id_col``, n_tokens, hapax_frac, rare_frac).
+    """
+    from pyspark.sql import functions as F
+
+    toks = tokens(F.lower(F.col(text_col)))
+    pairs = df.select(F.col(id_col).alias("__id"), F.explode(toks).alias("__t"))
+    pairs = pairs.persist()
+    counts = pairs.groupBy("__t").agg(F.count(F.lit(1)).alias("__c"))
+    j = pairs.join(counts, "__t")
+    return (
+        j.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg((F.col("__c") == 1).cast("double")).alias("hapax_frac"),
+            F.avg((F.col("__c") <= 10).cast("double")).alias("rare_frac"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

@@ -136,6 +136,7 @@ from pivot_spark.operators.analytics import (
     anova_oneway,
     average_precision,
     dispersion_test,
+    interarrival_stats,
     rolling_active_users,
     sequence_surprise,
     trending_keys,
@@ -276,6 +277,7 @@ __all__ = [
     "lift_curve", "lift_curve_ranked", "binary_auc", "average_precision",
     "brier_decomposition", "weighted_quantile", "trending_keys",
     "sequence_surprise", "rolling_active_users", "dispersion_test",
+    "interarrival_stats",
     # profiling / statistics / sketches
     "profile", "quantiles", "histogram", "corr_matrix", "spearman_matrix",
     "benford_audit", "column_entropy",

@@ -1472,3 +1472,46 @@ def dispersion_test(
         ((F.col("n_buckets") - 1) * vmr).alias("chi2"),
         (F.col("n_buckets") - 1).alias("df"),
     )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Inter-arrival time distribution per group — the continuous-time
+    companion of ``dispersion_test``: per (group, key) the gaps between
+    consecutive events (one lag window over the e14 exchange), then per
+    group mean, coefficient of variation (CV = 1 under exponential /
+    Poisson arrivals, > 1 bursty), and exact p50/p90 gap seconds.
+    Output: (group, n_gaps, mean_gap_s, cv, p50_s, p90_s)."""
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = Window.partitionBy(group_col, key_col).orderBy(us, F.col(tiebreak_col))
+    gaps = (
+        df.filter(
+            F.col(group_col).isNotNull()
+            & F.col(key_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+        )
+        .select(
+            F.col(group_col).alias("grp"),
+            ((us - F.lag(us).over(w)) / F.lit(1_000_000.0)).alias("__g"),
+        )
+        .filter(F.col("__g").isNotNull())
+    )
+    agg = gaps.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("__g").alias("mean_gap_s"),
+        F.stddev_pop("__g").alias("__sd"),
+        F.percentile(F.col("__g"), [0.5, 0.9]).alias("__p"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_gaps",
+        "mean_gap_s",
+        F.try_divide(F.col("__sd"), F.col("mean_gap_s")).alias("cv"),
+        F.element_at("__p", 1).alias("p50_s"),
+        F.element_at("__p", 2).alias("p90_s"),
+    )

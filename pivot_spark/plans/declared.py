@@ -7501,3 +7501,78 @@ def e164_dispersion(spark, sf_dir):
         F.round("chi2", 4).alias("chi2"),
         "df",
     )
+
+
+# --- E165: inter-arrival time distribution per event type — mean gap,
+# CV (=1 under Poisson), exact p50/p90: one lag window per (type,
+# user) + one type aggregate. Replayed with lag + quantile_cont.
+_E165_ORACLE = """
+WITH g AS (
+  SELECT event_type AS grp,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (
+            PARTITION BY event_type, user_id ORDER BY epoch_us(ts), event_id))
+           / 1000000.0 AS gap
+  FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+), f AS (
+  SELECT grp, gap FROM g WHERE gap IS NOT NULL
+)
+SELECT grp AS event_type, count(*) AS n_gaps,
+       round(avg(gap), 4) AS mean_gap_s,
+       round(stddev_pop(gap) / avg(gap), 4) AS cv,
+       round(quantile_cont(gap, 0.5), 4) AS p50_s,
+       round(quantile_cont(gap, 0.9), 4) AS p90_s
+FROM f GROUP BY 1
+"""
+
+
+@query("e165_interarrival", _E165_ORACLE)
+def e165_interarrival(spark, sf_dir):
+    from pivot_spark.operators.analytics import interarrival_stats
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+    )
+    out = interarrival_stats(ev, "event_type", "user_id", "ts", "event_id")
+    return out.select(
+        "event_type", "n_gaps",
+        F.round("mean_gap_s", 4).alias("mean_gap_s"),
+        F.round("cv", 4).alias("cv"),
+        F.round("p50_s", 4).alias("p50_s"),
+        F.round("p90_s", 4).alias("p90_s"),
+    )
+
+
+# --- E166: per-document lexical novelty — fraction of tokens that are
+# corpus hapax legomena / rare (freq <= 10): the e154 type counts
+# joined back onto the exploded tokens, one doc aggregate. Replayed
+# join-for-join.
+_E166_ORACLE = r"""
+WITH pairs AS (
+  SELECT doc_id, t.tok FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  w -> w <> '')) AS t(tok)
+), c AS (
+  SELECT tok, count(*) AS n FROM pairs GROUP BY 1
+)
+SELECT p.doc_id, count(*) AS n_tokens,
+       round(avg(CASE WHEN c.n = 1 THEN 1.0 ELSE 0.0 END), 4) AS hapax_frac,
+       round(avg(CASE WHEN c.n <= 10 THEN 1.0 ELSE 0.0 END), 4) AS rare_frac
+FROM pairs p JOIN c USING (tok)
+GROUP BY 1
+"""
+
+
+@query("e166_hapax_novelty", _E166_ORACLE)
+def e166_hapax_novelty(spark, sf_dir):
+    from pivot_spark.functions.text import hapax_novelty
+
+    d = _read(spark, sf_dir, "documents")
+    out = hapax_novelty(d, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("hapax_frac", 4).alias("hapax_frac"),
+        F.round("rare_frac", 4).alias("rare_frac"),
+    )

@@ -159,3 +159,41 @@ def test_dispersion_poisson_vs_bursty(spark):
 
     with _pt.raises(ValueError):
         dispersion_test(df, "g", "ts", bucket_seconds=0)
+
+
+def test_interarrival_stats(spark):
+    import datetime as dt
+
+    from pivot_spark.operators.analytics import interarrival_stats
+
+    d0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # group 'reg': user 1 events every 60s exactly -> cv 0
+    for i in range(5):
+        rows.append(("reg", 1, d0 + dt.timedelta(seconds=60 * i), i))
+    # group 'burst': gaps 1s,1s,1s,597s
+    offs = [0, 1, 2, 3, 600]
+    for i, o in enumerate(offs):
+        rows.append(("burst", 1, d0 + dt.timedelta(seconds=o), 100 + i))
+    df = spark.createDataFrame(rows, "g string, u long, ts timestamp, eid long")
+    out = {r.g: r for r in interarrival_stats(df, "g", "u", "ts", "eid").collect()}
+    assert out["reg"].n_gaps == 4
+    assert out["reg"].mean_gap_s == pytest.approx(60.0)
+    assert out["reg"].cv == pytest.approx(0.0)
+    assert out["burst"].cv > 1.0
+    assert out["burst"].p50_s == pytest.approx(1.0)
+
+
+def test_hapax_novelty(spark):
+    from pivot_spark.functions.text import hapax_novelty
+
+    rows = [
+        (1, "common common unique1"),
+        (2, "common zzz1 zzz2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in hapax_novelty(df).collect()}
+    # 'common' appears 3x; unique1/zzz1/zzz2 are hapax
+    assert out[1].hapax_frac == pytest.approx(1 / 3)
+    assert out[2].hapax_frac == pytest.approx(2 / 3)
+    assert out[1].rare_frac == 1.0  # all types freq <= 10
