@@ -40,6 +40,7 @@ from pivot_spark.operators.neardup import (
     ngram_jaccard_pairs,
 )
 from pivot_spark.operators.spans import (
+    dedup_savings_report,
     duplicated_spans,
     remove_duplicated_spans,
     repetition_runs,
@@ -237,6 +238,7 @@ __all__ = [
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
     "minhash_signatures", "neardup_minhash_incremental",
     "duplicated_spans", "remove_duplicated_spans", "repetition_runs",
+    "dedup_savings_report",
     "tfidf_cosine_pairs", "pmi_pairs",
     # similarity / embeddings
     "cosine_topk", "cosine_topk_lsh", "cosine_topk_ivf", "ivf_index",

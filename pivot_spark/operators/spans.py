@@ -203,3 +203,42 @@ def remove_duplicated_spans(
         F.size("__t").alias("n_tokens"),
         F.size(remc).alias("n_removed"),
     )
+
+
+def dedup_savings_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Effective-dataset-size report — the number that matters after
+    dedup: per group (feed/source), raw tokens vs tokens surviving
+    keep-first duplicated-span removal (``remove_duplicated_spans``),
+    and the savings fraction. This is the per-feed budget table a
+    mixture plan (e37/e132) should consume INSTEAD of raw counts —
+    a feed that is 40% internal boilerplate contributes 40% fewer
+    real tokens than its size suggests.
+
+    One pass of the span-removal pipeline + one group aggregate over
+    its per-doc output. Output: (group, n_docs, raw_tokens,
+    effective_tokens, removed_tokens, savings_frac)."""
+    cleaned = remove_duplicated_spans(df, id_col, text_col, k=k)
+    j = cleaned.join(
+        df.select(F.col(id_col), F.col(group_col).alias("__grp")), id_col
+    )
+    return (
+        j.groupBy(F.col("__grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("raw_tokens"),
+            F.sum(F.col("n_tokens") - F.col("n_removed")).alias("effective_tokens"),
+            F.sum("n_removed").alias("removed_tokens"),
+        )
+        .withColumn(
+            "savings_frac",
+            F.try_divide(
+                F.col("removed_tokens").cast("double"), F.col("raw_tokens")
+            ),
+        )
+    )

@@ -7576,3 +7576,53 @@ def e166_hapax_novelty(spark, sf_dir):
         F.round("hapax_frac", 4).alias("hapax_frac"),
         F.round("rare_frac", 4).alias("rare_frac"),
     )
+
+
+# --- E167: effective-dataset-size report — per-source raw vs
+# surviving tokens under keep-first span dedup (the budget table a
+# mixture plan should consume instead of raw counts). Oracle: the e133
+# pipeline + one source aggregate.
+_E167_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+), pw AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS pos,
+         array_to_string(w[t.i:t.i+4], ' ') AS gram
+  FROM toks, LATERAL unnest(range(1, len(w) - 3)) AS t(i)
+  WHERE len(w) >= 5
+), mk AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+    FROM pw
+  ) WHERE rn > 1
+), remp AS (
+  SELECT DISTINCT doc_id, CAST(t.p AS INTEGER) AS p
+  FROM mk, LATERAL unnest(range(pos, pos + 5)) AS t(p)
+), rem AS (
+  SELECT doc_id, count(*) AS n_removed FROM remp GROUP BY 1
+), per AS (
+  SELECT t.source, len(t.w) AS n_tokens, coalesce(r.n_removed, 0) AS n_removed
+  FROM toks t LEFT JOIN rem r USING (doc_id)
+)
+SELECT source, count(*) AS n_docs,
+       sum(n_tokens) AS raw_tokens,
+       sum(n_tokens - n_removed) AS effective_tokens,
+       sum(n_removed) AS removed_tokens,
+       round(sum(n_removed) / CAST(sum(n_tokens) AS DOUBLE), 4) AS savings_frac
+FROM per GROUP BY 1
+"""
+
+
+@query("e167_dedup_savings", _E167_ORACLE)
+def e167_dedup_savings(spark, sf_dir):
+    from pivot_spark.operators.spans import dedup_savings_report
+
+    d = _read(spark, sf_dir, "documents")
+    out = dedup_savings_report(d, "doc_id", "source", "text", k=5)
+    return out.select(
+        "source", "n_docs", "raw_tokens", "effective_tokens", "removed_tokens",
+        F.round("savings_frac", 4).alias("savings_frac"),
+    )

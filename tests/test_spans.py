@@ -59,3 +59,23 @@ def test_repetition_runs(spark):
     assert out[5].n_tokens == 0 and out[5].run_p1 == 0
     with pytest.raises(ValueError):
         repetition_runs(df, max_period=0)
+
+
+def test_dedup_savings_report(spark):
+    from pivot_spark.operators.spans import dedup_savings_report
+
+    shared = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, "web", "intro " + shared + " outro"),   # keeps the span (first)
+        (2, "web", shared + " tail words here"),    # loses 5 tokens
+        (3, "book", "totally clean document four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.source: r for r in dedup_savings_report(df).collect()}
+    assert out["web"].n_docs == 2
+    assert out["web"].raw_tokens == 7 + 8
+    assert out["web"].removed_tokens == 5
+    assert out["web"].effective_tokens == 10
+    assert out["web"].savings_frac == pytest.approx(5 / 15)
+    assert out["book"].removed_tokens == 0
+    assert out["book"].savings_frac == 0.0
