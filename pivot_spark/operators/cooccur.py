@@ -28,19 +28,69 @@ def pmi_pairs(
     id_col: str,
     terms_col: str,
     min_pair_count: int = 2,
+    max_terms_per_doc: int = 1000,
 ) -> DataFrame:
     """(term_a, term_b, n_ab, n_a, n_b, pmi, npmi) for every unordered
     term pair co-occurring in >= ``min_pair_count`` documents.
     ``terms_col`` is an ``array<string>``; presence is document-level
     (multiple occurrences in one doc count once). NPMI is in [-1, 1]
     with 1 = perfect co-occurrence; pairs present in every doc where
-    either term appears get PMI ~ 0 under independence baselines."""
+    either term appears get PMI ~ 0 under independence baselines.
+
+    ``max_terms_per_doc`` (default 1000) bounds the per-doc self-join
+    fan-out: a 10^4-distinct-term document alone emits 10^8 pair rows,
+    so without a cap one long document stalls the pair stage at corpus
+    scale. Docs over the cap keep their ``max_terms_per_doc`` most
+    frequent terms (ties broken by term ascending — deterministic and
+    engine-replayable); docs under the cap are untouched, so corpora
+    of bounded documents get the exact textbook score. ``None``
+    disables the cap. Capped docs are reported via ``logging`` (logger
+    ``pivot_spark.cooccur``) so the cap is never silent."""
     if min_pair_count < 1:
         raise ValueError(f"min_pair_count must be >= 1, got {min_pair_count}")
+    if max_terms_per_doc is not None and max_terms_per_doc < 2:
+        raise ValueError(
+            f"max_terms_per_doc must be >= 2 or None, got {max_terms_per_doc}"
+        )
     n_docs = df.select(id_col).distinct().count()
-    dt = df.select(
-        F.col(id_col).alias("doc"), F.explode_outer(F.array_distinct(F.col(terms_col))).alias("term")
-    ).filter(F.col("term").isNotNull())
+    if max_terms_per_doc is None:
+        dt = df.select(
+            F.col(id_col).alias("doc"),
+            F.explode_outer(F.array_distinct(F.col(terms_col))).alias("term"),
+        ).filter(F.col("term").isNotNull())
+    else:
+        # (doc, term, in-doc count) then keep the top-N terms per doc.
+        # The rank window shuffles on doc — the SAME key the pair
+        # self-join needs, so the exchange is reused, not added.
+        tcnt = (
+            df.select(
+                F.col(id_col).alias("doc"),
+                F.explode_outer(F.col(terms_col)).alias("term"),
+            )
+            .filter(F.col("term").isNotNull())
+            .groupBy("doc", "term")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        from pyspark.sql import Window
+
+        win = Window.partitionBy("doc").orderBy(
+            F.col("__c").desc(), F.col("term")
+        )
+        # persist: the capped-doc count job and the pair self-join both
+        # read this frame (and the self-join reads it twice)
+        ranked = tcnt.withColumn("__r", F.row_number().over(win)).persist()
+        over = ranked.filter(F.col("__r") > max_terms_per_doc)
+        n_capped = over.select("doc").distinct().count()
+        if n_capped:
+            import logging
+
+            logging.getLogger("pivot_spark.cooccur").info(
+                "pmi_pairs: capped %d doc(s) to their top %d terms",
+                n_capped, max_terms_per_doc,
+            )
+        dt = ranked.filter(F.col("__r") <= max_terms_per_doc).select(
+            "doc", "term"
+        )
     marg = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         dt.alias("a")

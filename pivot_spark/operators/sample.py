@@ -316,21 +316,29 @@ def weighted_sample_k(
 
     Plan: scan-stage key expression + one TakeOrdered (global k) or one
     window shuffle (per-group k). Adds ``sample_key`` (DOUBLE).
-    Zero/negative weights are rejected rows (key -> -inf never wins):
-    filter them out first if that is not intended.
+    Zero/negative weights are rejected rows: their key is NULL and NULLs
+    sort last, so they can never enter the sample (ln(u)/w alone would
+    give negative weights a positive — winning — key).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     h = F.substring(_hash_bucket16(F.col(id_col), salt), 1, 12)
     u = (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(16**12))
-    key = F.log(u) / F.col(weight_col).cast("double")
-    out = df.withColumn("sample_key", key)
+    w_d = F.col(weight_col).cast("double")
+    key = F.when(w_d > 0, F.log(u) / w_d)
+    # nonpositive weights -> NULL key; drop them outright so they can't
+    # back-fill a group that has fewer than k valid rows
+    out = df.withColumn("sample_key", key).filter(
+        F.col("sample_key").isNotNull()
+    )
     if group_col is None:
-        return out.orderBy(F.col("sample_key").desc(), F.col(id_col)).limit(k)
+        return out.orderBy(
+            F.col("sample_key").desc_nulls_last(), F.col(id_col)
+        ).limit(k)
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(
-        F.col("sample_key").desc(), F.col(id_col)
+        F.col("sample_key").desc_nulls_last(), F.col(id_col)
     )
     return (
         out.withColumn("__r", F.row_number().over(w))

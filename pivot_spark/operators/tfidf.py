@@ -113,6 +113,7 @@ def tfidf_cosine_pairs(
     terms_col: str,
     threshold: float = 0.5,
     prefix_filter: bool = False,
+    max_df_share: float = 0.8,
 ) -> DataFrame:
     """EXACT thresholded cosine-similarity self-join over TF-IDF vectors
     — the *weighted* sibling of the e10 n-gram Jaccard join.
@@ -130,10 +131,20 @@ def tfidf_cosine_pairs(
     Exact by construction; join volume is sum(df^2) over terms — the
     sparse-matrix-product bound, Zipf-shaped by the term granularity
     (use shingles, not unigrams, to keep df small; measured 90s->2s at
-    sf0.1 moving bigrams->trigrams on a uniform-weight corpus). Hot
-    stop-terms cost join rows but contribute ~0 weight (idf->0); at
-    true corpus scale cap them out-of-band or start from MinHash/LSH
-    (e03/e12) and use this as the exact verifier.
+    sf0.1 moving bigrams->trigrams on a uniform-weight corpus).
+
+    ``max_df_share`` (default 0.8) prunes stop-grade terms with
+    df > max_df_share * N BEFORE weighting: on a Zipfian unigram corpus
+    the top stop-terms dominate sum(df^2) (a df=N/2 term alone is N^2/4
+    join rows) while contributing ~0 cosine mass — idf = ln(N/df) -> 0
+    as df -> N, so their normalized weight product is ~0 per pair. The
+    prune keeps the join volume survivable at 100x corpus growth at the
+    cost of a bounded cosine perturbation of O(ln(1/share)^2 * tf^2 /
+    norm^2) per dropped term; pass ``max_df_share=1.0`` for the strict
+    textbook score. Dropped-term count is reported via ``logging``
+    (logger ``pivot_spark.tfidf``) so the cap is never silent. For the
+    heaviest corpora start from MinHash/LSH (e03/e12) and use this as
+    the exact verifier.
 
     ``prefix_filter=True`` adds the AllPairs/Bayardo (WWW 2007)
     candidate pruning for *skewed-weight* corpora at high thresholds:
@@ -148,12 +159,30 @@ def tfidf_cosine_pairs(
     Output: (id_a, id_b, cosine) with id_a < id_b."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not 0.0 < max_df_share <= 1.0:
+        raise ValueError(f"max_df_share must be in (0, 1], got {max_df_share}")
     n_docs = df.select(id_col).distinct().count()
     pairs = df.select(
         F.col(id_col).alias("doc"), F.explode(F.col(terms_col)).alias("term")
     )
     tf = pairs.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    if max_df_share < 1.0:
+        # stop-term prune (see docstring): one pass over the tiny
+        # one-row-per-term frame; persist so the count job and the
+        # weight join share the aggregate
+        dfreq = dfreq.persist()
+        df_cap = max_df_share * n_docs
+        n_dropped = dfreq.filter(F.col("df") > df_cap).count()
+        if n_dropped:
+            import logging
+
+            logging.getLogger("pivot_spark.tfidf").info(
+                "tfidf_cosine_pairs: pruned %d term(s) with df > %.0f "
+                "(max_df_share=%.2f, N=%d)",
+                n_dropped, df_cap, max_df_share, n_docs,
+            )
+        dfreq = dfreq.filter(F.col("df") <= df_cap)
     w = tf.join(dfreq, "term").select(
         "doc",
         "term",

@@ -5625,10 +5625,15 @@ def e123_tfidf_cosine_join(spark, sf_dir):
 # quadratic. Oracle: the same joins replayed.
 _E124_ORACLE = r"""
 WITH dt AS (
-  SELECT DISTINCT doc_id, t.term
-  FROM documents,
-       LATERAL unnest(list_filter(string_split_regex(lower(text), '\s+'),
-                                  w -> w <> '')) AS t(term)
+  -- mirrors pmi_pairs max_terms_per_doc=1000: top-N terms per doc by
+  -- (in-doc count DESC, term ASC); no-op while docs stay under the cap
+  SELECT doc_id, term FROM (
+    SELECT doc_id, t.term, count(*) AS c
+    FROM documents,
+         LATERAL unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                    w -> w <> '')) AS t(term)
+    GROUP BY 1, 2
+  ) QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, term) <= 1000
 ), marg AS (
   SELECT term, count(*) AS n FROM dt GROUP BY 1
 ), nd AS (

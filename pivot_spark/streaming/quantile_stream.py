@@ -39,7 +39,7 @@ def _p2_update(q, n, x, p):
     for i in range(k + 1, 5):
         n[i] += 1.0
     total = n[4]
-    desired = [1.0, 1.0 + 2 * p * (total - 1) / 2, 1.0 + p * (total - 1),
+    desired = [1.0, 1.0 + p * (total - 1) / 2, 1.0 + p * (total - 1),
                1.0 + (1 + p) * (total - 1) / 2, total]
     for i in (1, 2, 3):
         d = desired[i] - n[i]
