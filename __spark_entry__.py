@@ -5,6 +5,13 @@
 plus extension operators), each (spark, sf_dir) -> DataFrame.
 ``oracle_sql()`` — matching DuckDB SQL per query; keys without an oracle
 get the driver's rows-only check.
+
+ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries
+of ``queries()``. Rounds 1-2 verified the original first 50 (p01-p25,
+e01-e23); each round now front-loads a window of 5 always-on canaries +
+45 not-yet-driver-checked queries so the hard signal sweeps the whole
+declared set over successive rounds (round-2 verdict item #1). The full
+dict still contains every query (bench runs them all).
 """
 
 from __future__ import annotations
@@ -17,6 +24,37 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Canaries: exercised every round (pivot two-column, error-port
+# diagnostics, array canonicalization, MinHash mining, multimodal meta).
+_CANARIES = ["p17", "p21_errors", "p10", "e03_neardup_minhash", "e07_multimodal_meta"]
+
+# Round-3 rotation: new/changed this round first (streaming replay,
+# real codecs, tfidf/pmi caps, weighted-sample fix), then the round-2
+# verdict's heavy-logic families, then more unchecked operators.
+_ROUND_WINDOW = [
+    # new or changed in round 3
+    "s01_stream_pivot", "s02_stream_dedup", "s03_stream_session",
+    "s04_stream_debounce", "s05_stream_interval_join", "s06_stream_topk",
+    "e168_ppm_decode", "e169_bmp_decode",
+    "e123_tfidf_cosine_join", "e124_pmi_cooccurrence",
+    "e61_weighted_sample", "e125_readability",
+    # graph family (now on the shared mined-pair stage)
+    "e31_dup_clusters", "e82_dedup_keep_best", "e103_triangle_stats",
+    "e107_pagerank", "e115_leakage_safe_split", "e116_negative_sampling",
+    "e136_label_propagation", "e157_cross_source_dups", "e162_degree_stats",
+    # verdict-named heavy-logic families, not yet driver-checked
+    "e57_semdedup", "e69_scd2_build", "e70_scd2_apply",
+    "e81_spearman_matrix", "e113_bpe_learn", "e127_duplicated_spans",
+    "e133_remove_dup_spans", "e134_poisson_bootstrap",
+    "e146_cdf_transform", "e152_roc_auc",
+    # additional unchecked heavy-logic operators
+    "e32_chunk_dedup", "e35_gopher_quality", "e36_bm25_topk",
+    "e38_ngram_decontam", "e41_profile", "e47_salted_join",
+    "e50_range_join", "e54_kmeans", "e56_unigram_lm", "e66_table_diff",
+    "e72_incremental_agg", "e75_bloom_decontam", "e85_bigram_lm",
+    "e129_neardup_incremental",
+]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query: two-pivot-column sum over lineitem at sf0.001."""
@@ -25,10 +63,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["p17"](spark, "/root/testdata/sf0.001")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+def _ordered() -> "dict[str, Callable[[SparkSession, str], DataFrame]]":
     from pivot_spark.plans.declared import QUERIES
 
-    return dict(QUERIES)
+    front = _CANARIES + [q for q in _ROUND_WINDOW if q not in _CANARIES]
+    missing = [q for q in front if q not in QUERIES]
+    assert not missing, f"window names not in QUERIES: {missing}"
+    out = {name: QUERIES[name] for name in front}
+    for name, fn in QUERIES.items():
+        out.setdefault(name, fn)
+    return out
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _ordered()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1,11 +1,18 @@
 """Benchmark runner: executes the declared query set on $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) under local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) under local[$SPARK_GRAFT_CPUS].
 
-Each query is timed end-to-end (plan + execute + collect). The first query
-additionally pays JVM/session warm-up; a warm-up action runs first so the
-numbers reflect steady-state execution.
+Output contract: prints ONE JSON line, LAST and alone on stdout:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+   "sf": ..., "n_queries": N, "full": "BENCH_FULL.json"}
+The "queries" dict is kept small enough to survive line-capture limits:
+it carries only the queries that regressed past 1.5x their operative
+baseline (BASELINE_OPERATIVE.json) plus the slowest few; the COMPLETE
+per-query timing map is written to BENCH_FULL.json next to this script.
+Console progress bars are disabled in the session factory so nothing
+interleaves with the JSON line (the round-2 truncation failure mode).
+
+Each query is timed end-to-end (plan + execute + collect), median of
+$SPARK_GRAFT_BENCH_REPS (default 3) after a warm-up action.
 """
 
 from __future__ import annotations
@@ -15,7 +22,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+MAX_INLINE_QUERIES = 40
 
 
 def main() -> None:
@@ -28,6 +38,12 @@ def main() -> None:
 
     # warm up JVM + file index before timing
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    baseline: dict[str, float] = {}
+    bl_path = os.path.join(REPO, "BASELINE_OPERATIVE.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as fh:
+            baseline = json.load(fh).get("queries", {})
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
@@ -57,17 +73,47 @@ def main() -> None:
     except ValueError:
         sf = None
 
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_set_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "declared_query_set_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "reps": reps,
+    }
+    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+
+    # inline only the interesting queries: regressions vs the operative
+    # baseline first, then the slowest, capped so the line stays short
+    ratios = {
+        q: round(t / baseline[q], 2)
+        for q, t in timings.items()
+        if baseline.get(q)
+    }
+    regressed = sorted(
+        (q for q, r in ratios.items() if r > 1.5),
+        key=lambda q: -ratios[q],
     )
+    slowest = sorted(timings, key=lambda q: -timings[q])
+    inline: dict[str, float] = {}
+    for q in regressed + slowest:
+        if len(inline) >= MAX_INLINE_QUERIES:
+            break
+        inline.setdefault(q, timings[q])
+
+    out = {
+        "metric": "declared_query_set_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": inline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_regressed_1p5x": len(regressed),
+        "full": "BENCH_FULL.json",
+    }
+    sys.stdout.flush()
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

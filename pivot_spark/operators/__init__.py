@@ -213,6 +213,14 @@ from pivot_spark.operators.bloom import (
 # --- documents / chunking
 from pivot_spark.operators.chunking import chunk_documents
 
+# --- multimodal real codecs (uncompressed formats, pure Catalyst)
+from pivot_spark.operators.codecs import (
+    decode_bmp,
+    decode_ppm,
+    make_bmp,
+    make_ppm,
+)
+
 # --- maintenance / lakehouse
 from pivot_spark.operators.diff import table_diff
 from pivot_spark.operators.incremental import (
@@ -289,6 +297,8 @@ __all__ = [
     "rendezvous_shard", "rebalance_report", "cdf_transform",
     "pareto_frontier_2d", "plan_compaction", "cluster_by_zorder", "zorder_key",
     "row_rank", "vocab_richness", "key_containment",
+    # multimodal real codecs
+    "make_ppm", "decode_ppm", "make_bmp", "decode_bmp",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

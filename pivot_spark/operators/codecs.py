@@ -1,0 +1,362 @@
+"""Real uncompressed image codecs in pure Catalyst byte arithmetic —
+no PIL, no Python row loop.
+
+Two public formats whose pixel data is raw bytes are decodable with
+nothing but ``substring``/``hex``/``conv`` expressions:
+
+* **PPM (P6)** — ASCII header ``P6 <w> <h> <maxval>`` followed by
+  ``w*h*3`` RGB bytes (Netpbm spec). Header comments (``#``) are not
+  supported — declared limitation, they are rare in machine-written
+  files.
+* **BMP (BITMAPINFOHEADER, 24-bit uncompressed)** — little-endian
+  header fields, BGR pixel order, rows bottom-up and padded to 4-byte
+  boundaries.
+
+``decode_ppm`` / ``decode_bmp`` parse width/height/etc. from the bytes
+and compute exact per-channel means — the whole pipeline stays inside
+whole-stage codegen, so metadata extraction over millions of thumbnails
+is a scan-stage column, not a Python UDF. For megapixel images the
+per-byte expression fold should hand off to an Arrow ``mapInPandas``
+kernel (same contract as ``multimodal.decode_image``); the expression
+path is sized for thumbnail/sprite-scale payloads.
+
+Builders (``make_ppm``, ``make_bmp``) fabricate REAL files from
+testdata columns so decode is oracle-checkable end-to-end: DuckDB
+replays the same bytes from the source text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _u8(raw: Column, pos: Column) -> Column:
+    """Byte value (0..255) at 1-based position ``pos`` of a binary col."""
+    return F.conv(F.hex(F.substring(raw, pos.cast("int"), 1)), 16, 10).cast("long")
+
+
+def _byte(col: Column) -> Column:
+    return F.unhex(F.lpad(F.hex(col.cast("int")), 2, "0"))
+
+
+def _int_le(value: int, n: int) -> bytes:
+    return int(value).to_bytes(n, "little")
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6)
+# ---------------------------------------------------------------------------
+
+def make_ppm(width: Column, height: Column, payload: Column) -> Column:
+    """A real binary P6 PPM: ``P6\\n<w> <h>\\n255\\n`` + payload.
+    ``payload`` must be BINARY of exactly ``width*height*3`` bytes
+    (caller pads/truncates). Pure Catalyst concat."""
+    header = F.concat(
+        F.lit("P6\n"),
+        width.cast("string"), F.lit(" "), height.cast("string"),
+        F.lit("\n255\n"),
+    )
+    return F.concat(F.encode(header, "UTF-8"), payload)
+
+
+PPM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("maxval", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_ppm(
+    df: DataFrame,
+    binary_col: str = "image",
+    meta_col: str = "meta",
+    channel_means: bool = True,
+) -> DataFrame:
+    """Parse real P6 headers and (optionally) exact per-channel means.
+
+    Adds ``meta`` (width, height, maxval, format, n_bytes — NULL for
+    non-PPM bytes) and, with ``channel_means``, ``mean_r``/``mean_g``/
+    ``mean_b`` DOUBLE columns averaging every pixel's channel byte.
+    All scan-stage Catalyst; no shuffle, no Python."""
+    raw = F.col(binary_col)
+    # the ASCII header lives in the first bytes; cast a bounded prefix
+    # to string for regexp parsing (pixel bytes past the header may be
+    # invalid UTF-8, but the regexp never needs to reach them: the
+    # header of a 7-digit-dimension image fits well inside 32 bytes)
+    head = F.substring(raw, 1, 32).cast("string")
+    m = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s"
+    hit = F.regexp_extract(head, m, 0)
+    ok = (F.length(hit) > 0)
+    w = F.regexp_extract(head, m, 1).cast("int")
+    h = F.regexp_extract(head, m, 2).cast("int")
+    mx = F.regexp_extract(head, m, 3).cast("int")
+    hdr_len = F.length(hit)  # single whitespace after maxval included
+    meta = F.when(
+        ok,
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            mx.alias("maxval"),
+            F.lit("ppm").alias("format"),
+            F.length(raw).cast("long").alias("n_bytes"),
+        ),
+    )
+    out = df.withColumn(meta_col, meta)
+    if not channel_means:
+        return out
+    n_px = (w * h).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
+
+    def chan_mean(c: int) -> Column:
+        total = F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + _u8(raw, hdr_len + i * 3 + F.lit(c + 1)),
+        )
+        return F.when(ok & (n_px > 0), total / n_px.cast("double"))
+
+    return (
+        out.withColumn("mean_r", chan_mean(0))
+        .withColumn("mean_g", chan_mean(1))
+        .withColumn("mean_b", chan_mean(2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit uncompressed, BITMAPINFOHEADER)
+# ---------------------------------------------------------------------------
+
+def make_bmp(width: int, height: int, payload: Column) -> Column:
+    """A real 24-bit BMP from a BINARY ``payload`` of exactly
+    ``width*height*3`` BGR bytes laid out top-down row-major; the
+    builder reverses rows (BMP stores bottom-up) and adds the 4-byte
+    row padding. ``width``/``height`` are Python ints (the row loop is
+    unrolled into the expression)."""
+    if width <= 0 or height <= 0:
+        raise ValueError("width/height must be positive")
+    stride = (3 * width + 3) // 4 * 4
+    pad = stride - 3 * width
+    img_size = stride * height
+    file_size = 54 + img_size
+    header = (
+        b"BM" + _int_le(file_size, 4) + _int_le(0, 4) + _int_le(54, 4)
+        + _int_le(40, 4) + _int_le(width, 4) + _int_le(height, 4)
+        + _int_le(1, 2) + _int_le(24, 2) + _int_le(0, 4)
+        + _int_le(img_size, 4) + _int_le(2835, 4) + _int_le(2835, 4)
+        + _int_le(0, 4) + _int_le(0, 4)
+    )
+    assert len(header) == 54
+    rows = [
+        F.substring(payload, y * 3 * width + 1, 3 * width)
+        for y in range(height - 1, -1, -1)  # bottom-up
+    ]
+    padded = []
+    for r in rows:
+        padded.append(r)
+        if pad:
+            padded.append(F.lit(b"\x00" * pad))
+    return F.concat(F.lit(header), *padded)
+
+
+BMP_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("data_offset", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _le(raw: Column, pos: int, n: int) -> Column:
+    """Little-endian unsigned int of ``n`` bytes at 1-based ``pos``."""
+    total = F.lit(0).cast("long")
+    for i in range(n):
+        total = total + _u8(raw, F.lit(pos + i)) * F.lit(1 << (8 * i)).cast("long")
+    return total
+
+
+def decode_bmp(
+    df: DataFrame,
+    binary_col: str = "image",
+    meta_col: str = "meta",
+    channel_means: bool = True,
+) -> DataFrame:
+    """Parse real BMP headers (24-bit uncompressed) and exact
+    per-channel means, honoring bottom-up rows and 4-byte row padding.
+    Adds ``meta`` (NULL for non-BMP bytes) and ``mean_b``/``mean_g``/
+    ``mean_r`` (BMP stores BGR). Scan-stage Catalyst only."""
+    raw = F.col(binary_col)
+    ok = (
+        (F.length(raw) >= 54)
+        & (F.substring(raw, 1, 2) == F.lit(b"BM"))
+        & (_le(raw, 29, 2) == 24)     # bpp
+        & (_le(raw, 31, 4) == 0)      # BI_RGB (uncompressed)
+    )
+    w = _le(raw, 19, 4).cast("int")       # i32: widths < 2^31 read fine
+    h = _le(raw, 23, 4).cast("int")
+    off = _le(raw, 11, 4).cast("int")
+    meta = F.when(
+        ok,
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            _le(raw, 29, 2).cast("int").alias("bpp"),
+            off.alias("data_offset"),
+            F.lit("bmp").alias("format"),
+            F.length(raw).cast("long").alias("n_bytes"),
+        ),
+    )
+    out = df.withColumn(meta_col, meta)
+    if not channel_means:
+        return out
+    stride = F.floor((w * 3 + 3) / 4) * 4
+    n_px = (w * h).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
+
+    def chan_mean(c: int) -> Column:
+        # pixel i (row-major over the stored bottom-up grid): its byte
+        # position honors the row stride, skipping padding
+        def pos(i):
+            y = F.floor(i / w.cast("long"))
+            x = i - y * w.cast("long")
+            return off.cast("long") + y * stride + x * 3 + F.lit(c + 1)
+
+        total = F.aggregate(
+            idx, F.lit(0).cast("long"), lambda acc, i: acc + _u8(raw, pos(i))
+        )
+        return F.when(ok & (n_px > 0), total / n_px.cast("double"))
+
+    return (
+        out.withColumn("mean_b", chan_mean(0))
+        .withColumn("mean_g", chan_mean(1))
+        .withColumn("mean_r", chan_mean(2))
+    )
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM 16-bit)
+# ---------------------------------------------------------------------------
+
+def make_wav(n_channels: int, sample_rate: int, payload: Column) -> Column:
+    """A real canonical WAV file (the stdlib ``wave`` writer layout:
+    fmt chunk at offset 12, data chunk at 36, PCM at 44) around a
+    BINARY ``payload`` of interleaved signed 16-bit LE samples.
+    ``payload`` length must be a multiple of ``2 * n_channels``."""
+    if n_channels <= 0 or sample_rate <= 0:
+        raise ValueError("n_channels/sample_rate must be positive")
+    block = 2 * n_channels
+    byte_rate = sample_rate * block
+    fmt = (
+        b"fmt " + _int_le(16, 4) + _int_le(1, 2) + _int_le(n_channels, 2)
+        + _int_le(sample_rate, 4) + _int_le(byte_rate, 4)
+        + _int_le(block, 2) + _int_le(16, 2)
+    )
+    data_size = F.length(payload)
+    riff_size = data_size + F.lit(36)
+
+    def le32(col: Column) -> Column:
+        c = col.cast("long")
+        return F.concat(
+            *[_byte(F.pmod(F.shiftright(c, s), F.lit(256))) for s in (0, 8, 16, 24)]
+        )
+
+    return F.concat(
+        F.lit(b"RIFF"), le32(riff_size), F.lit(b"WAVE"), F.lit(fmt),
+        F.lit(b"data"), le32(data_size), payload,
+    )
+
+
+WAV_META_SCHEMA = T.StructType(
+    [
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("bits", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def decode_wav(
+    df: DataFrame,
+    binary_col: str = "audio",
+    meta_col: str = "meta",
+    channel_stats: bool = True,
+) -> DataFrame:
+    """Parse canonical PCM-16 WAV headers (RIFF | fmt@12 | data@36 —
+    the stdlib ``wave``-writer layout; files with extra chunks before
+    ``data`` are returned as NULL meta, declared limitation) and exact
+    per-channel mean / RMS over the signed samples. Channels beyond the
+    second are parsed in meta but not aggregated (``mean_ch1``/
+    ``rms_ch1`` are NULL for mono). Scan-stage Catalyst only — the
+    audio-feature extraction path needs no Python."""
+    raw = F.col(binary_col)
+    ok = (
+        (F.length(raw) >= 44)
+        & (F.substring(raw, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(raw, 9, 8) == F.lit(b"WAVEfmt "))
+        & (_le(raw, 21, 2) == 1)      # PCM
+        & (_le(raw, 35, 2) == 16)     # 16-bit
+        & (F.substring(raw, 37, 4) == F.lit(b"data"))
+    )
+    n_ch = _le(raw, 23, 2).cast("int")
+    rate = _le(raw, 25, 4).cast("int")
+    dsize = _le(raw, 41, 4)
+    n_samp = (dsize / (F.lit(2) * n_ch)).cast("long")
+    meta = F.when(
+        ok,
+        F.struct(
+            n_ch.alias("n_channels"),
+            rate.alias("sample_rate"),
+            F.lit(16).alias("bits"),
+            n_samp.alias("n_samples"),
+            (n_samp / rate.cast("double")).alias("duration_s"),
+            F.lit("wav").alias("format"),
+            F.length(raw).cast("long").alias("n_bytes"),
+        ),
+    )
+    out = df.withColumn(meta_col, meta)
+    if not channel_stats:
+        return out
+
+    def sample(i: Column, ch: int) -> Column:
+        # signed 16-bit LE sample i of channel ch; PCM starts at byte 45
+        pos = F.lit(45).cast("long") + (i * n_ch.cast("long") + ch) * 2
+        v = _u8(raw, pos) + _u8(raw, pos + 1) * 256
+        return F.when(v >= 32768, v - 65536).otherwise(v)
+
+    idx = F.sequence(F.lit(0).cast("long"), n_samp - 1)
+
+    def stats(ch: int):
+        have = ok & (n_ch > ch) & (n_samp > 0)
+        s1 = F.aggregate(
+            idx, F.lit(0).cast("long"), lambda a, i: a + sample(i, ch)
+        )
+        s2 = F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda a, i: a + sample(i, ch) * sample(i, ch),
+        )
+        mean = F.when(have, s1 / n_samp.cast("double"))
+        rms = F.when(have, F.sqrt(s2 / n_samp.cast("double")))
+        return mean, rms
+
+    m0, r0 = stats(0)
+    m1, r1 = stats(1)
+    return (
+        out.withColumn("mean_ch0", m0)
+        .withColumn("rms_ch0", r0)
+        .withColumn("mean_ch1", m1)
+        .withColumn("rms_ch1", r1)
+    )

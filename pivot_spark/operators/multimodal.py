@@ -94,13 +94,17 @@ def decode_image(df: DataFrame, binary_col: str = "image") -> DataFrame:
 
 
 def decode_image_real(df: DataFrame, binary_col: str = "image") -> DataFrame:
-    """Real image decode — requires PIL, which this container lacks."""
+    """Real COMPRESSED image decode — requires PIL, which this container
+    lacks. For real UNCOMPRESSED formats no library is needed:
+    ``operators.codecs.decode_ppm`` / ``decode_bmp`` parse genuine
+    PPM(P6)/BMP(24-bit) bytes with pure Catalyst byte arithmetic."""
     try:
         import PIL  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "real image decoding needs Pillow; container provides none — "
-            "use decode_image (fake-header parser) for plumbing tests"
+            "real compressed-image decoding needs Pillow; container provides "
+            "none — use codecs.decode_ppm/decode_bmp (real uncompressed "
+            "formats) or decode_image (fake-header parser) instead"
         ) from e
     raise NotImplementedError("wire PIL.Image.open over mapInPandas batches here")
 

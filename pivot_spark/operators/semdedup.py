@@ -54,22 +54,37 @@ def semdedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    centers: Sequence[Sequence[float]],
+    centers: "Sequence[Sequence[float]] | None" = None,
     eps: float = 0.95,
     cluster_col: str = "cluster",
     keep_col: str = "keep",
     method: str = "gemm",
+    target_cluster_size: int = 2000,
+    fit_iters: int = 2,
 ) -> DataFrame:
     """Returns one row per input row: ``id_col``, ``cluster`` (nearest
     centroid, deterministic tie-break) and ``keep`` (False iff a
     smaller-id same-cluster row is cosine-similar >= ``eps``).
 
     ``centers`` typically comes from ``kmeans_fit`` — any centroid list
-    works (the method's guarantees are per-cluster, not global). See the
-    module docstring for the two ``method`` strategies.
+    works (the method's guarantees are per-cluster, not global). When
+    ``centers`` is None, a k-means is fit internally with
+    ``k = max(8, n // target_cluster_size)`` — k MUST scale with n or
+    the per-cluster O(|cluster|^2) degenerates back to O(n^2/k_fixed)
+    at corpus growth; scaling k holds expected cluster size (and so
+    per-task pair work) constant. See the module docstring for the two
+    ``method`` strategies.
     """
     if method not in ("gemm", "expr"):
         raise ValueError(f"method must be 'gemm' or 'expr', got {method!r}")
+    if centers is None:
+        if target_cluster_size <= 0:
+            raise ValueError("target_cluster_size must be positive")
+        from pivot_spark.operators.kmeans import kmeans_fit
+
+        n = df.filter(F.col(vec_col).isNotNull()).count()
+        k = max(8, n // target_cluster_size)
+        centers = kmeans_fit(df, vec_col, int(min(k, n)), fit_iters, id_col)
     assigned = assign_clusters(
         df.select(id_col, vec_col), vec_col, centers, cluster_col, dist_col=None
     )

@@ -1,0 +1,271 @@
+"""Driver-visible correctness for the streaming surface.
+
+Each query replays a pivot_spark streaming operator over the testdata
+as a bounded file stream: readStream -> operator -> memory sink drained
+with ``processAllAvailable()`` -> the sink table is returned as the
+result DataFrame. The replay is deterministic because
+
+* the whole input arrives in ONE micro-batch (file source with no
+  ``maxFilesPerTrigger`` cap over a single parquet file),
+* every custom stateful operator folds its batch in event-time order,
+* event-time timeouts fire in the trailing no-data micro-batch
+  (``spark.sql.streaming.noDataMicroBatches.enabled`` default) at the
+  fixed final watermark ``max(event_time) - delay`` — so the set of
+  timeout-emitted rows is a pure function of the data, expressed in
+  each oracle as an explicit emission filter.
+
+Event times are truncated to whole seconds where a stateful operator
+does millisecond arithmetic, so stream (ms) and oracle (s) grids agree
+exactly and no sub-ms boundary can flip a gap decision.
+
+The file-stream source requires a directory; a one-character glob
+(``events.parque[t]``) makes Spark treat the parent directory as the
+base path while matching exactly the one file.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+_SEQ = [0]
+
+
+def _drain(out, mode: str) -> str:
+    """Run a streaming DataFrame to completion into a uniquely-named
+    memory sink; return the sink table name."""
+    _SEQ[0] += 1
+    name = f"stream_replay_{os.getpid()}_{_SEQ[0]}"
+    q = (
+        out.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return name
+
+
+def _stream(spark, sf_dir: str, table: str):
+    # UTC session tz: the parquet stores TIMESTAMP(MICROS) without
+    # timezone (read as TIMESTAMP_NTZ); watermarks require TIMESTAMP,
+    # so NTZ columns are cast — an identity mapping under UTC
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    schema = spark.read.parquet(path).schema
+    glob = os.path.join(sf_dir, f"{table}.parque[t]")
+    df = spark.readStream.schema(schema).parquet(glob)
+    for f_ in schema.fields:
+        if f_.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(f_.name, F.col(f_.name).cast("timestamp"))
+    return df
+
+
+def register(query, round_doubles) -> None:
+    """Called from declared.py after the @query decorator exists."""
+
+    # ---- S01: streaming pivot (complete mode) == batch pivot ----------
+    _S01_TYPES = ["click", "view", "purchase", "signup", "error"]
+    _s01_cells = ", ".join(
+        f"count(*) FILTER (event_type = '{t}') AS {t}_n, "
+        f"round(sum(value) FILTER (event_type = '{t}'), 4) AS {t}_sv"
+        for t in _S01_TYPES
+    )
+    _S01_ORACLE = f"""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, {_s01_cells}
+FROM events GROUP BY 1
+"""
+
+    @query("s01_stream_pivot", _S01_ORACLE)
+    def s01_stream_pivot(spark, sf_dir):
+        """pivot_stream drained in complete mode: the final memory-sink
+        state IS the batch pivot result (streaming aggregation state
+        converges to the batch aggregate regardless of batching)."""
+        from pivot_spark.config import PivotConfig
+        from pivot_spark.streaming.pivot_stream import pivot_stream
+
+        src = _stream(spark, sf_dir, "events").select(
+            F.to_date("ts").cast("string").alias("day"), "event_type", "value"
+        )
+        cfg = PivotConfig(
+            pivot_columns="event_type=" + ",".join(_S01_TYPES),
+            pivot_rows="day",
+            aggregates="n:count(*),sv:sum(value)",
+        )
+        name = _drain(pivot_stream(src, cfg), "complete")
+        return round_doubles(spark.table(name))
+
+    # ---- S02: streaming exact dedup == SELECT DISTINCT ---------------
+    @query(
+        "s02_stream_dedup",
+        "SELECT DISTINCT user_id, event_type FROM events",
+    )
+    def s02_stream_dedup(spark, sf_dir):
+        """dedup_stream (stateful dropDuplicates) over the key columns
+        only, so the emitted set is exactly the distinct keys whatever
+        the arrival order."""
+        from pivot_spark.streaming.dedup_stream import dedup_stream
+
+        src = _stream(spark, sf_dir, "events").select("user_id", "event_type")
+        name = _drain(dedup_stream(src, ["user_id", "event_type"]), "append")
+        return spark.table(name)
+
+    # ---- S03: streaming sessionization ------------------------------
+    # Emitted sessions = closed-by-successor (every session except each
+    # user's last) UNION timed-out (last session whose end + gap is
+    # strictly behind the final watermark max_ts - 10min). Second
+    # boundary ties are absent in the testdata (calibrated: 945/9540
+    # rows at sf0.001/sf0.01 under strict AND non-strict comparison).
+    _S03_ORACLE = """
+WITH ev AS (
+  SELECT user_id, date_trunc('second', ts) AS t, value FROM events
+), o AS (
+  SELECT user_id, t, value,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR epoch(t) - epoch(lag(t) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), s AS (
+  SELECT user_id, t, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), agg AS (
+  SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+  FROM s GROUP BY user_id, sid
+), mx AS (
+  SELECT max(date_trunc('second', ts)) AS m FROM events
+)
+SELECT user_id, session_start, session_end, n_events, sum_value
+FROM agg a, mx
+WHERE session_end < (SELECT max(session_end) FROM agg b
+                     WHERE b.user_id = a.user_id)
+   OR epoch(session_end) + 1800 < epoch(m) - 600
+"""
+
+    @query("s03_stream_session", _S03_ORACLE)
+    def s03_stream_session(spark, sf_dir):
+        """session_stream (applyInPandasWithState, 30-min gap) replayed
+        to completion; open sessions close via event-time timeout in
+        the trailing no-data batch."""
+        from pivot_spark.streaming.session_stream import session_stream
+
+        src = _stream(spark, sf_dir, "events").select(
+            "user_id", F.date_trunc("second", "ts").alias("ts"), "value"
+        )
+        out = session_stream(
+            src, "user_id", "ts", "value", gap_minutes=30, watermark="10 minutes"
+        )
+        name = _drain(out, "append")
+        return round_doubles(spark.table(name))
+
+    # ---- S04: streaming debounce == batch debounce -------------------
+    # Same sequential keep-iff-gap>=600s fold as e53, on a whole-second
+    # grid; with one data batch the GroupState fold IS the batch fold.
+    _S04_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_type,
+         CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch(date_trunc('second', ts))) AS rn
+  FROM events
+), keep AS (
+  SELECT user_id, event_type, t, rn, t AS last_kept, true AS kept
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.event_type, e.t, e.rn,
+         CASE WHEN e.t - k.last_kept >= 600 THEN e.t ELSE k.last_kept END,
+         e.t - k.last_kept >= 600
+  FROM ev e JOIN keep k
+    ON e.user_id = k.user_id AND e.event_type = k.event_type
+   AND e.rn = k.rn + 1
+)
+SELECT user_id, event_type, t AS ts_s FROM keep WHERE kept
+"""
+
+    @query("s04_stream_debounce", _S04_ORACLE)
+    def s04_stream_debounce(spark, sf_dir):
+        from pivot_spark.streaming.dedup_stream import debounce_stream
+
+        src = _stream(spark, sf_dir, "events").select(
+            "user_id", "event_type", F.date_trunc("second", "ts").alias("ts")
+        )
+        out = debounce_stream(
+            src, ["user_id", "event_type"], "ts", min_gap_seconds=600
+        )
+        name = _drain(out, "append")
+        return spark.table(name).select(
+            "user_id", "event_type", F.unix_seconds("ts").alias("ts_s")
+        )
+
+    # ---- S05: stream-stream interval join ----------------------------
+    # Inner join: matches are emitted as both sides arrive; with one
+    # batch the emitted set is the full interval join (watermark only
+    # governs state eviction for later batches).
+    _S05_ORACLE = """
+SELECT l.user_id, l.ts AS view_ts, r.ts AS purchase_ts
+FROM events l JOIN events r
+  ON l.user_id = r.user_id
+ AND l.event_type = 'view' AND r.event_type = 'purchase'
+ AND l.ts < r.ts AND l.ts >= r.ts - INTERVAL 2 HOUR
+"""
+
+    @query("s05_stream_interval_join", _S05_ORACLE)
+    def s05_stream_interval_join(spark, sf_dir):
+        from pivot_spark.streaming.join_stream import interval_join_stream
+
+        left = (
+            _stream(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("view_ts"))
+        )
+        right = (
+            _stream(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("purchase_ts"))
+        )
+        out = interval_join_stream(
+            left, right, "user_id", "view_ts", "purchase_ts",
+            lookback="2 hours", watermark="1 minute",
+        )
+        name = _drain(out, "append")
+        return spark.table(name)
+
+    # ---- S06: streaming windowed top-k -------------------------------
+    # Day windows emit at event-time timeout once the watermark passes
+    # the window end; the last day's window never finalizes (end >
+    # max_ts - 10min) — mirrored in the oracle's emission filter. With
+    # 5 distinct keys < capacity 64 the space-saving counters are exact.
+    _S06_ORACLE = """
+WITH w AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws,
+         event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT max(ts) AS m FROM events),
+r AS (
+  SELECT ws, event_type, c,
+         row_number() OVER (PARTITION BY ws ORDER BY c DESC, event_type) AS rk
+  FROM w
+)
+SELECT ws AS window_start, event_type AS key,
+       c AS est_count, CAST(rk AS INTEGER) AS rank
+FROM r, mx
+WHERE rk <= 3 AND ws + INTERVAL 1 DAY < m - INTERVAL 10 MINUTE
+"""
+
+    @query("s06_stream_topk", _S06_ORACLE)
+    def s06_stream_topk(spark, sf_dir):
+        from pivot_spark.streaming.topk_stream import topk_stream
+
+        src = _stream(spark, sf_dir, "events").select("ts", "event_type")
+        out = topk_stream(
+            src, "event_type", "ts",
+            window_duration="1 day", watermark="10 minutes", k=3,
+        )
+        name = _drain(out, "append")
+        return spark.table(name)

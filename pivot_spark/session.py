@@ -33,5 +33,9 @@ def get_spark(app_name: str = "pivot_spark", shuffle_partitions: int | None = No
         # query suite — every rerun recompiles every stage
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
+        # progress bars interleave with stdout and can corrupt the
+        # bench's one-line JSON contract (BENCH_r02 was truncated by
+        # exactly this)
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -132,3 +132,18 @@ def test_syllable_count_mixed_case(spark):
     # a(1) it(1) hel-lo(2) world(1) = 5 regardless of case
     got = df.select(syllable_count(F.col("t")).alias("s")).collect()[0].s
     assert got == 5
+
+
+def test_semdedup_default_k_scales(spark):
+    """centers=None fits k-means with k = max(8, n // target_cluster_size)."""
+    import random
+
+    from pivot_spark.operators.semdedup import semdedup
+
+    random.seed(7)
+    rows = [(i, [random.random() for _ in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, vec array<double>")
+    out = semdedup(df, "id", "vec", target_cluster_size=5)
+    clusters = {r.cluster for r in out.collect()}
+    # k = max(8, 40 // 5) = 8 clusters fit; every row assigned
+    assert len(clusters) <= 8 and out.count() == 40
