@@ -217,8 +217,10 @@ from pivot_spark.operators.chunking import chunk_documents
 from pivot_spark.operators.codecs import (
     decode_bmp,
     decode_ppm,
+    decode_wav,
     make_bmp,
     make_ppm,
+    make_wav,
 )
 
 # --- maintenance / lakehouse
@@ -299,6 +301,7 @@ __all__ = [
     "row_rank", "vocab_richness", "key_containment",
     # multimodal real codecs
     "make_ppm", "decode_ppm", "make_bmp", "decode_bmp",
+    "make_wav", "decode_wav",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

@@ -7775,6 +7775,59 @@ def e169_bmp_decode(spark, sf_dir):
     )
 
 
+# --- E170: REAL audio decode (WAV/PCM-16) — genuine RIFF/WAVE files
+# (stdlib-wave canonical layout) fabricated from document text as
+# signed 16-bit LE samples, then header + exact per-channel mean/RMS
+# parsed back by Catalyst byte arithmetic (operators/codecs.py). Sample
+# i is built from char pair (2i, 2i+1): v = c0 + 256*c1, signed. ASCII
+# chars < 128 keep v < 32768, so the oracle needs no sign branch.
+_E170_N = 30  # samples per doc (60 payload bytes)
+
+_E170_ORACLE = f"""
+WITH au AS (
+  SELECT doc_id,
+         rpad(substring(text, 1, {2 * _E170_N}), {2 * _E170_N}, ' ') AS p
+  FROM documents
+), sm AS (
+  SELECT doc_id,
+         list_transform(range(0, {_E170_N}),
+           i -> ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1))
+              + 256 * ascii(substring(p, CAST(2 + i * 2 AS INTEGER), 1))) AS v
+  FROM au
+)
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS n_channels, CAST(8000 AS INTEGER) AS sample_rate,
+       CAST({_E170_N} AS BIGINT) AS n_samples,
+       round({_E170_N} / 8000.0, 4) AS duration_s,
+       CAST({44 + 2 * _E170_N} AS BIGINT) AS n_bytes,
+       round(list_avg(v), 4) AS mean_ch0,
+       round(sqrt(list_avg(list_transform(v, x -> CAST(x AS DOUBLE) * x))), 4) AS rms_ch0
+FROM sm
+"""
+
+
+@query("e170_wav_decode", _E170_ORACLE)
+def e170_wav_decode(spark, sf_dir):
+    from pivot_spark.operators.codecs import decode_wav, make_wav
+
+    need = 2 * _E170_N
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "p", F.encode(F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')"), "UTF-8")
+    )
+    au = d.select("doc_id", make_wav(1, 8000, F.col("p")).alias("audio"))
+    out = decode_wav(au)
+    return out.select(
+        "doc_id",
+        F.col("meta.n_channels").alias("n_channels"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_samples").alias("n_samples"),
+        F.round("meta.duration_s", 4).alias("duration_s"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.round("mean_ch0", 4).alias("mean_ch0"),
+        F.round("rms_ch0", 4).alias("rms_ch0"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.
