@@ -1773,7 +1773,6 @@ def e31_dup_clusters(spark, sf_dir):
     Components are tiny vs the corpus, so the label join back is a
     broadcast, never a corpus shuffle."""
     from pivot_spark.operators.components import dedup_clusters
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
 
     docs = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.5)
@@ -3792,7 +3791,6 @@ FROM lab l LEFT JOIN best b USING (cluster)
 @query("e82_dedup_keep_best", _E82_ORACLE)
 def e82_dedup_keep_best(spark, sf_dir):
     from pivot_spark.operators.components import dedup_clusters_keep_best
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
 
     docs = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.5)
@@ -4736,7 +4734,6 @@ FROM s, tri
 @query("e103_triangle_stats", _E103_ORACLE)
 def e103_triangle_stats(spark, sf_dir):
     from pivot_spark.operators.components import triangle_stats
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
 
     docs = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.4)
@@ -4914,7 +4911,6 @@ WITH sh AS (
 @query("e107_pagerank", _e107_oracle())
 def e107_pagerank(spark, sf_dir):
     from pivot_spark.operators.components import pagerank
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
 
     docs = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.4)
@@ -5239,7 +5235,6 @@ FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
 @query("e115_leakage_safe_split", _e115_oracle())
 def e115_leakage_safe_split(spark, sf_dir):
     from pivot_spark.operators.components import dedup_clusters
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
     from pivot_spark.operators.sample import hash_split
 
     docs = _read(spark, sf_dir, "documents")
@@ -5293,7 +5288,6 @@ SELECT anchor, cand AS negative, CAST(rk AS INTEGER) AS neg_rank FROM (
 
 @query("e116_negative_sampling", _e116_oracle())
 def e116_negative_sampling(spark, sf_dir):
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
     from pivot_spark.operators.sample import negative_sample_k
 
     docs = _read(spark, sf_dir, "documents")
@@ -6259,7 +6253,6 @@ SELECT node, label FROM l3
 @query("e136_label_propagation", _E136_ORACLE)
 def e136_label_propagation(spark, sf_dir):
     from pivot_spark.operators.components import label_propagation
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
 
     d = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.5)
@@ -7242,7 +7235,6 @@ FROM pairs GROUP BY 1, 2
 @query("e157_cross_source_dups", _E157_ORACLE)
 def e157_cross_source_dups(spark, sf_dir):
     from pivot_spark.operators.chunk_dedup import cross_source_dup_matrix
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
 
     d = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.5)
@@ -7444,7 +7436,6 @@ FROM hist, tot
 @query("e162_degree_stats", _E162_ORACLE)
 def e162_degree_stats(spark, sf_dir):
     from pivot_spark.operators.components import degree_stats
-    from pivot_spark.operators.neardup import neardup_minhash_lsh
 
     d = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.5)
