@@ -37,6 +37,17 @@ def _u8(raw: Column, pos: Column) -> Column:
     return F.conv(F.hex(F.substring(raw, pos.cast("int"), 1)), 16, 10).cast("long")
 
 
+def _u8h(hx: Column, pos: Column) -> Column:
+    """Byte value at 1-based byte position ``pos``, reading from a
+    pre-computed ``hex(raw)`` string. Higher-order-function lambdas are
+    interpreted (no whole-stage codegen), so per-element cost matters:
+    hexing the blob ONCE per row and slicing the string is ~2-3x
+    cheaper per byte than hex(substring(binary)) per element."""
+    return F.conv(
+        F.substring(hx, (pos * 2 - 1).cast("int"), 2), 16, 10
+    ).cast("long")
+
+
 def _byte(col: Column) -> Column:
     return F.unhex(F.lpad(F.hex(col.cast("int")), 2, "0"))
 
@@ -110,6 +121,7 @@ def decode_ppm(
     out = df.withColumn(meta_col, meta)
     if not channel_means:
         return out
+    hx = F.hex(raw)
     n_px = (w * h).cast("long")
     idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
 
@@ -117,7 +129,7 @@ def decode_ppm(
         total = F.aggregate(
             idx,
             F.lit(0).cast("long"),
-            lambda acc, i: acc + _u8(raw, hdr_len + i * 3 + F.lit(c + 1)),
+            lambda acc, i: acc + _u8h(hx, hdr_len + i * 3 + F.lit(c + 1)),
         )
         return F.when(ok & (n_px > 0), total / n_px.cast("double"))
 
@@ -218,20 +230,25 @@ def decode_bmp(
     out = df.withColumn(meta_col, meta)
     if not channel_means:
         return out
+    hx = F.hex(raw)
     stride = F.floor((w * 3 + 3) / 4) * 4
     n_px = (w * h).cast("long")
-    idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
+    ys = F.sequence(F.lit(0).cast("long"), h.cast("long") - 1)
+    xs = F.sequence(F.lit(0).cast("long"), w.cast("long") - 1)
 
     def chan_mean(c: int) -> Column:
-        # pixel i (row-major over the stored bottom-up grid): its byte
-        # position honors the row stride, skipping padding
-        def pos(i):
-            y = F.floor(i / w.cast("long"))
-            x = i - y * w.cast("long")
-            return off.cast("long") + y * stride + x * 3 + F.lit(c + 1)
+        # nested row/col fold: the per-pixel position is straight-line
+        # arithmetic (no per-pixel division), honoring row stride so
+        # padding bytes are skipped
+        def row_sum(y: Column) -> Column:
+            base = off.cast("long") + y * stride + F.lit(c + 1)
+            return F.aggregate(
+                xs, F.lit(0).cast("long"),
+                lambda a, x: a + _u8h(hx, base + x * 3),
+            )
 
         total = F.aggregate(
-            idx, F.lit(0).cast("long"), lambda acc, i: acc + _u8(raw, pos(i))
+            ys, F.lit(0).cast("long"), lambda a, y: a + row_sum(y)
         )
         return F.when(ok & (n_px > 0), total / n_px.cast("double"))
 
@@ -329,24 +346,24 @@ def decode_wav(
     out = df.withColumn(meta_col, meta)
     if not channel_stats:
         return out
+    hx = F.hex(raw)
 
     def sample(i: Column, ch: int) -> Column:
         # signed 16-bit LE sample i of channel ch; PCM starts at byte 45
         pos = F.lit(45).cast("long") + (i * n_ch.cast("long") + ch) * 2
-        v = _u8(raw, pos) + _u8(raw, pos + 1) * 256
+        v = _u8h(hx, pos) + _u8h(hx, pos + 1) * 256
         return F.when(v >= 32768, v - 65536).otherwise(v)
 
     idx = F.sequence(F.lit(0).cast("long"), n_samp - 1)
 
     def stats(ch: int):
         have = ok & (n_ch > ch) & (n_samp > 0)
-        s1 = F.aggregate(
-            idx, F.lit(0).cast("long"), lambda a, i: a + sample(i, ch)
-        )
+        # materialize sample values once (transform), then two cheap
+        # folds — the signed decode isn't re-evaluated per moment
+        vs = F.transform(idx, lambda i: sample(i, ch))
+        s1 = F.aggregate(vs, F.lit(0).cast("long"), lambda a, v: a + v)
         s2 = F.aggregate(
-            idx,
-            F.lit(0).cast("long"),
-            lambda a, i: a + sample(i, ch) * sample(i, ch),
+            vs, F.lit(0).cast("long"), lambda a, v: a + v * v
         )
         mean = F.when(have, s1 / n_samp.cast("double"))
         rms = F.when(have, F.sqrt(s2 / n_samp.cast("double")))

@@ -59,38 +59,54 @@ def pmi_pairs(
             F.explode_outer(F.array_distinct(F.col(terms_col))).alias("term"),
         ).filter(F.col("term").isNotNull())
     else:
-        # (doc, term, in-doc count) then keep the top-N terms per doc.
-        # The rank window shuffles on doc — the SAME key the pair
-        # self-join needs, so the exchange is reused, not added.
-        tcnt = (
-            df.select(
-                F.col(id_col).alias("doc"),
-                F.explode_outer(F.col(terms_col)).alias("term"),
-            )
-            .filter(F.col("term").isNotNull())
-            .groupBy("doc", "term")
-            .agg(F.count(F.lit(1)).alias("__c"))
+        # hybrid plan: one column-pruned probe counts over-cap docs; on
+        # the (overwhelmingly common) all-under-cap corpus the probe is
+        # the ONLY extra work and the scan-stage array_distinct path
+        # runs unchanged. Only actual over-cap docs pay the
+        # count-and-rank top-N reduction.
+        base = df.select(
+            F.col(id_col).alias("doc"),
+            F.array_distinct(F.col(terms_col)).alias("__ts"),
+            F.col(terms_col).alias("__raw"),
         )
-        from pyspark.sql import Window
-
-        win = Window.partitionBy("doc").orderBy(
-            F.col("__c").desc(), F.col("term")
-        )
-        # persist: the capped-doc count job and the pair self-join both
-        # read this frame (and the self-join reads it twice)
-        ranked = tcnt.withColumn("__r", F.row_number().over(win)).persist()
-        over = ranked.filter(F.col("__r") > max_terms_per_doc)
-        n_capped = over.select("doc").distinct().count()
-        if n_capped:
+        n_over = base.filter(F.size("__ts") > max_terms_per_doc).count()
+        if n_over == 0:
+            dt = base.select(
+                "doc", F.explode_outer("__ts").alias("term")
+            ).filter(F.col("term").isNotNull())
+        else:
             import logging
 
             logging.getLogger("pivot_spark.cooccur").info(
-                "pmi_pairs: capped %d doc(s) to their top %d terms",
-                n_capped, max_terms_per_doc,
+                "pmi_pairs: capping %d doc(s) to their top %d terms",
+                n_over, max_terms_per_doc,
             )
-        dt = ranked.filter(F.col("__r") <= max_terms_per_doc).select(
-            "doc", "term"
-        )
+            under = (
+                base.filter(F.size("__ts") <= max_terms_per_doc)
+                .select("doc", F.explode_outer("__ts").alias("term"))
+                .filter(F.col("term").isNotNull())
+            )
+            # over-cap docs: keep top-N terms by (in-doc count DESC,
+            # term ASC). The rank window shuffles on doc — the same key
+            # the pair self-join needs, so the exchange is reused.
+            from pyspark.sql import Window
+
+            tcnt = (
+                base.filter(F.size("__ts") > max_terms_per_doc)
+                .select("doc", F.explode("__raw").alias("term"))
+                .filter(F.col("term").isNotNull())
+                .groupBy("doc", "term")
+                .agg(F.count(F.lit(1)).alias("__c"))
+            )
+            win = Window.partitionBy("doc").orderBy(
+                F.col("__c").desc(), F.col("term")
+            )
+            over = (
+                tcnt.withColumn("__r", F.row_number().over(win))
+                .filter(F.col("__r") <= max_terms_per_doc)
+                .select("doc", "term")
+            )
+            dt = under.unionByName(over)
     marg = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
     pairs = (
         dt.alias("a")

@@ -26,10 +26,32 @@ base path while matching exactly the one file.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
 _SEQ = [0]
+
+
+@contextmanager
+def _shuffle(spark, n: int):
+    """Pin shuffle partitions for one streaming replay (restored after).
+
+    Stateful streaming operators allocate one state-store instance per
+    shuffle partition, and every micro-batch pays per-partition store
+    open/commit. For the JVM-side replays (pivot agg, dropDuplicates,
+    stream-stream join, window top-k) that overhead dominates at
+    replay scale — measured 2-4x faster at 4-8 partitions than 32. The
+    Python-stateful replays (session, debounce) are compute-bound in
+    the Arrow worker and WANT the parallelism, so they keep the session
+    default. On a real cluster this knob is sized by key cardinality,
+    not fixed."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _drain(out, mode: str) -> str:
@@ -88,15 +110,16 @@ FROM events GROUP BY 1
         from pivot_spark.config import PivotConfig
         from pivot_spark.streaming.pivot_stream import pivot_stream
 
-        src = _stream(spark, sf_dir, "events").select(
-            F.to_date("ts").cast("string").alias("day"), "event_type", "value"
-        )
-        cfg = PivotConfig(
-            pivot_columns="event_type=" + ",".join(_S01_TYPES),
-            pivot_rows="day",
-            aggregates="n:count(*),sv:sum(value)",
-        )
-        name = _drain(pivot_stream(src, cfg), "complete")
+        with _shuffle(spark, 8):
+            src = _stream(spark, sf_dir, "events").select(
+                F.to_date("ts").cast("string").alias("day"), "event_type", "value"
+            )
+            cfg = PivotConfig(
+                pivot_columns="event_type=" + ",".join(_S01_TYPES),
+                pivot_rows="day",
+                aggregates="n:count(*),sv:sum(value)",
+            )
+            name = _drain(pivot_stream(src, cfg), "complete")
         return round_doubles(spark.table(name))
 
     # ---- S02: streaming exact dedup == SELECT DISTINCT ---------------
@@ -110,8 +133,9 @@ FROM events GROUP BY 1
         the arrival order."""
         from pivot_spark.streaming.dedup_stream import dedup_stream
 
-        src = _stream(spark, sf_dir, "events").select("user_id", "event_type")
-        name = _drain(dedup_stream(src, ["user_id", "event_type"]), "append")
+        with _shuffle(spark, 8):
+            src = _stream(spark, sf_dir, "events").select("user_id", "event_type")
+            name = _drain(dedup_stream(src, ["user_id", "event_type"]), "append")
         return spark.table(name)
 
     # ---- S03: streaming sessionization ------------------------------
@@ -229,11 +253,12 @@ FROM events l JOIN events r
             .filter(F.col("event_type") == "purchase")
             .select("user_id", F.col("ts").alias("purchase_ts"))
         )
-        out = interval_join_stream(
-            left, right, "user_id", "view_ts", "purchase_ts",
-            lookback="2 hours", watermark="1 minute",
-        )
-        name = _drain(out, "append")
+        with _shuffle(spark, 4):
+            out = interval_join_stream(
+                left, right, "user_id", "view_ts", "purchase_ts",
+                lookback="2 hours", watermark="1 minute",
+            )
+            name = _drain(out, "append")
         return spark.table(name)
 
     # ---- S06: streaming windowed top-k -------------------------------
@@ -262,10 +287,11 @@ WHERE rk <= 3 AND ws + INTERVAL 1 DAY < m - INTERVAL 10 MINUTE
     def s06_stream_topk(spark, sf_dir):
         from pivot_spark.streaming.topk_stream import topk_stream
 
-        src = _stream(spark, sf_dir, "events").select("ts", "event_type")
-        out = topk_stream(
-            src, "event_type", "ts",
-            window_duration="1 day", watermark="10 minutes", k=3,
-        )
-        name = _drain(out, "append")
+        with _shuffle(spark, 8):
+            src = _stream(spark, sf_dir, "events").select("ts", "event_type")
+            out = topk_stream(
+                src, "event_type", "ts",
+                window_duration="1 day", watermark="10 minutes", k=3,
+            )
+            name = _drain(out, "append")
         return spark.table(name)
