@@ -197,15 +197,17 @@ def winnow_fingerprints(
 
 def syllable_count(text: Column) -> Column:
     """Corpus-scale syllable heuristic: per whitespace token, the number
-    of vowel groups (``[aeiouy]+`` runs, case-insensitive — input is
-    lowercased internally so all-caps words and sentence-initial vowels
-    count), floored at 1 — no silent-e modeling (declared: a
-    deterministic, engine-portable proxy, the standard
-    readability-pipeline shortcut). Pure scan-stage array arithmetic."""
+    of vowel groups (``[aeiouyAEIOUY]+`` runs — case-insensitive via the
+    character class, NOT an F.lower() copy, so all-caps words and
+    sentence-initial vowels count at zero extra string cost), floored
+    at 1 — no silent-e modeling (declared: a deterministic,
+    engine-portable proxy, the standard readability-pipeline shortcut).
+    Pure scan-stage array arithmetic."""
     per_word = F.transform(
-        tokens(F.lower(text)),
+        tokens(text),
         lambda w: F.greatest(
-            F.lit(1), F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), 0))
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit(r"[aeiouyAEIOUY]+"), 0)),
         ),
     )
     return F.aggregate(per_word, F.lit(0), lambda a, x: a + x)

@@ -295,3 +295,126 @@ WHERE rk <= 3 AND ws + INTERVAL 1 DAY < m - INTERVAL 10 MINUTE
             )
             name = _drain(out, "append")
         return spark.table(name)
+
+    # ---- S07: streaming EWMA anomaly scores --------------------------
+    # Per-event output of the stateful fold (z scored against the state
+    # BEFORE the observation folds in; mean emitted AFTER). (user, ts)
+    # is unique in the testdata, so ORDER BY ts replays the fold order
+    # exactly; the recursive CTE advances (mean, var, n) one event per
+    # step with the identical float expression shapes.
+    _S07_ORACLE = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, ts, CAST(value AS DOUBLE) AS x,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+), st AS (
+  SELECT user_id, ts, rn, x,
+         x AS mean, CAST(0.0 AS DOUBLE) AS var, 1 AS n,
+         CAST(NULL AS DOUBLE) AS z, false AS anom
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.user_id, e.ts, e.rn, e.x,
+         s.mean + 0.1 * (e.x - s.mean),
+         0.9 * (s.var + (e.x - s.mean) * (0.1 * (e.x - s.mean))),
+         s.n + 1,
+         CASE WHEN s.n >= 5 AND sqrt(s.var) > 0
+              THEN (e.x - s.mean) / sqrt(s.var) END,
+         CASE WHEN s.n >= 5 AND sqrt(s.var) > 0
+              THEN abs((e.x - s.mean) / sqrt(s.var)) >= 3.0 ELSE false END
+  FROM ev e JOIN st s ON e.user_id = s.user_id AND e.rn = s.rn + 1
+)
+SELECT user_id, ts, round(x, 4) AS value, round(mean, 2) AS ewma,
+       round(z, 2) AS z, anom AS is_anomaly
+FROM st
+"""
+
+    @query("s07_stream_ewma", _S07_ORACLE)
+    def s07_stream_ewma(spark, sf_dir):
+        from pivot_spark.streaming.anomaly_stream import ewma_anomaly_stream
+
+        src = _stream(spark, sf_dir, "events").select("user_id", "ts", "value")
+        out = ewma_anomaly_stream(
+            src, "user_id", "ts", "value",
+            alpha=0.1, z_threshold=3.0, min_n=5, watermark="10 minutes",
+        )
+        name = _drain(out, "append")
+        t = spark.table(name)
+        # ewma/z at 2 decimals (not round_doubles' 4): the Python-fold vs
+        # recursive-CTE doubles differ in the last ulps, and at 4dp two of
+        # ~60k rows straddle a rounding boundary between Spark's
+        # BigDecimal HALF_UP and DuckDB's float-scaled round.
+        return t.select(
+            "user_id", "ts", F.round("value", 4).alias("value"),
+            F.round("ewma", 2).alias("ewma"), F.round("z", 2).alias("z"),
+            "is_anomaly",
+        )
+
+    # ---- S09: stream-static enrichment join --------------------------
+    # Stateless: the static dimension broadcasts per micro-batch, the
+    # stream is never shuffled. Dimension = one row per user derived
+    # from customer (c_custkey 1..150 -> user_id 0..149).
+    _S09_ORACLE = """
+SELECT e.event_id, e.user_id, e.event_type, c.c_nationkey, c.c_mktsegment
+FROM events e
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey <= 150) c
+  ON e.user_id = c.c_custkey - 1
+"""
+
+    @query("s09_stream_enrich", _S09_ORACLE)
+    def s09_stream_enrich(spark, sf_dir):
+        from pivot_spark.sources.catalog import load_table
+        from pivot_spark.streaming.enrich_stream import enrich_stream
+
+        with _shuffle(spark, 8):
+            dim = (
+                load_table(spark, sf_dir, "customer")
+                .filter(F.col("c_custkey") <= 150)
+                .select(
+                    (F.col("c_custkey") - 1).alias("user_id"),
+                    "c_nationkey", "c_mktsegment",
+                )
+            )
+            src = _stream(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type"
+            )
+            out = enrich_stream(src, dim, on="user_id", how="left")
+            name = _drain(out, "append")
+        return spark.table(name).select(
+            "event_id", "user_id", "event_type", "c_nationkey", "c_mktsegment"
+        )
+
+    # ---- S10: foreachBatch CDC upsert sink ---------------------------
+    # availableNow drains the file source in one batch; the merged
+    # state after termination is last-writer-wins per user (order_col =
+    # ts, unique per user) — exact arg_max replay.
+    _S10_ORACLE = """
+SELECT user_id,
+       arg_max(event_id, ts) AS event_id,
+       arg_max(event_type, ts) AS event_type,
+       round(arg_max(value, ts), 4) AS value
+FROM events GROUP BY user_id
+"""
+
+    @query("s10_stream_upsert", _S10_ORACLE)
+    def s10_stream_upsert(spark, sf_dir):
+        import tempfile
+
+        from pivot_spark.streaming.upsert_sink import (
+            read_upsert_state,
+            start_upsert_sink,
+        )
+
+        with _shuffle(spark, 8):
+            src = _stream(spark, sf_dir, "events").select(
+                "user_id", "ts", "event_id", "event_type", "value"
+            )
+            state = tempfile.mkdtemp(prefix="s10_state_")
+            ckpt = tempfile.mkdtemp(prefix="s10_ckpt_")
+            q = start_upsert_sink(
+                src, state, keys=["user_id"], checkpoint=ckpt, order_col="ts"
+            )
+            q.awaitTermination()
+        out = read_upsert_state(spark, state)
+        return round_doubles(
+            out.select("user_id", "event_id", "event_type", "value")
+        )

@@ -160,3 +160,21 @@ def test_decode_wav_rejects_non_wav(spark):
     df = spark.createDataFrame([(bytearray(b"RIFFxxxxJUNK" * 6),)], "audio binary")
     out = decode_wav(df, "audio").collect()[0]
     assert out.meta is None and out.rms_ch0 is None
+
+
+def test_decode_ppm_multidigit_dims(spark):
+    w, h = 12, 10
+    px = [(i * 31) % 256 for i in range(w * h * 3)]
+    blob = _py_ppm(w, h, px)
+    df = spark.createDataFrame([(bytearray(blob),)], "image binary")
+    out = decode_ppm(df).collect()[0]
+    assert (out.meta.width, out.meta.height) == (w, h)
+    assert out.mean_g == pytest.approx(sum(px[1::3]) / (w * h))
+
+
+def test_decode_ppm_tab_and_crlf_whitespace(spark):
+    # Netpbm allows any whitespace between header tokens
+    blob = b"P6\t7 3\r\n255\n" + bytes(range(7 * 3 * 3))
+    df = spark.createDataFrame([(bytearray(blob),)], "image binary")
+    out = decode_ppm(df).collect()[0]
+    assert (out.meta.width, out.meta.height, out.meta.maxval) == (7, 3, 255)
