@@ -349,6 +349,55 @@ FROM st
             "is_anomaly",
         )
 
+    # ---- S08: streaming P2 quantile accuracy contract ----------------
+    # The P2 marker fold is deterministic under the one-micro-batch
+    # replay, but its parabolic float arithmetic is not reproducible in
+    # SQL at hash precision. The hard signal is the operator's accuracy
+    # CONTRACT instead: after draining, each key's estimate must sit
+    # within 0.5 IQR of the exact batch median (measured max at sf0.01:
+    # 0.17 IQR — 3x margin, and deterministic, so the margin cannot
+    # drift between local runs and the driver). The oracle asserts the
+    # band booleans as constants plus the exact per-key event count
+    # (which pins watermark/timeout behavior: a dropped or double-fed
+    # event breaks n).
+    _S08_ORACLE = """
+SELECT user_id, count(*) AS n, true AS in_band
+FROM events GROUP BY user_id
+"""
+
+    @query("s08_stream_quantile", _S08_ORACLE)
+    def s08_stream_quantile(spark, sf_dir):
+        from pivot_spark.sources.catalog import load_table
+        from pivot_spark.streaming.quantile_stream import quantile_stream
+
+        with _shuffle(spark, 8):
+            src = _stream(spark, sf_dir, "events").select(
+                "user_id", "ts", "value"
+            )
+            out = quantile_stream(src, "user_id", "ts", "value", p=0.5)
+            name = _drain(out, "append")
+        exact = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.expr("percentile(value, 0.5)").alias("med"),
+                (
+                    F.expr("percentile(value, 0.75)")
+                    - F.expr("percentile(value, 0.25)")
+                ).alias("iqr"),
+            )
+        )
+        return (
+            spark.table(name)
+            .join(F.broadcast(exact), "user_id")
+            .select(
+                "user_id",
+                "n",
+                (F.abs(F.col("estimate") - F.col("med"))
+                 < 0.5 * F.col("iqr")).alias("in_band"),
+            )
+        )
+
     # ---- S09: stream-static enrichment join --------------------------
     # Stateless: the static dimension broadcasts per micro-batch, the
     # stream is never shuffled. Dimension = one row per user derived

@@ -82,6 +82,14 @@ def test_s06_topk_ranks(spark):
         )
 
 
+def test_s08_quantile_all_in_band(spark):
+    rows = _q("s08_stream_quantile")(spark, SF).collect()
+    assert rows and all(r.in_band for r in rows)
+    from pivot_spark.sources.catalog import load_table
+
+    assert sum(r.n for r in rows) == load_table(spark, SF, "events").count()
+
+
 def test_shuffle_ctx_restores_conf(spark):
     from pivot_spark.plans.declared_streaming import _shuffle
 
