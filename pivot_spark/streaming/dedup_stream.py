@@ -146,16 +146,20 @@ def debounce_stream(
             return
         rows = pd.concat(batches).sort_values(event_time).reset_index(drop=True)
         last = state.get[0] if state.exists else None
+        # the keep-iff-gap-since-last-KEPT fold is inherently sequential,
+        # but loop over a pre-converted int64 array — a per-row
+        # pandas ``Timestamp.timestamp()`` call dominated the fold
+        ts_ms_arr = (rows[event_time].astype("int64") // 1_000_000).tolist()
         kept_idx = []
         max_ts_ms = 0
-        for i, ts in enumerate(rows[event_time]):
-            ts_ms = int(ts.timestamp() * 1000)
-            max_ts_ms = max(max_ts_ms, ts_ms)
+        for i, ts_ms in enumerate(ts_ms_arr):
+            if ts_ms > max_ts_ms:
+                max_ts_ms = ts_ms
             if last is None or ts_ms - last >= gap_ms:
                 kept_idx.append(i)
                 last = ts_ms
         if last is not None:
-            state.update((last,))
+            state.update((int(last),))
         if max_ts_ms:
             state.setTimeoutTimestamp(max_ts_ms + ttl_ms)
         if kept_idx:

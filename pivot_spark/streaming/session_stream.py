@@ -56,51 +56,69 @@ def session_stream(
     )
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
-        def emit(start_ms, last_ms, n, sv):
+        def frame(starts, ends, ns, svs):
             return pd.DataFrame(
                 {
-                    user_col: [key[0]],
-                    "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                    "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                    "n_events": [n],
-                    "sum_value": [sv],
+                    user_col: np.repeat(key[0], len(starts)),
+                    "session_start": pd.to_datetime(starts, unit="ms"),
+                    "session_end": pd.to_datetime(ends, unit="ms"),
+                    "n_events": ns,
+                    "sum_value": svs,
                 }
             )
 
         if state.hasTimedOut:
             start_ms, last_ms, n, sv = state.get
             state.remove()
-            yield emit(start_ms, last_ms, n, sv)
+            yield frame([start_ms], [last_ms], [n], [sv])
             return
 
         # consume ALL batches first (bailing early stalls the Arrow
-        # channel), then fold in event-time order
+        # channel), then fold in event-time order. The fold itself is
+        # vectorized: a per-event Python loop emitting one single-row
+        # DataFrame per closed session dominated the replay wall-clock
+        # (~100k tiny frames at sf0.1); break detection is a diff
+        # compare and per-session aggregates are reduceat segments.
         parts = [pdf for pdf in pdfs if len(pdf)]
         events = pd.concat(parts).sort_values(event_time)
         ts_ms = (events[event_time].astype("int64") // 1_000_000).to_numpy()
         vals = events[value_col].astype("float64").to_numpy()
 
+        brk = np.empty(len(ts_ms), dtype=bool)
+        brk[0] = True
+        np.greater(ts_ms[1:] - ts_ms[:-1], gap_ms, out=brk[1:])
+        seg = np.flatnonzero(brk)  # start index of each new session
+        seg_end = np.append(seg[1:], len(ts_ms)) - 1
+        n_seg = seg_end - seg + 1
+        sv_seg = np.add.reduceat(vals, seg)
+        start_seg = ts_ms[seg].copy()
+        end_seg = ts_ms[seg_end]
+
+        carried = None  # state session closed by the first new event
         if state.exists:
             start_ms, last_ms, n, sv = state.get
-        else:
-            start_ms = last_ms = int(ts_ms[0])
-            n, sv = 0, 0.0
+            if ts_ms[0] - last_ms > gap_ms:
+                carried = (start_ms, last_ms, n, sv)
+            else:  # first segment continues the open session
+                start_seg[0] = start_ms
+                n_seg[0] += n
+                sv_seg[0] += sv
 
-        closed = []
-        for t, v in zip(ts_ms, vals):
-            t = int(t)
-            if n > 0 and t - last_ms > gap_ms:
-                closed.append((start_ms, last_ms, n, sv))
-                start_ms, n, sv = t, 0, 0.0
-            last_ms = t
-            n += 1
-            sv += float(v)
-        state.update((start_ms, last_ms, n, sv))
-        state.setTimeoutTimestamp(last_ms + gap_ms)
-        for c in closed:
-            yield emit(*c)
+        state.update(
+            (int(start_seg[-1]), int(end_seg[-1]), int(n_seg[-1]),
+             float(sv_seg[-1]))
+        )
+        state.setTimeoutTimestamp(int(end_seg[-1]) + gap_ms)
+
+        if carried is not None:
+            yield frame([carried[0]], [carried[1]], [carried[2]], [carried[3]])
+        if len(seg) > 1:
+            yield frame(
+                start_seg[:-1], end_seg[:-1], n_seg[:-1], sv_seg[:-1]
+            )
 
     return df.groupBy(user_col).applyInPandasWithState(
         fn,
