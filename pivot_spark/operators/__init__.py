@@ -66,6 +66,13 @@ from pivot_spark.operators.prune import prototypicality_prune
 from pivot_spark.operators.similarity import cosine_topk, cosine_topk_lsh
 
 # --- text quality & curation
+from pivot_spark.functions.web import (
+    ctrl_char_count,
+    html_title,
+    link_density,
+    non_ascii_ratio,
+    strip_html,
+)
 from pivot_spark.operators.dsir import dsir_logweights
 from pivot_spark.operators.lm import bigram_lm_score, unigram_lm_score
 from pivot_spark.operators.quality import (
@@ -263,6 +270,8 @@ __all__ = [
     "bpe_learn", "bpe_encode", "calibration_report",
     "rocchio_train", "rocchio_predict",
     "domain_stats", "drop_blocklisted", "registered_domain",
+    "strip_html", "html_title", "link_density", "non_ascii_ratio",
+    "ctrl_char_count",
     # retrieval
     "bm25_topk", "bm25_topk_batch",
     # sampling / selection

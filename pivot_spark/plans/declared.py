@@ -7819,6 +7819,127 @@ def e170_wav_decode(spark, sf_dir):
     )
 
 
+# --- E171: HTML -> text extraction (WET-style crawl curation). The
+# documents table is plain text, so each doc is first wrapped in a
+# deterministic HTML5 shell (title/style/script/comment/nav/footer
+# boilerplate, entities, sentence-per-<p>) by an expression shared
+# verbatim between both engines — the codec-query pattern (e168-e170)
+# applied to markup. The operator under test is functions/web.py:
+# strip_html / html_title / link_density, regex passes written in the
+# Java-regex AND RE2 common subset (no backreferences/lookarounds).
+_E171_BUILD = """
+'<html><head><title>Doc ' || doc_id || ' &amp; ' || source ||
+'</title><style>p{margin:0}</style><script>track("' || doc_id ||
+'")</script></head><body><!-- id ' || doc_id ||
+' --><nav><a href="/">Home</a><a href="/' || source || '">' || source ||
+'</a></nav><h1>Doc ' || doc_id || '</h1><p>' ||
+replace(text, '. ', '.</p><p>') ||
+'</p><footer><a href="/contact">Contact &amp; Imprint</a></footer></body></html>'
+"""
+
+
+def _duck_strip(x: str) -> str:
+    """DuckDB replica of functions.web.strip_html — regex passes and
+    entity table SPLICED FROM functions/web.py (the patterns live in the
+    Java-regex/RE2 common subset, so the same strings mean the same
+    thing in both engines and the replica cannot drift), same order,
+    'g' flags (DuckDB replaces first match only by default)."""
+    from pivot_spark.functions import web as _w
+
+    ent = x
+    for pat, rep in (
+        (_w._COMMENT_RE, "''"),
+        (_w._SCRIPT_RE, "''"),
+        (_w._STYLE_RE, "''"),
+        (_w._BLOCK_RE, "chr(10)"),
+        (_w._TAG_RE, "''"),
+    ):
+        ent = f"regexp_replace({ent}, '{pat}', {rep}, 'g')"
+    for e, r in _w.ENTITIES:
+        rep = "chr(39)" if r == "'" else "'" + r.replace("'", "''") + "'"
+        ent = f"replace({ent}, '{e}', {rep})"
+    return f"trim(regexp_replace({ent}, '\\s+', ' ', 'g'))"
+
+
+_E171_ANCHORS = (
+    "array_to_string(regexp_extract_all(h, '(?is)<a[^>]*>(.*?)</a>', 1), ' ')"
+)
+_E171_ORACLE = f"""
+WITH pages AS (SELECT doc_id, {_E171_BUILD} AS h FROM documents)
+SELECT doc_id,
+       trim(replace(replace(replace(replace(replace(replace(
+         regexp_replace(regexp_extract(h, '(?is)<title[^>]*>(.*?)</title>', 1),
+                        '<[^>]*>', '', 'g'),
+         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         '&#39;', chr(39)), '&amp;', '&')) AS title,
+       {_duck_strip('h')} AS text,
+       round(coalesce(CAST(length({_duck_strip(_E171_ANCHORS)}) AS DOUBLE)
+                      / nullif(length({_duck_strip('h')}), 0), 0.0),
+             4) AS link_density,
+       length({_duck_strip('h')}) AS n_chars
+FROM pages
+"""
+
+
+@query("e171_html_extract", _E171_ORACLE)
+def e171_html_extract(spark, sf_dir):
+    from pivot_spark.functions.web import html_title, link_density, strip_html
+
+    pages = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_E171_BUILD.strip()).alias("h")
+    )
+    return pages.select(
+        "doc_id",
+        html_title(F.col("h")).alias("title"),
+        strip_html(F.col("h")).alias("text"),
+        F.round(link_density(F.col("h")), 4).alias("link_density"),
+        F.length(strip_html(F.col("h"))).cast("long").alias("n_chars"),
+    )
+
+
+# --- E172: encoding-damage screen (mojibake / binary spill). The clean
+# ASCII corpus is deterministically damaged per doc_id (U+00E9/U+00A9
+# tails, BEL/SOH control bytes) with a shared expression, then scored
+# by scan-stage ratio functions — the keep/drop gate a crawl pipeline
+# runs before any tokenization.
+_E172_BUILD = """
+text || CASE WHEN doc_id % 5 = 0 THEN chr(233) || chr(169) ELSE '' END
+     || CASE WHEN doc_id % 7 = 0 THEN chr(7) || chr(1) ELSE '' END
+"""
+_E172_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_E172_BUILD} AS t FROM documents)
+SELECT doc_id,
+       round(coalesce(CAST(length(regexp_replace(t, '[ -~\\t\\n\\r]', '', 'g'))
+                           AS DOUBLE) / nullif(length(t), 0), 0.0), 4)
+         AS non_ascii_ratio,
+       length(t) - length(regexp_replace(
+         t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g')) AS ctrl_chars,
+       (length(t) - length(regexp_replace(
+          t, '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))) = 0
+         AND coalesce(CAST(length(regexp_replace(t, '[ -~\\t\\n\\r]', '', 'g'))
+                           AS DOUBLE) / nullif(length(t), 0), 0.0) < 0.005
+         AS keep
+FROM d
+"""
+
+
+@query("e172_encoding_screen", _E172_ORACLE)
+def e172_encoding_screen(spark, sf_dir):
+    from pivot_spark.functions.web import ctrl_char_count, non_ascii_ratio
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_E172_BUILD.strip()).alias("t")
+    )
+    nar_raw = non_ascii_ratio(F.col("t"))  # keep gates on the RAW ratio
+    cc = ctrl_char_count(F.col("t")).cast("long")
+    return d.select(
+        "doc_id",
+        F.round(nar_raw, 4).alias("non_ascii_ratio"),
+        cc.alias("ctrl_chars"),
+        ((cc == 0) & (nar_raw < 0.005)).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.
