@@ -91,6 +91,52 @@ def link_density(html: Column) -> Column:
     )
 
 
+# tracking parameters dropped by normalize_url: utm_* family plus the
+# big platforms' click ids — the params that make one page look like
+# millions of distinct URLs in a crawl frontier
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=|$)"
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host[:port] of an absolute URL ('' if scheme-less)."""
+    return F.lower(
+        F.regexp_extract(F.trim(url), _SCHEME_RE + r"([^/?#]*)", 2)
+    )
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of an absolute http(s) URL — the crawl-frontier /
+    URL-dedup key: scheme and host lowercased (path case is preserved —
+    paths are case-sensitive per RFC 3986), default port dropped (:80
+    for http, :443 for https), empty path -> '/', tracking parameters
+    removed (``TRACKING_PARAM_RE``), remaining query params sorted,
+    fragment dropped. Scheme-less input is returned trimmed unchanged
+    (not a crawlable absolute URL; don't guess)."""
+    u = F.trim(url)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    hostport = url_host(url)
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(u, _SCHEME_RE + r"[^/?#]*([^?#]*)", 2)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(u, r"\?([^#]*)", 1), "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    q = F.array_join(params, "&")
+    canon = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )
+    return F.when(scheme == "", u).otherwise(canon)
+
+
 def non_ascii_ratio(text: Column) -> Column:
     """Share of characters outside printable ASCII + whitespace —
     a cheap mojibake / wrong-encoding signal (legit non-Latin text also

@@ -7940,6 +7940,89 @@ def e172_encoding_screen(spark, sf_dir):
     )
 
 
+# --- E173: URL canonicalization (crawl-frontier / URL-dedup key).
+# Messy absolute URLs are constructed deterministically per doc (mixed
+# case, default ports, tracking params, fragments, unsorted query) by a
+# shared expression, then canonicalized by functions.web.normalize_url;
+# the oracle replicates the normalization pass-for-pass (scheme+host
+# lowercase only — path case preserved per RFC 3986, default port by
+# scheme, tracking-param filter, param sort, fragment drop).
+_E173_BUILD = """
+'HTTP' || CASE WHEN doc_id % 2 = 0 THEN 'S' ELSE '' END ||
+'://WWW.' || source || '.Example.COM' ||
+CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END ||
+CASE WHEN doc_id % 3 = 0 THEN '' ELSE '/Articles/' || doc_id END ||
+'?utm_source=feed&id=' || doc_id || '&b=2&a=1' ||
+CASE WHEN doc_id % 4 = 0 THEN '&fbclid=XYZ' ELSE '' END ||
+'#sec-' || doc_id
+"""
+
+
+def _e173_oracle() -> str:
+    from pivot_spark.functions.web import TRACKING_PARAM_RE
+
+    scheme = "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    hostport = (
+        "lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)', 2))"
+    )
+    host = (
+        f"CASE WHEN {scheme} = 'https' THEN regexp_replace({hostport}, ':443$', '') "
+        f"WHEN {scheme} = 'http' THEN regexp_replace({hostport}, ':80$', '') "
+        f"ELSE {hostport} END"
+    )
+    path0 = (
+        "regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://[^/?#]*([^?#]*)', 2)"
+    )
+    path = f"CASE WHEN {path0} = '' THEN '/' ELSE {path0} END"
+    params = (
+        "list_sort(list_filter(string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'), "
+        f"x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')))"
+    )
+    q = f"array_to_string({params}, '&')"
+    canon = (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END"
+    )
+    return f"""
+WITH urls AS (SELECT doc_id, {_E173_BUILD} AS u FROM documents)
+SELECT doc_id, {canon} AS url_norm, {host} AS host,
+       CAST(len({params}) AS INT) AS n_params
+FROM urls
+"""
+
+
+@query("e173_url_normalize", _e173_oracle())
+def e173_url_normalize(spark, sf_dir):
+    from pivot_spark.functions.web import (
+        TRACKING_PARAM_RE,
+        normalize_url,
+        url_host,
+    )
+
+    urls = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_E173_BUILD.strip()).alias("u")
+    )
+    scheme = F.lower(F.regexp_extract(F.col("u"), r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = url_host(F.col("u"))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split(F.regexp_extract(F.col("u"), r"\?([^#]*)", 1), "&"),
+            lambda x: (x != "") & ~x.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return urls.select(
+        "doc_id",
+        normalize_url(F.col("u")).alias("url_norm"),
+        host.alias("host"),
+        F.size(params).alias("n_params"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -261,6 +261,58 @@ FROM events l JOIN events r
             name = _drain(out, "append")
         return spark.table(name)
 
+    # ---- S11: stream-stream interval join, LEFT OUTER -----------------
+    # Outer-null rows for unmatched views emit only once the global
+    # watermark (min of the two inputs' watermarks, both = max(ts) -
+    # 1min here) passes the row's match horizon view_ts + 2h — views in
+    # the final ~2h stay buffered and never emit in the replay. The
+    # boundary (view_ts + 2h == wm) is tie-free in the testdata
+    # (calibrated: 0 rows at sf0.001 and sf0.01), so strict/non-strict
+    # cannot flip a row.
+    _S11_ORACLE = """
+WITH v AS (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view'),
+p AS (SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'),
+wm AS (SELECT least((SELECT max(view_ts) FROM v),
+                    (SELECT max(purchase_ts) FROM p))
+              - INTERVAL 1 MINUTE AS w)
+SELECT v.user_id, v.view_ts, p.purchase_ts
+FROM v JOIN p
+  ON v.user_id = p.user_id
+ AND v.view_ts < p.purchase_ts
+ AND v.view_ts >= p.purchase_ts - INTERVAL 2 HOUR
+UNION ALL
+SELECT v.user_id, v.view_ts, NULL AS purchase_ts
+FROM v, wm
+WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND v.view_ts < p.purchase_ts
+          AND v.view_ts >= p.purchase_ts - INTERVAL 2 HOUR)
+  AND v.view_ts + INTERVAL 2 HOUR < wm.w
+"""
+
+    @query("s11_stream_interval_join_outer", _S11_ORACLE)
+    def s11_stream_interval_join_outer(spark, sf_dir):
+        from pivot_spark.streaming.join_stream import interval_join_stream
+
+        left = (
+            _stream(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "view")
+            .select("user_id", F.col("ts").alias("view_ts"))
+        )
+        right = (
+            _stream(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .select("user_id", F.col("ts").alias("purchase_ts"))
+        )
+        with _shuffle(spark, 4):
+            out = interval_join_stream(
+                left, right, "user_id", "view_ts", "purchase_ts",
+                lookback="2 hours", watermark="1 minute", how="leftOuter",
+            )
+            name = _drain(out, "append")
+        return spark.table(name)
+
     # ---- S06: streaming windowed top-k -------------------------------
     # Day windows emit at event-time timeout once the watermark passes
     # the window end; the last day's window never finalizes (end >

@@ -82,6 +82,17 @@ def test_s06_topk_ranks(spark):
         )
 
 
+def test_s11_outer_join_nulls_only_when_closed(spark):
+    rows = _q("s11_stream_interval_join_outer")(spark, SF).collect()
+    assert rows
+    matched = [r for r in rows if r.purchase_ts is not None]
+    unmatched = [r for r in rows if r.purchase_ts is None]
+    assert matched and unmatched
+    for r in matched:
+        delta = (r.purchase_ts - r.view_ts).total_seconds()
+        assert 0 < delta <= 7200
+
+
 def test_s08_quantile_all_in_band(spark):
     rows = _q("s08_stream_quantile")(spark, SF).collect()
     assert rows and all(r.in_band for r in rows)

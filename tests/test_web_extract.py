@@ -69,3 +69,45 @@ def test_non_ascii_ratio(spark):
 def test_ctrl_char_count(spark):
     assert _one(spark, "clean text\r\n\tok", ctrl_char_count) == 0
     assert _one(spark, "bad\x07mid\x01end", ctrl_char_count) == 2
+
+
+def test_normalize_url_full(spark):
+    from pivot_spark.functions.web import normalize_url
+
+    got = _one(
+        spark,
+        "HTTPS://WWW.Site.COM:443/Mixed/Path?utm_source=x&b=2&a=1&fbclid=z#frag",
+        normalize_url,
+    )
+    assert got == "https://www.site.com/Mixed/Path?a=1&b=2"
+
+
+def test_normalize_url_ports_and_empty_path(spark):
+    from pivot_spark.functions.web import normalize_url
+
+    assert _one(spark, "http://a.com:80", normalize_url) == "http://a.com/"
+    # :80 is only default for http — https keeps it
+    assert _one(spark, "https://a.com:80/x", normalize_url) == "https://a.com:80/x"
+    assert _one(spark, "ftp://a.com:21/f", normalize_url) == "ftp://a.com:21/f"
+
+
+def test_normalize_url_all_params_tracking(spark):
+    from pivot_spark.functions.web import normalize_url
+
+    assert (
+        _one(spark, "http://a.com/p?utm_a=1&utm_b&gclid=2", normalize_url)
+        == "http://a.com/p"
+    )
+
+
+def test_normalize_url_schemeless_passthrough(spark):
+    from pivot_spark.functions.web import normalize_url
+
+    assert _one(spark, "  not-a-url/path?x=1 ", normalize_url) == "not-a-url/path?x=1"
+
+
+def test_url_host(spark):
+    from pivot_spark.functions.web import url_host
+
+    assert _one(spark, "HTTP://User.Example.ORG:8080/a", url_host) == "user.example.org:8080"
+    assert _one(spark, "no scheme", url_host) == ""
