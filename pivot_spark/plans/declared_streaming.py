@@ -348,6 +348,44 @@ WHERE rk <= 3 AND ws + INTERVAL 1 DAY < m - INTERVAL 10 MINUTE
             name = _drain(out, "append")
         return spark.table(name)
 
+    # ---- S12: chained stateful ops — windowed distinct users ----------
+    # Two stateful aggregations in ONE streaming query (supported since
+    # Spark 3.4): per-day (window, user) dedup-agg, then a second agg
+    # over the emitted window column (which carries event time) counts
+    # distinct users per day. Both finalize as the watermark passes the
+    # window end; the last partial day never finalizes (s06 filter
+    # convention).
+    _S12_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, user_id
+  FROM events
+), mx AS (SELECT max(ts) AS m FROM events)
+SELECT ws AS window_start, count(*) AS n_users
+FROM d, mx
+WHERE ws + INTERVAL 1 DAY < m - INTERVAL 10 MINUTE
+GROUP BY ws
+"""
+
+    @query("s12_stream_window_distinct", _S12_ORACLE)
+    def s12_stream_window_distinct(spark, sf_dir):
+        with _shuffle(spark, 8):
+            src = (
+                _stream(spark, sf_dir, "events")
+                .select("ts", "user_id")
+                .withWatermark("ts", "10 minutes")
+            )
+            per_user = src.groupBy(
+                F.window("ts", "1 day"), "user_id"
+            ).count()
+            per_day = per_user.groupBy("window").agg(
+                F.count(F.lit(1)).alias("n_users")
+            )
+            out = per_day.select(
+                F.col("window.start").alias("window_start"), "n_users"
+            )
+            name = _drain(out, "append")
+        return spark.table(name)
+
     # ---- S07: streaming EWMA anomaly scores --------------------------
     # Per-event output of the stateful fold (z scored against the state
     # BEFORE the observation folds in; mean emitted AFTER). (user, ts)

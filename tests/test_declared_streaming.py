@@ -93,6 +93,16 @@ def test_s11_outer_join_nulls_only_when_closed(spark):
         assert 0 < delta <= 7200
 
 
+def test_s12_window_distinct_bounds(spark):
+    rows = _q("s12_stream_window_distinct")(spark, SF).collect()
+    assert rows  # finalized days only (last partial day absent)
+    from pivot_spark.sources.catalog import load_table
+
+    n_users = load_table(spark, SF, "events").select("user_id").distinct().count()
+    assert all(0 < r.n_users <= n_users for r in rows)
+    assert len({r.window_start for r in rows}) == len(rows)
+
+
 def test_s08_quantile_all_in_band(spark):
     rows = _q("s08_stream_quantile")(spark, SF).collect()
     assert rows and all(r.in_band for r in rows)
