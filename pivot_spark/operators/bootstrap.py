@@ -13,8 +13,13 @@ Plan shape: ONE single-row hash aggregate carrying 2R+2 sums (per
 replica: sum of weights, sum of weight*value; plus the full-sample sum
 and count) — no explode, no R-fold data duplication; replica means, the
 bootstrap SE and the percentile CI are scan-stage array arithmetic on
-the one-row result. Cost is R md5 evaluations per row inside
-whole-stage codegen; state is 2R+2 doubles.
+the one-row result. Each md5 digest is sliced into FOUR 32-bit
+uniforms (replica r reads slice r%4 of digest group r//4), and
+whole-stage codegen's subexpression elimination collapses the four
+replicas' identical digest subtrees — ceil(R/4) md5 evaluations per
+row, not R; state is 2R+2 doubles. (32-bit uniform granularity 2^-32
+is far below every Poisson(1) CDF gap; the draw distribution is
+unchanged.)
 """
 
 from __future__ import annotations
@@ -32,16 +37,18 @@ POISSON1_CDF = [
 ]
 
 
-def _uniform48(col, salt: str):
-    h = F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 12)
-    return (F.conv(h, 16, 10).cast("double") + F.lit(0.5)) / F.lit(float(16**12))
-
-
 def poisson_weight(id_col, replica: int, salt: str = "boot"):
     """Deterministic Poisson(1) weight of ``id_col`` in replica
-    ``replica``: count of CDF thresholds at or below the row's 48-bit
-    md5 uniform (inverse-CDF lookup as 8 comparisons)."""
-    u = _uniform48(id_col, f"{salt}:{replica}:")
+    ``replica``: count of CDF thresholds at or below the row's 32-bit
+    md5-slice uniform (inverse-CDF lookup as 8 comparisons). Replicas
+    4g..4g+3 share digest md5("{salt}:{g}:{id}") and read hex slices
+    0..3 — codegen CSE computes each digest once per row."""
+    g, j = divmod(replica, 4)
+    h = F.md5(F.concat(F.lit(f"{salt}:{g}:"), id_col.cast("string")))
+    u = (
+        F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
     w = F.lit(0)
     for c in POISSON1_CDF:
         w = w + (u >= F.lit(c)).cast("int")

@@ -6118,9 +6118,9 @@ WITH b AS (
   WHERE value IS NOT NULL AND event_id IS NOT NULL
 ), e AS (
   SELECT t.r AS r, b.x,
-         (CAST('0x' || substring(md5('boot:' || CAST(t.r AS VARCHAR) || ':'
-                || CAST(b.id AS VARCHAR)), 1, 12) AS UBIGINT)::DOUBLE + 0.5)
-           / 281474976710656.0 AS u
+         (CAST('0x' || substring(md5('boot:' || CAST(t.r // 4 AS VARCHAR) || ':'
+                || CAST(b.id AS VARCHAR)), 1 + 8 * (t.r % 4), 8)
+               AS UBIGINT)::DOUBLE + 0.5) / 4294967296.0 AS u
   FROM b, LATERAL unnest(range(0, 30)) AS t(r)
 ), f AS (
   SELECT r, x, (u >= 0.36787944117144233)::INT + (u >= 0.7357588823428847)::INT + (u >= 0.9196986029286058)::INT + (u >= 0.9810118431238462)::INT + (u >= 0.9963401531726562)::INT + (u >= 0.9994058151824182)::INT + (u >= 0.999916758850712)::INT + (u >= 0.9999897508033254)::INT AS wt FROM e
