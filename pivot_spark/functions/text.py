@@ -182,16 +182,27 @@ def winnow_fingerprints(
     Returns array<long>, sorted distinct (canonical set form). Pure
     Catalyst expressions: usable inside any projection, no shuffle.
     """
-    t = normalize_text(text)
-    n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
-    grams = F.transform(
-        F.sequence(F.lit(1), n_grams), lambda i: F.xxhash64(F.substring(t, i, k))
-    )
-    n_windows = F.greatest(F.size(grams) - window + 1, F.lit(1))
-    mins = F.transform(
-        F.sequence(F.lit(0), n_windows - 1),
-        lambda i: F.array_min(F.slice(grams, i + 1, window)),
-    )
+    # each stage binds its input to a lambda variable (single-element
+    # array + transform) so the normalized text / gram array is
+    # evaluated ONCE per row — an expression tree referenced inside a
+    # higher-order-function lambda is re-evaluated per element, making
+    # the inline form O(n^2) per doc
+    def _grams(t: Column) -> Column:
+        n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(F.substring(t, i, k)),
+        )
+
+    def _mins(grams: Column) -> Column:
+        n_windows = F.greatest(F.size(grams) - window + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(0), n_windows - 1),
+            lambda i: F.array_min(F.slice(grams, i + 1, window)),
+        )
+
+    grams = F.element_at(F.transform(F.array(normalize_text(text)), _grams), 1)
+    mins = F.element_at(F.transform(F.array(grams), _mins), 1)
     return F.array_sort(F.array_distinct(mins))
 
 

@@ -87,14 +87,22 @@ def bpe_learn(
     )
     merges = []
     for idx in range(1, num_merges + 1):
-        sp = F.split(F.col("sym"), " ")
+        # bind the split array to a lambda variable so it is evaluated
+        # once per vocab row, not once per adjacent pair (expressions
+        # referenced inside an HOF lambda are re-evaluated per element)
         pairs = F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size(sp) - 1),
-                lambda i: F.struct(
-                    F.element_at(sp, i).alias("l"),
-                    F.element_at(sp, i + F.lit(1)).alias("r"),
+            F.element_at(
+                F.transform(
+                    F.array(F.split(F.col("sym"), " ")),
+                    lambda sp: F.transform(
+                        F.sequence(F.lit(1), F.size(sp) - 1),
+                        lambda i: F.struct(
+                            F.element_at(sp, i).alias("l"),
+                            F.element_at(sp, i + F.lit(1)).alias("r"),
+                        ),
+                    ),
                 ),
+                1,
             )
         )
         top = (

@@ -35,11 +35,21 @@ def l2_norm(vec: Column) -> Column:
 
 def normalize_vectors(vec: Column) -> Column:
     """L2-normalize an array column; all-zero vectors pass through
-    unchanged (norm 0 would divide by zero)."""
-    n = l2_norm(vec)
-    return F.when(
-        n > 0, F.transform(vec, lambda x: x.cast("double") / n)
-    ).otherwise(F.transform(vec, lambda x: x.cast("double")))
+    unchanged (norm 0 would divide by zero).
+
+    The norm is bound to a lambda variable (single-element array +
+    transform) so it is computed ONCE per row — an expression tree
+    referenced inside a higher-order-function lambda is re-evaluated
+    per element, which made the inline form O(d^2) per vector."""
+
+    def _nrm(s: Column) -> Column:
+        return F.when(
+            s["n"] > 0,
+            F.transform(s["v"], lambda x: x.cast("double") / s["n"]),
+        ).otherwise(F.transform(s["v"], lambda x: x.cast("double")))
+
+    bound = F.array(F.struct(vec.alias("v"), l2_norm(vec).alias("n")))
+    return F.element_at(F.transform(bound, _nrm), 1)
 
 
 def centroids(

@@ -43,11 +43,19 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     single space; docs shorter than n tokens produce their full text as the
     single shingle."""
     toks = F.filter(F.split(text, r"\s+"), lambda w: w != "")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    grams = F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
-    return F.array_distinct(grams)
+
+    # bind the token array to a lambda variable (single-element array +
+    # transform) so the split tree is evaluated ONCE per row: outer
+    # expressions referenced inside a higher-order-function lambda are
+    # re-evaluated per element (no CSE across the lambda boundary),
+    # which made the inline form O(n^2) per doc — measured 8x slower
+    def _from(tk: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(tk, i + 1, n), " "))
+        )
+
+    return F.element_at(F.transform(F.array(toks), _from), 1)
 
 
 def word_shingles_pd(text: Column, n: int = 3) -> Column:
