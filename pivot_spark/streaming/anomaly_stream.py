@@ -67,6 +67,7 @@ def ewma_anomaly_stream(
     ttl_ms = state_ttl_minutes * 60 * 1000
 
     def fn(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if state.hasTimedOut:
@@ -77,13 +78,17 @@ def ewma_anomaly_stream(
         if not parts:
             return
         pdf = pd.concat(parts).sort_values(event_time)
+        pdf = pdf[pdf[value_col].notna()]
+        if not len(pdf):
+            return
 
         mean, var, n = state.get if state.exists else (0.0, 0.0, 0)
-        ts_o, v_o, e_o, z_o, a_o = [], [], [], [], []
-        for ts, x in zip(pdf[event_time], pdf[value_col]):
-            if x is None or pd.isna(x):
-                continue
-            x = float(x)
+        # fold over plain python floats (tolist), not boxed pandas
+        # scalars — the float expression shapes below are the oracle
+        # contract (recursive-CTE replay) and must not change
+        xs = pdf[value_col].astype("float64").tolist()
+        e_o, z_o, a_o = [], [], []
+        for x in xs:
             sd = var ** 0.5
             if n >= min_n and sd > 0:
                 z = (x - mean) / sd
@@ -98,26 +103,22 @@ def ewma_anomaly_stream(
                 mean = mean + incr
                 var = (1.0 - alpha) * (var + diff * incr)
             n += 1
-            ts_o.append(ts)
-            v_o.append(x)
             e_o.append(mean)
             z_o.append(z)
             a_o.append(anom)
         state.update((mean, var, n))
-        if ts_o:
-            last_ms = int(pd.Timestamp(max(ts_o)).value // 1_000_000)
-            state.setTimeoutTimestamp(last_ms + ttl_ms)
-        if ts_o:
-            yield pd.DataFrame(
-                {
-                    key_col: [key[0]] * len(ts_o),
-                    "ts": ts_o,
-                    "value": v_o,
-                    "ewma": e_o,
-                    "z": z_o,
-                    "is_anomaly": a_o,
-                }
-            )
+        last_ms = int(pd.Timestamp(pdf[event_time].max()).value // 1_000_000)
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        yield pd.DataFrame(
+            {
+                key_col: np.repeat(key[0], len(xs)),
+                "ts": pdf[event_time].to_numpy(),
+                "value": xs,
+                "ewma": e_o,
+                "z": z_o,
+                "is_anomaly": a_o,
+            }
+        )
 
     return (
         df.groupBy(key_col)
