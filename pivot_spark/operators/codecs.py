@@ -52,6 +52,20 @@ def _byte(col: Column) -> Column:
     return F.unhex(F.lpad(F.hex(col.cast("int")), 2, "0"))
 
 
+def _lam(names: str, body):
+    """Build ``lambda <names>: body(<names>)`` with EXPLICIT, unique
+    argument names. PySpark derives the Catalyst lambda-variable NAME
+    from the python argument name; when two higher-order functions with
+    same-named variables but different bodies end up in one projection
+    (chained withColumn + CollapseProject), the merged plan mis-binds
+    the variables — observed as one lambda's body evaluated with the
+    other's indices (wrong values / NULL tails). Every per-channel
+    lambda below therefore gets channel-suffixed names."""
+    ns = {"body": body}
+    exec(f"f = lambda {names}: body({names})", ns)  # noqa: S102
+    return ns["f"]
+
+
 def _int_le(value: int, n: int) -> bytes:
     return int(value).to_bytes(n, "little")
 
@@ -121,7 +135,13 @@ def decode_ppm(
     out = df.withColumn(meta_col, meta)
     if not channel_means:
         return out
-    hx = F.hex(raw)
+    # materialize the hexed blob and header length as COLUMNS: trees
+    # referenced inside a fold lambda are re-evaluated PER ELEMENT (no
+    # CSE across the lambda boundary), so the inline form re-hexed the
+    # whole blob and re-ran the header regexp once per pixel — O(n^2)
+    # per image
+    out = out.withColumn("__hx", F.hex(raw)).withColumn("__hdr", hdr_len)
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
     n_px = (w * h).cast("long")
     idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
 
@@ -129,7 +149,10 @@ def decode_ppm(
         total = F.aggregate(
             idx,
             F.lit(0).cast("long"),
-            lambda acc, i: acc + _u8h(hx, hdr_len + i * 3 + F.lit(c + 1)),
+            _lam(
+                f"acc{c}, i{c}",
+                lambda acc, i: acc + _u8h(hxc, hdrc + i * 3 + F.lit(c + 1)),
+            ),
         )
         return F.when(ok & (n_px > 0), total / n_px.cast("double"))
 
@@ -137,6 +160,7 @@ def decode_ppm(
         out.withColumn("mean_r", chan_mean(0))
         .withColumn("mean_g", chan_mean(1))
         .withColumn("mean_b", chan_mean(2))
+        .drop("__hx", "__hdr")
     )
 
 
@@ -230,8 +254,22 @@ def decode_bmp(
     out = df.withColumn(meta_col, meta)
     if not channel_means:
         return out
-    hx = F.hex(raw)
-    stride = F.floor((w * 3 + 3) / 4) * 4
+    # hexed blob / offset / stride materialized as COLUMNS — trees
+    # referenced inside fold lambdas are re-evaluated per element (no
+    # CSE across the lambda boundary); the inline `hx` re-hexed the
+    # whole blob once per pixel
+    # gated with `ok`: these evaluate unconditionally as columns, and a
+    # garbage header's w would overflow the ANSI int multiply (the old
+    # inline form was lazy inside the CASE WHEN branches)
+    out = (
+        out.withColumn("__hx", F.when(ok, F.hex(raw)))
+        .withColumn("__off", F.when(ok, off.cast("long")))
+        .withColumn(
+            "__stride",
+            F.when(ok, (F.floor((w.cast("long") * 3 + 3) / 4) * 4).cast("long")),
+        )
+    )
+    hxc = F.col("__hx")
     n_px = (w * h).cast("long")
     ys = F.sequence(F.lit(0).cast("long"), h.cast("long") - 1)
     xs = F.sequence(F.lit(0).cast("long"), w.cast("long") - 1)
@@ -239,16 +277,18 @@ def decode_bmp(
     def chan_mean(c: int) -> Column:
         # nested row/col fold: the per-pixel position is straight-line
         # arithmetic (no per-pixel division), honoring row stride so
-        # padding bytes are skipped
+        # padding bytes are skipped; all lambda names channel-suffixed
+        # AND nesting-level-distinct (see _lam)
         def row_sum(y: Column) -> Column:
-            base = off.cast("long") + y * stride + F.lit(c + 1)
+            base = F.col("__off") + y * F.col("__stride") + F.lit(c + 1)
             return F.aggregate(
                 xs, F.lit(0).cast("long"),
-                lambda a, x: a + _u8h(hx, base + x * 3),
+                _lam(f"ai{c}, x{c}", lambda a, x: a + _u8h(hxc, base + x * 3)),
             )
 
         total = F.aggregate(
-            ys, F.lit(0).cast("long"), lambda a, y: a + row_sum(y)
+            ys, F.lit(0).cast("long"),
+            _lam(f"ao{c}, y{c}", lambda a, y: a + row_sum(y)),
         )
         return F.when(ok & (n_px > 0), total / n_px.cast("double"))
 
@@ -256,6 +296,7 @@ def decode_bmp(
         out.withColumn("mean_b", chan_mean(0))
         .withColumn("mean_g", chan_mean(1))
         .withColumn("mean_r", chan_mean(2))
+        .drop("__hx", "__off", "__stride")
     )
 
 
@@ -346,27 +387,59 @@ def decode_wav(
     out = df.withColumn(meta_col, meta)
     if not channel_stats:
         return out
-    hx = F.hex(raw)
+    # hexed blob and channel count materialized as COLUMNS — trees
+    # referenced inside an HOF lambda are re-evaluated per element, so
+    # the inline `hx` re-hexed the whole blob once per SAMPLE. The
+    # per-channel (sum, sum-of-squares) pair is ONE single-pass fold
+    # per channel, stored as a scalar struct column (do NOT materialize
+    # the sample ARRAY and reference it from another fold: the
+    # optimizer inlines the column back into the consuming HOF's
+    # argument and the merged nested lambdas mis-bind — observed
+    # wrong/NULL tails). Each struct is gated with `have` because a
+    # standalone column evaluates unconditionally and a garbage
+    # header's sizes would overflow ANSI arithmetic (the old inline
+    # form was lazy inside the CASE WHEN branches).
+    out = out.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
+        "__nch", F.when(ok, n_ch.cast("long"))
+    )
+    hxc = F.col("__hx")
 
     def sample(i: Column, ch: int) -> Column:
         # signed 16-bit LE sample i of channel ch; PCM starts at byte 45
-        pos = F.lit(45).cast("long") + (i * n_ch.cast("long") + ch) * 2
-        v = _u8h(hx, pos) + _u8h(hx, pos + 1) * 256
+        pos = F.lit(45).cast("long") + (i * F.col("__nch") + ch) * 2
+        v = _u8h(hxc, pos) + _u8h(hxc, pos + 1) * 256
         return F.when(v >= 32768, v - 65536).otherwise(v)
 
     idx = F.sequence(F.lit(0).cast("long"), n_samp - 1)
+    acc0 = F.struct(
+        F.lit(0).cast("long").alias("s"), F.lit(0).cast("long").alias("q")
+    )
+
+    def have(ch: int) -> Column:
+        return ok & (n_ch > ch) & (n_samp > 0)
+
+    def st_expr(ch: int) -> Column:
+        return F.when(
+            have(ch),
+            F.aggregate(
+                F.transform(idx, _lam(f"i{ch}", lambda i, _c=ch: sample(i, _c))),
+                acc0,
+                _lam(
+                    f"a{ch}, v{ch}",
+                    lambda a, v: F.struct(
+                        (a["s"] + v).alias("s"), (a["q"] + v * v).alias("q")
+                    ),
+                ),
+            ),
+        )
+
+    # both channels in ONE projection (see _lam note)
+    out = out.select("*", st_expr(0).alias("__st0"), st_expr(1).alias("__st1"))
 
     def stats(ch: int):
-        have = ok & (n_ch > ch) & (n_samp > 0)
-        # materialize sample values once (transform), then two cheap
-        # folds — the signed decode isn't re-evaluated per moment
-        vs = F.transform(idx, lambda i: sample(i, ch))
-        s1 = F.aggregate(vs, F.lit(0).cast("long"), lambda a, v: a + v)
-        s2 = F.aggregate(
-            vs, F.lit(0).cast("long"), lambda a, v: a + v * v
-        )
-        mean = F.when(have, s1 / n_samp.cast("double"))
-        rms = F.when(have, F.sqrt(s2 / n_samp.cast("double")))
+        st = F.col(f"__st{ch}")
+        mean = F.when(have(ch), st["s"] / n_samp.cast("double"))
+        rms = F.when(have(ch), F.sqrt(st["q"] / n_samp.cast("double")))
         return mean, rms
 
     m0, r0 = stats(0)
@@ -376,4 +449,5 @@ def decode_wav(
         .withColumn("rms_ch0", r0)
         .withColumn("mean_ch1", m1)
         .withColumn("rms_ch1", r1)
+        .drop("__hx", "__nch", "__st0", "__st1")
     )
