@@ -80,6 +80,7 @@ from pivot_spark.operators.quality import (
     gopher_filter,
     gopher_rules,
     line_dedup,
+    strip_boilerplate_lines,
 )
 from pivot_spark.operators.bpe import bpe_encode, bpe_learn
 from pivot_spark.operators.classifier import (
@@ -228,6 +229,9 @@ from pivot_spark.operators.codecs import (
     make_bmp,
     make_ppm,
     make_wav,
+    ppm_luma_stats,
+    ppm_resize_nn,
+    wav_features,
 )
 
 # --- maintenance / lakehouse
@@ -264,7 +268,7 @@ __all__ = [
     "prototypicality_prune", "rrf_fuse",
     "covariance_matrix", "pca_project", "explained_variance",
     # text quality & curation
-    "gopher_rules", "gopher_filter", "c4_line_signals", "line_dedup",
+    "gopher_rules", "gopher_filter", "c4_line_signals", "line_dedup", "strip_boilerplate_lines",
     "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
     "bigram_lm_score", "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",
@@ -311,6 +315,7 @@ __all__ = [
     # multimodal real codecs
     "make_ppm", "decode_ppm", "make_bmp", "decode_bmp",
     "make_wav", "decode_wav",
+    "wav_features", "ppm_luma_stats", "ppm_resize_nn",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

@@ -97,6 +97,24 @@ PPM_META_SCHEMA = T.StructType(
 )
 
 
+def _ppm_header(raw: Column) -> "tuple[Column, Column, Column, Column, Column]":
+    """Parse a P6 header: returns (ok, width, height, maxval, hdr_len).
+
+    The ASCII header lives in the first bytes; a bounded prefix is cast
+    to string for regexp parsing (pixel bytes past the header may be
+    invalid UTF-8, but the regexp never needs to reach them: the header
+    of a 7-digit-dimension image fits well inside 32 bytes)."""
+    head = F.substring(raw, 1, 32).cast("string")
+    m = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s"
+    hit = F.regexp_extract(head, m, 0)
+    ok = (F.length(hit) > 0)
+    w = F.regexp_extract(head, m, 1).cast("int")
+    h = F.regexp_extract(head, m, 2).cast("int")
+    mx = F.regexp_extract(head, m, 3).cast("int")
+    hdr_len = F.length(hit)  # single whitespace after maxval included
+    return ok, w, h, mx, hdr_len
+
+
 def decode_ppm(
     df: DataFrame,
     binary_col: str = "image",
@@ -110,18 +128,7 @@ def decode_ppm(
     ``mean_b`` DOUBLE columns averaging every pixel's channel byte.
     All scan-stage Catalyst; no shuffle, no Python."""
     raw = F.col(binary_col)
-    # the ASCII header lives in the first bytes; cast a bounded prefix
-    # to string for regexp parsing (pixel bytes past the header may be
-    # invalid UTF-8, but the regexp never needs to reach them: the
-    # header of a 7-digit-dimension image fits well inside 32 bytes)
-    head = F.substring(raw, 1, 32).cast("string")
-    m = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s"
-    hit = F.regexp_extract(head, m, 0)
-    ok = (F.length(hit) > 0)
-    w = F.regexp_extract(head, m, 1).cast("int")
-    h = F.regexp_extract(head, m, 2).cast("int")
-    mx = F.regexp_extract(head, m, 3).cast("int")
-    hdr_len = F.length(hit)  # single whitespace after maxval included
+    ok, w, h, mx, hdr_len = _ppm_header(raw)
     meta = F.when(
         ok,
         F.struct(
@@ -346,6 +353,25 @@ WAV_META_SCHEMA = T.StructType(
 )
 
 
+def _wav_header(raw: Column) -> "tuple[Column, Column, Column, Column]":
+    """Parse a canonical PCM-16 WAV header (RIFF | fmt@12 | data@36, the
+    stdlib ``wave``-writer layout): returns (ok, n_channels, sample_rate,
+    n_samples)."""
+    ok = (
+        (F.length(raw) >= 44)
+        & (F.substring(raw, 1, 4) == F.lit(b"RIFF"))
+        & (F.substring(raw, 9, 8) == F.lit(b"WAVEfmt "))
+        & (_le(raw, 21, 2) == 1)      # PCM
+        & (_le(raw, 35, 2) == 16)     # 16-bit
+        & (F.substring(raw, 37, 4) == F.lit(b"data"))
+    )
+    n_ch = _le(raw, 23, 2).cast("int")
+    rate = _le(raw, 25, 4).cast("int")
+    dsize = _le(raw, 41, 4)
+    n_samp = (dsize / (F.lit(2) * n_ch)).cast("long")
+    return ok, n_ch, rate, n_samp
+
+
 def decode_wav(
     df: DataFrame,
     binary_col: str = "audio",
@@ -360,18 +386,7 @@ def decode_wav(
     ``rms_ch1`` are NULL for mono). Scan-stage Catalyst only — the
     audio-feature extraction path needs no Python."""
     raw = F.col(binary_col)
-    ok = (
-        (F.length(raw) >= 44)
-        & (F.substring(raw, 1, 4) == F.lit(b"RIFF"))
-        & (F.substring(raw, 9, 8) == F.lit(b"WAVEfmt "))
-        & (_le(raw, 21, 2) == 1)      # PCM
-        & (_le(raw, 35, 2) == 16)     # 16-bit
-        & (F.substring(raw, 37, 4) == F.lit(b"data"))
-    )
-    n_ch = _le(raw, 23, 2).cast("int")
-    rate = _le(raw, 25, 4).cast("int")
-    dsize = _le(raw, 41, 4)
-    n_samp = (dsize / (F.lit(2) * n_ch)).cast("long")
+    ok, n_ch, rate, n_samp = _wav_header(raw)
     meta = F.when(
         ok,
         F.struct(
@@ -450,4 +465,198 @@ def decode_wav(
         .withColumn("mean_ch1", m1)
         .withColumn("rms_ch1", r1)
         .drop("__hx", "__nch", "__st0", "__st1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Media screening features (decode -> feature-extract, still scan-stage)
+# ---------------------------------------------------------------------------
+
+def wav_features(
+    df: DataFrame,
+    binary_col: str = "audio",
+    silence_abs: int = 4096,
+) -> DataFrame:
+    """Audio screening features over channel 0 of canonical PCM-16 WAVs:
+    ``n_samples``, ``zcr`` (zero-crossing rate, crossings/(n-1)),
+    ``peak`` (max |sample|), ``crest`` (peak/RMS — clipping/square-wave
+    content scores low, sparse transients high) and ``silence_frac``
+    (fraction of samples with |v| < ``silence_abs``). The standard
+    cheap screens a speech/audio curation pipeline runs before any
+    model: drop silent clips, flag clipped ones.
+
+    Single fold per row carrying a (prev, crossings, peak, sum-sq,
+    silent) accumulator struct — one pass over the samples, scan-stage
+    Catalyst, no shuffle, no Python. Columns for the hexed blob and
+    channel count are materialized and gated with ``ok`` (hoisted
+    columns evaluate unconditionally; see decode_wav notes), and all
+    lambda argument names are unique per this function (CollapseProject
+    lambda-name mis-binding)."""
+    raw = F.col(binary_col)
+    ok, n_ch, rate, n_samp = _wav_header(raw)
+    out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
+        "__nch", F.when(ok, n_ch.cast("long"))
+    )
+    hxc = F.col("__hx")
+
+    def sample0(i: Column) -> Column:
+        # signed 16-bit LE sample i of channel 0; PCM starts at byte 45
+        pos = F.lit(45).cast("long") + i * F.col("__nch") * 2
+        v = _u8h(hxc, pos) + _u8h(hxc, pos + 1) * 256
+        return F.when(v >= 32768, v - 65536).otherwise(v)
+
+    idx = F.sequence(F.lit(0).cast("long"), n_samp - 1)
+    zl = F.lit(0).cast("long")
+    acc0 = F.struct(
+        zl.alias("f"), zl.alias("p"), zl.alias("z"),
+        zl.alias("mx"), zl.alias("q"), zl.alias("sil"),
+    )
+
+    def step(a: Column, v: Column) -> Column:
+        cross = (
+            (a["f"] == 1)
+            & (((a["p"] < 0) & (v > 0)) | ((a["p"] > 0) & (v < 0)))
+        ).cast("long")
+        return F.struct(
+            F.lit(1).cast("long").alias("f"),
+            v.alias("p"),
+            (a["z"] + cross).alias("z"),
+            F.greatest(a["mx"], F.abs(v)).alias("mx"),
+            (a["q"] + v * v).alias("q"),
+            (a["sil"] + (F.abs(v) < F.lit(int(silence_abs))).cast("long")).alias("sil"),
+        )
+
+    st = F.when(
+        ok & (n_samp > 0),
+        F.aggregate(
+            F.transform(idx, _lam("iwf", lambda i: sample0(i))),
+            acc0,
+            _lam("awf, vwf", step),
+        ),
+    )
+    out = out.select("*", st.alias("__wf"))
+    a = F.col("__wf")
+    n = n_samp.cast("double")
+    rms = F.sqrt(a["q"] / n)
+    return (
+        out.withColumn("n_samples", F.when(ok, n_samp))
+        .withColumn(
+            "zcr",
+            F.when(ok & (n_samp > 1), a["z"] / (n - 1)).otherwise(
+                F.when(ok, F.lit(0.0))
+            ),
+        )
+        .withColumn("peak", F.when(ok, a["mx"]))
+        .withColumn("crest", F.when(ok & (a["q"] > 0), a["mx"] / rms))
+        .withColumn("silence_frac", F.when(ok & (n_samp > 0), a["sil"] / n))
+        .drop("__hx", "__nch", "__wf")
+    )
+
+
+def ppm_luma_stats(
+    df: DataFrame,
+    binary_col: str = "image",
+    blank_std: float = 5.0,
+) -> DataFrame:
+    """Blank/low-information image screen over real P6 pixels: Rec.601
+    luma per pixel in INTEGER space (``luma1000 = 299 R + 587 G +
+    114 B`` — integer sums keep both engines bit-identical), reduced to
+    ``luma_mean`` / ``luma_std`` (population) / ``luma_min`` /
+    ``luma_max`` (all on the 0..255 scale) and ``is_blank``
+    (``luma_std < blank_std`` on the 4-decimal-rounded std, the screen
+    a thumbnail-curation pipeline uses to drop solid/near-solid
+    frames). One fold per row, scan-stage Catalyst, no Python."""
+    raw = F.col(binary_col)
+    ok, w, h, mxv, hdr_len = _ppm_header(raw)
+    out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
+        "__hdr", F.when(ok, hdr_len.cast("long"))
+    )
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
+    n_px = (w * h).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
+    zl = F.lit(0).cast("long")
+    acc0 = F.struct(
+        zl.alias("s"), zl.alias("q"),
+        F.lit(1 << 40).cast("long").alias("mn"), F.lit(-1).cast("long").alias("mx"),
+    )
+
+    def luma(i: Column) -> Column:
+        base = hdrc + i * 3
+        return (
+            _u8h(hxc, base + 1) * 299
+            + _u8h(hxc, base + 2) * 587
+            + _u8h(hxc, base + 3) * 114
+        )
+
+    def step(a: Column, v: Column) -> Column:
+        return F.struct(
+            (a["s"] + v).alias("s"),
+            (a["q"] + v * v).alias("q"),
+            F.least(a["mn"], v).alias("mn"),
+            F.greatest(a["mx"], v).alias("mx"),
+        )
+
+    st = F.when(
+        ok & (n_px > 0),
+        F.aggregate(
+            F.transform(idx, _lam("ils", lambda i: luma(i))),
+            acc0,
+            _lam("als, vls", step),
+        ),
+    )
+    out = out.select("*", st.alias("__ls"))
+    a = F.col("__ls")
+    n = n_px.cast("double")
+    mean1000 = a["s"] / n
+    var = F.greatest(F.lit(0.0), a["q"] / n - mean1000 * mean1000)
+    # half-up at 4 decimals via floor(x*1e4 + 0.5)/1e4 in IEEE doubles:
+    # any engine replays it bit-identically (Spark's round() re-reads the
+    # double's shortest decimal repr and HALF_UPs it, which disagrees
+    # with C-style double rounding on exact .5 ties — observed 2/500)
+    std_r = F.floor(F.sqrt(var) / 1000.0 * 10000 + 0.5) / 10000
+    return (
+        out.withColumn("luma_mean", F.when(ok & (n_px > 0), mean1000 / 1000.0))
+        .withColumn("luma_std", F.when(ok & (n_px > 0), std_r))
+        .withColumn("luma_min", F.when(ok & (n_px > 0), a["mn"] / 1000.0))
+        .withColumn("luma_max", F.when(ok & (n_px > 0), a["mx"] / 1000.0))
+        .withColumn("is_blank", F.when(ok & (n_px > 0), std_r < float(blank_std)))
+        .drop("__hx", "__hdr", "__ls")
+    )
+
+
+def ppm_resize_nn(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    binary_col: str = "image",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Nearest-neighbor thumbnail resize producing REAL P6 bytes: output
+    pixel (x, y) copies source pixel (floor(x*w/out_w), floor(y*h/out_h))
+    — the left/top-anchored NN convention, documented so the byte-replay
+    oracle and any downstream decoder agree. ``out_w``/``out_h`` are
+    Python ints (the output-pixel loop is unrolled into the expression;
+    sized for thumbnail targets — for megapixel TARGETS hand off to an
+    Arrow ``mapInPandas`` kernel, same contract as ``decode_image``).
+    Source dimensions stay data-dependent columns, so one expression
+    resizes a mixed-size corpus. The result column is a genuine P6 file
+    (``decode_ppm``/``ppm_luma_stats`` can consume it directly); maxval
+    is preserved from the source. Scan-stage Catalyst, no Python."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("out_w/out_h must be positive")
+    raw = F.col(binary_col)
+    ok, w, h, mxv, hdr_len = _ppm_header(raw)
+    wl, hl = w.cast("long"), h.cast("long")
+    header = F.concat(
+        F.lit(f"P6\n{out_w} {out_h}\n"), mxv.cast("string"), F.lit("\n")
+    )
+    pieces = []
+    for y in range(out_h):
+        sy = F.floor(hl * y / out_h).cast("long")
+        for x in range(out_w):
+            sx = F.floor(wl * x / out_w).cast("long")
+            pos = hdr_len.cast("long") + (sy * wl + sx) * 3 + 1
+            pieces.append(raw.substr(pos.cast("int"), F.lit(3)))
+    return df.withColumn(
+        out_col, F.when(ok, F.concat(F.encode(header, "UTF-8"), *pieces))
     )

@@ -272,3 +272,85 @@ def line_dedup(
         .alias("n_removed"),
         F.coalesce(F.col(clean_text_col), F.lit("")).alias(clean_text_col),
     )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+    min_frac: float = 0.6,
+    min_docs: int = 2,
+    clean_text_col: str = "clean_text",
+) -> DataFrame:
+    """Per-site boilerplate-line removal — the group-relative variant of
+    ``line_dedup``: within each ``group_col`` (site / crawl source), a
+    line occurring in >= ``min_frac`` of THAT group's documents (and in
+    >= ``min_docs`` documents) is boilerplate (nav bars, subscribe
+    banners, per-site footers) and is stripped from every document of
+    the group. Unlike the global ``max_doc_freq`` screen, the threshold
+    scales with the site's size, so a 10-doc site and a 10M-doc site
+    are judged by the same share. Returns (id_col, n_lines BIGINT,
+    n_removed BIGINT, clean_text).
+
+    The share test is ``line_docs >= group_docs * min_frac`` in DOUBLE
+    arithmetic (both engines evaluate the identical IEEE expression, so
+    the oracle cannot drift on ties).
+
+    Scale shape: one (group, line-hash, doc) distinct + one (group,
+    line-hash) doc-frequency aggregate (map-side combine absorbs hot
+    boilerplate), a broadcastable per-group doc-count join, one
+    left_anti equi-join keyed by (group, 16-byte hash) — line TEXT never
+    shuffles on the probe side — and the per-doc reassembly aggregate
+    (state bounded by doc length)."""
+    if not (0.0 < min_frac <= 1.0):
+        raise ValueError(f"min_frac must be in (0, 1], got {min_frac}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda l: l != "")
+    lf = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(lines).alias("__pos", "__line"),
+    ).withColumn("__h", F.md5(F.col("__line")))
+    grp_docs = df.groupBy(group_col).agg(
+        F.countDistinct(id_col).alias("__gdocs")
+    )
+    dfreq = (
+        lf.select(group_col, "__h", id_col)
+        .distinct()
+        .groupBy(group_col, "__h")
+        .agg(F.count(F.lit(1)).alias("__ldocs"))
+    )
+    boiler = (
+        dfreq.join(F.broadcast(grp_docs), group_col)
+        .where(
+            (F.col("__ldocs") >= int(min_docs))
+            & (
+                F.col("__ldocs").cast("double")
+                >= F.col("__gdocs").cast("double") * float(min_frac)
+            )
+        )
+        .select(group_col, "__h")
+    )
+    kept = lf.join(boiler, [group_col, "__h"], "left_anti")
+    reasm = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(clean_text_col),
+    )
+    base = df.select(F.col(id_col), F.size(lines).alias("n_lines"))
+    return base.join(reasm, id_col, "left").select(
+        id_col,
+        F.col("n_lines").cast("long").alias("n_lines"),
+        (F.col("n_lines") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col(clean_text_col), F.lit("")).alias(clean_text_col),
+    )

@@ -8023,6 +8023,298 @@ def e173_url_normalize(spark, sf_dir):
     )
 
 
+# --- E174: audio screening features (ZCR / peak / crest / silence) over
+# REAL PCM-16 WAVs whose samples are genuinely SIGNED (chars with odd
+# codes negate their sample), so the decoder's two's-complement sign
+# branch — which e170's all-positive payload never reaches — and the
+# crossing logic are both oracle-exercised. Sample i is built from char
+# pair (2i, 2i+1): v = c0 + 256*c1, negated when c0 is odd.
+_E174_N = 24
+
+
+def _e174_payload(p) -> "F.Column":
+    """Two's-complement LE PCM-16 payload from text chars (unrolled)."""
+
+    def b(col):
+        return F.unhex(F.lpad(F.hex(col.cast("int")), 2, "0"))
+
+    pieces = []
+    for i in range(_E174_N):
+        c0 = F.ascii(F.substring(p, 1 + 2 * i, 1)).cast("long")
+        c1 = F.ascii(F.substring(p, 2 + 2 * i, 1)).cast("long")
+        v = c0 + c1 * 256
+        signed = F.when(c0 % 2 == 1, -v).otherwise(v)
+        stored = F.pmod(signed, F.lit(65536).cast("long"))
+        pieces.append(b(F.pmod(stored, F.lit(256))))
+        pieces.append(b(F.floor(stored / 256).cast("long")))
+    return F.concat(*pieces)
+
+
+_E174_ORACLE = f"""
+WITH au AS (
+  SELECT doc_id, rpad(substring(text, 1, {2 * _E174_N}), {2 * _E174_N}, ' ') AS p
+  FROM documents
+), sm AS (
+  SELECT doc_id,
+         list_transform(range(0, {_E174_N}), i ->
+           (ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1))
+            + 256 * ascii(substring(p, CAST(2 + i * 2 AS INTEGER), 1)))
+           * (CASE WHEN ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1)) % 2 = 1
+                   THEN -1 ELSE 1 END)) AS v
+  FROM au
+)
+SELECT doc_id,
+       CAST({_E174_N} AS BIGINT) AS n_samples,
+       round(len(list_filter(range(1, {_E174_N}), i -> v[i] * v[i + 1] < 0))
+             / {_E174_N - 1}.0, 4) AS zcr,
+       CAST(list_max(list_transform(v, x -> abs(x))) AS BIGINT) AS peak,
+       round(list_max(list_transform(v, x -> abs(x)))
+             / sqrt(list_avg(list_transform(v, x -> CAST(x AS DOUBLE) * x))), 4) AS crest,
+       round(len(list_filter(v, x -> abs(x) < 4096)) / {_E174_N}.0, 4) AS silence_frac
+FROM sm
+"""
+
+
+@query("e174_audio_features", _E174_ORACLE)
+def e174_audio_features(spark, sf_dir):
+    """The cheap screens a speech-curation pipeline runs before any
+    model: zero-crossing rate, peak, crest factor, silence fraction —
+    one scan-stage fold per file (operators/codecs.py::wav_features)."""
+    from pivot_spark.operators.codecs import make_wav, wav_features
+
+    need = 2 * _E174_N
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
+    )
+    au = d.select(
+        "doc_id", make_wav(1, 8000, _e174_payload(F.col("pp"))).alias("audio")
+    )
+    out = wav_features(au, silence_abs=4096)
+    return out.select(
+        "doc_id",
+        "n_samples",
+        F.round("zcr", 4).alias("zcr"),
+        "peak",
+        F.round("crest", 4).alias("crest"),
+        F.round("silence_frac", 4).alias("silence_frac"),
+    )
+
+
+# --- E175: blank/low-information image screen — Rec.601 luma stats in
+# INTEGER space (luma1000 = 299R + 587G + 114B) over the e168 PPM
+# corpus; every 7th doc's payload is a solid color so BOTH is_blank
+# branches carry rows. The std threshold compares the 4-decimal-rounded
+# value on both sides (no ulp ties).
+_E175_ORACLE = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+         CASE WHEN doc_id % 7 = 0
+              THEN repeat('x', CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER))
+              ELSE rpad(substring(text, 1, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER)),
+                        CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER), ' ') END AS p
+  FROM documents
+), lm AS (
+  SELECT doc_id,
+         list_transform(range(0, w * h),
+           i -> 299 * ascii(substring(p, CAST(1 + i * 3 AS INTEGER), 1))
+              + 587 * ascii(substring(p, CAST(2 + i * 3 AS INTEGER), 1))
+              + 114 * ascii(substring(p, CAST(3 + i * 3 AS INTEGER), 1))) AS l
+  FROM img
+)
+SELECT doc_id,
+       floor(list_avg(l) / 1000.0 * 10000 + 0.5) / 10000 AS luma_mean,
+       floor(sqrt(greatest(0.0, list_avg(list_transform(l, x -> CAST(x AS DOUBLE) * x))
+                  - list_avg(l) * list_avg(l))) / 1000.0 * 10000 + 0.5) / 10000 AS luma_std,
+       round(list_min(l) / 1000.0, 4) AS luma_min,
+       round(list_max(l) / 1000.0, 4) AS luma_max,
+       floor(sqrt(greatest(0.0, list_avg(list_transform(l, x -> CAST(x AS DOUBLE) * x))
+                  - list_avg(l) * list_avg(l))) / 1000.0 * 10000 + 0.5) / 10000 < 5.0 AS is_blank
+FROM lm
+"""
+
+
+@query("e175_image_stats", _E175_ORACLE)
+def e175_image_stats(spark, sf_dir):
+    """Blank-frame screen over real P6 bytes: per-pixel integer luma
+    fold -> mean/std/min/max + is_blank
+    (operators/codecs.py::ppm_luma_stats)."""
+    from pivot_spark.operators.codecs import make_ppm, ppm_luma_stats
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn(
+            "p",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.encode(F.expr("repeat('x', w*h*3)"), "UTF-8"),
+            ).otherwise(
+                F.encode(
+                    F.expr("rpad(substring(text, 1, w*h*3), w*h*3, ' ')"), "UTF-8"
+                )
+            ),
+        )
+    )
+    img = d.select(
+        "doc_id", make_ppm(F.col("w"), F.col("h"), F.col("p")).alias("image")
+    )
+    out = ppm_luma_stats(img, blank_std=5.0)
+    return out.select(
+        "doc_id",
+        (F.floor(F.col("luma_mean") * 10000 + 0.5) / 10000).alias("luma_mean"),
+        F.col("luma_std").alias("luma_std"),
+        F.round("luma_min", 4).alias("luma_min"),
+        F.round("luma_max", 4).alias("luma_max"),
+        "is_blank",
+    )
+
+
+# --- E176: per-site boilerplate-line removal (group-RELATIVE document
+# frequency, the CCNet-per-shard semantics — e92 line_dedup's global
+# absolute threshold can't strip a banner that is rare corpus-wide but
+# universal within one site). Lines are fabricated with the shared
+# regexp (e55 pattern); per-source banners are injected at 100% / ~90%
+# / ~20% coverage so removal and retention branches both carry rows.
+_E176_LINE_RE = r"((\S+\s+){6}\S+)\s+"
+
+_E176_ORACLE = r"""
+WITH aug AS (
+  SELECT doc_id, source,
+         regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1' || chr(10), 'g')
+         || chr(10) || 'subscribe to the ' || source || ' newsletter'
+         || CASE WHEN doc_id % 10 <> 3
+                 THEN chr(10) || 'follow ' || source || ' weekly digest' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN chr(10) || 'copyright ' || source ELSE '' END AS t
+  FROM documents
+), docs2 AS (
+  SELECT doc_id, source,
+         list_filter(string_split(t, chr(10)), l -> l <> '') AS lines
+  FROM aug
+), expl AS (
+  SELECT DISTINCT doc_id, source, u.l AS line
+  FROM docs2, LATERAL unnest(lines) AS u(l)
+), gd AS (
+  SELECT source, count(DISTINCT doc_id) AS gdocs FROM documents GROUP BY 1
+), bl AS (
+  SELECT source, list(line) AS blines FROM (
+    SELECT e.source, e.line
+    FROM expl e JOIN gd g USING (source)
+    GROUP BY e.source, e.line, g.gdocs
+    HAVING count(*) >= 2 AND CAST(count(*) AS DOUBLE) >= CAST(g.gdocs AS DOUBLE) * 0.6
+  ) GROUP BY 1
+), cln AS (
+  SELECT d.doc_id, d.lines,
+         CASE WHEN b.blines IS NULL THEN d.lines
+              ELSE list_filter(d.lines, l -> NOT list_contains(b.blines, l)) END AS k
+  FROM docs2 d LEFT JOIN bl b USING (source)
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(lines) - len(k) AS BIGINT) AS n_removed,
+       array_to_string(k, chr(10)) AS clean_text
+FROM cln
+"""
+
+
+@query("e176_boilerplate_lines", _E176_ORACLE)
+def e176_boilerplate_lines(spark, sf_dir):
+    """Per-site banner stripping: (group, line-hash) doc-frequency agg +
+    broadcast group sizes + left_anti probe — line text never shuffles
+    on the probe side (operators/quality.py::strip_boilerplate_lines)."""
+    from pivot_spark.operators.quality import strip_boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = F.col("doc_id")
+    aug = F.concat(
+        F.regexp_replace("text", _E176_LINE_RE, "$1\n"),
+        F.lit("\nsubscribe to the "), F.col("source"), F.lit(" newsletter"),
+        F.when(
+            d % 10 != 3,
+            F.concat(F.lit("\nfollow "), F.col("source"), F.lit(" weekly digest")),
+        ).otherwise(F.lit("")),
+        F.when(
+            d % 5 == 0, F.concat(F.lit("\ncopyright "), F.col("source"))
+        ).otherwise(F.lit("")),
+    )
+    out = strip_boilerplate_lines(
+        docs.select("doc_id", "source", aug.alias("text")),
+        min_frac=0.6,
+        min_docs=2,
+    )
+    return out.select("doc_id", "n_lines", "n_removed", "clean_text")
+
+
+# --- E177: nearest-neighbor thumbnail resize producing REAL resized P6
+# bytes, then decoded BACK through decode_ppm — the full
+# decode->resize->re-encode->decode roundtrip runs through genuine
+# files. NN convention: out (x,y) copies src (floor(x*w/W), floor(y*h/H)).
+def _e177_chan(c: int) -> str:
+    terms = []
+    for y in ("0", "(h // 2)"):
+        for x in ("0", "(w // 2)"):
+            terms.append(
+                f"ascii(substring(p, CAST(1 + ({y} * w + {x}) * 3 + {c} AS INTEGER), 1))"
+            )
+    return "round((" + " + ".join(terms) + ") / 4.0, 4)"
+
+
+_E177_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+         rpad(substring(text, 1, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER)),
+              CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER), ' ') AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST(2 AS INTEGER) AS width, CAST(2 AS INTEGER) AS height,
+       CAST(23 AS BIGINT) AS n_bytes,
+       {_e177_chan(0)} AS mean_r,
+       {_e177_chan(1)} AS mean_g,
+       {_e177_chan(2)} AS mean_b
+FROM img
+"""
+
+
+@query("e177_image_resize", _E177_ORACLE)
+def e177_image_resize(spark, sf_dir):
+    """2x2 NN thumbnails of the e168 PPM corpus as real P6 files,
+    verified by decoding the RESIZED bytes
+    (operators/codecs.py::ppm_resize_nn)."""
+    from pivot_spark.operators.codecs import decode_ppm, make_ppm, ppm_resize_nn
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn(
+            "p",
+            F.encode(F.expr("rpad(substring(text, 1, w*h*3), w*h*3, ' ')"), "UTF-8"),
+        )
+    )
+    img = d.select(
+        "doc_id", make_ppm(F.col("w"), F.col("h"), F.col("p")).alias("image")
+    )
+    rs = ppm_resize_nn(img, 2, 2).select(
+        "doc_id", F.col("resized").alias("image")
+    )
+    out = decode_ppm(rs)
+    return out.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -178,3 +178,112 @@ def test_decode_ppm_tab_and_crlf_whitespace(spark):
     df = spark.createDataFrame([(bytearray(blob),)], "image binary")
     out = decode_ppm(df).collect()[0]
     assert (out.meta.width, out.meta.height, out.meta.maxval) == (7, 3, 255)
+
+
+# --- media screening features (wav_features / ppm_luma_stats / ppm_resize_nn)
+
+def _py_wav(n_ch, rate, samples):
+    """Independent reference writer via the stdlib wave module."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    w = wave.open(buf, "wb")
+    w.setnchannels(n_ch)
+    w.setsampwidth(2)
+    w.setframerate(rate)
+    frames = b"".join(
+        int(s).to_bytes(2, "little", signed=True) for s in samples
+    )
+    w.writeframes(frames)
+    w.close()
+    return buf.getvalue()
+
+
+def test_wav_features_signed(spark):
+    from pivot_spark.operators.codecs import wav_features
+
+    samples = [1000, -2000, 3000, 50, -50, 0, 20000, -30000]
+    blob = _py_wav(1, 8000, samples)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))], "id int, audio binary"
+    )
+    out = {r.id: r for r in wav_features(df, silence_abs=100).collect()}
+    r = out[1]
+    assert r.n_samples == len(samples)
+    # crossings: 1000/-2000, -2000/3000, -50/0 no (zero), 0/20000 no
+    # (prev==0 -> not a signed crossing), 20000/-30000; 3000/50 no, 50/-50 yes
+    crossings = 4
+    assert r.zcr == pytest.approx(crossings / (len(samples) - 1))
+    assert r.peak == 30000
+    import math
+
+    rms = math.sqrt(sum(s * s for s in samples) / len(samples))
+    assert r.crest == pytest.approx(30000 / rms)
+    assert r.silence_frac == pytest.approx(3 / 8)  # 50, -50, 0
+    assert out[2].n_samples is None and out[2].zcr is None
+
+
+def test_wav_features_stereo_uses_channel0(spark):
+    from pivot_spark.operators.codecs import wav_features
+
+    # interleaved L/R: ch0 = [100, -100], ch1 = [30000, 30000]
+    blob = _py_wav(2, 44100, [100, 30000, -100, 30000])
+    df = spark.createDataFrame([(bytearray(blob),)], "audio binary")
+    r = wav_features(df, silence_abs=4096).collect()[0]
+    assert r.n_samples == 2 and r.peak == 100
+    assert r.zcr == pytest.approx(1.0)
+
+
+def test_ppm_luma_stats(spark):
+    from pivot_spark.operators.codecs import ppm_luma_stats
+
+    # 2x1: pure white and pure black -> mean 127.5, min 0, max 255
+    blob = _py_ppm(2, 1, [255, 255, 255, 0, 0, 0])
+    flat = _py_ppm(1, 1, [10, 20, 30])  # solid -> std 0 -> blank
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(flat)), (3, bytearray(b"x"))],
+        "id int, image binary",
+    )
+    out = {r.id: r for r in ppm_luma_stats(df, blank_std=5.0).collect()}
+    assert out[1].luma_mean == pytest.approx(127.5)
+    assert out[1].luma_min == 0.0 and out[1].luma_max == 255.0
+    assert out[1].luma_std == pytest.approx(127.5)
+    assert out[1].is_blank is False
+    lum = (299 * 10 + 587 * 20 + 114 * 30) / 1000
+    assert out[2].luma_mean == pytest.approx(lum)
+    assert out[2].luma_std == 0.0 and out[2].is_blank is True
+    assert out[3].luma_mean is None and out[3].is_blank is None
+
+
+def test_ppm_resize_nn_roundtrip(spark):
+    from pivot_spark.operators.codecs import decode_ppm, ppm_resize_nn
+
+    # 4x2 image, pixel (x,y) has RGB (10x+y, 100+x, 200+y)
+    px = []
+    for y in range(2):
+        for x in range(4):
+            px += [10 * x + y, 100 + x, 200 + y]
+    blob = _py_ppm(4, 2, px)
+    df = spark.createDataFrame([(bytearray(blob),)], "image binary")
+    rs = ppm_resize_nn(df, 2, 2, out_col="image2")
+    out = rs.select(F.col("image2").alias("image")).collect()[0]
+    raw = bytes(out.image)
+    # NN: out (x,y) <- src (floor(x*4/2), floor(y*2/2)) = (2x, y)
+    want = b"P6\n2 2\n255\n" + bytes(
+        [0, 100, 200, 20, 102, 200, 1, 100, 201, 21, 102, 201]
+    )
+    assert raw == want
+    dec = decode_ppm(spark.createDataFrame([(bytearray(raw),)], "image binary"))
+    m = dec.collect()[0].meta
+    assert (m.width, m.height) == (2, 2)
+
+
+def test_ppm_resize_nn_rejects_bad_dims(spark):
+    from pivot_spark.operators.codecs import ppm_resize_nn
+
+    df = spark.createDataFrame([(bytearray(b"x"),)], "image binary")
+    with pytest.raises(ValueError):
+        ppm_resize_nn(df, 0, 2)
+    # non-PPM bytes -> NULL resized column
+    assert ppm_resize_nn(df, 2, 2).collect()[0].resized is None

@@ -80,3 +80,48 @@ def test_remove_dup_spans_keep_first(spark):
     assert r2.n_removed == 5
     with pytest.raises(ValueError):
         remove_duplicated_spans(df, k=1)
+
+
+def test_strip_boilerplate_lines(spark):
+    from pivot_spark.operators.quality import strip_boilerplate_lines
+
+    # source A: 4 docs; "footer A" in all 4 (frac 1.0 -> stripped),
+    # "promo" in 2 of 4 (frac 0.5 < 0.6 -> kept). source B: 1 doc;
+    # its banner appears once (min_docs=2 blocks single-doc sources).
+    rows = [
+        (1, "A", "alpha one\nfooter A\npromo"),
+        (2, "A", "beta two\nfooter A\npromo"),
+        (3, "A", "gamma three\nfooter A"),
+        (4, "A", "delta four\nfooter A"),
+        (5, "B", "epsilon five\nbanner B"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in strip_boilerplate_lines(df, min_frac=0.6, min_docs=2).collect()
+    }
+    assert out[1].clean_text == "alpha one\npromo"
+    assert (out[1].n_lines, out[1].n_removed) == (3, 1)
+    assert out[3].clean_text == "gamma three"
+    assert out[5].clean_text == "epsilon five\nbanner B"
+    assert out[5].n_removed == 0
+
+
+def test_strip_boilerplate_lines_drops_all(spark):
+    from pivot_spark.operators.quality import strip_boilerplate_lines
+
+    rows = [(1, "A", "same"), (2, "A", "same")]
+    df = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    out = {r.doc_id: r for r in strip_boilerplate_lines(df).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 1
+
+
+def test_strip_boilerplate_lines_validates():
+    import pytest as _pt
+
+    from pivot_spark.operators.quality import strip_boilerplate_lines
+
+    with _pt.raises(ValueError):
+        strip_boilerplate_lines(None, min_frac=0.0)
+    with _pt.raises(ValueError):
+        strip_boilerplate_lines(None, min_docs=0)
