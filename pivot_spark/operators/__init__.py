@@ -227,10 +227,13 @@ from pivot_spark.operators.codecs import (
     decode_ppm,
     decode_wav,
     make_bmp,
+    decode_pgm,
     make_ppm,
     make_wav,
     ppm_luma_stats,
     ppm_resize_nn,
+    ppm_to_pgm,
+    wav_downsample,
     wav_features,
 )
 
@@ -316,6 +319,7 @@ __all__ = [
     "make_ppm", "decode_ppm", "make_bmp", "decode_bmp",
     "make_wav", "decode_wav",
     "wav_features", "ppm_luma_stats", "ppm_resize_nn",
+    "wav_downsample", "ppm_to_pgm", "decode_pgm",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

@@ -660,3 +660,194 @@ def ppm_resize_nn(
     return df.withColumn(
         out_col, F.when(ok, F.concat(F.encode(header, "UTF-8"), *pieces))
     )
+
+
+# ---------------------------------------------------------------------------
+# Media transforms emitting REAL files (downsample / format conversion)
+# ---------------------------------------------------------------------------
+
+def _le_bytes(col: Column, n: int) -> Column:
+    """Little-endian byte string of ``n`` bytes from a non-negative
+    integer COLUMN (builder-side twin of ``_le``)."""
+    c = col.cast("long")
+    return F.concat(
+        *[_byte(F.pmod(F.shiftright(c, 8 * i), F.lit(256))) for i in range(n)]
+    )
+
+
+def wav_downsample(
+    df: DataFrame,
+    factor: int,
+    binary_col: str = "audio",
+    out_col: str = "downsampled",
+) -> DataFrame:
+    """Integer-decimation downsample emitting REAL WAV bytes: keep every
+    ``factor``-th frame (ALL channels of it), sample rate becomes
+    ``floor(rate/factor)``, and the output is a genuine canonical PCM-16
+    file (``decode_wav`` consumes it directly). Plain decimation, no
+    anti-aliasing filter — documented; the use case is cheap rate
+    normalization of already-band-limited speech corpora, and a filtered
+    variant belongs in an Arrow ``mapInPandas`` kernel.
+
+    The frame copy is one interpreted ``transform`` over output-frame
+    indices slicing ``block*2`` hex chars each from the hexed source
+    (hex once per row — the HOF-lambda CSE pitfall), then one
+    ``unhex``; header fields are rebuilt with little-endian byte
+    arithmetic from the parsed source header. Scan-stage, no shuffle,
+    no Python."""
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    raw = F.col(binary_col)
+    ok, n_ch, rate, n_samp = _wav_header(raw)
+    block = (F.lit(2) * n_ch).cast("long")
+    out_n = F.when(n_samp > 0, F.floor((n_samp - 1) / factor) + 1).otherwise(
+        F.lit(0)
+    ).cast("long")
+    new_rate = F.floor(rate / factor).cast("long")
+    dsize = out_n * block
+    header = F.concat(
+        F.lit(b"RIFF"), _le_bytes(dsize + 36, 4), F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4), _le_bytes(F.lit(1), 2), _le_bytes(n_ch, 2),
+        _le_bytes(new_rate, 4), _le_bytes(new_rate * block, 4),
+        _le_bytes(block, 2), _le_bytes(F.lit(16), 2),
+        F.lit(b"data"), _le_bytes(dsize, 4),
+    )
+    out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
+        "__blk", F.when(ok, block)
+    )
+    hxc, blkc = F.col("__hx"), F.col("__blk")
+    idx = F.sequence(F.lit(0).cast("long"), out_n - 1)
+    frames = F.transform(
+        idx,
+        _lam(
+            "ids",
+            lambda i: F.substring(
+                hxc,
+                ((F.lit(44).cast("long") + i * factor * blkc) * 2 + 1).cast("int"),
+                (blkc * 2).cast("int"),
+            ),
+        ),
+    )
+    payload = F.unhex(F.array_join(frames, ""))
+    return (
+        out.withColumn(
+            out_col, F.when(ok & (out_n > 0), F.concat(header, payload))
+        )
+        .drop("__hx", "__blk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PGM (P5, grayscale Netpbm)
+# ---------------------------------------------------------------------------
+
+PGM_META_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("maxval", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def ppm_to_pgm(
+    df: DataFrame,
+    binary_col: str = "image",
+    out_col: str = "gray",
+) -> DataFrame:
+    """Grayscale conversion emitting REAL P5 PGM bytes from P6 PPM
+    input: per pixel ``gray = (299 R + 587 G + 114 B + 500) // 1000``
+    (Rec.601 luma, integer half-up — exact in any engine). The output
+    is a genuine binary PGM (``P5\\n<w> <h>\\n<maxval>\\n`` + ``w*h``
+    gray bytes) that ``decode_pgm`` parses back. One interpreted
+    ``transform`` over pixel indices emitting 2 hex chars each, one
+    ``unhex``; maxval is preserved from the source. Scan-stage, no
+    Python."""
+    raw = F.col(binary_col)
+    ok, w, h, mxv, hdr_len = _ppm_header(raw)
+    out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
+        "__hdr", F.when(ok, hdr_len.cast("long"))
+    )
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
+    n_px = (w * h).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
+
+    def gray(i: Column) -> Column:
+        base = hdrc + i * 3
+        g = F.floor(
+            (
+                _u8h(hxc, base + 1) * 299
+                + _u8h(hxc, base + 2) * 587
+                + _u8h(hxc, base + 3) * 114
+                + 500
+            )
+            / 1000
+        ).cast("long")
+        return F.lpad(F.hex(g), 2, "0")
+
+    header = F.concat(
+        F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n"), mxv.cast("string"), F.lit("\n"),
+    )
+    payload = F.unhex(F.array_join(F.transform(idx, _lam("ipg", gray)), ""))
+    return (
+        out.withColumn(
+            out_col,
+            F.when(ok & (n_px > 0), F.concat(F.encode(header, "UTF-8"), payload)),
+        )
+        .drop("__hx", "__hdr")
+    )
+
+
+def decode_pgm(
+    df: DataFrame,
+    binary_col: str = "image",
+    meta_col: str = "meta",
+    gray_mean: bool = True,
+) -> DataFrame:
+    """Parse real P5 PGM headers and (optionally) the exact mean gray
+    level. Adds ``meta`` (width, height, maxval, format, n_bytes —
+    NULL for non-PGM bytes) and ``mean_gray`` DOUBLE. Scan-stage
+    Catalyst; no shuffle, no Python."""
+    raw = F.col(binary_col)
+    head = F.substring(raw, 1, 32).cast("string")
+    m = r"^P5\s+(\d+)\s+(\d+)\s+(\d+)\s"
+    hit = F.regexp_extract(head, m, 0)
+    ok = (F.length(hit) > 0)
+    w = F.regexp_extract(head, m, 1).cast("int")
+    h = F.regexp_extract(head, m, 2).cast("int")
+    mx = F.regexp_extract(head, m, 3).cast("int")
+    hdr_len = F.length(hit)
+    meta = F.when(
+        ok,
+        F.struct(
+            w.alias("width"),
+            h.alias("height"),
+            mx.alias("maxval"),
+            F.lit("pgm").alias("format"),
+            F.length(raw).cast("long").alias("n_bytes"),
+        ),
+    )
+    out = df.withColumn(meta_col, meta)
+    if not gray_mean:
+        return out
+    out = out.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
+        "__hdr", F.when(ok, hdr_len.cast("long"))
+    )
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
+    n_px = (w * h).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
+    total = F.aggregate(
+        idx,
+        F.lit(0).cast("long"),
+        _lam("agm, igm", lambda a, i: a + _u8h(hxc, hdrc + i + 1)),
+    )
+    return (
+        out.withColumn(
+            "mean_gray",
+            F.when(ok & (n_px > 0), total / n_px.cast("double")),
+        )
+        .drop("__hx", "__hdr")
+    )

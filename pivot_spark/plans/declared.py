@@ -8315,6 +8315,125 @@ def e177_image_resize(spark, sf_dir):
     )
 
 
+# --- E178: audio rate normalization — integer decimation emitting REAL
+# WAV bytes (every 3rd frame of the e174 signed corpus, 8000 -> 2666 Hz),
+# verified by decoding the DOWNSAMPLED file (decode->transform->
+# re-encode->decode roundtrip, the audio twin of e177).
+_E178_F = 3
+
+_E178_ORACLE = f"""
+WITH au AS (
+  SELECT doc_id, rpad(substring(text, 1, {2 * _E174_N}), {2 * _E174_N}, ' ') AS p
+  FROM documents
+), sm AS (
+  SELECT doc_id,
+         list_transform(range(0, {_E174_N // _E178_F}), j ->
+           (ascii(substring(p, CAST(1 + j * {2 * _E178_F} AS INTEGER), 1))
+            + 256 * ascii(substring(p, CAST(2 + j * {2 * _E178_F} AS INTEGER), 1)))
+           * (CASE WHEN ascii(substring(p, CAST(1 + j * {2 * _E178_F} AS INTEGER), 1)) % 2 = 1
+                   THEN -1 ELSE 1 END)) AS v
+  FROM au
+)
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST({8000 // _E178_F} AS INTEGER) AS sample_rate,
+       CAST({_E174_N // _E178_F} AS BIGINT) AS n_samples,
+       CAST({44 + 2 * (_E174_N // _E178_F)} AS BIGINT) AS n_bytes,
+       round(list_avg(v), 4) AS mean_ch0,
+       round(sqrt(list_avg(list_transform(v, x -> CAST(x AS DOUBLE) * x))), 4) AS rms_ch0
+FROM sm
+"""
+
+
+@query("e178_audio_downsample", _E178_ORACLE)
+def e178_audio_downsample(spark, sf_dir):
+    """Decimate-by-3 the signed e174 WAV corpus into genuine 2666 Hz
+    PCM-16 files and decode the RESULT
+    (operators/codecs.py::wav_downsample)."""
+    from pivot_spark.operators.codecs import decode_wav, make_wav, wav_downsample
+
+    need = 2 * _E174_N
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
+    )
+    au = d.select(
+        "doc_id", make_wav(1, 8000, _e174_payload(F.col("pp"))).alias("audio")
+    )
+    ds = wav_downsample(au, _E178_F).select(
+        "doc_id", F.col("downsampled").alias("audio")
+    )
+    out = decode_wav(ds)
+    return out.select(
+        "doc_id",
+        F.col("meta.n_channels").alias("n_channels"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_samples").alias("n_samples"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.round("mean_ch0", 4).alias("mean_ch0"),
+        F.round("rms_ch0", 4).alias("rms_ch0"),
+    )
+
+
+# --- E179: grayscale conversion to a THIRD real Netpbm format — P6 in,
+# genuine P5 PGM out (integer half-up Rec.601 luma per pixel), verified
+# by decoding the converted file. Mean-gray round ties can only land on
+# dyadic fractions here (n_px <= 56 forces the tie denominator to 32),
+# which both engines round identically, so plain round(x, 4) is safe.
+_E179_ORACLE = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+         rpad(substring(text, 1, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER)),
+              CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER), ' ') AS p
+  FROM documents
+), gr AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, w * h),
+           i -> (299 * ascii(substring(p, CAST(1 + i * 3 AS INTEGER), 1))
+               + 587 * ascii(substring(p, CAST(2 + i * 3 AS INTEGER), 1))
+               + 114 * ascii(substring(p, CAST(3 + i * 3 AS INTEGER), 1))
+               + 500) // 1000) AS g
+  FROM img
+)
+SELECT doc_id, w AS width, h AS height, CAST(255 AS INTEGER) AS maxval,
+       CAST(length('P5' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))
+            + w * h AS BIGINT) AS n_bytes,
+       round(list_avg(g), 4) AS mean_gray
+FROM gr
+"""
+
+
+@query("e179_image_gray", _E179_ORACLE)
+def e179_image_gray(spark, sf_dir):
+    """P6 -> real P5 PGM grayscale conversion, decoded back
+    (operators/codecs.py::ppm_to_pgm / decode_pgm)."""
+    from pivot_spark.operators.codecs import decode_pgm, make_ppm, ppm_to_pgm
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn(
+            "p",
+            F.encode(F.expr("rpad(substring(text, 1, w*h*3), w*h*3, ' ')"), "UTF-8"),
+        )
+    )
+    img = d.select(
+        "doc_id", make_ppm(F.col("w"), F.col("h"), F.col("p")).alias("image")
+    )
+    pgm = ppm_to_pgm(img).select("doc_id", F.col("gray").alias("image"))
+    out = decode_pgm(pgm)
+    return out.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.maxval").alias("maxval"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.round("mean_gray", 4).alias("mean_gray"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

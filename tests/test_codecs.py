@@ -287,3 +287,76 @@ def test_ppm_resize_nn_rejects_bad_dims(spark):
         ppm_resize_nn(df, 0, 2)
     # non-PPM bytes -> NULL resized column
     assert ppm_resize_nn(df, 2, 2).collect()[0].resized is None
+
+
+def test_wav_downsample_real_bytes(spark):
+    from pivot_spark.operators.codecs import decode_wav, wav_downsample
+
+    samples = [100, -200, 300, -400, 500, -600, 700]
+    blob = _py_wav(1, 9000, samples)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"junk"))], "id int, audio binary"
+    )
+    out = {r.id: r for r in wav_downsample(df, 2).collect()}
+    got = bytes(out[1].downsampled)
+    # decimation keeps indices 0,2,4,6 at floor(9000/2) Hz
+    want = _py_wav(1, 4500, [100, 300, 500, 700])
+    assert got == want
+    assert out[2].downsampled is None
+    dec = decode_wav(
+        spark.createDataFrame([(bytearray(got),)], "audio binary")
+    ).collect()[0]
+    assert (dec.meta.sample_rate, dec.meta.n_samples) == (4500, 4)
+    assert dec.mean_ch0 == pytest.approx((100 + 300 + 500 + 700) / 4)
+
+
+def test_wav_downsample_stereo_keeps_frames(spark):
+    from pivot_spark.operators.codecs import wav_downsample
+
+    # frames (L,R): (1,2) (3,4) (5,6) -> factor 2 keeps frames 0 and 2
+    blob = _py_wav(2, 8000, [1, 2, 3, 4, 5, 6])
+    df = spark.createDataFrame([(bytearray(blob),)], "audio binary")
+    got = bytes(wav_downsample(df, 2).collect()[0].downsampled)
+    assert got == _py_wav(2, 4000, [1, 2, 5, 6])
+
+
+def test_wav_downsample_validates():
+    from pivot_spark.operators.codecs import wav_downsample
+
+    with pytest.raises(ValueError):
+        wav_downsample(None, 0)
+
+
+def _py_pgm(w, h, gray):
+    assert len(gray) == w * h
+    return f"P5\n{w} {h}\n255\n".encode() + bytes(gray)
+
+
+def test_ppm_to_pgm_and_decode(spark):
+    from pivot_spark.operators.codecs import decode_pgm, ppm_to_pgm
+
+    px = [255, 255, 255, 0, 0, 0, 10, 20, 30]  # white, black, mixed
+    blob = _py_ppm(3, 1, px)
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"nope"))], "id int, image binary"
+    )
+    out = {r.id: r for r in ppm_to_pgm(df).collect()}
+    got = bytes(out[1].gray)
+    g_mixed = (299 * 10 + 587 * 20 + 114 * 30 + 500) // 1000
+    assert got == _py_pgm(3, 1, [255, 0, g_mixed])
+    assert out[2].gray is None
+    dec = decode_pgm(
+        spark.createDataFrame([(bytearray(got),)], "image binary")
+    ).collect()[0]
+    assert (dec.meta.width, dec.meta.height, dec.meta.maxval, dec.meta.format) == (
+        3, 1, 255, "pgm",
+    )
+    assert dec.mean_gray == pytest.approx((255 + 0 + g_mixed) / 3)
+
+
+def test_decode_pgm_rejects_ppm(spark):
+    from pivot_spark.operators.codecs import decode_pgm
+
+    blob = _py_ppm(1, 1, [1, 2, 3])
+    df = spark.createDataFrame([(bytearray(blob),)], "image binary")
+    assert decode_pgm(df).collect()[0].meta is None
