@@ -63,7 +63,11 @@ from pivot_spark.operators.pca import (
     pca_project,
 )
 from pivot_spark.operators.prune import prototypicality_prune
-from pivot_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from pivot_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_lsh,
+    semantic_decontaminate,
+)
 
 # --- text quality & curation
 from pivot_spark.functions.web import (
@@ -265,7 +269,7 @@ __all__ = [
     "dedup_savings_report",
     "tfidf_cosine_pairs", "pmi_pairs",
     # similarity / embeddings
-    "cosine_topk", "cosine_topk_lsh", "cosine_topk_ivf", "ivf_index",
+    "cosine_topk", "cosine_topk_lsh", "semantic_decontaminate", "cosine_topk_ivf", "ivf_index",
     "ivf_search", "kmeans", "kmeans_fit", "assign_clusters",
     "centroids", "normalize_vectors", "quantize_int8", "random_projection",
     "prototypicality_prune", "rrf_fuse",

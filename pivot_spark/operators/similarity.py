@@ -306,3 +306,83 @@ def cosine_topk_lsh(
         (-F.col("__t.negsim")).alias("cos"),
         (F.col("__rank") + 1).alias("rank"),
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id_col: Optional[str] = None,
+    bench_max_rows: int = 100_000,
+) -> DataFrame:
+    """Embedding-space decontamination — the SEMANTIC member of the
+    decontamination family (fingerprint / n-gram / Bloom screens are
+    lexical and miss paraphrased benchmark leakage): every corpus vector
+    is scored against the full benchmark matrix; rows whose max cosine
+    >= ``threshold`` are contaminated. Returns (id_col, max_sim DOUBLE,
+    match_id, contaminated BOOLEAN); ``match_id`` is the arg-max
+    benchmark id, ties broken by benchmark id ascending.
+
+    Plan: the benchmark matrix is collected (guarded by
+    ``bench_max_rows``), L2-normalized ONCE, sorted by id (so numpy's
+    first-hit argmax IS the ascending-id tie-break) and shipped in the
+    ``mapInPandas`` closure; each corpus partition scores as one float64
+    GEMM per Arrow batch and emits only (id, max, argmax). The corpus is
+    scanned exactly once, nothing shuffles, output is one row per corpus
+    row — the only shape that works at 100 TB, where benchmark suites
+    are broadcast-small and the corpus is not. Past ``bench_max_rows``
+    the guard raises toward the LSH/IVF bucketed path."""
+    import numpy as np
+
+    bench_id_col = bench_id_col or id_col
+    bpdf = (
+        bench.select(
+            F.col(bench_id_col).alias("__bid"), F.col(vec_col).alias("__bvec")
+        )
+        .limit(bench_max_rows + 1)
+        .toPandas()
+    )
+    if len(bpdf) == 0:
+        raise ValueError("bench is empty")
+    if len(bpdf) > bench_max_rows:
+        raise ValueError(
+            f"semantic_decontaminate ships the benchmark matrix to every "
+            f"task; benchmark exceeds bench_max_rows={bench_max_rows}. Use "
+            f"the LSH/IVF bucketed path for benchmark sets past broadcast "
+            f"size."
+        )
+    bpdf = bpdf.sort_values("__bid", kind="mergesort")
+    bids = bpdf["__bid"].to_numpy()
+    B = np.stack(bpdf["__bvec"].to_numpy()).astype("float64")
+    Bn = (B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-300)).T
+
+    c = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cvec"))
+    c_type = corpus.schema[id_col].dataType.simpleString()
+    b_type = bench.schema[bench_id_col].dataType.simpleString()
+    out_schema = f"__cid {c_type}, __sim double, __mid {b_type}"
+
+    def score_partition(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["__cvec"].to_numpy()).astype("float64")
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+            S = Mn @ Bn  # (batch, n_bench)
+            j = S.argmax(axis=1)  # first max -> smallest bench id (sorted)
+            yield pd.DataFrame(
+                {
+                    "__cid": pdf["__cid"].to_numpy(),
+                    "__sim": S[np.arange(len(S)), j],
+                    "__mid": bids[j],
+                }
+            )
+
+    out = c.mapInPandas(score_partition, schema=out_schema)
+    return out.select(
+        F.col("__cid").alias(id_col),
+        F.col("__sim").alias("max_sim"),
+        F.col("__mid").alias("match_id"),
+        (F.col("__sim") >= float(threshold)).alias("contaminated"),
+    )

@@ -8434,6 +8434,58 @@ def e179_image_gray(spark, sf_dir):
     )
 
 
+# --- E180: SEMANTIC decontamination — the embedding-space member of
+# the decontamination family (e23 fingerprint / e38 n-gram / e75 Bloom
+# are lexical and miss paraphrases). Benchmark = vec_id % 20 == 0;
+# contamination is PLANTED by giving corpus rows vec_id % 20 == 1 their
+# benchmark neighbor's vector, so both flag branches carry rows and the
+# planted max_sim is exactly 1.0 (no threshold boundary ties).
+_E180_ORACLE = """
+WITH bench AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 20 = 0
+), corp AS (
+  SELECT e.vec_id, coalesce(b.embedding, e.embedding) AS embedding
+  FROM embeddings e
+  LEFT JOIN bench b ON b.vec_id = e.vec_id - 1 AND e.vec_id % 20 = 1
+  WHERE e.vec_id % 20 <> 0
+), sims AS (
+  SELECT c.vec_id AS vec_id, b.vec_id AS bid,
+         list_cosine_similarity(c.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+  FROM corp c, bench b
+)
+SELECT vec_id,
+       round(max(cos), 4) AS max_sim,
+       (min({'negcos': -cos, 'id': bid})).id AS match_id,
+       max(cos) >= 0.99 AS contaminated
+FROM sims GROUP BY vec_id
+"""
+
+
+@query("e180_semantic_decontam", _E180_ORACLE)
+def e180_semantic_decontam(spark, sf_dir):
+    """One corpus scan vs a broadcast benchmark matrix (GEMM per Arrow
+    batch, no shuffle) — operators/similarity.py::semantic_decontaminate."""
+    from pivot_spark.operators.similarity import semantic_decontaminate
+
+    emb = _read(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 20 == 0)
+    donors = bench.select(
+        (F.col("vec_id") + 1).alias("vec_id"), F.col("embedding").alias("__dvec")
+    )
+    corp = (
+        emb.filter(F.col("vec_id") % 20 != 0)
+        .join(F.broadcast(donors), "vec_id", "left")
+        .select("vec_id", F.coalesce("__dvec", "embedding").alias("embedding"))
+    )
+    out = semantic_decontaminate(corp, bench, threshold=0.99)
+    return out.select(
+        "vec_id",
+        F.round("max_sim", 4).alias("max_sim"),
+        "match_id",
+        "contaminated",
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -361,3 +361,42 @@ def test_simhash_md5_60_validation(docs_df):
         simhash_df(docs_df, "doc_id", "text", 64, 2, "md5_60")
     with _pt.raises(ValueError):
         simhash_df(docs_df, "doc_id", "text", 60, 2, "nope")
+
+
+def test_semantic_decontaminate(spark):
+    from pivot_spark.operators.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (101, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),     # parallel to bench 100 -> cos 1.0, contaminated
+            (2, [1.0, 1.0]),     # cos ~0.7071 to both -> tie -> match_id 100
+            (3, [-1.0, 0.0]),    # cos -1 / 0 -> best is bench 101 at 0.0
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontaminate(corpus, bench, threshold=0.99).collect()
+    }
+    assert out[1].contaminated is True and out[1].match_id == 100
+    assert out[1].max_sim == pytest.approx(1.0)
+    assert out[2].match_id == 100  # tie broken by ascending bench id
+    assert out[2].max_sim == pytest.approx(2 ** -0.5)
+    assert out[2].contaminated is False
+    assert out[3].match_id == 101 and out[3].max_sim == pytest.approx(0.0)
+
+
+def test_semantic_decontaminate_guards(spark):
+    from pivot_spark.operators.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    empty = corpus.filter("vec_id < 0")
+    with pytest.raises(ValueError, match="empty"):
+        semantic_decontaminate(corpus, empty)
+    with pytest.raises(ValueError, match="bench_max_rows"):
+        semantic_decontaminate(corpus, corpus, bench_max_rows=0)
