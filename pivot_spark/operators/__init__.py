@@ -237,6 +237,7 @@ from pivot_spark.operators.codecs import (
     ppm_luma_stats,
     ppm_resize_nn,
     ppm_to_pgm,
+    sniff_media,
     wav_downsample,
     wav_features,
 )
@@ -323,7 +324,7 @@ __all__ = [
     "make_ppm", "decode_ppm", "make_bmp", "decode_bmp",
     "make_wav", "decode_wav",
     "wav_features", "ppm_luma_stats", "ppm_resize_nn",
-    "wav_downsample", "ppm_to_pgm", "decode_pgm",
+    "wav_downsample", "ppm_to_pgm", "decode_pgm", "sniff_media",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

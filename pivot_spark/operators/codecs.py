@@ -97,15 +97,18 @@ PPM_META_SCHEMA = T.StructType(
 )
 
 
-def _ppm_header(raw: Column) -> "tuple[Column, Column, Column, Column, Column]":
-    """Parse a P6 header: returns (ok, width, height, maxval, hdr_len).
+def _pnm_header(
+    raw: Column, magic: str
+) -> "tuple[Column, Column, Column, Column, Column]":
+    """Parse a binary-Netpbm header (``magic`` = P6 for PPM, P5 for
+    PGM): returns (ok, width, height, maxval, hdr_len).
 
     The ASCII header lives in the first bytes; a bounded prefix is cast
     to string for regexp parsing (pixel bytes past the header may be
     invalid UTF-8, but the regexp never needs to reach them: the header
     of a 7-digit-dimension image fits well inside 32 bytes)."""
     head = F.substring(raw, 1, 32).cast("string")
-    m = r"^P6\s+(\d+)\s+(\d+)\s+(\d+)\s"
+    m = rf"^{magic}\s+(\d+)\s+(\d+)\s+(\d+)\s"
     hit = F.regexp_extract(head, m, 0)
     ok = (F.length(hit) > 0)
     w = F.regexp_extract(head, m, 1).cast("int")
@@ -113,6 +116,10 @@ def _ppm_header(raw: Column) -> "tuple[Column, Column, Column, Column, Column]":
     mx = F.regexp_extract(head, m, 3).cast("int")
     hdr_len = F.length(hit)  # single whitespace after maxval included
     return ok, w, h, mx, hdr_len
+
+
+def _ppm_header(raw: Column) -> "tuple[Column, Column, Column, Column, Column]":
+    return _pnm_header(raw, "P6")
 
 
 def decode_ppm(
@@ -227,6 +234,21 @@ def _le(raw: Column, pos: int, n: int) -> Column:
     return total
 
 
+def _bmp_header(raw: Column) -> "tuple[Column, Column, Column, Column]":
+    """Parse a 24-bit uncompressed BITMAPINFOHEADER BMP header:
+    returns (ok, width, height, data_offset)."""
+    ok = (
+        (F.length(raw) >= 54)
+        & (F.substring(raw, 1, 2) == F.lit(b"BM"))
+        & (_le(raw, 29, 2) == 24)     # bpp
+        & (_le(raw, 31, 4) == 0)      # BI_RGB (uncompressed)
+    )
+    w = _le(raw, 19, 4).cast("int")       # i32: widths < 2^31 read fine
+    h = _le(raw, 23, 4).cast("int")
+    off = _le(raw, 11, 4).cast("int")
+    return ok, w, h, off
+
+
 def decode_bmp(
     df: DataFrame,
     binary_col: str = "image",
@@ -238,15 +260,7 @@ def decode_bmp(
     Adds ``meta`` (NULL for non-BMP bytes) and ``mean_b``/``mean_g``/
     ``mean_r`` (BMP stores BGR). Scan-stage Catalyst only."""
     raw = F.col(binary_col)
-    ok = (
-        (F.length(raw) >= 54)
-        & (F.substring(raw, 1, 2) == F.lit(b"BM"))
-        & (_le(raw, 29, 2) == 24)     # bpp
-        & (_le(raw, 31, 4) == 0)      # BI_RGB (uncompressed)
-    )
-    w = _le(raw, 19, 4).cast("int")       # i32: widths < 2^31 read fine
-    h = _le(raw, 23, 4).cast("int")
-    off = _le(raw, 11, 4).cast("int")
+    ok, w, h, off = _bmp_header(raw)
     meta = F.when(
         ok,
         F.struct(
@@ -812,14 +826,7 @@ def decode_pgm(
     NULL for non-PGM bytes) and ``mean_gray`` DOUBLE. Scan-stage
     Catalyst; no shuffle, no Python."""
     raw = F.col(binary_col)
-    head = F.substring(raw, 1, 32).cast("string")
-    m = r"^P5\s+(\d+)\s+(\d+)\s+(\d+)\s"
-    hit = F.regexp_extract(head, m, 0)
-    ok = (F.length(hit) > 0)
-    w = F.regexp_extract(head, m, 1).cast("int")
-    h = F.regexp_extract(head, m, 2).cast("int")
-    mx = F.regexp_extract(head, m, 3).cast("int")
-    hdr_len = F.length(hit)
+    ok, w, h, mx, hdr_len = _pnm_header(raw, "P5")
     meta = F.when(
         ok,
         F.struct(
@@ -850,4 +857,48 @@ def decode_pgm(
             F.when(ok & (n_px > 0), total / n_px.cast("double")),
         )
         .drop("__hx", "__hdr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Format sniffing over mixed binary columns
+# ---------------------------------------------------------------------------
+
+def sniff_media(df: DataFrame, binary_col: str = "blob") -> DataFrame:
+    """Classify a MIXED binary column by real file format and extract
+    the format-appropriate metadata in one scan — the first pass a
+    multimodal ingestion pipeline runs over a crawl's opaque blobs
+    before routing them to per-format decoders. Adds:
+
+    * ``format`` — ``ppm`` / ``pgm`` / ``bmp`` / ``wav`` / ``unknown``
+      (checked in that order; the magic bytes are mutually exclusive);
+    * ``width`` / ``height`` — images, NULL for audio/unknown;
+    * ``sample_rate`` / ``n_samples`` — audio, NULL for images/unknown;
+    * ``n_bytes`` — always.
+
+    Pure scan-stage Catalyst (header parses only — no pixel/sample
+    folds), so it runs at full whole-stage-codegen speed over any
+    corpus; route-then-decode keeps the expensive per-byte work on the
+    rows that need it."""
+    raw = F.col(binary_col)
+    p_ok, pw, ph, _pmx, _ = _pnm_header(raw, "P6")
+    g_ok, gw, gh, _gmx, _ = _pnm_header(raw, "P5")
+    b_ok, bw, bh, _off = _bmp_header(raw)
+    w_ok, n_ch, rate, n_samp = _wav_header(raw)
+    fmt = (
+        F.when(p_ok, F.lit("ppm"))
+        .when(g_ok, F.lit("pgm"))
+        .when(b_ok, F.lit("bmp"))
+        .when(w_ok, F.lit("wav"))
+        .otherwise(F.lit("unknown"))
+    )
+    width = F.when(p_ok, pw).when(g_ok, gw).when(b_ok, bw)
+    height = F.when(p_ok, ph).when(g_ok, gh).when(b_ok, bh)
+    return (
+        df.withColumn("format", fmt)
+        .withColumn("width", width)
+        .withColumn("height", height)
+        .withColumn("sample_rate", F.when(w_ok, rate))
+        .withColumn("n_samples", F.when(w_ok, n_samp))
+        .withColumn("n_bytes", F.length(raw).cast("long"))
     )

@@ -8486,6 +8486,80 @@ def e180_semantic_decontam(spark, sf_dir):
     )
 
 
+# --- E181: media format sniffing over a MIXED binary column — the
+# routing pass a multimodal ingestion pipeline runs before any decoder.
+# Each doc becomes one of four REAL file formats by doc_id % 4 (PPM /
+# PGM / BMP / WAV, using the e168/e169/e170 build recipes), and
+# sniff_media must classify every blob and surface the right metadata.
+# Header parses only — no pixel folds — so the oracle is pure CASE
+# arithmetic on the build parameters.
+_E181_ORACLE = """
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'pgm'
+                  WHEN 2 THEN 'bmp' ELSE 'wav' END AS format,
+  CASE doc_id % 4 WHEN 0 THEN CAST(4 + doc_id % 5 AS INTEGER)
+                  WHEN 1 THEN CAST(4 + doc_id % 5 AS INTEGER)
+                  WHEN 2 THEN 5 ELSE NULL END AS width,
+  CASE doc_id % 4 WHEN 0 THEN CAST(3 + doc_id % 4 AS INTEGER)
+                  WHEN 1 THEN CAST(3 + doc_id % 4 AS INTEGER)
+                  WHEN 2 THEN 4 ELSE NULL END AS height,
+  CASE WHEN doc_id % 4 = 3 THEN 8000 ELSE NULL END AS sample_rate,
+  CASE WHEN doc_id % 4 = 3 THEN CAST(30 AS BIGINT) ELSE NULL END AS n_samples,
+  CASE doc_id % 4
+    WHEN 0 THEN CAST(11 + 3 * (4 + doc_id % 5) * (3 + doc_id % 4) AS BIGINT)
+    WHEN 1 THEN CAST(11 + (4 + doc_id % 5) * (3 + doc_id % 4) AS BIGINT)
+    WHEN 2 THEN CAST(118 AS BIGINT)
+    ELSE CAST(104 AS BIGINT) END AS n_bytes
+FROM documents
+"""
+
+
+@query("e181_media_sniff", _E181_ORACLE)
+def e181_media_sniff(spark, sf_dir):
+    """Classify mixed real blobs and extract format-appropriate metadata
+    in one whole-stage-codegen scan (operators/codecs.py::sniff_media)."""
+    from pivot_spark.operators.codecs import (
+        make_bmp,
+        make_ppm,
+        make_wav,
+        sniff_media,
+    )
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+    )
+    did = F.col("doc_id")
+    ppm = make_ppm(
+        F.col("w"),
+        F.col("h"),
+        F.encode(F.expr("rpad(substring(text, 1, w*h*3), w*h*3, ' ')"), "UTF-8"),
+    )
+    pgm = F.concat(
+        F.encode(
+            F.concat(
+                F.lit("P5\n"), F.col("w").cast("string"), F.lit(" "),
+                F.col("h").cast("string"), F.lit("\n255\n"),
+            ),
+            "UTF-8",
+        ),
+        F.encode(F.expr("rpad(substring(text, 1, w*h), w*h, ' ')"), "UTF-8"),
+    )
+    sixty = F.encode(F.expr("rpad(substring(text, 1, 60), 60, ' ')"), "UTF-8")
+    blob = (
+        F.when(did % 4 == 0, ppm)
+        .when(did % 4 == 1, pgm)
+        .when(did % 4 == 2, make_bmp(5, 4, sixty))
+        .otherwise(make_wav(1, 8000, sixty))
+    )
+    out = sniff_media(d.select("doc_id", blob.alias("blob")))
+    return out.select(
+        "doc_id", "format", "width", "height",
+        "sample_rate", "n_samples", "n_bytes",
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

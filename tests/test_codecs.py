@@ -360,3 +360,28 @@ def test_decode_pgm_rejects_ppm(spark):
     blob = _py_ppm(1, 1, [1, 2, 3])
     df = spark.createDataFrame([(bytearray(blob),)], "image binary")
     assert decode_pgm(df).collect()[0].meta is None
+
+
+def test_sniff_media_mixed(spark):
+    from pivot_spark.operators.codecs import sniff_media
+
+    ppm = _py_ppm(3, 2, list(range(18)))
+    pgm = _py_pgm(2, 2, [9, 9, 9, 9])
+    bmp = _py_bmp(1, 1, [[7, 8, 9]])
+    wav = _py_wav(2, 22050, [1, 2, 3, 4])
+    rows = [
+        (1, bytearray(ppm)), (2, bytearray(pgm)), (3, bytearray(bmp)),
+        (4, bytearray(wav)), (5, bytearray(b"not a media file")),
+    ]
+    df = spark.createDataFrame(rows, "id int, blob binary")
+    out = {r.id: r for r in sniff_media(df).collect()}
+    assert (out[1].format, out[1].width, out[1].height) == ("ppm", 3, 2)
+    assert out[1].sample_rate is None and out[1].n_samples is None
+    assert (out[2].format, out[2].width, out[2].height) == ("pgm", 2, 2)
+    assert (out[3].format, out[3].width, out[3].height) == ("bmp", 1, 1)
+    assert (out[4].format, out[4].sample_rate, out[4].n_samples) == (
+        "wav", 22050, 2,
+    )
+    assert out[4].width is None and out[4].height is None
+    assert out[5].format == "unknown" and out[5].width is None
+    assert out[5].n_bytes == len(b"not a media file")
