@@ -234,18 +234,39 @@ def _le(raw: Column, pos: int, n: int) -> Column:
     return total
 
 
-def _bmp_header(raw: Column) -> "tuple[Column, Column, Column, Column]":
-    """Parse a 24-bit uncompressed BITMAPINFOHEADER BMP header:
-    returns (ok, width, height, data_offset)."""
-    ok = (
-        (F.length(raw) >= 54)
-        & (F.substring(raw, 1, 2) == F.lit(b"BM"))
-        & (_le(raw, 29, 2) == 24)     # bpp
-        & (_le(raw, 31, 4) == 0)      # BI_RGB (uncompressed)
+def _le_sql(name: str, pos: int, n: int) -> str:
+    """SQL-string twin of ``_le`` over a NAMED column.
+
+    Every Column operation is one py4j round-trip (~0.3ms); a header
+    parse made of dozens of ``_le`` calls costs real DRIVER seconds per
+    query build. The public codec APIs take the binary column by name,
+    so the whole header parse can be one ``F.expr`` string — one
+    round-trip for the identical Catalyst tree."""
+    return (
+        "("
+        + " + ".join(
+            f"CAST(conv(hex(substring({name}, {pos + i}, 1)), 16, 10) AS BIGINT)"
+            f" * {1 << (8 * i)}"
+            for i in range(n)
+        )
+        + ")"
     )
-    w = _le(raw, 19, 4).cast("int")       # i32: widths < 2^31 read fine
-    h = _le(raw, 23, 4).cast("int")
-    off = _le(raw, 11, 4).cast("int")
+
+
+def _bmp_header(name: str) -> "tuple[Column, Column, Column, Column]":
+    """Parse a 24-bit uncompressed BITMAPINFOHEADER BMP header from the
+    NAMED binary column: returns (ok, width, height, data_offset).
+    Built as F.expr strings — see ``_le_sql`` for why (driver-side py4j
+    cost of the Column-object form)."""
+    ok = F.expr(
+        f"length({name}) >= 54"
+        f" AND substring({name}, 1, 2) = X'424D'"
+        f" AND {_le_sql(name, 29, 2)} = 24"      # bpp
+        f" AND {_le_sql(name, 31, 4)} = 0"       # BI_RGB (uncompressed)
+    )
+    w = F.expr(f"CAST({_le_sql(name, 19, 4)} AS INT)")  # widths < 2^31 read fine
+    h = F.expr(f"CAST({_le_sql(name, 23, 4)} AS INT)")
+    off = F.expr(f"CAST({_le_sql(name, 11, 4)} AS INT)")
     return ok, w, h, off
 
 
@@ -260,13 +281,13 @@ def decode_bmp(
     Adds ``meta`` (NULL for non-BMP bytes) and ``mean_b``/``mean_g``/
     ``mean_r`` (BMP stores BGR). Scan-stage Catalyst only."""
     raw = F.col(binary_col)
-    ok, w, h, off = _bmp_header(raw)
+    ok, w, h, off = _bmp_header(binary_col)
     meta = F.when(
         ok,
         F.struct(
             w.alias("width"),
             h.alias("height"),
-            _le(raw, 29, 2).cast("int").alias("bpp"),
+            F.expr(f"CAST({_le_sql(binary_col, 29, 2)} AS INT)").alias("bpp"),
             off.alias("data_offset"),
             F.lit("bmp").alias("format"),
             F.length(raw).cast("long").alias("n_bytes"),
@@ -367,22 +388,25 @@ WAV_META_SCHEMA = T.StructType(
 )
 
 
-def _wav_header(raw: Column) -> "tuple[Column, Column, Column, Column]":
+def _wav_header(name: str) -> "tuple[Column, Column, Column, Column]":
     """Parse a canonical PCM-16 WAV header (RIFF | fmt@12 | data@36, the
-    stdlib ``wave``-writer layout): returns (ok, n_channels, sample_rate,
-    n_samples)."""
-    ok = (
-        (F.length(raw) >= 44)
-        & (F.substring(raw, 1, 4) == F.lit(b"RIFF"))
-        & (F.substring(raw, 9, 8) == F.lit(b"WAVEfmt "))
-        & (_le(raw, 21, 2) == 1)      # PCM
-        & (_le(raw, 35, 2) == 16)     # 16-bit
-        & (F.substring(raw, 37, 4) == F.lit(b"data"))
+    stdlib ``wave``-writer layout) from the NAMED binary column: returns
+    (ok, n_channels, sample_rate, n_samples). Built as F.expr strings —
+    see ``_le_sql`` for why (driver-side py4j cost of the Column-object
+    form)."""
+    ok = F.expr(
+        f"length({name}) >= 44"
+        f" AND substring({name}, 1, 4) = X'52494646'"      # RIFF
+        f" AND substring({name}, 9, 8) = X'57415645666D7420'"  # WAVEfmt\x20
+        f" AND {_le_sql(name, 21, 2)} = 1"                 # PCM
+        f" AND {_le_sql(name, 35, 2)} = 16"                # 16-bit
+        f" AND substring({name}, 37, 4) = X'64617461'"     # data
     )
-    n_ch = _le(raw, 23, 2).cast("int")
-    rate = _le(raw, 25, 4).cast("int")
-    dsize = _le(raw, 41, 4)
-    n_samp = (dsize / (F.lit(2) * n_ch)).cast("long")
+    n_ch = F.expr(f"CAST({_le_sql(name, 23, 2)} AS INT)")
+    rate = F.expr(f"CAST({_le_sql(name, 25, 4)} AS INT)")
+    n_samp = F.expr(
+        f"CAST({_le_sql(name, 41, 4)} / (2 * {_le_sql(name, 23, 2)}) AS BIGINT)"
+    )
     return ok, n_ch, rate, n_samp
 
 
@@ -400,7 +424,7 @@ def decode_wav(
     ``rms_ch1`` are NULL for mono). Scan-stage Catalyst only — the
     audio-feature extraction path needs no Python."""
     raw = F.col(binary_col)
-    ok, n_ch, rate, n_samp = _wav_header(raw)
+    ok, n_ch, rate, n_samp = _wav_header(binary_col)
     meta = F.when(
         ok,
         F.struct(
@@ -473,12 +497,16 @@ def decode_wav(
 
     m0, r0 = stats(0)
     m1, r1 = stats(1)
-    return (
-        out.withColumn("mean_ch0", m0)
-        .withColumn("rms_ch0", r0)
-        .withColumn("mean_ch1", m1)
-        .withColumn("rms_ch1", r1)
-        .drop("__hx", "__nch", "__st0", "__st1")
+    # one projection for all four stats (chained withColumn re-analyzes
+    # the whole accumulated plan each time — real driver milliseconds on
+    # trees this size)
+    keep = [c for c in out.columns if c not in ("__hx", "__nch", "__st0", "__st1")]
+    return out.select(
+        *keep,
+        m0.alias("mean_ch0"),
+        r0.alias("rms_ch0"),
+        m1.alias("mean_ch1"),
+        r1.alias("rms_ch1"),
     )
 
 
@@ -507,7 +535,7 @@ def wav_features(
     lambda argument names are unique per this function (CollapseProject
     lambda-name mis-binding)."""
     raw = F.col(binary_col)
-    ok, n_ch, rate, n_samp = _wav_header(raw)
+    ok, n_ch, rate, n_samp = _wav_header(binary_col)
     out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
         "__nch", F.when(ok, n_ch.cast("long"))
     )
@@ -552,18 +580,16 @@ def wav_features(
     a = F.col("__wf")
     n = n_samp.cast("double")
     rms = F.sqrt(a["q"] / n)
-    return (
-        out.withColumn("n_samples", F.when(ok, n_samp))
-        .withColumn(
-            "zcr",
-            F.when(ok & (n_samp > 1), a["z"] / (n - 1)).otherwise(
-                F.when(ok, F.lit(0.0))
-            ),
-        )
-        .withColumn("peak", F.when(ok, a["mx"]))
-        .withColumn("crest", F.when(ok & (a["q"] > 0), a["mx"] / rms))
-        .withColumn("silence_frac", F.when(ok & (n_samp > 0), a["sil"] / n))
-        .drop("__hx", "__nch", "__wf")
+    keep = [c for c in out.columns if c not in ("__hx", "__nch", "__wf")]
+    return out.select(
+        *keep,
+        F.when(ok, n_samp).alias("n_samples"),
+        F.when(ok & (n_samp > 1), a["z"] / (n - 1))
+        .otherwise(F.when(ok, F.lit(0.0)))
+        .alias("zcr"),
+        F.when(ok, a["mx"]).alias("peak"),
+        F.when(ok & (a["q"] > 0), a["mx"] / rms).alias("crest"),
+        F.when(ok & (n_samp > 0), a["sil"] / n).alias("silence_frac"),
     )
 
 
@@ -712,22 +738,41 @@ def wav_downsample(
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
     raw = F.col(binary_col)
-    ok, n_ch, rate, n_samp = _wav_header(raw)
+    ok, n_ch, rate, n_samp = _wav_header(binary_col)
     block = (F.lit(2) * n_ch).cast("long")
     out_n = F.when(n_samp > 0, F.floor((n_samp - 1) / factor) + 1).otherwise(
         F.lit(0)
     ).cast("long")
     new_rate = F.floor(rate / factor).cast("long")
-    dsize = out_n * block
-    header = F.concat(
-        F.lit(b"RIFF"), _le_bytes(dsize + 36, 4), F.lit(b"WAVEfmt "),
-        _le_bytes(F.lit(16), 4), _le_bytes(F.lit(1), 2), _le_bytes(n_ch, 2),
-        _le_bytes(new_rate, 4), _le_bytes(new_rate * block, 4),
-        _le_bytes(block, 2), _le_bytes(F.lit(16), 2),
-        F.lit(b"data"), _le_bytes(dsize, 4),
+    # header fields as gated named columns, header bytes as ONE expr
+    # string over them (the _le_bytes Column form made ~200 py4j
+    # round-trips per build — see _le_sql)
+    out = (
+        df.withColumn("__hx", F.when(ok, F.hex(raw)))
+        .withColumn("__blk", F.when(ok, block))
+        .withColumn("__nch", F.when(ok, n_ch.cast("long")))
+        .withColumn("__nrate", F.when(ok, new_rate))
+        .withColumn("__dsz", F.when(ok, out_n * block))
     )
-    out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
-        "__blk", F.when(ok, block)
+
+    def le_sql(expr: str, n: int) -> str:
+        return "concat(" + ", ".join(
+            f"unhex(lpad(hex(pmod(shiftright(CAST({expr} AS BIGINT), {8 * i}),"
+            f" 256)), 2, '0'))"
+            for i in range(n)
+        ) + ")"
+
+    header = F.expr(
+        "concat(X'52494646', "                      # RIFF
+        + le_sql("__dsz + 36", 4)
+        + ", X'57415645666D7420', "                  # WAVEfmt\x20
+        + le_sql("16", 4) + ", " + le_sql("1", 2) + ", "
+        + le_sql("__nch", 2) + ", " + le_sql("__nrate", 4) + ", "
+        + le_sql("__nrate * __blk", 4) + ", "
+        + le_sql("__blk", 2) + ", " + le_sql("16", 2)
+        + ", X'64617461', "                          # data
+        + le_sql("__dsz", 4)
+        + ")"
     )
     hxc, blkc = F.col("__hx"), F.col("__blk")
     idx = F.sequence(F.lit(0).cast("long"), out_n - 1)
@@ -747,7 +792,7 @@ def wav_downsample(
         out.withColumn(
             out_col, F.when(ok & (out_n > 0), F.concat(header, payload))
         )
-        .drop("__hx", "__blk")
+        .drop("__hx", "__blk", "__nch", "__nrate", "__dsz")
     )
 
 
@@ -883,8 +928,8 @@ def sniff_media(df: DataFrame, binary_col: str = "blob") -> DataFrame:
     raw = F.col(binary_col)
     p_ok, pw, ph, _pmx, _ = _pnm_header(raw, "P6")
     g_ok, gw, gh, _gmx, _ = _pnm_header(raw, "P5")
-    b_ok, bw, bh, _off = _bmp_header(raw)
-    w_ok, n_ch, rate, n_samp = _wav_header(raw)
+    b_ok, bw, bh, _off = _bmp_header(binary_col)
+    w_ok, n_ch, rate, n_samp = _wav_header(binary_col)
     fmt = (
         F.when(p_ok, F.lit("ppm"))
         .when(g_ok, F.lit("pgm"))
