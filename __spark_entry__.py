@@ -49,10 +49,15 @@ _ROUND_WINDOW = [
     "e146_cdf_transform", "e152_roc_auc",
     # additional unchecked heavy-logic operators
     "e32_chunk_dedup", "e35_gopher_quality", "e36_bm25_topk",
-    "e38_ngram_decontam", "e41_profile", "e47_salted_join",
-    "e50_range_join", "e54_kmeans", "e56_unigram_lm", "e66_table_diff",
-    "e72_incremental_agg", "e75_bloom_decontam", "e85_bigram_lm",
+    "e38_ngram_decontam", "e41_profile",
+    "e54_kmeans", "e56_unigram_lm",
+    "e75_bloom_decontam", "e85_bigram_lm",
     "e129_neardup_incremental",
+    # session-3 new operators — newest code gets the hard signal first
+    # (e47/e50/e66/e72 rotate to round 4; they are unit-tested and
+    # oracle-declared meanwhile)
+    "e174_audio_features", "e176_boilerplate_lines",
+    "e180_semantic_decontam", "e181_media_sniff",
 ]
 
 
