@@ -102,7 +102,11 @@ from pivot_spark.operators.layout import (
 )
 from pivot_spark.operators.sharding import rebalance_report, rendezvous_shard
 from pivot_spark.operators.cooccur import pmi_pairs
-from pivot_spark.operators.tfidf import tfidf_cosine_pairs, tfidf_top_terms
+from pivot_spark.operators.tfidf import (
+    keyword_contexts,
+    tfidf_cosine_pairs,
+    tfidf_top_terms,
+)
 from pivot_spark.operators.web import (
     domain_stats,
     drop_blocklisted,
@@ -240,6 +244,7 @@ from pivot_spark.operators.codecs import (
     sniff_media,
     wav_downsample,
     wav_features,
+    wav_mixdown,
 )
 
 # --- maintenance / lakehouse
@@ -268,7 +273,7 @@ __all__ = [
     "minhash_signatures", "neardup_minhash_incremental",
     "duplicated_spans", "remove_duplicated_spans", "repetition_runs",
     "dedup_savings_report",
-    "tfidf_cosine_pairs", "pmi_pairs",
+    "tfidf_cosine_pairs", "keyword_contexts", "pmi_pairs",
     # similarity / embeddings
     "cosine_topk", "cosine_topk_lsh", "semantic_decontaminate", "cosine_topk_ivf", "ivf_index",
     "ivf_search", "kmeans", "kmeans_fit", "assign_clusters",
@@ -324,7 +329,7 @@ __all__ = [
     "make_ppm", "decode_ppm", "make_bmp", "decode_bmp",
     "make_wav", "decode_wav",
     "wav_features", "ppm_luma_stats", "ppm_resize_nn",
-    "wav_downsample", "ppm_to_pgm", "decode_pgm", "sniff_media",
+    "wav_downsample", "ppm_to_pgm", "decode_pgm", "sniff_media", "wav_mixdown",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",
     # documents

@@ -947,3 +947,76 @@ def sniff_media(df: DataFrame, binary_col: str = "blob") -> DataFrame:
         .withColumn("n_samples", F.when(w_ok, n_samp))
         .withColumn("n_bytes", F.length(raw).cast("long"))
     )
+
+
+def wav_mixdown(
+    df: DataFrame,
+    binary_col: str = "audio",
+    out_col: str = "mono",
+) -> DataFrame:
+    """Stereo→mono mixdown emitting REAL WAV bytes: each output sample
+    is ``floor((L + R) / 2)`` (floor division of the SIGNED sum — the
+    convention documented for the byte-replay oracle), at the source
+    sample rate. Mono inputs pass through byte-identically (header
+    rebuilt, same payload); >2-channel files average the first two
+    channels — declared limitation.
+
+    Same plan shape as ``wav_downsample``: header fields as gated named
+    columns + one expr-string header, one interpreted ``transform``
+    over output samples (each reading 2 or 4 source bytes from the
+    hexed blob), one ``unhex``. Scan-stage, no shuffle, no Python."""
+    raw = F.col(binary_col)
+    ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    out = (
+        df.withColumn("__hx", F.when(ok, F.hex(raw)))
+        .withColumn("__nch", F.when(ok, n_ch.cast("long")))
+        .withColumn("__mrate", F.when(ok, rate.cast("long")))
+        .withColumn("__msz", F.when(ok, n_samp * 2))
+    )
+
+    def le_sql(expr: str, n: int) -> str:
+        return "concat(" + ", ".join(
+            f"unhex(lpad(hex(pmod(shiftright(CAST({expr} AS BIGINT), {8 * i}),"
+            f" 256)), 2, '0'))"
+            for i in range(n)
+        ) + ")"
+
+    header = F.expr(
+        "concat(X'52494646', "
+        + le_sql("__msz + 36", 4)
+        + ", X'57415645666D7420', "
+        + le_sql("16", 4) + ", " + le_sql("1", 2) + ", " + le_sql("1", 2)
+        + ", " + le_sql("__mrate", 4) + ", " + le_sql("__mrate * 2", 4)
+        + ", " + le_sql("2", 2) + ", " + le_sql("16", 2)
+        + ", X'64617461', "
+        + le_sql("__msz", 4)
+        + ")"
+    )
+    hxc, nchc = F.col("__hx"), F.col("__nch")
+
+    def sample(i: Column, ch: Column) -> Column:
+        pos = F.lit(45).cast("long") + (i * nchc + ch) * 2
+        v = _u8h(hxc, pos) + _u8h(hxc, pos + 1) * 256
+        return F.when(v >= 32768, v - 65536).otherwise(v)
+
+    def mono(i: Column) -> Column:
+        mixed = F.when(
+            nchc >= 2,
+            F.floor((sample(i, F.lit(0)) + sample(i, F.lit(1))) / 2).cast("long"),
+        ).otherwise(sample(i, F.lit(0)))
+        stored = F.pmod(mixed, F.lit(65536).cast("long"))
+        return F.concat(
+            F.lpad(F.hex(F.pmod(stored, F.lit(256))), 2, "0"),
+            F.lpad(F.hex(F.floor(stored / 256).cast("long")), 2, "0"),
+        )
+
+    idx = F.sequence(F.lit(0).cast("long"), n_samp - 1)
+    payload = F.unhex(
+        F.array_join(F.transform(idx, _lam("imx", mono)), "")
+    )
+    return (
+        out.withColumn(
+            out_col, F.when(ok & (n_samp > 0), F.concat(header, payload))
+        )
+        .drop("__hx", "__nch", "__mrate", "__msz")
+    )

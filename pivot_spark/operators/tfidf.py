@@ -242,3 +242,66 @@ def tfidf_cosine_pairs(
     return dots.filter(F.col("cosine") >= threshold).select(
         F.col("da").alias("id_a"), F.col("db").alias("id_b"), "cosine"
     )
+
+
+def keyword_contexts(
+    df: DataFrame,
+    keywords: "list[str]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 3,
+    max_hits_per_doc: "int | None" = None,
+) -> DataFrame:
+    """KWIC (keyword-in-context) extraction — grep-at-scale for corpus
+    inspection: every occurrence of any keyword (exact whitespace-token
+    match) becomes one row (id_col, pos BIGINT 1-based token position,
+    keyword, context) where ``context`` is the surrounding ±``window``
+    tokens joined by spaces. The targeted-audit tool a curation
+    pipeline runs before shipping a filter rule ("show me every place
+    'javascript' survives the C4 pass").
+
+    Scale shape: tokens explode WITHOUT the token array (id, pos, token
+    only — the array is never copied per token row); hits filter
+    against the broadcast-small keyword literal set in the scan stage;
+    only the HIT rows (rare by construction) join back to the corpus on
+    id to slice their context window. With ``max_hits_per_doc`` the
+    per-doc hit list is cut deterministically by ascending position
+    (bounded window state), protecting against keyword-stuffed
+    documents."""
+    if not keywords:
+        raise ValueError("keywords must be non-empty")
+    if window < 0:
+        raise ValueError(f"window must be >= 0, got {window}")
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda t: t != ""
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words).alias("__p0", "__tok"),
+    ).where(F.col("__tok").isin(list(keywords)))
+    hits = toks.select(
+        id_col, (F.col("__p0") + 1).cast("long").alias("pos"),
+        F.col("__tok").alias("keyword"),
+    )
+    if max_hits_per_doc is not None:
+        if max_hits_per_doc < 1:
+            raise ValueError(
+                f"max_hits_per_doc must be >= 1, got {max_hits_per_doc}"
+            )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(id_col).orderBy("pos", "keyword")
+        hits = (
+            hits.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= max_hits_per_doc)
+            .drop("__rn")
+        )
+    corpus = df.select(F.col(id_col), words.alias("__w"))
+    joined = hits.join(corpus, id_col)
+    start = F.greatest(F.lit(1).cast("long"), F.col("pos") - window)
+    end = F.least(F.size("__w").cast("long"), F.col("pos") + window)
+    ctx = F.array_join(
+        F.slice(F.col("__w"), start.cast("int"), (end - start + 1).cast("int")),
+        " ",
+    )
+    return joined.select(id_col, "pos", "keyword", ctx.alias("context"))

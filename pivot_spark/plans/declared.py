@@ -8563,6 +8563,101 @@ def e181_media_sniff(spark, sf_dir):
     )
 
 
+# --- E182: stereo->mono mixdown emitting REAL WAV bytes. The e174
+# signed payload wrapped as a STEREO file (24 interleaved samples = 12
+# L/R frames); mixed sample = floor((L + R) / 2) of the signed values.
+# Verified by decoding the MIXED file (the channel-transform leg of the
+# audio family, after e178's time-axis leg).
+_E182_ORACLE = f"""
+WITH au AS (
+  SELECT doc_id, rpad(substring(text, 1, {2 * _E174_N}), {2 * _E174_N}, ' ') AS p
+  FROM documents
+), sm AS (
+  SELECT doc_id,
+         list_transform(range(0, {_E174_N}), i ->
+           (ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1))
+            + 256 * ascii(substring(p, CAST(2 + i * 2 AS INTEGER), 1)))
+           * (CASE WHEN ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1)) % 2 = 1
+                   THEN -1 ELSE 1 END)) AS v
+  FROM au
+), mx AS (
+  SELECT doc_id,
+         list_transform(range(1, {_E174_N // 2 + 1}),
+           j -> CAST(floor((v[2 * j - 1] + v[2 * j]) / 2) AS BIGINT)) AS m
+  FROM sm
+)
+SELECT doc_id,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST({_E174_N // 2} AS BIGINT) AS n_samples,
+       CAST({44 + _E174_N} AS BIGINT) AS n_bytes,
+       round(list_avg(m), 4) AS mean_ch0,
+       round(sqrt(list_avg(list_transform(m, x -> CAST(x AS DOUBLE) * x))), 4) AS rms_ch0
+FROM mx
+"""
+
+
+@query("e182_audio_mixdown", _E182_ORACLE)
+def e182_audio_mixdown(spark, sf_dir):
+    """Stereo corpus -> genuine mono PCM-16 files, decoded back
+    (operators/codecs.py::wav_mixdown)."""
+    from pivot_spark.operators.codecs import decode_wav, make_wav, wav_mixdown
+
+    need = 2 * _E174_N
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
+    )
+    au = d.select(
+        "doc_id", make_wav(2, 8000, _e174_payload("pp")).alias("audio")
+    )
+    mono = wav_mixdown(au).select("doc_id", F.col("mono").alias("audio"))
+    out = decode_wav(mono)
+    return out.select(
+        "doc_id",
+        F.col("meta.n_channels").alias("n_channels"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_samples").alias("n_samples"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.round("mean_ch0", 4).alias("mean_ch0"),
+        F.round("rms_ch0", 4).alias("rms_ch0"),
+    )
+
+
+# --- E183: KWIC keyword-in-context extraction — grep-at-scale over the
+# corpus (every occurrence of the audit keywords with its ±3-token
+# window). Oracle replays the position/slice arithmetic with DuckDB
+# list ops; both engines tokenize with the same \s+ split.
+_E183_KW = ["table", "stream", "vector"]
+_E183_W = 3
+
+_E183_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS w
+  FROM documents
+), hits AS (
+  SELECT doc_id, w, CAST(t.i AS BIGINT) AS pos, w[t.i] AS keyword
+  FROM toks, LATERAL unnest(range(1, len(w) + 1)) AS t(i)
+  WHERE list_contains({_E183_KW!r}, w[t.i])
+)
+SELECT doc_id, pos, keyword,
+       array_to_string(
+         w[CAST(greatest(1, pos - {_E183_W}) AS INTEGER):
+           CAST(least(len(w), pos + {_E183_W}) AS INTEGER)], ' ') AS context
+FROM hits
+"""
+
+
+@query("e183_keyword_contexts", _E183_ORACLE)
+def e183_keyword_contexts(spark, sf_dir):
+    """Hit rows only rejoin the corpus; the token array never rides the
+    explode (operators/tfidf.py::keyword_contexts)."""
+    from pivot_spark.operators.tfidf import keyword_contexts
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return keyword_contexts(docs, _E183_KW, window=_E183_W)
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

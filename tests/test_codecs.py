@@ -385,3 +385,32 @@ def test_sniff_media_mixed(spark):
     assert out[4].width is None and out[4].height is None
     assert out[5].format == "unknown" and out[5].width is None
     assert out[5].n_bytes == len(b"not a media file")
+
+
+def test_wav_mixdown_stereo(spark):
+    from pivot_spark.operators.codecs import decode_wav, wav_mixdown
+
+    # frames (L,R): (100, 200) -> 150; (-101, 100) -> floor(-0.5) = -1;
+    # (-30000, -30000) -> -30000
+    blob = _py_wav(2, 8000, [100, 200, -101, 100, -30000, -30000])
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"x"))], "id int, audio binary"
+    )
+    out = {r.id: r for r in wav_mixdown(df).collect()}
+    got = bytes(out[1].mono)
+    assert got == _py_wav(1, 8000, [150, -1, -30000])
+    assert out[2].mono is None
+    dec = decode_wav(
+        spark.createDataFrame([(bytearray(got),)], "audio binary")
+    ).collect()[0]
+    assert (dec.meta.n_channels, dec.meta.n_samples) == (1, 3)
+    assert dec.mean_ch0 == pytest.approx((150 - 1 - 30000) / 3)
+
+
+def test_wav_mixdown_mono_passthrough(spark):
+    from pivot_spark.operators.codecs import wav_mixdown
+
+    blob = _py_wav(1, 44100, [5, -6, 7])
+    df = spark.createDataFrame([(bytearray(blob),)], "audio binary")
+    got = bytes(wav_mixdown(df).collect()[0].mono)
+    assert got == blob

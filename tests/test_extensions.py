@@ -400,3 +400,45 @@ def test_semantic_decontaminate_guards(spark):
         semantic_decontaminate(corpus, empty)
     with pytest.raises(ValueError, match="bench_max_rows"):
         semantic_decontaminate(corpus, corpus, bench_max_rows=0)
+
+
+def test_keyword_contexts(spark):
+    from pivot_spark.operators.tfidf import keyword_contexts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b KEY c d"),
+            (2, "KEY x y z KEY"),
+            (3, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = keyword_contexts(docs, ["KEY"], window=2).collect()
+    rows = {(r.doc_id, r.pos): r for r in out}
+    assert rows[(1, 3)].context == "a b KEY c d"
+    assert rows[(2, 1)].context == "KEY x y"      # left edge clamped
+    assert rows[(2, 5)].context == "y z KEY"      # right edge clamped
+    assert (3, 1) not in rows and len(out) == 3
+    assert all(r.keyword == "KEY" for r in out)
+
+
+def test_keyword_contexts_max_hits(spark):
+    from pivot_spark.operators.tfidf import keyword_contexts
+
+    docs = spark.createDataFrame(
+        [(1, "k k k k k")], "doc_id long, text string"
+    )
+    out = keyword_contexts(docs, ["k"], window=1, max_hits_per_doc=2).collect()
+    assert sorted(r.pos for r in out) == [1, 2]  # first-N by position
+
+
+def test_keyword_contexts_validates(spark):
+    from pivot_spark.operators.tfidf import keyword_contexts
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        keyword_contexts(docs, [])
+    with pytest.raises(ValueError):
+        keyword_contexts(docs, ["x"], window=-1)
+    with pytest.raises(ValueError):
+        keyword_contexts(docs, ["x"], max_hits_per_doc=0)
