@@ -585,7 +585,7 @@ def wav_features(
         *keep,
         F.when(ok, n_samp).alias("n_samples"),
         F.when(ok & (n_samp > 1), a["z"] / (n - 1))
-        .otherwise(F.when(ok, F.lit(0.0)))
+        .otherwise(F.when(ok & (n_samp > 0), F.lit(0.0)))
         .alias("zcr"),
         F.when(ok, a["mx"]).alias("peak"),
         F.when(ok & (a["q"] > 0), a["mx"] / rms).alias("crest"),

@@ -414,3 +414,14 @@ def test_wav_mixdown_mono_passthrough(spark):
     df = spark.createDataFrame([(bytearray(blob),)], "audio binary")
     got = bytes(wav_mixdown(df).collect()[0].mono)
     assert got == blob
+
+
+def test_wav_features_empty_payload_all_null_stats(spark):
+    from pivot_spark.operators.codecs import wav_features
+
+    blob = _py_wav(1, 8000, [])  # valid header, zero samples
+    df = spark.createDataFrame([(bytearray(blob),)], "audio binary")
+    r = wav_features(df).collect()[0]
+    assert r.n_samples == 0
+    assert r.zcr is None and r.peak is None
+    assert r.crest is None and r.silence_frac is None
