@@ -98,28 +98,51 @@ PPM_META_SCHEMA = T.StructType(
 
 
 def _pnm_header(
-    raw: Column, magic: str
+    raw: Column, magic: str, bpp: int = 3
 ) -> "tuple[Column, Column, Column, Column, Column]":
-    """Parse a binary-Netpbm header (``magic`` = P6 for PPM, P5 for
-    PGM): returns (ok, width, height, maxval, hdr_len).
+    """Parse a binary-Netpbm header (``magic`` = P6 for PPM with
+    ``bpp=3``, P5 for PGM with ``bpp=1``): returns (ok, width, height,
+    maxval, hdr_len).
 
     The ASCII header lives in the first bytes; a bounded prefix is cast
     to string for regexp parsing (pixel bytes past the header may be
     invalid UTF-8, but the regexp never needs to reach them: the header
-    of a 7-digit-dimension image fits well inside 32 bytes)."""
+    of a 7-digit-dimension image fits well inside 32 bytes).
+
+    POISON-PILL SAFETY: ``ok`` additionally requires (a) maxval <= 255
+    (1-byte samples — the only layout these decoders read), and (b) the
+    PHYSICAL file length to equal header + w*h*bpp exactly, so a lying
+    header can never make a downstream fold iterate past the real
+    bytes (a crafted "P6 9999999 9999999" header would otherwise build
+    a 10^14-element sequence). Dimension digits are regex-bounded to 7
+    so the int cast cannot ANSI-overflow. One malformed blob in a
+    100 TB corpus yields NULL meta, never a crashed job."""
     head = F.substring(raw, 1, 32).cast("string")
-    m = rf"^{magic}\s+(\d+)\s+(\d+)\s+(\d+)\s"
+    m = rf"^{magic}\s+(\d{{1,7}})\s+(\d{{1,7}})\s+(\d{{1,3}})\s"
     hit = F.regexp_extract(head, m, 0)
-    ok = (F.length(hit) > 0)
-    w = F.regexp_extract(head, m, 1).cast("int")
-    h = F.regexp_extract(head, m, 2).cast("int")
-    mx = F.regexp_extract(head, m, 3).cast("int")
+
+    def grp(i: int) -> Column:
+        # nullif BEFORE the cast: codegen subexpression elimination can
+        # hoist these casts OUT of any short-circuit/CASE gate (they are
+        # shared by ok and meta), and in ANSI mode CAST('' AS INT) on a
+        # non-matching row then crashes the job. NULL casts never throw.
+        return F.nullif(F.regexp_extract(head, m, i), F.lit("")).cast("int")
+
+    w, h, mx = grp(1), grp(2), grp(3)
     hdr_len = F.length(hit)  # single whitespace after maxval included
+    ok = (
+        (F.length(hit) > 0)
+        & (mx <= 255)
+        & (
+            F.length(raw).cast("long")
+            == hdr_len.cast("long") + w.cast("long") * h * bpp
+        )
+    )
     return ok, w, h, mx, hdr_len
 
 
 def _ppm_header(raw: Column) -> "tuple[Column, Column, Column, Column, Column]":
-    return _pnm_header(raw, "P6")
+    return _pnm_header(raw, "P6", bpp=3)
 
 
 def decode_ppm(
@@ -257,16 +280,33 @@ def _bmp_header(name: str) -> "tuple[Column, Column, Column, Column]":
     """Parse a 24-bit uncompressed BITMAPINFOHEADER BMP header from the
     NAMED binary column: returns (ok, width, height, data_offset).
     Built as F.expr strings — see ``_le_sql`` for why (driver-side py4j
-    cost of the Column-object form)."""
+    cost of the Column-object form).
+
+    POISON-PILL SAFETY: dimensions are bounded (1..2^20 — rejects
+    top-down BMPs whose NEGATIVE height reads as a huge u32 and, before
+    this gate, ANSI-crashed the int cast: a single such blob killed the
+    whole job) and the physical length must equal data_offset +
+    stride*height exactly, so a lying header cannot drive the pixel
+    folds past the real bytes. The BETWEEN gates precede the stride
+    product in the AND chain (And short-circuits), so the product can
+    never overflow. Casts are CASE-protected for the same reason."""
+    wl = _le_sql(name, 19, 4)
+    hl = _le_sql(name, 23, 4)
+    offl = _le_sql(name, 11, 4)
+    stride = f"(((({wl}) * 3 + 3) DIV 4) * 4)"
     ok = F.expr(
         f"length({name}) >= 54"
         f" AND substring({name}, 1, 2) = X'424D'"
         f" AND {_le_sql(name, 29, 2)} = 24"      # bpp
         f" AND {_le_sql(name, 31, 4)} = 0"       # BI_RGB (uncompressed)
+        f" AND {wl} BETWEEN 1 AND 1048575"
+        f" AND {hl} BETWEEN 1 AND 1048575"
+        f" AND {offl} BETWEEN 54 AND length({name})"
+        f" AND CAST(length({name}) AS BIGINT) = {offl} + {stride} * {hl}"
     )
-    w = F.expr(f"CAST({_le_sql(name, 19, 4)} AS INT)")  # widths < 2^31 read fine
-    h = F.expr(f"CAST({_le_sql(name, 23, 4)} AS INT)")
-    off = F.expr(f"CAST({_le_sql(name, 11, 4)} AS INT)")
+    w = F.expr(f"CAST(CASE WHEN {wl} <= 1048575 THEN {wl} END AS INT)")
+    h = F.expr(f"CAST(CASE WHEN {hl} <= 1048575 THEN {hl} END AS INT)")
+    off = F.expr(f"CAST(CASE WHEN {offl} <= 2147483647 THEN {offl} END AS INT)")
     return ok, w, h, off
 
 
@@ -394,6 +434,16 @@ def _wav_header(name: str) -> "tuple[Column, Column, Column, Column]":
     (ok, n_channels, sample_rate, n_samples). Built as F.expr strings —
     see ``_le_sql`` for why (driver-side py4j cost of the Column-object
     form)."""
+    nch = _le_sql(name, 23, 2)
+    rt = _le_sql(name, 25, 4)
+    dsz = _le_sql(name, 41, 4)
+    # POISON-PILL SAFETY: channel count / rate bounded, physical length
+    # must equal 44 + data size exactly (a lying dsize otherwise
+    # unbounds the sample folds), data size must be frame-aligned, and
+    # n_samples divides through nullif so a zero-channel header can
+    # never raise DIVIDE_BY_ZERO. Malformed blobs -> NULL meta, not a
+    # crashed job. Trailing chunks after `data` are rejected by the
+    # length equality — canonical stdlib-wave layout only, declared.
     ok = F.expr(
         f"length({name}) >= 44"
         f" AND substring({name}, 1, 4) = X'52494646'"      # RIFF
@@ -401,12 +451,14 @@ def _wav_header(name: str) -> "tuple[Column, Column, Column, Column]":
         f" AND {_le_sql(name, 21, 2)} = 1"                 # PCM
         f" AND {_le_sql(name, 35, 2)} = 16"                # 16-bit
         f" AND substring({name}, 37, 4) = X'64617461'"     # data
+        f" AND {nch} BETWEEN 1 AND 64"
+        f" AND {rt} BETWEEN 1 AND 1000000000"
+        f" AND CAST(length({name}) AS BIGINT) = 44 + {dsz}"
+        f" AND {dsz} % (2 * nullif({nch}, 0)) = 0"
     )
-    n_ch = F.expr(f"CAST({_le_sql(name, 23, 2)} AS INT)")
-    rate = F.expr(f"CAST({_le_sql(name, 25, 4)} AS INT)")
-    n_samp = F.expr(
-        f"CAST({_le_sql(name, 41, 4)} / (2 * {_le_sql(name, 23, 2)}) AS BIGINT)"
-    )
+    n_ch = F.expr(f"CAST({nch} AS INT)")
+    rate = F.expr(f"CAST(CASE WHEN {rt} <= 2147483647 THEN {rt} END AS INT)")
+    n_samp = F.expr(f"CAST({dsz} / (2 * nullif({nch}, 0)) AS BIGINT)")
     return ok, n_ch, rate, n_samp
 
 
@@ -871,7 +923,7 @@ def decode_pgm(
     NULL for non-PGM bytes) and ``mean_gray`` DOUBLE. Scan-stage
     Catalyst; no shuffle, no Python."""
     raw = F.col(binary_col)
-    ok, w, h, mx, hdr_len = _pnm_header(raw, "P5")
+    ok, w, h, mx, hdr_len = _pnm_header(raw, "P5", bpp=1)
     meta = F.when(
         ok,
         F.struct(
@@ -927,7 +979,7 @@ def sniff_media(df: DataFrame, binary_col: str = "blob") -> DataFrame:
     rows that need it."""
     raw = F.col(binary_col)
     p_ok, pw, ph, _pmx, _ = _pnm_header(raw, "P6")
-    g_ok, gw, gh, _gmx, _ = _pnm_header(raw, "P5")
+    g_ok, gw, gh, _gmx, _ = _pnm_header(raw, "P5", bpp=1)
     b_ok, bw, bh, _off = _bmp_header(binary_col)
     w_ok, n_ch, rate, n_samp = _wav_header(binary_col)
     fmt = (

@@ -425,3 +425,67 @@ def test_wav_features_empty_payload_all_null_stats(spark):
     assert r.n_samples == 0
     assert r.zcr is None and r.peak is None
     assert r.crest is None and r.silence_frac is None
+
+
+# --- poison-pill safety: malformed blobs must yield NULL meta, never a
+# crashed job (one bad file in a 100 TB corpus cannot kill the pipeline)
+
+def _topdown_bmp():
+    """24-bit BMP with NEGATIVE height (top-down convention) — reads as
+    a huge u32 and used to ANSI-crash the int cast."""
+    return (
+        b"BM" + (118).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (5).to_bytes(4, "little") + (0xFFFFFFFC).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (64).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2 + b"\x00" * 8 + b"\x00" * 64
+    )
+
+
+def _lying_wav():
+    """Valid 2-sample mono WAV whose data-size field claims 1 MB."""
+    blob = bytearray(_py_wav(1, 8000, [1, 2]))
+    blob[40:44] = (1_000_000).to_bytes(4, "little")
+    return bytes(blob)
+
+
+def test_poison_pills_null_not_crash(spark):
+    from pivot_spark.operators.codecs import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        sniff_media,
+    )
+
+    lying_ppm = b"P6\n1000 1000\n255\n" + b"0123456789"
+    zero_ch = bytearray(_py_wav(1, 8000, [1]))
+    zero_ch[22:24] = (0).to_bytes(2, "little")  # n_channels = 0
+    huge_dims = b"P6\n99999999999 2\n255\nxxxxxx"  # >7 digits, no regex match
+    rows = [
+        (1, bytearray(lying_ppm)),
+        (2, bytearray(_topdown_bmp())),
+        (3, bytearray(_lying_wav())),
+        (4, bytearray(bytes(zero_ch))),
+        (5, bytearray(huge_dims)),
+    ]
+    df = spark.createDataFrame(rows, "id int, blob binary")
+    for fn, col in [(decode_ppm, "image"), (decode_bmp, "image"),
+                    (decode_wav, "audio")]:
+        out = fn(df.select("id", df.blob.alias(col))).collect()
+        assert all(r.meta is None for r in out), fn.__name__
+    sniffed = sniff_media(df).collect()
+    assert all(r.format == "unknown" for r in sniffed)
+
+
+def test_ppm_trailing_junk_rejected(spark):
+    from pivot_spark.operators.codecs import decode_ppm
+
+    exact = _py_ppm(1, 1, [1, 2, 3])
+    df = spark.createDataFrame(
+        [(1, bytearray(exact)), (2, bytearray(exact + b"junk"))],
+        "id int, image binary",
+    )
+    out = {r.id: r for r in decode_ppm(df).collect()}
+    assert out[1].meta is not None
+    assert out[2].meta is None  # strict canonical-length contract
