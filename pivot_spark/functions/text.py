@@ -283,3 +283,38 @@ def hapax_novelty(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+# --- Unicode text normalization (crawl-curation primitive) -----------------
+# All patterns live in the Java-regex ∩ RE2 common subset (\x{hhhh}
+# classes only) and the fold tables are module constants, so the DuckDB
+# oracle splices the IDENTICAL strings — the replica cannot drift.
+# Scope is the deterministic punctuation/whitespace subset of NFKC that
+# crawl pipelines actually apply scan-side; full Unicode normalization
+# (composed forms, confusables) needs ICU and is out of scope, declared.
+
+# 1:1 character folds (translate): curly quotes -> ASCII, dash family
+# -> '-', minus sign -> '-'
+NORM_FOLD_FROM = "‘’‚‛“”„–—−"
+NORM_FOLD_TO = "''''\"\"\"---"
+NORM_CTRL_RE = r"[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}]"
+NORM_ZEROWIDTH_RE = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}]"
+NORM_USPACE_RE = r"[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
+NORM_WS_RUN_RE = r"[ \t]{2,}"
+
+
+def normalize_text(text: Column) -> Column:
+    """Normalize the Unicode punctuation/whitespace noise of crawled
+    text: strip control chars (newlines/tabs kept) and zero-width
+    chars (ZWSP/ZWNJ/ZWJ/BOM), fold curly quotes and the dash family to
+    ASCII, expand the ellipsis char to ``...``, turn exotic Unicode
+    spaces into plain spaces, collapse space/tab runs, trim. Pure
+    scan-stage Catalyst; order matters and is mirrored verbatim by the
+    e184 oracle."""
+    t = F.regexp_replace(text, NORM_CTRL_RE, "")
+    t = F.regexp_replace(t, NORM_ZEROWIDTH_RE, "")
+    t = F.translate(t, NORM_FOLD_FROM, NORM_FOLD_TO)
+    t = F.replace(t, F.lit("…"), F.lit("..."))
+    t = F.regexp_replace(t, NORM_USPACE_RE, " ")
+    t = F.regexp_replace(t, NORM_WS_RUN_RE, " ")
+    return F.trim(t)

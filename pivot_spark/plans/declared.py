@@ -8658,6 +8658,74 @@ def e183_keyword_contexts(spark, sf_dir):
     return keyword_contexts(docs, _E183_KW, window=_E183_W)
 
 
+# --- E184: Unicode text normalization (the punctuation/whitespace
+# subset of NFKC a crawl pipeline applies scan-side). The corpus is
+# ASCII word soup, so deterministic Unicode noise (curly quotes, em
+# dash, NBSP, ZWSP, ellipsis char, a control byte, tab runs) is
+# injected from ONE python constant shared by both engines; the
+# normalization chain itself is spliced verbatim from the
+# functions/text.py module constants (e171 technique), so the oracle
+# cannot drift.
+_E184_PRE = "\u201Cnoisy\u201D \u2014 "
+_E184_A = "\t\t caf\u00E9 mix\u2026 end\u200B"
+_E184_B = " \u2013dash \u0007ctl \u2009thin"
+
+
+def _e184_oracle() -> str:
+    from pivot_spark.functions import text as _t
+
+    fold_to_sql = _t.NORM_FOLD_TO.replace("'", "''")
+    a = _E184_A.replace("'", "''")
+    b = _E184_B.replace("'", "''")
+    return f"""
+WITH aug AS (
+  SELECT doc_id,
+         '{_E184_PRE}' || substring(text, 1, 40)
+         || CASE WHEN doc_id % 2 = 0 THEN '{a}' ELSE '{b}' END AS t
+  FROM documents
+), norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(
+           replace(translate(regexp_replace(regexp_replace(t,
+             '{_t.NORM_CTRL_RE}', '', 'g'),
+             '{_t.NORM_ZEROWIDTH_RE}', '', 'g'),
+             '{_t.NORM_FOLD_FROM}', '{fold_to_sql}'),
+             '…', '...'),
+           '{_t.NORM_USPACE_RE}', ' ', 'g'),
+           '{_t.NORM_WS_RUN_RE}', ' ', 'g')) AS n,
+         t
+  FROM aug
+)
+SELECT doc_id, n AS norm_text,
+       CAST(length(n) AS BIGINT) AS n_chars,
+       n <> t AS changed
+FROM norm
+"""
+
+
+@query("e184_text_normalize", _e184_oracle())
+def e184_text_normalize(spark, sf_dir):
+    """Scan-stage Unicode noise folding
+    (functions/text.py::normalize_text)."""
+    from pivot_spark.functions.text import normalize_text
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    aug = F.concat(
+        F.lit(_E184_PRE),
+        F.expr("substring(text, 1, 40)"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit(_E184_A)).otherwise(
+            F.lit(_E184_B)
+        ),
+    )
+    t = d.select("doc_id", aug.alias("t"))
+    return t.select(
+        "doc_id",
+        normalize_text(F.col("t")).alias("norm_text"),
+        F.length(normalize_text(F.col("t"))).cast("long").alias("n_chars"),
+        (normalize_text(F.col("t")) != F.col("t")).alias("changed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -125,3 +125,27 @@ def test_strip_boilerplate_lines_validates():
         strip_boilerplate_lines(None, min_frac=0.0)
     with _pt.raises(ValueError):
         strip_boilerplate_lines(None, min_docs=0)
+
+
+def test_normalize_text(spark):
+    from pyspark.sql import functions as F
+
+    from pivot_spark.functions.text import normalize_text
+
+    rows = [
+        (1, "\u201Chello\u201D \u2014 world\u2026"),
+        (2, "a\u200Bb c \u00A0\t d\u0007 e"),
+        (3, "  plain  "),
+        (4, "it\u2019s \u2013 fine"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    out = {
+        r.id: r.n
+        for r in df.select(
+            "id", normalize_text(F.col("t")).alias("n")
+        ).collect()
+    }
+    assert out[1] == '"hello" - world...'
+    assert out[2] == "ab c d e"
+    assert out[3] == "plain"
+    assert out[4] == "it's - fine"
