@@ -303,14 +303,16 @@ NORM_USPACE_RE = r"[\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]"
 NORM_WS_RUN_RE = r"[ \t]{2,}"
 
 
-def normalize_text(text: Column) -> Column:
+def normalize_unicode(text: Column) -> Column:
     """Normalize the Unicode punctuation/whitespace noise of crawled
     text: strip control chars (newlines/tabs kept) and zero-width
     chars (ZWSP/ZWNJ/ZWJ/BOM), fold curly quotes and the dash family to
     ASCII, expand the ellipsis char to ``...``, turn exotic Unicode
     spaces into plain spaces, collapse space/tab runs, trim. Pure
     scan-stage Catalyst; order matters and is mirrored verbatim by the
-    e184 oracle."""
+    e184 oracle. (Distinct from ``normalize_text``, the
+    lowercase/collapse canonicalizer the fingerprint family hashes —
+    this one PRESERVES case and newlines and targets crawl noise.)"""
     t = F.regexp_replace(text, NORM_CTRL_RE, "")
     t = F.regexp_replace(t, NORM_ZEROWIDTH_RE, "")
     t = F.translate(t, NORM_FOLD_FROM, NORM_FOLD_TO)

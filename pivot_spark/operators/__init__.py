@@ -70,7 +70,7 @@ from pivot_spark.operators.similarity import (
 )
 
 # --- text quality & curation
-from pivot_spark.functions.text import normalize_text
+from pivot_spark.functions.text import normalize_unicode
 from pivot_spark.functions.web import (
     ctrl_char_count,
     html_title,
@@ -288,7 +288,7 @@ __all__ = [
     "bpe_learn", "bpe_encode", "calibration_report",
     "rocchio_train", "rocchio_predict",
     "domain_stats", "drop_blocklisted", "registered_domain",
-    "strip_html", "normalize_text", "html_title", "link_density", "non_ascii_ratio",
+    "strip_html", "normalize_unicode", "html_title", "link_density", "non_ascii_ratio",
     "ctrl_char_count",
     # retrieval
     "bm25_topk", "bm25_topk_batch",

@@ -8706,8 +8706,8 @@ FROM norm
 @query("e184_text_normalize", _e184_oracle())
 def e184_text_normalize(spark, sf_dir):
     """Scan-stage Unicode noise folding
-    (functions/text.py::normalize_text)."""
-    from pivot_spark.functions.text import normalize_text
+    (functions/text.py::normalize_unicode)."""
+    from pivot_spark.functions.text import normalize_unicode
 
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     aug = F.concat(
@@ -8720,9 +8720,9 @@ def e184_text_normalize(spark, sf_dir):
     t = d.select("doc_id", aug.alias("t"))
     return t.select(
         "doc_id",
-        normalize_text(F.col("t")).alias("norm_text"),
-        F.length(normalize_text(F.col("t"))).cast("long").alias("n_chars"),
-        (normalize_text(F.col("t")) != F.col("t")).alias("changed"),
+        normalize_unicode(F.col("t")).alias("norm_text"),
+        F.length(normalize_unicode(F.col("t"))).cast("long").alias("n_chars"),
+        (normalize_unicode(F.col("t")) != F.col("t")).alias("changed"),
     )
 
 

@@ -127,10 +127,10 @@ def test_strip_boilerplate_lines_validates():
         strip_boilerplate_lines(None, min_docs=0)
 
 
-def test_normalize_text(spark):
+def test_normalize_unicode(spark):
     from pyspark.sql import functions as F
 
-    from pivot_spark.functions.text import normalize_text
+    from pivot_spark.functions.text import normalize_unicode
 
     rows = [
         (1, "\u201Chello\u201D \u2014 world\u2026"),
@@ -142,7 +142,7 @@ def test_normalize_text(spark):
     out = {
         r.id: r.n
         for r in df.select(
-            "id", normalize_text(F.col("t")).alias("n")
+            "id", normalize_unicode(F.col("t")).alias("n")
         ).collect()
     }
     assert out[1] == '"hello" - world...'
