@@ -159,6 +159,12 @@ def decode_ppm(
     All scan-stage Catalyst; no shuffle, no Python."""
     raw = F.col(binary_col)
     ok, w, h, mx, hdr_len = _ppm_header(raw)
+    # materialize the validity gate ONCE: projections containing
+    # higher-order functions are interpreted (no whole-stage codegen,
+    # no subexpression elimination), so every reference to the raw ok
+    # tree would re-run the full header/length validation per use
+    df = df.withColumn("__ok", ok)
+    ok = F.col("__ok")
     meta = F.when(
         ok,
         F.struct(
@@ -171,7 +177,7 @@ def decode_ppm(
     )
     out = df.withColumn(meta_col, meta)
     if not channel_means:
-        return out
+        return out.drop("__ok")
     # materialize the hexed blob and header length as COLUMNS: trees
     # referenced inside a fold lambda are re-evaluated PER ELEMENT (no
     # CSE across the lambda boundary), so the inline form re-hexed the
@@ -197,7 +203,7 @@ def decode_ppm(
         out.withColumn("mean_r", chan_mean(0))
         .withColumn("mean_g", chan_mean(1))
         .withColumn("mean_b", chan_mean(2))
-        .drop("__hx", "__hdr")
+        .drop("__hx", "__hdr", "__ok")
     )
 
 
@@ -322,6 +328,8 @@ def decode_bmp(
     ``mean_r`` (BMP stores BGR). Scan-stage Catalyst only."""
     raw = F.col(binary_col)
     ok, w, h, off = _bmp_header(binary_col)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
     meta = F.when(
         ok,
         F.struct(
@@ -335,7 +343,7 @@ def decode_bmp(
     )
     out = df.withColumn(meta_col, meta)
     if not channel_means:
-        return out
+        return out.drop("__ok")
     # hexed blob / offset / stride materialized as COLUMNS — trees
     # referenced inside fold lambdas are re-evaluated per element (no
     # CSE across the lambda boundary); the inline `hx` re-hexed the
@@ -378,7 +386,7 @@ def decode_bmp(
         out.withColumn("mean_b", chan_mean(0))
         .withColumn("mean_g", chan_mean(1))
         .withColumn("mean_r", chan_mean(2))
-        .drop("__hx", "__off", "__stride")
+        .drop("__hx", "__off", "__stride", "__ok")
     )
 
 
@@ -477,6 +485,8 @@ def decode_wav(
     audio-feature extraction path needs no Python."""
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
     meta = F.when(
         ok,
         F.struct(
@@ -491,7 +501,7 @@ def decode_wav(
     )
     out = df.withColumn(meta_col, meta)
     if not channel_stats:
-        return out
+        return out.drop("__ok")
     # hexed blob and channel count materialized as COLUMNS — trees
     # referenced inside an HOF lambda are re-evaluated per element, so
     # the inline `hx` re-hexed the whole blob once per SAMPLE. The
@@ -552,7 +562,10 @@ def decode_wav(
     # one projection for all four stats (chained withColumn re-analyzes
     # the whole accumulated plan each time — real driver milliseconds on
     # trees this size)
-    keep = [c for c in out.columns if c not in ("__hx", "__nch", "__st0", "__st1")]
+    keep = [
+        c for c in out.columns
+        if c not in ("__hx", "__nch", "__st0", "__st1", "__ok")
+    ]
     return out.select(
         *keep,
         m0.alias("mean_ch0"),
@@ -588,6 +601,8 @@ def wav_features(
     lambda-name mis-binding)."""
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
     out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
         "__nch", F.when(ok, n_ch.cast("long"))
     )
@@ -632,7 +647,7 @@ def wav_features(
     a = F.col("__wf")
     n = n_samp.cast("double")
     rms = F.sqrt(a["q"] / n)
-    keep = [c for c in out.columns if c not in ("__hx", "__nch", "__wf")]
+    keep = [c for c in out.columns if c not in ("__hx", "__nch", "__wf", "__ok")]
     return out.select(
         *keep,
         F.when(ok, n_samp).alias("n_samples"),
@@ -660,6 +675,8 @@ def ppm_luma_stats(
     frames). One fold per row, scan-stage Catalyst, no Python."""
     raw = F.col(binary_col)
     ok, w, h, mxv, hdr_len = _ppm_header(raw)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
     out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
         "__hdr", F.when(ok, hdr_len.cast("long"))
     )
@@ -712,7 +729,7 @@ def ppm_luma_stats(
         .withColumn("luma_min", F.when(ok & (n_px > 0), a["mn"] / 1000.0))
         .withColumn("luma_max", F.when(ok & (n_px > 0), a["mx"] / 1000.0))
         .withColumn("is_blank", F.when(ok & (n_px > 0), std_r < float(blank_std)))
-        .drop("__hx", "__hdr", "__ls")
+        .drop("__hx", "__hdr", "__ls", "__ok")
     )
 
 
@@ -791,6 +808,8 @@ def wav_downsample(
         raise ValueError(f"factor must be >= 1, got {factor}")
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
     block = (F.lit(2) * n_ch).cast("long")
     out_n = F.when(n_samp > 0, F.floor((n_samp - 1) / factor) + 1).otherwise(
         F.lit(0)
@@ -844,7 +863,7 @@ def wav_downsample(
         out.withColumn(
             out_col, F.when(ok & (out_n > 0), F.concat(header, payload))
         )
-        .drop("__hx", "__blk", "__nch", "__nrate", "__dsz")
+        .drop("__hx", "__blk", "__nch", "__nrate", "__dsz", "__ok")
     )
 
 
@@ -878,6 +897,8 @@ def ppm_to_pgm(
     Python."""
     raw = F.col(binary_col)
     ok, w, h, mxv, hdr_len = _ppm_header(raw)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
     out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
         "__hdr", F.when(ok, hdr_len.cast("long"))
     )
@@ -908,7 +929,7 @@ def ppm_to_pgm(
             out_col,
             F.when(ok & (n_px > 0), F.concat(F.encode(header, "UTF-8"), payload)),
         )
-        .drop("__hx", "__hdr")
+        .drop("__hx", "__hdr", "__ok")
     )
 
 
@@ -934,9 +955,10 @@ def decode_pgm(
             F.length(raw).cast("long").alias("n_bytes"),
         ),
     )
-    out = df.withColumn(meta_col, meta)
+    out = df.withColumn("__ok", ok).withColumn(meta_col, meta)
+    ok = F.col("__ok")   # see decode_ppm: one gate eval
     if not gray_mean:
-        return out
+        return out.drop("__ok")
     out = out.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
         "__hdr", F.when(ok, hdr_len.cast("long"))
     )
@@ -953,7 +975,7 @@ def decode_pgm(
             "mean_gray",
             F.when(ok & (n_px > 0), total / n_px.cast("double")),
         )
-        .drop("__hx", "__hdr")
+        .drop("__hx", "__hdr", "__ok")
     )
 
 
@@ -982,6 +1004,15 @@ def sniff_media(df: DataFrame, binary_col: str = "blob") -> DataFrame:
     g_ok, gw, gh, _gmx, _ = _pnm_header(raw, "P5", bpp=1)
     b_ok, bw, bh, _off = _bmp_header(binary_col)
     w_ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    # each validity gate evaluated ONCE (they are referenced by several
+    # output columns; see decode_ppm)
+    df = df.select(
+        "*",
+        p_ok.alias("__pok"), g_ok.alias("__gok"),
+        b_ok.alias("__bok"), w_ok.alias("__wok"),
+    )
+    p_ok, g_ok = F.col("__pok"), F.col("__gok")
+    b_ok, w_ok = F.col("__bok"), F.col("__wok")
     fmt = (
         F.when(p_ok, F.lit("ppm"))
         .when(g_ok, F.lit("pgm"))
@@ -998,6 +1029,7 @@ def sniff_media(df: DataFrame, binary_col: str = "blob") -> DataFrame:
         .withColumn("sample_rate", F.when(w_ok, rate))
         .withColumn("n_samples", F.when(w_ok, n_samp))
         .withColumn("n_bytes", F.length(raw).cast("long"))
+        .drop("__pok", "__gok", "__bok", "__wok")
     )
 
 
@@ -1019,6 +1051,8 @@ def wav_mixdown(
     hexed blob), one ``unhex``. Scan-stage, no shuffle, no Python."""
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
     out = (
         df.withColumn("__hx", F.when(ok, F.hex(raw)))
         .withColumn("__nch", F.when(ok, n_ch.cast("long")))
@@ -1070,5 +1104,5 @@ def wav_mixdown(
         out.withColumn(
             out_col, F.when(ok & (n_samp > 0), F.concat(header, payload))
         )
-        .drop("__hx", "__nch", "__mrate", "__msz")
+        .drop("__hx", "__nch", "__mrate", "__msz", "__ok")
     )
