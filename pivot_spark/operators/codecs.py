@@ -1106,3 +1106,179 @@ def wav_mixdown(
         )
         .drop("__hx", "__nch", "__mrate", "__msz", "__ok")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual fingerprints over decoded media (audio energy-delta, image
+# dHash) — the hash step of the near-dup family run on REAL codec output
+# ---------------------------------------------------------------------------
+
+def _wav_sample0_sql(idx: str) -> str:
+    """SQL fragment: signed 16-bit LE channel-0 sample at index ``idx``
+    (an expression string), reading hex column ``__hx`` with channel
+    count ``__nch``. PCM starts at 1-based byte 45."""
+    pos = f"(CAST(45 AS BIGINT) + ({idx}) * __nch * 2)"
+    b0 = (
+        f"CAST(conv(substring(__hx, CAST(({pos}) * 2 - 1 AS INT), 2),"
+        f" 16, 10) AS BIGINT)"
+    )
+    b1 = (
+        f"CAST(conv(substring(__hx, CAST(({pos}) * 2 + 1 AS INT), 2),"
+        f" 16, 10) AS BIGINT)"
+    )
+    v = f"({b0} + 256 * {b1})"
+    return f"(CASE WHEN {v} >= 32768 THEN {v} - 65536 ELSE {v} END)"
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    binary_col: str = "audio",
+    out_col: str = "afp",
+    n_frames: int = 17,
+) -> DataFrame:
+    """Energy-delta acoustic fingerprint over channel 0 of canonical
+    PCM-16 WAVs: the samples are split into ``n_frames`` equal frames
+    (frame f covers indices [f*n DIV F, (f+1)*n DIV F)), each frame's
+    energy is sum(v²), and bit f of the BIGINT fingerprint (f in
+    [0, F-2]) is set iff energy(f+1) > energy(f). The classic coarse
+    audio signature (Haitsma-Kalker energy-band family, collapsed to
+    the time axis): robust to gain (monotone) and small edits, so equal
+    or near-equal fingerprints are near-duplicate clips.
+
+    Whole thing is scan-stage Catalyst: one nested fold reads each
+    sample exactly once (outer transform over frames, inner aggregate
+    over that frame's index range), built as ONE ``F.expr`` string (the
+    Column-object form costs real driver seconds in py4j round-trips —
+    see ``_le_sql``). Malformed blobs -> NULL fingerprint via the
+    shared poison-pill header gate. No shuffle, no Python; pair mining
+    over the fingerprint is ``neardup.hamming_pairs`` (banded, never
+    n²)."""
+    if not 2 <= n_frames <= 64:
+        raise ValueError(f"n_frames must be in [2, 64], got {n_frames}")
+    raw = F.col(binary_col)
+    ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
+    out = (
+        df.withColumn("__hx", F.when(ok, F.hex(raw)))
+        .withColumn("__nch", F.when(ok, n_ch.cast("long")))
+        .withColumn("__nsmp", F.when(ok, n_samp))
+    )
+    nf = n_frames
+    fs = f"((fqaf * __nsmp) DIV {nf})"
+    fe = f"(((fqaf + 1) * __nsmp) DIV {nf})"
+    en_sql = (
+        f"transform(sequence(CAST(0 AS BIGINT), CAST({nf - 1} AS BIGINT)),"
+        f" fqaf -> CASE WHEN {fe} > {fs} THEN"
+        f" aggregate(transform(sequence({fs}, {fe} - 1),"
+        f" iaf -> {_wav_sample0_sql('iaf')}),"
+        f" CAST(0 AS BIGINT), (aaf, vaf) -> aaf + vaf * vaf)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+    )
+    out = out.withColumn(
+        "__en", F.when(ok & (F.col("__nsmp") > 0), F.expr(en_sql))
+    )
+    pack_sql = " + ".join(
+        f"(CASE WHEN element_at(__en, {i + 2}) > element_at(__en, {i + 1})"
+        f" THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(nf - 1)
+    )
+    keep = [c for c in out.columns if c not in ("__hx", "__nch", "__nsmp", "__en", "__ok")]
+    return out.select(
+        *keep,
+        F.when(ok & (F.col("__nsmp") > 0), F.expr(pack_sql)).alias(out_col),
+    )
+
+
+def audio_fingerprint_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    binary_col: str = "audio",
+    max_hamming: int = 2,
+    n_frames: int = 17,
+) -> DataFrame:
+    """Near-duplicate audio pairs ``(id_a, id_b, hamming)`` by
+    energy-delta fingerprint Hamming distance: ``audio_fingerprint``
+    for the signature, then the generic block-permutation band join
+    (``neardup.hamming_pairs``) — candidate volume scales with
+    block-bucket load, never n². Rows whose bytes fail the WAV header
+    gate get NULL fingerprints; ``hamming_pairs`` drops them after its
+    persist fence (filtering here would predicate-push the whole
+    fingerprint tree into a duplicate Filter — see hamming_pairs)."""
+    from pivot_spark.operators.neardup import hamming_pairs
+
+    sigs = audio_fingerprint(
+        df, binary_col=binary_col, out_col="__afp", n_frames=n_frames
+    )
+    return hamming_pairs(
+        sigs, id_col, "__afp", num_bits=n_frames - 1, max_hamming=max_hamming
+    )
+
+
+def ppm_dhash(
+    df: DataFrame,
+    binary_col: str = "image",
+    out_col: str = "dhash",
+    grid_w: int = 8,
+    grid_h: int = 7,
+) -> DataFrame:
+    """Difference-hash (dHash — the classic public gradient image
+    fingerprint) over REAL P6 pixels: nearest-neighbor-sample a
+    ``(grid_w+1) x grid_h`` grid of Rec.601 integer lumas
+    (``299R + 587G + 114B``, the ``ppm_luma_stats`` convention), set
+    bit ``r*grid_w + c`` iff ``luma(r, c+1) > luma(r, c)``. Gradients
+    survive brightness/contrast shifts that break aHash's global-mean
+    threshold, so the two hashes are complementary screens.
+
+    Grid positions replay ``ppm_resize_nn``'s NN mapping
+    (``src = (dst * src_dim) DIV dst_dim``); the luma array is ONE
+    interpreted transform over ``(grid_w+1)*grid_h`` points (each
+    reading 3 bytes from the hexed blob), the packing is a scalar
+    projection — scan-stage, no shuffle, no Python. Sized for
+    thumbnail-scale payloads like the rest of the expression codecs;
+    megapixel inputs should decode via an Arrow ``mapInPandas`` kernel
+    and reuse the same threshold/pack step. Malformed blobs -> NULL
+    hash via the poison-pill header gate. Pair mining is
+    ``neardup.hamming_pairs``."""
+    bits = grid_w * grid_h
+    if not (grid_w >= 1 and grid_h >= 1 and bits <= 63):
+        raise ValueError(
+            f"need grid_w, grid_h >= 1 and grid_w*grid_h <= 63, got "
+            f"{grid_w}x{grid_h}"
+        )
+    raw = F.col(binary_col)
+    ok, w, h, mx, hdr_len = _ppm_header(raw)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
+    out = (
+        df.withColumn("__hx", F.when(ok, F.hex(raw)))
+        .withColumn("__w", F.when(ok, w.cast("long")))
+        .withColumn("__h", F.when(ok, h.cast("long")))
+        .withColumn("__hdr", F.when(ok, hdr_len.cast("long")))
+    )
+    gw1 = grid_w + 1
+    sr = f"(((kdh DIV {gw1}) * __h) DIV {grid_h})"
+    sc = f"(((kdh % {gw1}) * __w) DIV {gw1})"
+    base = f"(__hdr + ({sr} * __w + {sc}) * 3)"
+
+    def byte(ch: int) -> str:
+        return (
+            f"CAST(conv(substring(__hx, CAST(({base} + {ch + 1}) * 2 - 1"
+            f" AS INT), 2), 16, 10) AS BIGINT)"
+        )
+
+    lm_sql = (
+        f"transform(sequence(CAST(0 AS BIGINT), CAST({gw1 * grid_h - 1} AS BIGINT)),"
+        f" kdh -> 299 * {byte(0)} + 587 * {byte(1)} + 114 * {byte(2)})"
+    )
+    out = out.withColumn("__lm", F.when(ok, F.expr(lm_sql)))
+    pack_sql = " + ".join(
+        f"(CASE WHEN element_at(__lm, {r * gw1 + c + 2})"
+        f" > element_at(__lm, {r * gw1 + c + 1})"
+        f" THEN CAST({1 << (r * grid_w + c)} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for r in range(grid_h)
+        for c in range(grid_w)
+    )
+    keep = [c for c in out.columns if c not in ("__hx", "__w", "__h", "__hdr", "__lm", "__ok")]
+    return out.select(*keep, F.when(ok, F.expr(pack_sql)).alias(out_col))

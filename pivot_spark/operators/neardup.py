@@ -594,6 +594,78 @@ def neardup_simhash(
     return cand
 
 
+def hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    sig_col: str,
+    num_bits: int,
+    max_hamming: int,
+    n_blocks: "int | None" = None,
+) -> DataFrame:
+    """Generic Hamming-ball pair join over a PRECOMPUTED <=63-bit BIGINT
+    signature column: ``(id_a, id_b, hamming)`` for pairs within
+    ``max_hamming``. Same block-permutation candidate generation as
+    ``neardup_simhash`` (split into ``n_blocks`` chunks; pigeonhole
+    guarantees every qualifying pair collides on >=1 chunk when
+    ``max_hamming < n_blocks``), but signature-agnostic — the caller
+    supplies the fingerprint (SimHash, aHash/dHash, audio energy-delta,
+    any 64-bit sketch), so every perceptual-hash modality shares one
+    scale-safe join. Work scales with block-bucket load, never n²."""
+    if n_blocks is None:
+        n_blocks = max_hamming + 1
+    if not max_hamming < n_blocks <= num_bits:
+        raise ValueError(
+            f"need max_hamming < n_blocks <= num_bits, got "
+            f"{max_hamming}/{n_blocks}/{num_bits}"
+        )
+    base_w, extra = divmod(num_bits, n_blocks)
+    widths = [base_w + (1 if i < extra else 0) for i in range(n_blocks)]
+    offsets = [sum(widths[:i]) for i in range(n_blocks)]
+    # NULL-signature rows (e.g. codec poison-pill rejects) are dropped
+    # AFTER the persist fence: a .where() on the computed column BEFORE
+    # it would be predicate-pushed below the caller's projections,
+    # alias-substituting the full signature tree into the Filter — the
+    # fingerprint then computes twice and the inlined monster expression
+    # falls out of codegen (observed: 87 KB filter condition)
+    sigs = _materialize(
+        df.select(F.col(id_col).alias("__id"), F.col(sig_col).alias("__sig"))
+    ).where(F.col("__sig").isNotNull())
+    blocks = sigs.select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("__sig"), offsets[i]).bitwiseAND(
+                        F.lit((1 << widths[i]) - 1).cast("long")
+                    )
+                    for i in range(n_blocks)
+                ]
+            )
+        ).alias("__blk", "__val"),
+    )
+    # hamming verify INSIDE the join condition (see neardup_simhash)
+    return (
+        blocks.alias("a")
+        .join(
+            blocks.alias("b"),
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__val") == F.col("b.__val"))
+            & (F.col("a.__id") < F.col("b.__id"))
+            & (
+                hamming64(F.col("a.__sig"), F.col("b.__sig"))
+                <= F.lit(max_hamming)
+            ),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming64(F.col("a.__sig"), F.col("b.__sig")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def neardup_embedding_cosine(
     df: DataFrame,
     id_col: str = "vec_id",

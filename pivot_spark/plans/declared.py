@@ -8032,7 +8032,7 @@ def e173_url_normalize(spark, sf_dir):
 _E174_N = 24
 
 
-def _e174_payload(col_name: str = "pp") -> "F.Column":
+def _e174_payload(col_name: str = "pp", n: int = _E174_N) -> "F.Column":
     """Two's-complement LE PCM-16 payload from text chars (unrolled).
 
     Generated as ONE ``F.expr`` SQL string: the column-object form made
@@ -8040,7 +8040,7 @@ def _e174_payload(col_name: str = "pp") -> "F.Column":
     of DRIVER time per build — parsing one 10 KB expression JVM-side is
     ~0.1s for the identical Catalyst tree."""
     pieces = []
-    for i in range(_E174_N):
+    for i in range(n):
         c0 = f"ascii(substring({col_name}, {1 + 2 * i}, 1))"
         c1 = f"ascii(substring({col_name}, {2 + 2 * i}, 1))"
         v = f"({c0} + 256 * {c1})"
@@ -8724,6 +8724,188 @@ def e184_text_normalize(spark, sf_dir):
         F.length(normalize_unicode(F.col("t"))).cast("long").alias("n_chars"),
         (normalize_unicode(F.col("t")) != F.col("t")).alias("changed"),
     )
+
+
+# --- E185/E186: energy-delta acoustic fingerprint + audio near-dup pairs
+# over REAL PCM-16 WAVs (the e174 signed-sample convention, stretched to
+# 48 samples so the 17-frame fingerprint carries 16 informative bits).
+# The corpus's duplicate/near-duplicate texts produce identical payloads,
+# so hamming-0 clusters genuinely exist and the banded pair join's
+# verify path carries rows. Sample values from ASCII text stay <= 32382,
+# so v*v fits INT32 in DuckDB — but the oracle casts to BIGINT anyway
+# (DuckDB hard-errors on INT32 multiply overflow; no silent promotion).
+_E185_N, _E185_NF = 48, 17
+
+_E185_FP_CTE = f"""
+WITH au AS (
+  SELECT doc_id,
+         rpad(substring(text, 1, {2 * _E185_N}), {2 * _E185_N}, ' ') AS p
+  FROM documents
+), sm AS (
+  SELECT doc_id,
+         list_transform(range(0, {_E185_N}), i ->
+           (ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1))
+            + 256 * ascii(substring(p, CAST(2 + i * 2 AS INTEGER), 1)))
+           * (CASE WHEN ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1)) % 2 = 1
+                   THEN -1 ELSE 1 END)) AS v
+  FROM au
+), en AS (
+  SELECT doc_id,
+         list_transform(range(0, {_E185_NF}), f ->
+           coalesce(list_sum(list_transform(
+             range((f * {_E185_N}) // {_E185_NF},
+                   ((f + 1) * {_E185_N}) // {_E185_NF}),
+             i -> CAST(v[i + 1] AS BIGINT) * v[i + 1])), 0)) AS e
+  FROM sm
+), fp AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(range(0, {_E185_NF - 1}), b ->
+           CASE WHEN e[b + 2] > e[b + 1]
+                THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0) AS afp
+  FROM en
+)
+"""
+
+_E185_ORACLE = _E185_FP_CTE + "SELECT doc_id, afp FROM fp"
+
+
+def _e185_audio(spark, sf_dir):
+    from pivot_spark.operators.codecs import make_wav
+
+    need = 2 * _E185_N
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
+    )
+    return d.select(
+        "doc_id", make_wav(1, 8000, _e174_payload("pp", _E185_N)).alias("audio")
+    )
+
+
+@query("e185_audio_fingerprint", _E185_ORACLE)
+def e185_audio_fingerprint(spark, sf_dir):
+    """Haitsma-Kalker-family energy-delta fingerprint over real WAV
+    bytes — the audio leg of the perceptual-hash dedup stack
+    (operators/codecs.py::audio_fingerprint): one nested scan-stage
+    fold, each sample read once, no shuffle."""
+    from pivot_spark.operators.codecs import audio_fingerprint
+
+    return audio_fingerprint(
+        _e185_audio(spark, sf_dir), n_frames=_E185_NF
+    ).select("doc_id", "afp")
+
+
+_E186_ORACLE = _E185_FP_CTE + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 2
+"""
+
+
+@query("e186_audio_neardup", _E186_ORACLE)
+def e186_audio_neardup(spark, sf_dir):
+    """Near-duplicate audio pairs by fingerprint Hamming distance: the
+    generic block-permutation band join (neardup.py::hamming_pairs) on
+    the e185 signature — candidate volume scales with block-bucket
+    load, never n²; oracle is the brute-force O(n²) twin."""
+    from pivot_spark.operators.codecs import audio_fingerprint_pairs
+
+    return audio_fingerprint_pairs(
+        _e185_audio(spark, sf_dir), max_hamming=2, n_frames=_E185_NF
+    ).select("id_a", "id_b", "hamming")
+
+
+# --- E187/E188: image dHash (gradient perceptual hash over REAL P6
+# pixels, NN-sampled 9x7 luma grid) + image near-dup pairs. Corpus is
+# the e175 builder (w=4+id%5, h=3+id%4, every 7th doc solid) so the
+# all-zero-hash branch (solid image -> no gradients) and a genuine
+# hamming-0 cluster (~72 solid docs at sf0.01) both carry rows.
+_E187_IMG_CTE = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+         CASE WHEN doc_id % 7 = 0
+              THEN repeat('x', CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER))
+              ELSE rpad(substring(text, 1, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER)),
+                        CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER), ' ') END AS p
+  FROM documents
+), lm AS (
+  SELECT doc_id,
+         list_transform(range(0, 63), k ->
+             299 * ascii(substring(p, CAST(1 + ((((k // 9) * h) // 7) * w + (((k % 9) * w) // 9)) * 3 AS INTEGER), 1))
+           + 587 * ascii(substring(p, CAST(2 + ((((k // 9) * h) // 7) * w + (((k % 9) * w) // 9)) * 3 AS INTEGER), 1))
+           + 114 * ascii(substring(p, CAST(3 + ((((k // 9) * h) // 7) * w + (((k % 9) * w) // 9)) * 3 AS INTEGER), 1))) AS l
+  FROM img
+), dh AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(range(0, 56), b ->
+           CASE WHEN l[(b // 8) * 9 + (b % 8) + 2] > l[(b // 8) * 9 + (b % 8) + 1]
+                THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0) AS dhash
+  FROM lm
+)
+"""
+
+_E187_ORACLE = _E187_IMG_CTE + "SELECT doc_id, dhash FROM dh"
+
+
+def _e187_images(spark, sf_dir):
+    from pivot_spark.operators.codecs import make_ppm
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn(
+            "p",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.encode(F.expr("repeat('x', w*h*3)"), "UTF-8"),
+            ).otherwise(
+                F.encode(
+                    F.expr("rpad(substring(text, 1, w*h*3), w*h*3, ' ')"), "UTF-8"
+                )
+            ),
+        )
+    )
+    return d.select(
+        "doc_id", make_ppm(F.col("w"), F.col("h"), F.col("p")).alias("image")
+    )
+
+
+@query("e187_image_dhash", _E187_ORACLE)
+def e187_image_dhash(spark, sf_dir):
+    """Gradient perceptual hash (dHash) over real P6 pixels — survives
+    the brightness shifts that break aHash's global-mean threshold
+    (operators/codecs.py::ppm_dhash): one interpreted luma transform +
+    scalar packing, scan-stage, no shuffle."""
+    from pivot_spark.operators.codecs import ppm_dhash
+
+    return ppm_dhash(_e187_images(spark, sf_dir)).select("doc_id", "dhash")
+
+
+_E188_ORACLE = _E187_IMG_CTE + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
+@query("e188_image_neardup_dhash", _E188_ORACLE)
+def e188_image_neardup_dhash(spark, sf_dir):
+    """Near-duplicate image pairs by dHash Hamming distance through the
+    SAME generic band join the audio path uses (hamming_pairs) — one
+    scale-safe join for every perceptual-hash modality. The ~72-doc
+    solid-image cluster stresses the verify path with a dense
+    hamming-0 block."""
+    from pivot_spark.operators.codecs import ppm_dhash
+    from pivot_spark.operators.neardup import hamming_pairs
+
+    sigs = ppm_dhash(_e187_images(spark, sf_dir))
+    return hamming_pairs(
+        sigs, "doc_id", "dhash", num_bits=56, max_hamming=6
+    ).select("id_a", "id_b", "hamming")
 
 
 # --------------------------------------------------------------------------
