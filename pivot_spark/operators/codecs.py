@@ -183,7 +183,7 @@ def decode_ppm(
     # CSE across the lambda boundary), so the inline form re-hexed the
     # whole blob and re-ran the header regexp once per pixel — O(n^2)
     # per image
-    out = out.withColumn("__hx", F.hex(raw)).withColumn("__hdr", hdr_len)
+    out = out.withColumns({"__hx": F.hex(raw), "__hdr": hdr_len})
     hxc, hdrc = F.col("__hx"), F.col("__hdr")
     n_px = (w * h).cast("long")
     idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
@@ -199,12 +199,11 @@ def decode_ppm(
         )
         return F.when(ok & (n_px > 0), total / n_px.cast("double"))
 
-    return (
-        out.withColumn("mean_r", chan_mean(0))
-        .withColumn("mean_g", chan_mean(1))
-        .withColumn("mean_b", chan_mean(2))
-        .drop("__hx", "__hdr", "__ok")
-    )
+    # one withColumns call (see decode_bmp: chained withColumn
+    # re-analyzes the accumulated plan per link)
+    return out.withColumns(
+        {"mean_r": chan_mean(0), "mean_g": chan_mean(1), "mean_b": chan_mean(2)}
+    ).drop("__hx", "__hdr", "__ok")
 
 
 # ---------------------------------------------------------------------------
@@ -351,13 +350,14 @@ def decode_bmp(
     # gated with `ok`: these evaluate unconditionally as columns, and a
     # garbage header's w would overflow the ANSI int multiply (the old
     # inline form was lazy inside the CASE WHEN branches)
-    out = (
-        out.withColumn("__hx", F.when(ok, F.hex(raw)))
-        .withColumn("__off", F.when(ok, off.cast("long")))
-        .withColumn(
-            "__stride",
-            F.when(ok, (F.floor((w.cast("long") * 3 + 3) / 4) * 4).cast("long")),
-        )
+    out = out.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__off": F.when(ok, off.cast("long")),
+            "__stride": F.when(
+                ok, (F.floor((w.cast("long") * 3 + 3) / 4) * 4).cast("long")
+            ),
+        }
     )
     hxc = F.col("__hx")
     n_px = (w * h).cast("long")
@@ -382,12 +382,11 @@ def decode_bmp(
         )
         return F.when(ok & (n_px > 0), total / n_px.cast("double"))
 
-    return (
-        out.withColumn("mean_b", chan_mean(0))
-        .withColumn("mean_g", chan_mean(1))
-        .withColumn("mean_r", chan_mean(2))
-        .drop("__hx", "__off", "__stride", "__ok")
-    )
+    # one withColumns call: chained withColumn re-analyzes the whole
+    # accumulated plan per link (driver milliseconds on trees this size)
+    return out.withColumns(
+        {"mean_b": chan_mean(0), "mean_g": chan_mean(1), "mean_r": chan_mean(2)}
+    ).drop("__hx", "__off", "__stride", "__ok")
 
 
 # ---------------------------------------------------------------------------
@@ -514,8 +513,8 @@ def decode_wav(
     # standalone column evaluates unconditionally and a garbage
     # header's sizes would overflow ANSI arithmetic (the old inline
     # form was lazy inside the CASE WHEN branches).
-    out = out.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
-        "__nch", F.when(ok, n_ch.cast("long"))
+    out = out.withColumns(
+        {"__hx": F.when(ok, F.hex(raw)), "__nch": F.when(ok, n_ch.cast("long"))}
     )
     hxc = F.col("__hx")
 
@@ -603,8 +602,8 @@ def wav_features(
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
     ok = F.col("__ok")
-    out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
-        "__nch", F.when(ok, n_ch.cast("long"))
+    out = df.withColumns(
+        {"__hx": F.when(ok, F.hex(raw)), "__nch": F.when(ok, n_ch.cast("long"))}
     )
     hxc = F.col("__hx")
 
@@ -677,8 +676,11 @@ def ppm_luma_stats(
     ok, w, h, mxv, hdr_len = _ppm_header(raw)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
     ok = F.col("__ok")
-    out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
-        "__hdr", F.when(ok, hdr_len.cast("long"))
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__hdr": F.when(ok, hdr_len.cast("long")),
+        }
     )
     hxc, hdrc = F.col("__hx"), F.col("__hdr")
     n_px = (w * h).cast("long")
@@ -723,14 +725,17 @@ def ppm_luma_stats(
     # double's shortest decimal repr and HALF_UPs it, which disagrees
     # with C-style double rounding on exact .5 ties — observed 2/500)
     std_r = F.floor(F.sqrt(var) / 1000.0 * 10000 + 0.5) / 10000
-    return (
-        out.withColumn("luma_mean", F.when(ok & (n_px > 0), mean1000 / 1000.0))
-        .withColumn("luma_std", F.when(ok & (n_px > 0), std_r))
-        .withColumn("luma_min", F.when(ok & (n_px > 0), a["mn"] / 1000.0))
-        .withColumn("luma_max", F.when(ok & (n_px > 0), a["mx"] / 1000.0))
-        .withColumn("is_blank", F.when(ok & (n_px > 0), std_r < float(blank_std)))
-        .drop("__hx", "__hdr", "__ls", "__ok")
-    )
+    # one withColumns call (see decode_bmp: chained withColumn
+    # re-analyzes the accumulated plan per link)
+    return out.withColumns(
+        {
+            "luma_mean": F.when(ok & (n_px > 0), mean1000 / 1000.0),
+            "luma_std": F.when(ok & (n_px > 0), std_r),
+            "luma_min": F.when(ok & (n_px > 0), a["mn"] / 1000.0),
+            "luma_max": F.when(ok & (n_px > 0), a["mx"] / 1000.0),
+            "is_blank": F.when(ok & (n_px > 0), std_r < float(blank_std)),
+        }
+    ).drop("__hx", "__hdr", "__ls", "__ok")
 
 
 def ppm_resize_nn(
@@ -818,12 +823,14 @@ def wav_downsample(
     # header fields as gated named columns, header bytes as ONE expr
     # string over them (the _le_bytes Column form made ~200 py4j
     # round-trips per build — see _le_sql)
-    out = (
-        df.withColumn("__hx", F.when(ok, F.hex(raw)))
-        .withColumn("__blk", F.when(ok, block))
-        .withColumn("__nch", F.when(ok, n_ch.cast("long")))
-        .withColumn("__nrate", F.when(ok, new_rate))
-        .withColumn("__dsz", F.when(ok, out_n * block))
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__blk": F.when(ok, block),
+            "__nch": F.when(ok, n_ch.cast("long")),
+            "__nrate": F.when(ok, new_rate),
+            "__dsz": F.when(ok, out_n * block),
+        }
     )
 
     def le_sql(expr: str, n: int) -> str:
@@ -859,11 +866,13 @@ def wav_downsample(
         ),
     )
     payload = F.unhex(F.array_join(frames, ""))
-    return (
-        out.withColumn(
-            out_col, F.when(ok & (out_n > 0), F.concat(header, payload))
-        )
-        .drop("__hx", "__blk", "__nch", "__nrate", "__dsz", "__ok")
+    keep = [
+        c for c in out.columns
+        if c not in ("__hx", "__blk", "__nch", "__nrate", "__dsz", "__ok")
+    ]
+    return out.select(
+        *keep,
+        F.when(ok & (out_n > 0), F.concat(header, payload)).alias(out_col),
     )
 
 
@@ -899,8 +908,11 @@ def ppm_to_pgm(
     ok, w, h, mxv, hdr_len = _ppm_header(raw)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
     ok = F.col("__ok")
-    out = df.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
-        "__hdr", F.when(ok, hdr_len.cast("long"))
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__hdr": F.when(ok, hdr_len.cast("long")),
+        }
     )
     hxc, hdrc = F.col("__hx"), F.col("__hdr")
     n_px = (w * h).cast("long")
@@ -924,12 +936,12 @@ def ppm_to_pgm(
         F.lit("\n"), mxv.cast("string"), F.lit("\n"),
     )
     payload = F.unhex(F.array_join(F.transform(idx, _lam("ipg", gray)), ""))
-    return (
-        out.withColumn(
-            out_col,
-            F.when(ok & (n_px > 0), F.concat(F.encode(header, "UTF-8"), payload)),
-        )
-        .drop("__hx", "__hdr", "__ok")
+    keep = [c for c in out.columns if c not in ("__hx", "__hdr", "__ok")]
+    return out.select(
+        *keep,
+        F.when(
+            ok & (n_px > 0), F.concat(F.encode(header, "UTF-8"), payload)
+        ).alias(out_col),
     )
 
 
@@ -959,8 +971,11 @@ def decode_pgm(
     ok = F.col("__ok")   # see decode_ppm: one gate eval
     if not gray_mean:
         return out.drop("__ok")
-    out = out.withColumn("__hx", F.when(ok, F.hex(raw))).withColumn(
-        "__hdr", F.when(ok, hdr_len.cast("long"))
+    out = out.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__hdr": F.when(ok, hdr_len.cast("long")),
+        }
     )
     hxc, hdrc = F.col("__hx"), F.col("__hdr")
     n_px = (w * h).cast("long")
@@ -970,12 +985,10 @@ def decode_pgm(
         F.lit(0).cast("long"),
         _lam("agm, igm", lambda a, i: a + _u8h(hxc, hdrc + i + 1)),
     )
-    return (
-        out.withColumn(
-            "mean_gray",
-            F.when(ok & (n_px > 0), total / n_px.cast("double")),
-        )
-        .drop("__hx", "__hdr", "__ok")
+    keep = [c for c in out.columns if c not in ("__hx", "__hdr", "__ok")]
+    return out.select(
+        *keep,
+        F.when(ok & (n_px > 0), total / n_px.cast("double")).alias("mean_gray"),
     )
 
 
@@ -1022,15 +1035,18 @@ def sniff_media(df: DataFrame, binary_col: str = "blob") -> DataFrame:
     )
     width = F.when(p_ok, pw).when(g_ok, gw).when(b_ok, bw)
     height = F.when(p_ok, ph).when(g_ok, gh).when(b_ok, bh)
-    return (
-        df.withColumn("format", fmt)
-        .withColumn("width", width)
-        .withColumn("height", height)
-        .withColumn("sample_rate", F.when(w_ok, rate))
-        .withColumn("n_samples", F.when(w_ok, n_samp))
-        .withColumn("n_bytes", F.length(raw).cast("long"))
-        .drop("__pok", "__gok", "__bok", "__wok")
-    )
+    # one withColumns call (see decode_bmp: chained withColumn
+    # re-analyzes the accumulated plan per link)
+    return df.withColumns(
+        {
+            "format": fmt,
+            "width": width,
+            "height": height,
+            "sample_rate": F.when(w_ok, rate),
+            "n_samples": F.when(w_ok, n_samp),
+            "n_bytes": F.length(raw).cast("long"),
+        }
+    ).drop("__pok", "__gok", "__bok", "__wok")
 
 
 def wav_mixdown(
@@ -1053,11 +1069,16 @@ def wav_mixdown(
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
     ok = F.col("__ok")
-    out = (
-        df.withColumn("__hx", F.when(ok, F.hex(raw)))
-        .withColumn("__nch", F.when(ok, n_ch.cast("long")))
-        .withColumn("__mrate", F.when(ok, rate.cast("long")))
-        .withColumn("__msz", F.when(ok, n_samp * 2))
+    # ONE withColumns call: each chained withColumn re-analyzes the
+    # whole accumulated plan (which carries the caller's corpus-builder
+    # tree) — batching the gated columns cut e182's driver build ~2x
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__nch": F.when(ok, n_ch.cast("long")),
+            "__mrate": F.when(ok, rate.cast("long")),
+            "__msz": F.when(ok, n_samp * 2),
+        }
     )
 
     def le_sql(expr: str, n: int) -> str:
@@ -1100,11 +1121,13 @@ def wav_mixdown(
     payload = F.unhex(
         F.array_join(F.transform(idx, _lam("imx", mono)), "")
     )
-    return (
-        out.withColumn(
-            out_col, F.when(ok & (n_samp > 0), F.concat(header, payload))
-        )
-        .drop("__hx", "__nch", "__mrate", "__msz", "__ok")
+    keep = [
+        c for c in out.columns
+        if c not in ("__hx", "__nch", "__mrate", "__msz", "__ok")
+    ]
+    return out.select(
+        *keep,
+        F.when(ok & (n_samp > 0), F.concat(header, payload)).alias(out_col),
     )
 
 
@@ -1159,10 +1182,12 @@ def audio_fingerprint(
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
     ok = F.col("__ok")
-    out = (
-        df.withColumn("__hx", F.when(ok, F.hex(raw)))
-        .withColumn("__nch", F.when(ok, n_ch.cast("long")))
-        .withColumn("__nsmp", F.when(ok, n_samp))
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__nch": F.when(ok, n_ch.cast("long")),
+            "__nsmp": F.when(ok, n_samp),
+        }
     )
     nf = n_frames
     fs = f"((fqaf * __nsmp) DIV {nf})"
@@ -1250,11 +1275,13 @@ def ppm_dhash(
     ok, w, h, mx, hdr_len = _ppm_header(raw)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
     ok = F.col("__ok")
-    out = (
-        df.withColumn("__hx", F.when(ok, F.hex(raw)))
-        .withColumn("__w", F.when(ok, w.cast("long")))
-        .withColumn("__h", F.when(ok, h.cast("long")))
-        .withColumn("__hdr", F.when(ok, hdr_len.cast("long")))
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__w": F.when(ok, w.cast("long")),
+            "__h": F.when(ok, h.cast("long")),
+            "__hdr": F.when(ok, hdr_len.cast("long")),
+        }
     )
     gw1 = grid_w + 1
     sr = f"(((kdh DIV {gw1}) * __h) DIV {grid_h})"
