@@ -37,12 +37,30 @@ POISSON1_CDF = [
 ]
 
 
+def _poisson_weight_sql(id_sql: str, replica: int, salt: str = "boot") -> str:
+    """SQL fragment for the deterministic Poisson(1) weight of row id
+    ``id_sql`` in replica ``replica``: count of CDF thresholds at or
+    below the row's 32-bit md5-slice uniform (inverse-CDF lookup as 8
+    comparisons). Replicas 4g..4g+3 share digest md5("{salt}:{g}:{id}")
+    and read hex slices 0..3 — codegen CSE computes each digest once
+    per row. Emitted as a string because the Column-object form made
+    ~700 py4j round-trips across 30 replicas (~2s of driver time per
+    build); double literals use repr() (shortest round-trip repr, so
+    the parsed double is bit-identical to F.lit)."""
+    g, j = divmod(replica, 4)
+    h = f"md5(concat('{salt}:{g}:', CAST({id_sql} AS STRING)))"
+    u = (
+        f"((CAST(conv(substring({h}, {1 + 8 * j}, 8), 16, 10) AS DOUBLE)"
+        f" + 0.5) / 4294967296.0)"
+    )
+    return "(" + " + ".join(
+        f"CAST({u} >= {c!r} AS INT)" for c in POISSON1_CDF
+    ) + ")"
+
+
 def poisson_weight(id_col, replica: int, salt: str = "boot"):
-    """Deterministic Poisson(1) weight of ``id_col`` in replica
-    ``replica``: count of CDF thresholds at or below the row's 32-bit
-    md5-slice uniform (inverse-CDF lookup as 8 comparisons). Replicas
-    4g..4g+3 share digest md5("{salt}:{g}:{id}") and read hex slices
-    0..3 — codegen CSE computes each digest once per row."""
+    """Column-object twin of ``_poisson_weight_sql`` (same tree; kept
+    for composition in user code — the hot loop uses the SQL form)."""
     g, j = divmod(replica, 4)
     h = F.md5(F.concat(F.lit(f"{salt}:{g}:"), id_col.cast("string")))
     u = (
@@ -77,11 +95,12 @@ def poisson_bootstrap_mean(
     x = F.col(value_col).cast("double")
     idc = F.col(id_col)
     base = df.filter(x.isNotNull() & idc.isNotNull())
+    xs = f"CAST(`{value_col}` AS DOUBLE)"
     aggs = [F.sum(x).alias("__sx"), F.count(x).alias("__n")]
     for r in range(n_replicas):
-        w = poisson_weight(idc, r, salt)
-        aggs.append(F.sum(w).alias(f"__w{r}"))
-        aggs.append(F.sum(w * x).alias(f"__wx{r}"))
+        w = _poisson_weight_sql(f"`{id_col}`", r, salt)
+        aggs.append(F.expr(f"sum({w})").alias(f"__w{r}"))
+        aggs.append(F.expr(f"sum({w} * {xs})").alias(f"__wx{r}"))
     row = base.agg(*aggs)
     means = F.array(
         *[

@@ -207,9 +207,12 @@ def rocchio_predict(
             lambda acc, b: acc + F.element_at(vec, b),
         )
 
-    scores = [
-        dot_with(F.array(*[F.lit(v) for v in cents[lab]])) for lab in labels
-    ]
+    # ONE parsed SQL literal per centroid instead of num_buckets F.lit
+    # py4j round-trips (k=5 x 256 buckets cost ~1.3s of driver time per
+    # build)
+    from pivot_spark.operators.embedding import lit_double_array
+
+    scores = [dot_with(lit_double_array(cents[lab])) for lab in labels]
     arr = F.array(
         *[
             F.struct(s.alias("s"), F.lit(-i).alias("ni"))

