@@ -47,15 +47,16 @@ _ROUND_WINDOW = [
     "e81_spearman_matrix", "e113_bpe_learn", "e127_duplicated_spans",
     "e133_remove_dup_spans", "e134_poisson_bootstrap",
     "e146_cdf_transform", "e152_roc_auc",
-    # additional unchecked heavy-logic operators (e36/e41/e54/e56
-    # rotate to round 4 — unit-tested and oracle-declared meanwhile)
-    "e32_chunk_dedup", "e35_gopher_quality",
+    # additional unchecked heavy-logic operators (e32/e35/e36/e41/e54/
+    # e56 rotate to round 4 — unit-tested and oracle-declared meanwhile)
     "e38_ngram_decontam",
     "e75_bloom_decontam", "e85_bigram_lm",
     "e129_neardup_incremental",
-    # perceptual-fingerprint family, new this session
+    # new this session: perceptual-fingerprint family + media transforms
+    # (newest code gets the hard signal first)
     "e185_audio_fingerprint", "e186_audio_neardup",
     "e187_image_dhash", "e188_image_neardup_dhash",
+    "e189_audio_trim", "e190_image_crop",
     # session-3 new operators — newest code gets the hard signal first
     # (e47/e50/e66/e72 rotate to round 4; they are unit-tested and
     # oracle-declared meanwhile)

@@ -1131,6 +1131,141 @@ def wav_mixdown(
     )
 
 
+def wav_trim_silence(
+    df: DataFrame,
+    binary_col: str = "audio",
+    threshold_abs: int = 4096,
+    out_col: str = "trimmed",
+) -> DataFrame:
+    """Leading/trailing-silence trim emitting REAL WAV bytes — the
+    VAD-lite first pass of a speech-curation pipeline. A sample is
+    "active" when channel 0's ``|v| >= threshold_abs``; the output
+    keeps frames [first_active, last_active] (ALL channels of each
+    frame are copied; interior quiet spans are preserved). A fully
+    silent or empty file becomes a valid 44-byte zero-sample WAV, so
+    downstream ``decode_wav`` still parses it (``n_samples = 0``)
+    rather than hitting a poison NULL.
+
+    One fold finds (first, last) active indices, one interpreted
+    ``transform`` copies the kept frames from the hexed blob, the
+    header is rebuilt as ONE expr string. Scan-stage, no shuffle, no
+    Python; malformed input -> NULL via the shared header gate."""
+    if threshold_abs < 0:
+        raise ValueError(f"threshold_abs must be >= 0, got {threshold_abs}")
+    raw = F.col(binary_col)
+    ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__nch": F.when(ok, n_ch.cast("long")),
+            "__nsmp": F.when(ok, n_samp),
+            "__trate": F.when(ok, rate.cast("long")),
+        }
+    )
+    # (first, last) active channel-0 sample index in ONE pass; {-1,-1}
+    # when nothing clears the threshold
+    bounds_sql = (
+        f"aggregate(sequence(CAST(0 AS BIGINT), __nsmp - 1),"
+        f" named_struct('lo', CAST(-1 AS BIGINT), 'hi', CAST(-1 AS BIGINT)),"
+        f" (ats, its) -> CASE WHEN abs({_wav_sample0_sql('its')}) >= {int(threshold_abs)}"
+        f" THEN named_struct('lo', CASE WHEN ats.lo < 0 THEN its ELSE ats.lo END,"
+        f" 'hi', its) ELSE ats END)"
+    )
+    out = out.withColumn(
+        "__tb", F.when(ok & (F.col("__nsmp") > 0), F.expr(bounds_sql))
+    )
+    m = F.when(
+        ok & (F.col("__nsmp") > 0) & (F.col("__tb")["lo"] >= 0),
+        F.col("__tb")["hi"] - F.col("__tb")["lo"] + 1,
+    ).otherwise(F.lit(0).cast("long"))
+    out = out.withColumn("__tm", F.when(ok, m)).withColumn(
+        "__tdsz", F.when(ok, F.col("__tm") * 2 * F.col("__nch"))
+    )
+
+    def le_sql(expr: str, n: int) -> str:
+        return "concat(" + ", ".join(
+            f"unhex(lpad(hex(pmod(shiftright(CAST({expr} AS BIGINT), {8 * i}),"
+            f" 256)), 2, '0'))"
+            for i in range(n)
+        ) + ")"
+
+    header = F.expr(
+        "concat(X'52494646', "
+        + le_sql("__tdsz + 36", 4)
+        + ", X'57415645666D7420', "
+        + le_sql("16", 4) + ", " + le_sql("1", 2) + ", "
+        + le_sql("__nch", 2) + ", " + le_sql("__trate", 4) + ", "
+        + le_sql("__trate * 2 * __nch", 4) + ", "
+        + le_sql("2 * __nch", 2) + ", " + le_sql("16", 2)
+        + ", X'64617461', "
+        + le_sql("__tdsz", 4)
+        + ")"
+    )
+    # frame copies: 2*nch bytes per kept sample, starting at frame lo+j
+    frames_sql = (
+        "transform(sequence(CAST(0 AS BIGINT), __tm - 1),"
+        " jtr -> substring(__hx,"
+        " CAST((44 + (__tb.lo + jtr) * 2 * __nch) * 2 + 1 AS INT),"
+        " CAST(2 * __nch * 2 AS INT)))"
+    )
+    payload = F.when(
+        F.col("__tm") > 0,
+        F.unhex(F.expr(f"array_join({frames_sql}, '')")),
+    ).otherwise(F.lit(b""))
+    keep = [
+        c for c in out.columns
+        if c not in ("__hx", "__nch", "__nsmp", "__trate", "__tb", "__tm",
+                     "__tdsz", "__ok")
+    ]
+    return out.select(
+        *keep, F.when(ok, F.concat(header, payload)).alias(out_col)
+    )
+
+
+def ppm_crop(
+    df: DataFrame,
+    x: int,
+    y: int,
+    out_w: int,
+    out_h: int,
+    binary_col: str = "image",
+    out_col: str = "cropped",
+) -> DataFrame:
+    """Fixed-window crop emitting REAL P6 bytes: output pixel (cx, cy)
+    copies source pixel (x+cx, y+cy) — the standard region-of-interest
+    step of a vision-curation pipeline (center/patch crops). Rows whose
+    image does not contain the window (``x+out_w > width`` or
+    ``y+out_h > height``) get NULL, same contract as the header gate.
+
+    Like ``ppm_resize_nn``: one substring per output ROW (``out_h``
+    row-slices of ``3*out_w`` contiguous bytes — crops copy whole
+    scanline segments, so this is ``out_h`` substrings, not
+    ``out_w*out_h``), concatenated after the rebuilt header. Scan-stage
+    Catalyst, no Python; sized for thumbnail-scale payloads like the
+    rest of the expression codecs."""
+    if x < 0 or y < 0 or out_w <= 0 or out_h <= 0:
+        raise ValueError("need x, y >= 0 and out_w, out_h > 0")
+    raw = F.col(binary_col)
+    ok, w, h, mxv, hdr_len = _ppm_header(raw)
+    ok = ok & (w >= x + out_w) & (h >= y + out_h)
+    wl = w.cast("long")
+    header = F.concat(
+        F.lit(f"P6\n{out_w} {out_h}\n"), mxv.cast("string"), F.lit("\n")
+    )
+    rows = [
+        raw.substr(
+            (hdr_len.cast("long") + ((y + cy) * wl + x) * 3 + 1).cast("int"),
+            F.lit(3 * out_w),
+        )
+        for cy in range(out_h)
+    ]
+    return df.withColumn(
+        out_col, F.when(ok, F.concat(F.encode(header, "UTF-8"), *rows))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual fingerprints over decoded media (audio energy-delta, image
 # dHash) — the hash step of the near-dup family run on REAL codec output

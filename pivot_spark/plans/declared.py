@@ -8908,6 +8908,163 @@ def e188_image_neardup_dhash(spark, sf_dir):
     ).select("id_a", "id_b", "hamming")
 
 
+# --- E189: leading/trailing-silence trim emitting REAL WAV bytes,
+# verified by decoding the TRIMMED file. Corpus: (doc_id%3) zero samples
+# + 24 signed e174 samples (every 11th doc all-zero instead -> the
+# fully-silent 44-byte-output branch) + (1+doc_id%2) zero samples. Text
+# chars below 0x20 (newlines) can make interior/edge samples fall under
+# the 4096 threshold, so the oracle replays the generic first/last
+# active-index logic, not a fixed [lead, lead+23] window. Means round
+# via floor(x*1e4+0.5)/1e4 on BOTH sides (kept-length denominators 5,
+# 10, 15, 20 can tie at the 4th decimal; the floor form is
+# IEEE-identical in any engine).
+_E189_ORACLE = f"""
+WITH au AS (
+  SELECT doc_id,
+         rpad(substring(text, 1, {2 * _E174_N}), {2 * _E174_N}, ' ') AS p
+  FROM documents
+), sm AS (
+  SELECT doc_id,
+         list_transform(range(0, CAST(doc_id % 3 AS INTEGER)), z1 -> 0)
+         || (CASE WHEN doc_id % 11 = 0
+                  THEN list_transform(range(0, {_E174_N}), z2 -> 0)
+                  ELSE list_transform(range(0, {_E174_N}), i ->
+                    (ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1))
+                     + 256 * ascii(substring(p, CAST(2 + i * 2 AS INTEGER), 1)))
+                    * (CASE WHEN ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1)) % 2 = 1
+                            THEN -1 ELSE 1 END)) END)
+         || list_transform(range(0, CAST(1 + doc_id % 2 AS INTEGER)), z3 -> 0) AS v
+  FROM au
+), bounds AS (
+  SELECT doc_id, v,
+         list_min(list_filter(range(0, len(v)), i -> abs(v[i + 1]) >= 4096)) AS lo,
+         list_max(list_filter(range(0, len(v)), i -> abs(v[i + 1]) >= 4096)) AS hi
+  FROM sm
+), kept AS (
+  SELECT doc_id,
+         CASE WHEN lo IS NULL THEN CAST([] AS INTEGER[])
+              ELSE list_transform(range(lo, hi + 1), i -> v[i + 1]) END AS k
+  FROM bounds
+)
+SELECT doc_id,
+       CAST(len(k) AS BIGINT) AS n_samples,
+       CAST(44 + 2 * len(k) AS BIGINT) AS n_bytes,
+       CASE WHEN len(k) > 0
+            THEN floor(list_avg(k) * 10000 + 0.5) / 10000 END AS mean_ch0,
+       CASE WHEN len(k) > 0
+            THEN floor(sqrt(list_avg(list_transform(k, x -> CAST(x AS DOUBLE) * x)))
+                 * 10000 + 0.5) / 10000 END AS rms_ch0
+FROM kept
+"""
+
+
+@query("e189_audio_trim", _E189_ORACLE)
+def e189_audio_trim(spark, sf_dir):
+    """Silence trim (VAD-lite) producing real WAV bytes, decoded back
+    (operators/codecs.py::wav_trim_silence): one bounds fold + one
+    frame-copy transform per file, scan-stage, no shuffle."""
+    from pivot_spark.operators.codecs import (
+        decode_wav,
+        make_wav,
+        wav_trim_silence,
+    )
+
+    need = 2 * _E174_N
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
+    )
+    payload = F.concat(
+        F.expr("substring(X'00000000', 1, CAST((doc_id % 3) * 2 AS INT))"),
+        F.when(
+            F.col("doc_id") % 11 == 0, F.lit(b"\x00" * (2 * _E174_N))
+        ).otherwise(_e174_payload("pp")),
+        F.expr("substring(X'00000000', 1, CAST((1 + doc_id % 2) * 2 AS INT))"),
+    )
+    au = d.select("doc_id", make_wav(1, 8000, payload).alias("audio"))
+    tr = wav_trim_silence(au, threshold_abs=4096).select(
+        "doc_id", F.col("trimmed").alias("audio")
+    )
+    out = decode_wav(tr)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.col("meta.n_samples").alias("n_samples"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        r4("mean_ch0").alias("mean_ch0"),
+        r4("rms_ch0").alias("rms_ch0"),
+    )
+
+
+# --- E190: fixed-window crop (x=2, y=1, 4x2) of the e175 P6 corpus,
+# verified by decoding the CROPPED file. Widths run 4..8, so rows with
+# w < 6 exercise the window-does-not-fit NULL branch (~2/5 of the
+# corpus); 8-pixel channel means are dyadic (/8) and CAN tie at the 4th
+# decimal, hence the floor(x*1e4+0.5)/1e4 convention on both sides.
+_E190_X, _E190_Y, _E190_W, _E190_H = 2, 1, 4, 2
+_E190_NB = len(f"P6\n{_E190_W} {_E190_H}\n255\n") + 3 * _E190_W * _E190_H
+
+_E190_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+         CASE WHEN doc_id % 7 = 0
+              THEN repeat('x', CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER))
+              ELSE rpad(substring(text, 1, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER)),
+                        CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER), ' ') END AS p
+  FROM documents
+), ch AS (
+  SELECT doc_id, w,
+         list_transform(range(0, {_E190_W * _E190_H}), k ->
+           ascii(substring(p, CAST(1 + ((({_E190_Y} + k // {_E190_W}) * w
+                + {_E190_X} + k % {_E190_W}) * 3) AS INTEGER), 1))) AS r,
+         list_transform(range(0, {_E190_W * _E190_H}), k ->
+           ascii(substring(p, CAST(2 + ((({_E190_Y} + k // {_E190_W}) * w
+                + {_E190_X} + k % {_E190_W}) * 3) AS INTEGER), 1))) AS g,
+         list_transform(range(0, {_E190_W * _E190_H}), k ->
+           ascii(substring(p, CAST(3 + ((({_E190_Y} + k // {_E190_W}) * w
+                + {_E190_X} + k % {_E190_W}) * 3) AS INTEGER), 1))) AS b
+  FROM img
+)
+SELECT doc_id,
+       CASE WHEN w >= {_E190_X + _E190_W} THEN CAST({_E190_W} AS INTEGER) END AS width,
+       CASE WHEN w >= {_E190_X + _E190_W} THEN CAST({_E190_H} AS INTEGER) END AS height,
+       CASE WHEN w >= {_E190_X + _E190_W}
+            THEN CAST({_E190_NB} AS BIGINT) END AS n_bytes,
+       CASE WHEN w >= {_E190_X + _E190_W}
+            THEN floor(list_avg(r) * 10000 + 0.5) / 10000 END AS mean_r,
+       CASE WHEN w >= {_E190_X + _E190_W}
+            THEN floor(list_avg(g) * 10000 + 0.5) / 10000 END AS mean_g,
+       CASE WHEN w >= {_E190_X + _E190_W}
+            THEN floor(list_avg(b) * 10000 + 0.5) / 10000 END AS mean_b
+FROM ch
+"""
+
+
+@query("e190_image_crop", _E190_ORACLE)
+def e190_image_crop(spark, sf_dir):
+    """Region-of-interest crop producing real P6 bytes, decoded back
+    (operators/codecs.py::ppm_crop): out_h scanline substrings per
+    image, scan-stage, no Python; window-misses -> NULL."""
+    from pivot_spark.operators.codecs import decode_ppm, ppm_crop
+
+    img = _e187_images(spark, sf_dir)
+    cr = ppm_crop(img, _E190_X, _E190_Y, _E190_W, _E190_H).select(
+        "doc_id", F.col("cropped").alias("image")
+    )
+    out = decode_ppm(cr)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        r4("mean_r").alias("mean_r"),
+        r4("mean_g").alias("mean_g"),
+        r4("mean_b").alias("mean_b"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -489,3 +489,88 @@ def test_ppm_trailing_junk_rejected(spark):
     out = {r.id: r for r in decode_ppm(df).collect()}
     assert out[1].meta is not None
     assert out[2].meta is None  # strict canonical-length contract
+
+
+def test_wav_trim_silence(spark):
+    from pivot_spark.operators.codecs import wav_trim_silence
+
+    cases = {
+        0: [0, 0, 0, 9000, -7000, 120, 8000, 0, 0],  # lead+trail trim,
+                                                     # quiet interior kept
+        1: [0] * 8,                                  # fully silent
+        2: [-20000, 5000, 20000],                    # nothing to trim
+        3: [],                                       # zero samples
+    }
+    rows = [(k, bytearray(_py_wav(1, 8000, v))) for k, v in cases.items()]
+    rows.append((9, bytearray(b"junk")))
+    df = spark.createDataFrame(rows, "id int, audio binary")
+    got = {
+        r.id: (bytes(r.trimmed) if r.trimmed is not None else None)
+        for r in wav_trim_silence(df, threshold_abs=4096).collect()
+    }
+
+    def py_trim(samples, thr=4096):
+        act = [i for i, v in enumerate(samples) if abs(v) >= thr]
+        return _py_wav(1, 8000, samples[act[0]:act[-1] + 1] if act else [])
+
+    for k, v in cases.items():
+        assert got[k] == py_trim(v), k
+    assert got[9] is None  # poison blob
+
+
+def test_wav_trim_silence_stereo_frames(spark):
+    from pivot_spark.operators.codecs import wav_trim_silence
+
+    ch0 = [0, 0, 9000, 0, 9000, 0]      # decision on channel 0 only
+    ch1 = [30000, 2, 3, 4, 5, 30000]    # loud ch1 must NOT keep frames
+    inter = [v for p in zip(ch0, ch1) for v in p]
+    df = spark.createDataFrame(
+        [(1, bytearray(_py_wav(2, 8000, inter)))], "id int, audio binary"
+    )
+    got = bytes(wav_trim_silence(df, threshold_abs=4096).collect()[0].trimmed)
+    kept = [v for p in zip(ch0[2:5], ch1[2:5]) for v in p]
+    assert got == _py_wav(2, 8000, kept)
+
+
+def test_ppm_crop(spark):
+    import random
+
+    from pivot_spark.operators.codecs import decode_ppm, ppm_crop
+
+    rng = random.Random(5)
+    w, h = 7, 6
+    px = [rng.randint(0, 255) for _ in range(w * h * 3)]
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(_py_ppm(w, h, px))),
+            (2, bytearray(_py_ppm(3, 3, list(range(27))))),  # window misses
+            (3, bytearray(b"nope")),
+        ],
+        "id int, image binary",
+    )
+    out = {
+        r.id: (bytes(r.cropped) if r.cropped is not None else None)
+        for r in ppm_crop(df, 2, 1, 4, 3).collect()
+    }
+    b = bytes(px)
+    exp = b"".join(
+        b[((1 + cy) * w + 2) * 3:((1 + cy) * w + 2) * 3 + 12] for cy in range(3)
+    )
+    assert out[1] == _py_ppm(4, 3, list(exp))
+    assert out[2] is None and out[3] is None
+    # the crop is itself a decodable P6
+    rt = decode_ppm(
+        spark.createDataFrame([(1, bytearray(out[1]))], "id int, image binary")
+    ).collect()[0]
+    assert (rt.meta.width, rt.meta.height) == (4, 3)
+
+
+def test_ppm_crop_validates():
+    from pivot_spark.operators.codecs import ppm_crop
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ppm_crop(None, -1, 0, 2, 2)
+    with _pt.raises(ValueError):
+        ppm_crop(None, 0, 0, 0, 2)
