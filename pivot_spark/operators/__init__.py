@@ -153,6 +153,7 @@ from pivot_spark.operators.skew import (
 from pivot_spark.operators.analytics import (
     anova_oneway,
     average_precision,
+    ranking_metrics,
     dispersion_test,
     interarrival_stats,
     rolling_active_users,
@@ -313,7 +314,7 @@ __all__ = [
     "ewma", "cusum_changepoints", "seasonal_anomalies", "welch_t_test",
     "cuped_adjust", "rfm_segments", "kaplan_meier", "anova_oneway",
     "mannwhitney_u", "linear_regression", "conformal_threshold",
-    "lift_curve", "lift_curve_ranked", "binary_auc", "average_precision",
+    "lift_curve", "lift_curve_ranked", "binary_auc", "average_precision", "ranking_metrics",
     "brier_decomposition", "weighted_quantile", "trending_keys",
     "sequence_surprise", "rolling_active_users", "dispersion_test",
     "interarrival_stats",

@@ -1515,3 +1515,87 @@ def interarrival_stats(
         F.element_at("__p", 1).alias("p50_s"),
         F.element_at("__p", 2).alias("p90_s"),
     )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    query_col: str,
+    score_col: str,
+    rel_col: str,
+    tiebreak_col: str,
+    k: int = 10,
+    weight_scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-query ranked-retrieval quality — nDCG@k and reciprocal rank —
+    the evaluation loop of an embedding/retrieval data pipeline (judge a
+    candidate generator against graded labels, per query).
+
+    Semantics: candidates are ordered by (score DESC, tiebreak ASC);
+    DCG@k = sum over the first k of rel_r * w_r and IDCG@k the same sum
+    over the relevances sorted descending; rr = 1/rank of the first
+    candidate with rel > 0 within the top k (0.0 if none). Discount
+    weights w_r = round(weight_scale / log2(r+1)) are QUANTIZED to
+    integers at build time, so DCG/IDCG are exact BIGINT sums — the
+    engine-portable determinism contract (a float log2 chain would
+    differ in ulps between engines); nDCG is a single exact-integer
+    division. Declared divergence: weights are 1e-6-quantized, nDCG
+    error vs the float definition < 1e-5.
+
+    Scale: ONE groupBy(query) shuffle; candidate lists are collected
+    per query, so the contract is the standard bounded-run shape
+    (top-N candidates per query, N in the hundreds/thousands — TREC
+    run format), never "all docs x all queries". The per-rank sums are
+    unrolled into one parsed SQL expression (k terms, whole-stage
+    codegen; no higher-order functions, no window, no second shuffle).
+
+    Output: (query, n_cands, dcg, idcg, ndcg, rr)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    import math
+
+    w = [round(weight_scale / math.log2(r + 1)) for r in range(1, k + 1)]
+    q = F.col(query_col)
+    s = F.col(score_col).cast("double")
+    rel = F.col(rel_col).cast("long")
+    base = df.filter(
+        q.isNotNull() & s.isNotNull() & rel.isNotNull()
+    ).select(
+        q.alias("__q"),
+        F.struct(
+            (-s).alias("ns"), F.col(tiebreak_col).alias("t"), rel.alias("r")
+        ).alias("__c"),
+        rel.alias("__r"),
+    )
+    agg = base.groupBy("__q").agg(
+        F.sort_array(F.collect_list("__c")).alias("cs"),
+        F.sort_array(F.collect_list("__r"), asc=False).alias("ideal"),
+        F.count(F.lit(1)).alias("n_cands"),
+    )
+    dcg_s = " + ".join(
+        f"(CASE WHEN size(cs) >= {i} THEN element_at(cs, {i}).r * {w[i-1]}L"
+        f" ELSE 0L END)"
+        for i in range(1, k + 1)
+    )
+    idcg_s = " + ".join(
+        f"(CASE WHEN size(ideal) >= {i} THEN element_at(ideal, {i}) * {w[i-1]}L"
+        f" ELSE 0L END)"
+        for i in range(1, k + 1)
+    )
+    rr = " ".join(
+        f"WHEN size(cs) >= {i} AND element_at(cs, {i}).r > 0"
+        f" THEN CAST(1.0 / {i} AS DOUBLE)"
+        for i in range(1, k + 1)
+    )
+    out = agg.withColumns(
+        {"__dcg_s": F.expr(dcg_s), "__idcg_s": F.expr(idcg_s)}
+    )
+    return out.select(
+        F.col("__q").alias(query_col),
+        "n_cands",
+        (F.col("__dcg_s") / F.lit(float(weight_scale))).alias("dcg"),
+        (F.col("__idcg_s") / F.lit(float(weight_scale))).alias("idcg"),
+        F.try_divide(
+            F.col("__dcg_s").cast("double"), F.col("__idcg_s").cast("double")
+        ).alias("ndcg"),
+        F.expr(f"CASE {rr} ELSE CAST(0.0 AS DOUBLE) END").alias("rr"),
+    )

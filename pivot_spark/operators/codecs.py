@@ -1444,3 +1444,245 @@ def ppm_dhash(
     )
     keep = [c for c in out.columns if c not in ("__hx", "__w", "__h", "__hdr", "__lm", "__ok")]
     return out.select(*keep, F.when(ok, F.expr(pack_sql)).alias(out_col))
+
+
+def ppm_blur_score(
+    df: DataFrame,
+    binary_col: str = "image",
+    out_col: str = "lap_var",
+) -> DataFrame:
+    """Blur / focus screen over real P6 pixels — the variance-of-
+    Laplacian detector (Pech-Pacheco et al., the standard OpenCV
+    ``CV_64F`` recipe) a vision-curation pipeline runs to drop
+    out-of-focus or motion-smeared frames before training.
+
+    Per interior pixel (x in 1..w-2, y in 1..h-2) the 4-neighbour
+    Laplacian of the Rec.601 INTEGER luma (``299R + 587G + 114B``, the
+    ``ppm_luma_stats`` convention) is
+
+        lap = 4*l(x,y) - l(x-1,y) - l(x+1,y) - l(x,y-1) - l(x,y+1)
+
+    and the score is the population variance of ``lap`` over the
+    interior, computed from exact BIGINT (sum, sum-of-squares) — the
+    single float step is the final division, so any engine replays the
+    bytes bit-identically. Reported on the 0..255 luma scale
+    (divided by 1000^2). Sharp/textured images score high, defocused
+    or solid ones near 0.
+
+    One fold per row (each element reads 15 bytes from the hexed blob
+    — neighbour lumas are computed inline, never via a materialized
+    array another lambda would mis-bind, see decode_wav notes);
+    scan-stage Catalyst, no shuffle, no Python. Images with no
+    interior (w < 3 or h < 3) and malformed blobs -> NULL.
+
+    Output: input columns + (n_interior, ``out_col``)."""
+    raw = F.col(binary_col)
+    ok, w, h, mx, hdr_len = _ppm_header(raw)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__bw": F.when(ok, w.cast("long")),
+            "__bh": F.when(ok, h.cast("long")),
+            "__bhdr": F.when(ok, hdr_len.cast("long")),
+        }
+    )
+    hxc = F.col("__hx")
+    wl, hl = F.col("__bw"), F.col("__bh")
+    iw = wl - 2
+    n_int = (wl - 2) * (hl - 2)
+    has_interior = ok & (wl >= 3) & (hl >= 3)
+
+    def luma_at(x: Column, y: Column) -> Column:
+        base = F.col("__bhdr") + (y * wl + x) * 3
+        return (
+            _u8h(hxc, base + 1) * 299
+            + _u8h(hxc, base + 2) * 587
+            + _u8h(hxc, base + 3) * 114
+        )
+
+    def lap(i: Column) -> Column:
+        x = F.pmod(i, iw) + 1
+        y = (i - F.pmod(i, iw)) / iw + 1
+        yl = y.cast("long")
+        return (
+            4 * luma_at(x, yl)
+            - luma_at(x - 1, yl)
+            - luma_at(x + 1, yl)
+            - luma_at(x, yl - 1)
+            - luma_at(x, yl + 1)
+        )
+
+    idx = F.sequence(F.lit(0).cast("long"), n_int - 1)
+    zl = F.lit(0).cast("long")
+    acc0 = F.struct(zl.alias("s"), zl.alias("q"))
+    st = F.when(
+        has_interior,
+        F.aggregate(
+            F.transform(idx, _lam("ibl", lambda i: lap(i))),
+            acc0,
+            _lam(
+                "abl, vbl",
+                lambda a, v: F.struct(
+                    (a["s"] + v).alias("s"), (a["q"] + v * v).alias("q")
+                ),
+            ),
+        ),
+    )
+    out = out.select("*", st.alias("__bl"))
+    a = F.col("__bl")
+    # exact integer numerator n*q - s^2, one double division; back to
+    # the 0..255 luma scale (the 1000x integer luma squares under var)
+    var = (
+        (n_int * a["q"] - a["s"] * a["s"]).cast("double")
+        / (n_int * n_int).cast("double")
+        / 1.0e6
+    )
+    keep = [
+        c for c in out.columns
+        if c not in ("__hx", "__bw", "__bh", "__bhdr", "__bl", "__ok")
+    ]
+    return out.select(
+        *keep,
+        F.when(has_interior, n_int).alias("n_interior"),
+        F.when(has_interior, var).alias(out_col),
+    )
+
+
+def dft_coeffs(
+    n_samples: int, bins: "tuple[int, ...]", scale: int = 1000
+) -> "dict[int, tuple[list[int], list[int]]]":
+    """Integer-quantized DFT basis shared by ``wav_spectral`` and its
+    byte-replay oracle: for each bin k, (cos row, sin row) with
+    ``row[n] = round(scale * cos/sin(2 pi k n / n_samples))``. Both
+    engines consume the SAME literals, so the correlation sums are
+    exact BIGINT — the engine-portable determinism contract (a float
+    trig chain would differ in ulps)."""
+    import math
+
+    out = {}
+    for k in bins:
+        out[k] = (
+            [
+                round(scale * math.cos(2 * math.pi * k * n / n_samples))
+                for n in range(n_samples)
+            ],
+            [
+                round(scale * math.sin(2 * math.pi * k * n / n_samples))
+                for n in range(n_samples)
+            ],
+        )
+    return out
+
+
+def wav_spectral(
+    df: DataFrame,
+    n_samples: int,
+    bins: "tuple[int, ...]" = (1, 2, 3, 6),
+    binary_col: str = "audio",
+    coef_scale: int = 1000,
+) -> DataFrame:
+    """Spectral-energy screen over the leading ``n_samples`` channel-0
+    samples of canonical PCM-16 WAVs: per DFT bin k the normalized
+    band power
+
+        p_k = (X_k^2 + Y_k^2) / (scale^2 * n^2),
+        X_k = sum_n v_n * cos_q(2 pi k n / n), Y_k likewise with sin,
+
+    where the trig basis is integer-quantized at ``coef_scale``
+    (``dft_coeffs``) so the correlations are exact BIGINT and the only
+    float step is the final division — deterministic across engines
+    and partitionings. The audio twin of ``ppm_blur_score``'s quality
+    screen: tone/hum detection (one dominant bin), bandwidth checks,
+    narrowband-vs-broadband triage — without leaving whole-stage
+    codegen (the per-bin sums are UNROLLED scalar reads of one
+    materialized sample array — the dHash pack pattern — so there is
+    no higher-order fold in the hot path at all).
+
+    Declared quantization divergence: basis values carry
+    ``1/coef_scale`` rounding, so p_k differs from the float DFT by
+    O(1e-3) relative — fine for screening, and exactly replayable.
+
+    Files shorter than ``n_samples`` (or malformed) -> NULL powers.
+    Output: input columns + ``p_bin{k}`` per bin + ``dom_bin`` (the
+    argmax bin, ties to the lowest k; NULL when powers are NULL)."""
+    if n_samples < 2:
+        raise ValueError(f"n_samples must be >= 2, got {n_samples}")
+    if not bins:
+        raise ValueError("bins must be non-empty")
+    coeffs = dft_coeffs(n_samples, bins, coef_scale)
+    raw = F.col(binary_col)
+    ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    df = df.withColumn("__ok", ok & (n_samp >= n_samples))
+    ok = F.col("__ok")
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__nch": F.when(ok, n_ch.cast("long")),
+        }
+    )
+    # materialized sample array, consumed ONLY by scalar element_at
+    # reads in the next projection (the ppm_dhash pack pattern; a fold
+    # reading it would mis-bind, see decode_wav notes)
+    v_sql = (
+        f"transform(sequence(CAST(0 AS BIGINT), CAST({n_samples - 1} AS BIGINT)),"
+        f" ksp -> CASE WHEN"
+        f" (CAST(conv(substring(__hx, CAST((45 + ksp * __nch * 2) * 2 - 1 AS INT), 2), 16, 10) AS BIGINT)"
+        f"  + 256 * CAST(conv(substring(__hx, CAST((46 + ksp * __nch * 2) * 2 - 1 AS INT), 2), 16, 10) AS BIGINT)) >= 32768"
+        f" THEN (CAST(conv(substring(__hx, CAST((45 + ksp * __nch * 2) * 2 - 1 AS INT), 2), 16, 10) AS BIGINT)"
+        f"  + 256 * CAST(conv(substring(__hx, CAST((46 + ksp * __nch * 2) * 2 - 1 AS INT), 2), 16, 10) AS BIGINT)) - 65536"
+        f" ELSE (CAST(conv(substring(__hx, CAST((45 + ksp * __nch * 2) * 2 - 1 AS INT), 2), 16, 10) AS BIGINT)"
+        f"  + 256 * CAST(conv(substring(__hx, CAST((46 + ksp * __nch * 2) * 2 - 1 AS INT), 2), 16, 10) AS BIGINT)) END)"
+    )
+    out = out.withColumn("__sv", F.when(ok, F.expr(v_sql)))
+
+    def corr_sql(row: "list[int]") -> str:
+        terms = [
+            f"element_at(__sv, {n + 1}) * CAST({row[n]} AS BIGINT)"
+            for n in range(n_samples)
+            if row[n] != 0
+        ]
+        return "(" + (" + ".join(terms) if terms else "CAST(0 AS BIGINT)") + ")"
+
+    pw_cols = {}
+    for k in bins:
+        cr, sr = coeffs[k]
+        pw_cols[f"__pw{k}"] = F.when(
+            ok,
+            F.expr(
+                f"{corr_sql(cr)} * {corr_sql(cr)}"
+                f" + {corr_sql(sr)} * {corr_sql(sr)}"
+            ),
+        )
+    out = out.withColumns(pw_cols)
+    denom = float(coef_scale) ** 2 * float(n_samples) ** 2
+    dom = None
+    for k in bins:   # ties -> lowest k: strict > against all later bins
+        cond = None
+        for j in bins:
+            if j == k:
+                continue
+            c = (
+                F.col(f"__pw{k}") > F.col(f"__pw{j}")
+                if j < k
+                else F.col(f"__pw{k}") >= F.col(f"__pw{j}")
+            )
+            cond = c if cond is None else (cond & c)
+        cond = cond if cond is not None else F.lit(True)
+        dom = F.when(ok & cond, F.lit(k)) if dom is None else dom.when(
+            ok & cond, F.lit(k)
+        )
+    keep = [
+        c for c in out.columns
+        if c not in ("__hx", "__nch", "__sv", "__ok")
+        and not c.startswith("__pw")
+    ]
+    return out.select(
+        *keep,
+        *[
+            (F.col(f"__pw{k}") / F.lit(denom)).alias(f"p_bin{k}")
+            for k in bins
+        ],
+        dom.cast("int").alias("dom_bin"),
+    )

@@ -81,3 +81,64 @@ def pack_sequences(
         "shard",
         F.coalesce(F.sum(size_col).over(w), F.lit(0)).alias("off"),
     ).withColumn("bin", (F.col("off") / budget).cast("bigint"))
+
+
+def curriculum_order(
+    df: DataFrame,
+    difficulty_col: str,
+    tiebreak_col: str,
+    n_buckets: int = 8,
+    ascending: bool = True,
+    out_col: str = "train_order",
+) -> DataFrame:
+    """Deterministic difficulty-stratified training order: rank the
+    corpus by a difficulty signal, split the ranking into ``n_buckets``
+    contiguous strata, and interleave the strata round-robin — every
+    consecutive window of ``n_buckets`` positions in the emitted order
+    draws one example from each difficulty stratum (position
+    ``pos_in_bucket`` of stratum b lands at global slot
+    ``~ pos_in_bucket * n_buckets + b``). The standard deterministic
+    alternative to RNG-shuffled curriculum sampling: balanced
+    mini-batches, reproducible on any engine/partitioning, no seed
+    state.
+
+    Scale: two parallel-prefix row ranks (``profile.row_rank`` — range
+    partition + broadcast offsets, no global sort, no driver
+    materialization) and one broadcast single-row count; everything
+    else is arithmetic on the rank. Bucket boundaries are the exact
+    ntile split ``bucket = (rank-1)*n_buckets div n`` so the layout is
+    a pure function of the data (oracle-replayable with two
+    row_number windows).
+
+    Output: input columns + (difficulty_rank, bucket, pos_in_bucket,
+    ``out_col``)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    from pivot_spark.operators.profile import row_rank
+
+    d = F.col(difficulty_col)
+    base = df.filter(d.isNotNull() & F.col(tiebreak_col).isNotNull())
+    order = [d.asc() if ascending else d.desc(), F.col(tiebreak_col).asc()]
+    ranked = row_rank(base, order, out_col="__r")
+    cnt = base.agg(F.count(F.lit(1)).alias("__n"))
+    b = F.expr(f"(__r - 1) * {n_buckets} DIV __n")
+    pos = F.expr(
+        f"__r - ((((__r - 1) * {n_buckets} DIV __n) * __n + {n_buckets - 1})"
+        f" DIV {n_buckets})"
+    )
+    staged = (
+        ranked.crossJoin(F.broadcast(cnt))
+        .withColumns(
+            {
+                "difficulty_rank": F.col("__r"),
+                "bucket": b.cast("int"),
+                "pos_in_bucket": pos,
+            }
+        )
+        .drop("__r", "__n")
+    )
+    return row_rank(
+        staged,
+        [F.col("pos_in_bucket"), F.col("bucket")],
+        out_col=out_col,
+    )

@@ -9065,6 +9065,280 @@ def e190_image_crop(spark, sf_dir):
     )
 
 
+# --- E191: ranked-retrieval evaluation (nDCG@k + reciprocal rank) over
+# graded event relevance. Candidates = a user's events scored by value;
+# graded labels from event_type (purchase 3, signup 2, click 1, else 0).
+# DCG discount weights are integer-quantized at 1e6 (analytics.py::
+# ranking_metrics) so both engines sum exact BIGINTs; the only float
+# steps are the final divisions, rounded floor(x*1e4+0.5)/1e4 on both
+# sides (dcg = int/1e6 can sit exactly on a 4th-decimal tie).
+_E191_K = 10
+
+
+def _e191_oracle() -> str:
+    import math
+
+    w = [round(1_000_000 / math.log2(r + 1)) for r in range(1, _E191_K + 1)]
+    dcg = " + ".join(
+        f"(CASE WHEN len(cs) >= {i} THEN cs[{i}] * CAST({w[i-1]} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(1, _E191_K + 1)
+    )
+    idcg = " + ".join(
+        f"(CASE WHEN len(ideal) >= {i} THEN ideal[{i}] * CAST({w[i-1]} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for i in range(1, _E191_K + 1)
+    )
+    rr = " ".join(
+        f"WHEN len(cs) >= {i} AND cs[{i}] > 0 THEN CAST(1.0 / {i} AS DOUBLE)"
+        for i in range(1, _E191_K + 1)
+    )
+    return f"""
+WITH c AS (
+  SELECT user_id, value AS s, event_id AS t,
+         CAST(CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+                              WHEN 'click' THEN 1 ELSE 0 END AS BIGINT) AS rel
+  FROM events
+  WHERE user_id IS NOT NULL AND value IS NOT NULL
+), g AS (
+  SELECT user_id,
+         list(rel ORDER BY s DESC, t) AS cs,
+         list(rel ORDER BY rel DESC) AS ideal,
+         count(*) AS n_cands
+  FROM c GROUP BY user_id
+), m AS (
+  SELECT user_id, n_cands,
+         ({dcg}) AS dcg_s, ({idcg}) AS idcg_s,
+         CASE {rr} ELSE CAST(0.0 AS DOUBLE) END AS rr
+  FROM g
+)
+SELECT user_id, n_cands,
+       floor(dcg_s / 1000000.0 * 10000 + 0.5) / 10000 AS dcg,
+       floor(idcg_s / 1000000.0 * 10000 + 0.5) / 10000 AS idcg,
+       CASE WHEN idcg_s <> 0
+            THEN floor(CAST(dcg_s AS DOUBLE) / CAST(idcg_s AS DOUBLE)
+                       * 10000 + 0.5) / 10000 END AS ndcg,
+       floor(rr * 10000 + 0.5) / 10000 AS rr
+FROM m
+"""
+
+
+@query("e191_ranking_ndcg", _e191_oracle())
+def e191_ranking_ndcg(spark, sf_dir):
+    """Per-query nDCG@10 + reciprocal rank — the retrieval-eval loop of
+    an embedding pipeline (analytics.py::ranking_metrics): ONE
+    groupBy(query) shuffle, per-rank sums unrolled into one codegen'd
+    expression, quantized-integer DCG weights for engine-exact
+    determinism."""
+    from pivot_spark.operators.analytics import ranking_metrics
+
+    ev = _read(spark, sf_dir, "events")
+    rel = (
+        F.when(F.col("event_type") == "purchase", 3)
+        .when(F.col("event_type") == "signup", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+    )
+    base = ev.select(
+        "user_id", "value", rel.alias("rel"), "event_id"
+    )
+    out = ranking_metrics(
+        base, "user_id", "value", "rel", "event_id", k=_E191_K
+    )
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "user_id",
+        "n_cands",
+        r4("dcg").alias("dcg"),
+        r4("idcg").alias("idcg"),
+        r4("ndcg").alias("ndcg"),
+        r4("rr").alias("rr"),
+    )
+
+
+# --- E192: deterministic difficulty-stratified training order
+# (packing.py::curriculum_order): corpus ranked by n_chars, split into 8
+# exact-ntile strata, strata interleaved round-robin — the reproducible
+# no-RNG curriculum layout. Integer-only output, no rounding concerns.
+_E192_B = 8
+
+_E192_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY n_chars, doc_id) AS r,
+         count(*) OVER () AS n
+  FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL
+), b AS (
+  SELECT doc_id, r, n, ((r - 1) * {_E192_B}) // n AS bkt
+  FROM r
+)
+SELECT doc_id,
+       r AS difficulty_rank,
+       CAST(bkt AS INTEGER) AS bucket,
+       r - ((bkt * n + {_E192_B - 1}) // {_E192_B}) AS pos_in_bucket,
+       row_number() OVER (
+         ORDER BY r - ((bkt * n + {_E192_B - 1}) // {_E192_B}), bkt
+       ) AS train_order
+FROM b
+"""
+
+
+@query("e192_curriculum_order", _E192_ORACLE)
+def e192_curriculum_order(spark, sf_dir):
+    """Difficulty-stratified deterministic training order: two
+    parallel-prefix row ranks (no global sort), exact ntile strata,
+    round-robin interleave — balanced mini-batches with zero RNG
+    state."""
+    from pivot_spark.operators.packing import curriculum_order
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = curriculum_order(
+        docs, "n_chars", "doc_id", n_buckets=_E192_B, out_col="train_order"
+    )
+    return out.select(
+        "doc_id", "difficulty_rank", "bucket", "pos_in_bucket", "train_order"
+    )
+
+
+# --- E193: variance-of-Laplacian blur screen over REAL P6 pixels
+# (codecs.py::ppm_blur_score) on the e187 corpus (w 4..8, h 3..6 — every
+# image has an interior; the solid every-7th image pins the var=0
+# branch). Exact BIGINT (sum, sumsq) of integer-luma Laplacians; the
+# oracle replays the same bytes from the source text with the identical
+# division shape num/ni^2/1e6.
+def _e193_luma_sql(dx: int, dy: int) -> str:
+    # luma at interior pixel (x+dx, y+dy) for interior index i:
+    # x = 1 + i % (w-2), y = 1 + i // (w-2); payload char base is
+    # (y*w + x)*3 + 1 (1-based text positions)
+    pos = f"((1 + i // (w - 2) + {dy}) * w + (1 + i % (w - 2) + {dx})) * 3"
+    return (
+        f"(299 * ascii(substring(p, CAST({pos} + 1 AS INTEGER), 1))"
+        f" + 587 * ascii(substring(p, CAST({pos} + 2 AS INTEGER), 1))"
+        f" + 114 * ascii(substring(p, CAST({pos} + 3 AS INTEGER), 1)))"
+    )
+
+
+_E193_ORACLE = _E187_IMG_CTE + f"""
+, lp AS (
+  SELECT doc_id, CAST((w - 2) * (h - 2) AS BIGINT) AS ni,
+         list_transform(range(0, (w - 2) * (h - 2)), i ->
+           CAST(4 * {_e193_luma_sql(0, 0)} - {_e193_luma_sql(-1, 0)}
+                - {_e193_luma_sql(1, 0)} - {_e193_luma_sql(0, -1)}
+                - {_e193_luma_sql(0, 1)} AS BIGINT)) AS lap
+  FROM img
+)
+SELECT doc_id, ni AS n_interior,
+       floor(CAST(ni * list_sum(list_transform(lap, zbl -> zbl * zbl))
+                  - list_sum(lap) * list_sum(lap) AS DOUBLE)
+             / CAST(ni * ni AS DOUBLE) / 1000000.0 * 10000 + 0.5) / 10000
+         AS lap_var
+FROM lp
+"""
+
+
+@query("e193_image_blur", _E193_ORACLE)
+def e193_image_blur(spark, sf_dir):
+    """Variance-of-Laplacian blur/focus screen over real P6 pixels
+    (codecs.py::ppm_blur_score): one integer fold per image, exact
+    BIGINT moments, scan-stage, no shuffle — the vision-curation
+    quality gate next to ppm_luma_stats' blank screen."""
+    from pivot_spark.operators.codecs import ppm_blur_score
+
+    out = ppm_blur_score(_e187_images(spark, sf_dir))
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "doc_id", "n_interior", r4("lap_var").alias("lap_var")
+    )
+
+
+# --- E194: quantized-DFT spectral-energy screen over REAL PCM-16 WAVs
+# (codecs.py::wav_spectral) on the e174 signed-sample corpus. The trig
+# basis is integer-quantized at 1e3 (codecs.py::dft_coeffs — the SAME
+# Python literals feed both engines), so band correlations are exact
+# BIGINT and only the final normalization divides; dom_bin is an
+# integer argmax (ties to the lowest bin), hash-exact by construction.
+_E194_BINS = (1, 2, 3, 6)
+
+
+def _e194_oracle() -> str:
+    from pivot_spark.operators.codecs import dft_coeffs
+
+    n = _E174_N
+    coeffs = dft_coeffs(n, _E194_BINS, 1000)
+
+    def corr(row):
+        terms = [
+            f"v[{i + 1}] * CAST({row[i]} AS BIGINT)"
+            for i in range(n)
+            if row[i] != 0
+        ]
+        return "(" + (" + ".join(terms) if terms else "CAST(0 AS BIGINT)") + ")"
+
+    pw = {
+        k: f"({corr(c)} * {corr(c)} + {corr(s)} * {corr(s)})"
+        for k, (c, s) in coeffs.items()
+    }
+    sel_pw = ", ".join(f"{pw[k]} AS pw{k}" for k in _E194_BINS)
+    whens = []
+    for k in _E194_BINS:
+        conds = [
+            (f"pw{k} > pw{j}" if j < k else f"pw{k} >= pw{j}")
+            for j in _E194_BINS
+            if j != k
+        ]
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {k}")
+    denom = float(1000) ** 2 * float(n) ** 2
+    p_cols = ", ".join(
+        f"floor(CAST(pw{k} AS DOUBLE) / {denom!r} * 10000 + 0.5) / 10000"
+        f" AS p_bin{k}"
+        for k in _E194_BINS
+    )
+    return f"""
+WITH au AS (
+  SELECT doc_id, rpad(substring(text, 1, {2 * n}), {2 * n}, ' ') AS p
+  FROM documents
+), sm AS (
+  SELECT doc_id,
+         list_transform(range(0, {n}), i ->
+           (ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1))
+            + 256 * ascii(substring(p, CAST(2 + i * 2 AS INTEGER), 1)))
+           * (CASE WHEN ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1)) % 2 = 1
+                   THEN -1 ELSE 1 END)) AS v
+  FROM au
+), pw AS (
+  SELECT doc_id, {sel_pw} FROM sm
+)
+SELECT doc_id, {p_cols},
+       CAST(CASE {' '.join(whens)} END AS INTEGER) AS dom_bin
+FROM pw
+"""
+
+
+@query("e194_audio_spectral", _e194_oracle())
+def e194_audio_spectral(spark, sf_dir):
+    """Quantized-DFT band powers + dominant bin over real WAV bytes
+    (codecs.py::wav_spectral): tone/hum detection and bandwidth triage
+    for audio curation — unrolled scalar reads of one sample array,
+    whole-stage codegen, no fold, no shuffle."""
+    from pivot_spark.operators.codecs import make_wav, wav_spectral
+
+    need = 2 * _E174_N
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
+    )
+    au = d.select(
+        "doc_id", make_wav(1, 8000, _e174_payload("pp")).alias("audio")
+    )
+    out = wav_spectral(au, n_samples=_E174_N, bins=_E194_BINS)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "doc_id",
+        *[r4(f"p_bin{k}").alias(f"p_bin{k}") for k in _E194_BINS],
+        "dom_bin",
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.
