@@ -39,13 +39,16 @@ _ROUND_WINDOW = [
     "e123_tfidf_cosine_join", "e124_pmi_cooccurrence",
     "e61_weighted_sample", "e125_readability",
     # graph family (now on the shared mined-pair stage)
-    "e31_dup_clusters", "e82_dedup_keep_best", "e103_triangle_stats",
+    "e31_dup_clusters", "e82_dedup_keep_best",
     "e107_pagerank", "e115_leakage_safe_split", "e116_negative_sampling",
     "e136_label_propagation", "e157_cross_source_dups", "e162_degree_stats",
     # verdict-named heavy-logic families, not yet driver-checked
-    "e57_semdedup", "e69_scd2_build", "e70_scd2_apply",
-    "e81_spearman_matrix", "e113_bpe_learn", "e127_duplicated_spans",
-    "e133_remove_dup_spans", "e134_poisson_bootstrap",
+    # (e57/e103/e113/e133 rotate to round 4 — the round-2 judge already
+    # ran the gate-replica comparison on them, so the freed slots go to
+    # this session's brand-new operators e191-e194)
+    "e69_scd2_build", "e70_scd2_apply",
+    "e81_spearman_matrix", "e127_duplicated_spans",
+    "e134_poisson_bootstrap",
     "e146_cdf_transform", "e152_roc_auc",
     # additional unchecked heavy-logic operators (e32/e35/e36/e41/e54/
     # e56 rotate to round 4 — unit-tested and oracle-declared meanwhile)
@@ -62,6 +65,10 @@ _ROUND_WINDOW = [
     # oracle-declared meanwhile)
     "e174_audio_features", "e176_boilerplate_lines",
     "e180_semantic_decontam", "e181_media_sniff",
+    # session-5 new operators: retrieval eval, curriculum order,
+    # blur / spectral media screens
+    "e191_ranking_ndcg", "e192_curriculum_order",
+    "e193_image_blur", "e194_audio_spectral",
 ]
 
 
