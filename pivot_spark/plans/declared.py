@@ -9339,6 +9339,130 @@ def e194_audio_spectral(spark, sf_dir):
     )
 
 
+# --- E195-E198: privacy screens before data release
+# (operators/anonymity.py): k-anonymity / l-diversity equivalence-class
+# audits (one groupBy, answer-sized output) and Laplace-mechanism DP
+# aggregates whose noise is DETERMINISTIC per (salt, cell) — the
+# repeated-release discipline; the md5 uniform and inverse-CDF ln are
+# the established engine-portable idioms (e61/e83), replayed verbatim.
+_E195_ORACLE = """
+SELECT c_nationkey, c_mktsegment,
+       count(*) AS class_size,
+       count(*) < 5 AS at_risk
+FROM customer GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+@query("e195_k_anonymity", _E195_ORACLE)
+def e195_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over customer quasi-identifiers (nation x
+    market segment): classes smaller than k re-identify under a join
+    with outside data. One shuffle, answer-sized."""
+    from pivot_spark.operators.anonymity import k_anonymity_report
+
+    cust = _read(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+_E196_ORACLE = """
+SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       count(*) AS class_size,
+       count(DISTINCT event_type) AS n_sensitive,
+       count(DISTINCT event_type) >= 3 AS diverse
+FROM events GROUP BY user_id, CAST(CAST(ts AS DATE) AS VARCHAR)
+"""
+
+
+@query("e196_l_diversity", _E196_ORACLE)
+def e196_l_diversity(spark, sf_dir):
+    """Distinct l-diversity audit: per (user, day) class, how many
+    distinct event types — a homogeneous class leaks the attribute
+    even when k-anonymous. Per-class count_distinct is bounded by the
+    sensitive alphabet, so partial aggregation stays map-side."""
+    from pivot_spark.operators.anonymity import l_diversity_report
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").cast("string").alias("day"),
+        "event_type",
+    )
+    return l_diversity_report(ev, ["user_id", "day"], "event_type", l=3)
+
+
+# 48-bit md5 uniform + Laplace inverse CDF, replayed with the identical
+# expression shapes; noisy outputs rounded floor(x*1e4+0.5)/1e4 on both
+# sides (codec-family convention).
+_E197_SALT = "dp195"
+
+_E197_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+), u AS (
+  SELECT event_type, n,
+         (('0x' || substring(md5('{_E197_SALT}:' || event_type), 1, 12))::BIGINT
+          + 0.5) / 281474976710656.0 AS uu
+  FROM g
+)
+SELECT event_type,
+       floor((n + ((-2.0) * sign(uu - 0.5))
+                  * ln(1.0 - 2.0 * abs(uu - 0.5))) * 10000 + 0.5) / 10000
+         AS noisy_count
+FROM u
+"""
+
+
+@query("e197_dp_count", _E197_ORACLE)
+def e197_dp_count(spark, sf_dir):
+    """Laplace-mechanism event counts (epsilon 0.5, sensitivity 1)
+    with cell-keyed deterministic noise — re-releases return the same
+    answer, so noise cannot be averaged away."""
+    from pivot_spark.operators.anonymity import dp_count
+
+    ev = _read(spark, sf_dir, "events")
+    out = dp_count(ev, ["event_type"], epsilon=0.5, salt=_E197_SALT)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select("event_type", r4("noisy_count").alias("noisy_count"))
+
+
+_E198_SALT = "dpsum195"
+_E198_CLIP = 100.0
+
+_E198_ORACLE = f"""
+WITH g AS (
+  SELECT event_type,
+         sum(least(greatest(coalesce(value, 0.0), 0.0), {_E198_CLIP})) AS s
+  FROM events GROUP BY event_type
+), u AS (
+  SELECT event_type, s,
+         (('0x' || substring(md5('{_E198_SALT}:' || event_type), 1, 12))::BIGINT
+          + 0.5) / 281474976710656.0 AS uu
+  FROM g
+)
+SELECT event_type,
+       floor((s + ((-{_E198_CLIP}) * sign(uu - 0.5))
+                  * ln(1.0 - 2.0 * abs(uu - 0.5))) * 10000 + 0.5) / 10000
+         AS noisy_sum
+FROM u
+"""
+
+
+@query("e198_dp_sum", _E198_ORACLE)
+def e198_dp_sum(spark, sf_dir):
+    """Laplace-mechanism clipped sums (clip 100, epsilon 1): each
+    contribution clamped into [0, clip] at scan stage to bound the
+    sensitivity — the standard DP-SQL recipe — then cell-keyed noise
+    on the answer-sized aggregate."""
+    from pivot_spark.operators.anonymity import dp_sum
+
+    ev = _read(spark, sf_dir, "events")
+    out = dp_sum(
+        ev, ["event_type"], "value", clip=_E198_CLIP,
+        epsilon=1.0, salt=_E198_SALT,
+    )
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select("event_type", r4("noisy_sum").alias("noisy_sum"))
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.
