@@ -166,3 +166,39 @@ def dp_sum(
     return agg.select(
         *group_cols, (F.col("__s") + noise).alias(out_col)
     )
+
+
+def pii_report(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    patterns: "Sequence[tuple[str, str]] | None" = None,
+) -> DataFrame:
+    """Corpus-level PII exposure audit: per group (source/shard/
+    snapshot), how many documents contain each PII pattern and how
+    many total hits — the release-gate dashboard that decides whether
+    a feed needs ``redact_pii`` before training. Uses the SAME pattern
+    list as the scrub (``functions/redact.py::PII_PATTERNS``, the
+    Java-regex∩RE2 common subset), so audit and redaction can never
+    disagree on what counts as PII.
+
+    Scan-stage ``regexp_count`` per pattern + one groupBy — no UDF,
+    no second pass over the text. Output: group_col + (n_docs, then
+    per pattern ``{name}_docs`` / ``{name}_hits`` where name is the
+    placeholder lowercased, e.g. ``email_docs``)."""
+    if patterns is None:
+        from pivot_spark.functions.redact import PII_PATTERNS
+
+        patterns = PII_PATTERNS
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    t = F.col(text_col)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    for pattern, repl in patterns:
+        name = repl.strip("<>").lower()
+        hits = F.regexp_count(t, F.lit(pattern))
+        aggs.append(
+            F.sum((hits > 0).cast("long")).alias(f"{name}_docs")
+        )
+        aggs.append(F.sum(hits).alias(f"{name}_hits"))
+    return df.groupBy(group_col).agg(*aggs)

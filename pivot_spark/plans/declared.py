@@ -9463,6 +9463,40 @@ def e198_dp_sum(spark, sf_dir):
     return out.select("event_type", r4("noisy_sum").alias("noisy_sum"))
 
 
+# --- E199: corpus-level PII exposure audit (anonymity.py::pii_report)
+# — per-source docs-containing / total-hits for each redaction pattern,
+# the release gate that decides whether a feed needs e27's scrub. The
+# oracle splices the SAME pattern strings from functions/redact.py
+# (Java-regex∩RE2 subset — the e171 shared-pattern discipline).
+def _e199_oracle() -> str:
+    from pivot_spark.functions.redact import PII_PATTERNS
+
+    cols = []
+    for pattern, repl in PII_PATTERNS:
+        name = repl.strip("<>").lower()
+        hits = f"len(regexp_extract_all(text, '{pattern}'))"
+        cols.append(
+            f"sum(CASE WHEN {hits} > 0 THEN 1 ELSE 0 END) AS {name}_docs"
+        )
+        cols.append(f"sum({hits}) AS {name}_hits")
+    return (
+        "SELECT source, count(*) AS n_docs, "
+        + ", ".join(cols)
+        + " FROM documents GROUP BY source"
+    )
+
+
+@query("e199_pii_report", _e199_oracle())
+def e199_pii_report(spark, sf_dir):
+    """Per-source PII density dashboard: scan-stage regexp_count per
+    pattern + one groupBy, patterns shared verbatim with the redaction
+    scrub so audit and scrub cannot disagree."""
+    from pivot_spark.operators.anonymity import pii_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return pii_report(docs, "text", "source")
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -94,3 +94,22 @@ def test_laplace_noise_distribution_sanity(spark):
     assert abs(mean) < 0.12  # E|Lap(1)| = 1, se ~ 1.4/sqrt(2000)
     within = sum(1 for n in noises if abs(n) <= math.log(2.0)) / len(noises)
     assert 0.44 < within < 0.56  # median of |Lap(b)| is b*ln 2
+
+
+def test_pii_report(spark):
+    rows = [
+        ("s1", "mail me at a.b@x.com or c@y.org, ip 10.0.0.1"),
+        ("s1", "nothing here"),
+        ("s2", "ssn 123-45-6789 and 123-45-6789 again"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    from pivot_spark.operators.anonymity import pii_report
+
+    out = {r.source: r for r in pii_report(df, "text", "source").collect()}
+    assert out["s1"].n_docs == 2
+    assert out["s1"].email_docs == 1 and out["s1"].email_hits == 2
+    assert out["s1"].ip_docs == 1 and out["s1"].ip_hits == 1
+    assert out["s1"].ssn_hits == 0
+    assert out["s2"].ssn_docs == 1 and out["s2"].ssn_hits == 2
+    with pytest.raises(ValueError):
+        pii_report(df, "text", "source", patterns=[])
