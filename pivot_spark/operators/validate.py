@@ -124,3 +124,46 @@ def validate(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
         for r in rules
     ]
     return wide.select(F.inline(F.array(*structs)))
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    n_buckets: int = 64,
+    salt: str = "ck",
+) -> DataFrame:
+    """Order-independent bucketed content checksum — the migration /
+    parity audit: run the same checksum on two copies of a dataset
+    (different engine, different partitioning, re-encoded files) and
+    compare the tiny result frames; a mismatch names the bucket, so
+    the diff drill-down touches 1/``n_buckets`` of the data instead of
+    everything.
+
+    Per row, a 60-bit key hash ``h = int(md5(salt:canonical_row)[:15],
+    16)`` over the chosen columns (NULL encoded distinctly from the
+    empty string); rows land in bucket ``h % n_buckets`` and each
+    bucket reports its row count and ``sum(h)`` (exact DECIMAL(38,0)
+    arithmetic — commutative, so partitioning and row order can never
+    change the answer). One scan + one answer-sized exchange.
+
+    Columns should be exact types (strings/ints/dates); canonicalize
+    floats yourself first (e.g. round + cast to string) — binary float
+    repr is not portable across engines. Output: (bucket, n_rows,
+    checksum)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    parts: list[Column] = [F.lit(salt)]
+    for c in cols:
+        parts.append(F.lit("\x01"))
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null")))
+    h = F.conv(F.substring(F.md5(F.concat(*parts)), 1, 15), 16, 10).cast("long")
+    return (
+        df.withColumn("__h", h)
+        .groupBy(F.pmod(F.col("__h"), F.lit(n_buckets)).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__h").cast("decimal(38,0)")).alias("checksum"),
+        )
+    )

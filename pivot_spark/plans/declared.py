@@ -9497,6 +9497,42 @@ def e199_pii_report(spark, sf_dir):
     return pii_report(docs, "text", "source")
 
 
+# --- E200: order-independent bucketed table checksum
+# (validate.py::table_checksum) — the migration/parity audit: identical
+# on any engine/partitioning because the per-bucket aggregate is a
+# commutative exact-decimal sum of 60-bit md5 row hashes. The oracle IS
+# the cross-engine parity claim: DuckDB recomputes the same buckets.
+_E200_ORACLE = """
+WITH h AS (
+  SELECT ('0x' || substring(md5('ck' || chr(1) || CAST(doc_id AS VARCHAR)
+           || chr(1) || coalesce(text, chr(0) || 'null')
+           || chr(1) || coalesce(lang, chr(0) || 'null')
+           || chr(1) || coalesce(source, chr(0) || 'null')), 1, 15))::BIGINT AS hh
+  FROM documents
+)
+SELECT hh % 64 AS bucket, count(*) AS n_rows,
+       CAST(sum(hh) AS VARCHAR) AS checksum
+FROM h GROUP BY hh % 64
+"""
+
+
+@query("e200_table_checksum", _E200_ORACLE)
+def e200_table_checksum(spark, sf_dir):
+    """Bucketed content checksum over documents' exact-typed columns;
+    comparing this 64-row frame against another copy of the corpus IS
+    the engine-parity check (a mismatch names the 1/64 slice to
+    diff)."""
+    from pivot_spark.operators.validate import table_checksum
+
+    docs = _read(spark, sf_dir, "documents")
+    out = table_checksum(
+        docs, ["doc_id", "text", "lang", "source"], n_buckets=64, salt="ck"
+    )
+    return out.select(
+        "bucket", "n_rows", F.col("checksum").cast("string").alias("checksum")
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

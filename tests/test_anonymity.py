@@ -6,6 +6,7 @@ import hashlib
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from pivot_spark.operators.anonymity import (
     dp_count,
@@ -113,3 +114,37 @@ def test_pii_report(spark):
     assert out["s2"].ssn_docs == 1 and out["s2"].ssn_hits == 2
     with pytest.raises(ValueError):
         pii_report(df, "text", "source", patterns=[])
+
+
+def test_table_checksum_partition_invariant(spark):
+    from pivot_spark.operators.validate import table_checksum
+
+    rows = [(i, f"t{i}", None if i % 3 == 0 else "en") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, text string, lang string")
+    a = {r.bucket: (r.n_rows, r.checksum)
+         for r in table_checksum(df, ["id", "text", "lang"], 8).collect()}
+    # shuffled partitioning + reversed row order -> identical frame
+    b = {r.bucket: (r.n_rows, r.checksum)
+         for r in table_checksum(
+             df.orderBy(F.col("id").desc()).repartition(7),
+             ["id", "text", "lang"], 8).collect()}
+    assert a == b
+    assert sum(n for n, _ in a.values()) == 40
+    # any single-cell change moves exactly one bucket's checksum
+    df2 = spark.createDataFrame(
+        [(i, f"t{i}", None if i % 3 == 0 else "en") if i != 17
+         else (17, "CHANGED", "en") for i in range(40)],
+        "id long, text string, lang string")
+    c = {r.bucket: (r.n_rows, r.checksum)
+         for r in table_checksum(df2, ["id", "text", "lang"], 8).collect()}
+    assert c != a
+    diff = [k for k in set(a) | set(c) if a.get(k) != c.get(k)]
+    assert 1 <= len(diff) <= 2  # old bucket loses the row, new gains it
+    # NULL is distinct from the string 'null' and from ''
+    d1 = spark.createDataFrame([(1, None)], "id long, v string")
+    d2 = spark.createDataFrame([(1, "null")], "id long, v string")
+    k1 = table_checksum(d1, ["id", "v"], 1).collect()[0].checksum
+    k2 = table_checksum(d2, ["id", "v"], 1).collect()[0].checksum
+    assert k1 != k2
+    with pytest.raises(ValueError):
+        table_checksum(df, [], 8)
