@@ -31,6 +31,7 @@ from pivot_spark.operators.components import (
 )
 from pivot_spark.operators.dedup import debounce, dedup_against, dedup_exact
 from pivot_spark.operators.neardup import (
+    minhash_estimate_report,
     minhash_signatures,
     neardup_embedding_cosine,
     neardup_minhash_incremental,
@@ -38,6 +39,12 @@ from pivot_spark.operators.neardup import (
     neardup_simhash,
     ngram_containment_pairs,
     ngram_jaccard_pairs,
+)
+from pivot_spark.operators.calibrate import quantile_normalize
+from pivot_spark.operators.preference import (
+    bradley_terry,
+    bradley_terry_from_scores,
+    pairwise_wins,
 )
 from pivot_spark.operators.spans import (
     dedup_savings_report,
@@ -79,7 +86,11 @@ from pivot_spark.functions.web import (
     strip_html,
 )
 from pivot_spark.operators.dsir import dsir_logweights
-from pivot_spark.operators.lm import bigram_lm_score, unigram_lm_score
+from pivot_spark.operators.lm import (
+    bigram_lm_score,
+    stupid_backoff_score,
+    unigram_lm_score,
+)
 from pivot_spark.operators.quality import (
     c4_line_signals,
     gopher_filter,
@@ -240,6 +251,7 @@ from pivot_spark.operators.codecs import (
     decode_pgm,
     make_ppm,
     make_wav,
+    ppm_contrast_stretch,
     ppm_luma_stats,
     ppm_resize_nn,
     ppm_to_pgm,
@@ -273,6 +285,7 @@ __all__ = [
     "neardup_minhash_lsh", "neardup_simhash", "ngram_jaccard_pairs",
     "ngram_containment_pairs", "neardup_embedding_cosine", "semdedup",
     "minhash_signatures", "neardup_minhash_incremental",
+    "minhash_estimate_report",
     "duplicated_spans", "remove_duplicated_spans", "repetition_runs",
     "dedup_savings_report",
     "tfidf_cosine_pairs", "keyword_contexts", "pmi_pairs",
@@ -285,7 +298,10 @@ __all__ = [
     # text quality & curation
     "gopher_rules", "gopher_filter", "c4_line_signals", "line_dedup", "strip_boilerplate_lines",
     "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
-    "bigram_lm_score", "dsir_logweights", "hashed_linear_score",
+    "bigram_lm_score", "stupid_backoff_score",
+    "quantile_normalize",
+    "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
+    "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",
     "rocchio_train", "rocchio_predict",
     "domain_stats", "drop_blocklisted", "registered_domain",
@@ -330,7 +346,7 @@ __all__ = [
     # multimodal real codecs
     "make_ppm", "decode_ppm", "make_bmp", "decode_bmp",
     "make_wav", "decode_wav",
-    "wav_features", "ppm_luma_stats", "ppm_resize_nn",
+    "wav_features", "ppm_luma_stats", "ppm_contrast_stretch", "ppm_resize_nn",
     "wav_downsample", "ppm_to_pgm", "decode_pgm", "sniff_media", "wav_mixdown",
     # decontamination
     "bloom_build", "bloom_contains", "bloom_prefilter_anti_join",

@@ -1686,3 +1686,102 @@ def wav_spectral(
         ],
         dom.cast("int").alias("dom_bin"),
     )
+
+
+def ppm_contrast_stretch(
+    df: DataFrame,
+    binary_col: str = "image",
+) -> DataFrame:
+    """Per-image min-max contrast normalization audit over real P6
+    pixels: computes the integer-luma dynamic range and the FULL
+    stretched-histogram moments, i.e. what every pixel becomes under
+
+        v' = round((v - lo) * 1000 / (hi - lo))      (flat image -> 500)
+
+    carried out entirely in exact integer math (round-half-up via
+    ``((v-lo)*2000 + (hi-lo)) div (2*(hi-lo))``), so the output is
+    bit-identical on any engine — the preprocessing-parity check for a
+    vision-data normalize stage without emitting the pixels themselves.
+
+    Two scan-stage integer folds per row (pass 1: min/max; pass 2: the
+    remap moments), zero shuffles, no Python. Output per image:
+    ``luma_lo``/``luma_hi`` (0..255 scale), ``contrast``
+    ((hi-lo)/255, 4dp), ``stretch_sum``/``stretch_sumsq`` (exact BIGINT
+    moments of v' in 0..1000).
+    """
+    raw = F.col(binary_col)
+    ok, w, h, mxv, hdr_len = _ppm_header(raw)
+    df = df.withColumn("__ok", ok)  # gate evaluated once (decode_ppm)
+    ok = F.col("__ok")
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__hdr": F.when(ok, hdr_len.cast("long")),
+        }
+    )
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
+    n_px = (w * h).cast("long")
+    idx = F.sequence(F.lit(0).cast("long"), n_px - 1)
+
+    def luma(i: Column) -> Column:
+        base = hdrc + i * 3
+        return (
+            _u8h(hxc, base + 1) * 299
+            + _u8h(hxc, base + 2) * 587
+            + _u8h(hxc, base + 3) * 114
+        )
+
+    mm0 = F.struct(
+        F.lit(1 << 40).cast("long").alias("mn"),
+        F.lit(-1).cast("long").alias("mx"),
+    )
+    mm = F.when(
+        ok & (n_px > 0),
+        F.aggregate(
+            F.transform(idx, _lam("ics", lambda i: luma(i))),
+            mm0,
+            _lam("acs, vcs", lambda a, v: F.struct(
+                F.least(a["mn"], v).alias("mn"),
+                F.greatest(a["mx"], v).alias("mx"),
+            )),
+        ),
+    )
+    out = out.select("*", mm.alias("__mm"))
+    lo, hi = F.col("__mm")["mn"], F.col("__mm")["mx"]
+    rng = hi - lo
+
+    def stretched(i: Column) -> Column:
+        num = (luma(i) - lo) * 2000 + rng
+        den = rng * 2
+        # exact integer div of non-negatives: (num - num % den) / den
+        return F.when(rng > 0, ((num - num % den) / den).cast("long")).otherwise(
+            F.lit(500).cast("long")
+        )
+
+    zl = F.lit(0).cast("long")
+    st0 = F.struct(zl.alias("s"), zl.alias("q"))
+    st = F.when(
+        ok & (n_px > 0),
+        F.aggregate(
+            F.transform(idx, _lam("jcs", stretched)),
+            st0,
+            _lam("bcs, wcs", lambda a, v: F.struct(
+                (a["s"] + v).alias("s"), (a["q"] + v * v).alias("q")
+            )),
+        ),
+    )
+    out = out.select("*", st.alias("__st"))
+    a = F.col("__st")
+    good = ok & (n_px > 0)
+    return out.withColumns(
+        {
+            "n_px": F.when(good, n_px),
+            "luma_lo": F.when(good, lo / 1000.0),
+            "luma_hi": F.when(good, hi / 1000.0),
+            "contrast": F.when(
+                good, F.floor(rng / 255000.0 * 10000 + 0.5) / 10000
+            ),
+            "stretch_sum": F.when(good, a["s"]),
+            "stretch_sumsq": F.when(good, a["q"]),
+        }
+    ).drop("__hx", "__hdr", "__mm", "__st", "__ok")

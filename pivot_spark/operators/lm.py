@@ -183,3 +183,132 @@ def bigram_lm_score(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         F.col(score_col),
     )
+
+
+def stupid_backoff_score(
+    train_df: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 10_000,
+    alpha: float = 0.4,
+    lowercase: bool = True,
+    score_col: str = "avg_neg_logs",
+    unk_token: str = "<unk>",
+) -> DataFrame:
+    """Held-out Stupid-Backoff bigram scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation") — the LM filter at
+    web scale: counts are NOT a probability model, just
+
+        S(b | a) = c(a b) / c(a)        if the bigram was seen in train
+                 = alpha * c(b) / N      otherwise (backoff, no renorm)
+
+    which needs no discounting pass and therefore distributes as plain
+    counting. Train and score corpora are separate inputs (score a
+    shard against counts from a held-out shard — unlike the
+    interpolated ``bigram_lm_score``, unseen bigrams genuinely hit the
+    backoff branch). Unigram/vocabulary tables come from TRAIN; score
+    tokens outside the train vocabulary collapse to ``unk_token``; a
+    backoff word absent even from train unigrams floors at c(b)=1.
+
+    Scale: both corpora are touched once; the only corpus-keyed
+    shuffles are bigram-count aggregates and the (a, b)-keyed count
+    join; vocab and unigram tables are ≤ V+1 rows, broadcast. Returns
+    (``id_col``, n_bigrams BIGINT, ``score_col`` DOUBLE r4 — mean
+    -ln S over the doc's bigrams; docs with < 2 tokens score NULL).
+    """
+    if vocab_size <= 0:
+        raise ValueError("vocab_size must be positive")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from pivot_spark.functions.text import tokens
+
+    def toks_of(frame: DataFrame) -> DataFrame:
+        text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        return frame.select(F.col(id_col), tokens(text).alias("__w"))
+
+    def pairs_of(tok_frame: DataFrame) -> DataFrame:
+        n = F.size("__w")
+        return (
+            tok_frame.filter(n >= 2)
+            .select(
+                id_col,
+                F.explode(
+                    F.zip_with(
+                        F.slice("__w", 1, n - 1),
+                        F.slice("__w", 2, n - 1),
+                        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                    )
+                ).alias("__p"),
+            )
+            .select(
+                id_col,
+                F.col("__p.a").alias("__a"),
+                F.col("__p.b").alias("__b"),
+            )
+        )
+
+    ttoks = toks_of(train_df)
+    texpl = ttoks.select(F.explode("__w").alias("__tok"))
+    vocab = (
+        texpl.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .orderBy(F.col("__c").desc(), F.col("__tok"))
+        .limit(vocab_size)
+        .select("__tok")
+        .localCheckpoint(eager=False)
+    )
+    vmark = vocab.withColumn("__v", F.lit(True))
+
+    def unk_map(frame: DataFrame, col: str) -> DataFrame:
+        side = F.broadcast(
+            vmark.withColumnRenamed("__tok", col).withColumnRenamed("__v", f"__{col}v")
+        )
+        return frame.join(side, col, "left").withColumn(
+            col,
+            F.when(F.col(f"__{col}v"), F.col(col)).otherwise(F.lit(unk_token)),
+        ).drop(f"__{col}v")
+
+    # train tables: unk-mapped unigram counts (≤ V+1 rows) + bigram counts
+    uni = (
+        unk_map(texpl.withColumnRenamed("__tok", "__t1"), "__t1")
+        .groupBy("__t1")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=False)
+    )
+    total = uni.agg(F.sum("__c").cast("double").alias("__n"))
+    tb = unk_map(unk_map(pairs_of(ttoks), "__a"), "__b")
+    bc = tb.groupBy("__a", "__b").agg(F.count(F.lit(1)).alias("__cb"))
+
+    # score side: distinct (doc, a, b, multiplicity) pre-aggregate
+    dp = (
+        unk_map(unk_map(pairs_of(toks_of(df)), "__a"), "__b")
+        .groupBy(id_col, "__a", "__b")
+        .agg(F.count(F.lit(1)).alias("__m"))
+    )
+    u1 = F.broadcast(uni.select(F.col("__t1").alias("__a"), F.col("__c").alias("__c1")))
+    u2 = F.broadcast(uni.select(F.col("__t1").alias("__b"), F.col("__c").alias("__c2")))
+    s = F.when(
+        F.col("__cb").isNotNull(),
+        F.col("__cb").cast("double") / F.col("__c1"),
+    ).otherwise(
+        F.lit(alpha) * F.coalesce(F.col("__c2"), F.lit(1)).cast("double") / F.col("__n")
+    )
+    scored = (
+        dp.join(bc, ["__a", "__b"], "left")
+        .join(u1, "__a", "left")
+        .join(u2, "__b", "left")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("__m").alias("n_bigrams"),
+            F.round(F.sum(F.col("__m") * -F.log(s)) / F.sum("__m"), 4).alias(
+                score_col
+            ),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col(score_col),
+    )

@@ -953,3 +953,102 @@ def neardup_minhash_incremental(
         (inter.cast("double") / union).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
     return out, all_sigs
+
+
+def minhash_estimate_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_len: int = 3,
+    seed: int = 42,
+    sample_mod: int = 7,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash signature itself: on a
+    deterministic document sample, compare the signature-estimated
+    Jaccard (fraction of agreeing components) against the TRUE shingle
+    Jaccard for every sampled pair, bucketed by true similarity.
+
+    This is the calibration check a dedup pipeline runs before trusting
+    an LSH threshold: |est - true| should concentrate near the
+    binomial sd sqrt(j(1-j)/k). Auditing every corpus pair is O(n^2)
+    and never the plan — a bounded deterministic sample
+    (``id % sample_mod = 0``, engine-portable) IS the design; the pair
+    stage broadcasts the sampled side, so the corpus-sized work is one
+    scan computing sampled signatures (``minhash_signatures``'s
+    zero-shuffle Arrow kernel).
+
+    Error/means are integer-quantized per pair BEFORE summing (est is
+    an exact multiple of 1/k -> ``matches * (1e6/k)``; true is quantized
+    ``floor(j*1e6+0.5)``), so every aggregate is an exact BIGINT sum —
+    bit-identical on any engine or partitioning, DuckDB-replayable
+    because the signature hash is the md5-based portable construction.
+
+    Returns one row per occupied bucket (``bucket = min(B-1,
+    B*inter // union)``): n_pairs, mean_est, mean_true, mean_abs_err
+    (4dp).
+    """
+    if num_hashes <= 0 or 1_000_000 % num_hashes != 0:
+        raise ValueError(
+            f"num_hashes must divide 1e6 for exact quantization, got {num_hashes}"
+        )
+    if sample_mod < 1:
+        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
+    sample = df.filter(
+        (F.col(id_col) % sample_mod == 0)
+        & F.col(id_col).isNotNull()
+        & F.col(text_col).isNotNull()
+    )
+    sigs = minhash_signatures(
+        sample, id_col, text_col,
+        num_hashes=num_hashes, shingle_len=shingle_len, seed=seed,
+    )
+    sigs = _materialize(sigs)  # both join sides read it
+    a = sigs.select(
+        F.col("__id").alias("__ida"),
+        F.col("__minhash").alias("__ma"),
+        F.col("__shingles").alias("__sha"),
+    )
+    b = sigs.select(
+        F.col("__id").alias("__idb"),
+        F.col("__minhash").alias("__mb"),
+        F.col("__shingles").alias("__shb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("__ida") < F.col("__idb"))
+    matches = F.aggregate(
+        F.zip_with("__ma", "__mb", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb")).cast("long")
+    union = (F.size("__sha") + F.size("__shb")).cast("long") - inter
+    q = 1_000_000 // num_hashes
+    per = pairs.select(
+        # exact-integer bucket: B*i // u (u >= 1: empty text yields the
+        # single "" shingle)
+        F.least(
+            F.lit(n_buckets - 1),
+            ((F.lit(n_buckets) * inter) - (F.lit(n_buckets) * inter) % union)
+            / union,
+        ).cast("int").alias("bucket"),
+        (matches * q).alias("__qe"),
+        F.floor(inter.cast("double") / union * 1e6 + 0.5)
+        .cast("long")
+        .alias("__qt"),
+    )
+    agg = per.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__qe").alias("__se"),
+        F.sum("__qt").alias("__st"),
+        F.sum(F.abs(F.col("__qe") - F.col("__qt"))).alias("__sa"),
+    )
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    n = F.col("n_pairs").cast("double")
+    return agg.select(
+        "bucket",
+        "n_pairs",
+        r4(F.col("__se") / n / 1e6).alias("mean_est"),
+        r4(F.col("__st") / n / 1e6).alias("mean_true"),
+        r4(F.col("__sa") / n / 1e6).alias("mean_abs_err"),
+    )

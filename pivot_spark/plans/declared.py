@@ -9533,6 +9533,312 @@ def e200_table_checksum(spark, sf_dir):
     )
 
 
+# --- E201: Bradley–Terry preference strengths (preference.py) — the
+# RLHF/eval head-to-head analysis. Win decisions are exact-integer
+# (quantized sums cross-multiplied); the MM fixed point (25 iterations,
+# mean-1 renorm, +0.5 pseudo-count per pair direction) is replayed by
+# the oracle as 25 unrolled CTE iterations over the same pair matrix.
+_E201_ITERS = 25
+
+
+def _e201_oracle() -> str:
+    head = """
+WITH per AS MATERIALIZED (
+  SELECT user_id, event_type AS item,
+         CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1, 2
+), pw AS MATERIALIZED (
+  SELECT a.item AS ia, b.item AS ib,
+         CAST(sum(CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END) AS BIGINT) AS wa,
+         CAST(sum(CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END) AS BIGINT) AS wb
+  FROM per a JOIN per b ON a.user_id = b.user_id AND a.item < b.item
+  GROUP BY 1, 2
+  HAVING sum(CASE WHEN a.s * b.n > b.s * a.n THEN 1 ELSE 0 END)
+       + sum(CASE WHEN b.s * a.n > a.s * b.n THEN 1 ELSE 0 END) > 0
+), dir AS MATERIALIZED (
+  SELECT ia AS i, ib AS j, wa + 0.5 AS w, wa + wb + 1.0 AS nn FROM pw
+  UNION ALL
+  SELECT ib AS i, ia AS j, wb + 0.5 AS w, wa + wb + 1.0 AS nn FROM pw
+), wt AS MATERIALIZED (
+  SELECT i AS item, sum(w) AS ww, CAST(sum(nn - 1.0) AS BIGINT) AS n_comparisons
+  FROM dir GROUP BY 1
+), t0 AS MATERIALIZED (
+  SELECT item, 1.0 AS p FROM wt
+)"""
+    ctes = []
+    for k in range(1, _E201_ITERS + 1):
+        ctes.append(f""", t{k}r AS MATERIALIZED (
+  SELECT d.i AS item, w.ww / sum(d.nn / (pa.p + pb.p)) AS p
+  FROM dir d
+  JOIN t{k - 1} pa ON pa.item = d.i
+  JOIN t{k - 1} pb ON pb.item = d.j
+  JOIN wt w ON w.item = d.i
+  GROUP BY d.i, w.ww
+), t{k} AS MATERIALIZED (
+  SELECT item, p / (avg(p) OVER ()) AS p FROM t{k}r
+)""")
+    tail = f"""
+SELECT w.item, w.n_comparisons,
+       floor(w.ww * 10000 + 0.5) / 10000 AS wins,
+       floor(t.p * 10000 + 0.5) / 10000 AS strength
+FROM wt w JOIN t{_E201_ITERS} t USING (item)
+"""
+    return head + "".join(ctes) + tail
+
+
+@query("e201_bradley_terry", _e201_oracle())
+def e201_bradley_terry(spark, sf_dir):
+    """Bradley–Terry strengths over per-user event-type preferences:
+    corpus-sized pair mining (subject-keyed join, alphabet-bounded
+    fan-out, exact-integer win decisions) + alphabet-sized MM fit
+    (Hunter 2004) — driver state bounded by |items|^2 like k-means
+    centroids."""
+    from pivot_spark.operators.preference import bradley_terry_from_scores
+
+    ev = _read(spark, sf_dir, "events")
+    out = bradley_terry_from_scores(
+        ev, "user_id", "event_type", "value", iterations=_E201_ITERS
+    )
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "item", "n_comparisons", r4("wins").alias("wins"),
+        r4("strength").alias("strength"),
+    )
+
+
+# --- E202: MinHash estimator-quality audit (neardup.py::
+# minhash_estimate_report) — |est - true| per true-Jaccard bucket on a
+# deterministic doc sample. The oracle replays the PRODUCTION signature
+# (md5 top-8-bytes signed int64, the same affine (a,b) literals from
+# _affine_params(16, 42)) so the hash check covers the signature math
+# itself, not just the report plumbing. All aggregates are exact BIGINT
+# sums of per-pair quantized ints.
+def _e202_oracle() -> str:
+    from pivot_spark.operators.neardup import MERSENNE_PRIME, _affine_params
+
+    P = MERSENNE_PRIME
+    params = _affine_params(16, 42)
+    sig_cols = ",\n         ".join(
+        f"list_min(list_transform(hm, x{k} -> (x{k} * {a} + {b}) % {P})) AS s{k}"
+        for k, (a, b) in enumerate(params)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END" for k in range(16)
+    )
+    h64 = (
+        "CASE WHEN ('0x' || substring(md5(g),1,16))::UBIGINT >= "
+        "9223372036854775808::UBIGINT "
+        "THEN (('0x' || substring(md5(g),1,16))::UBIGINT::HUGEINT "
+        "- 18446744073709551616::HUGEINT)::BIGINT "
+        "ELSE ('0x' || substring(md5(g),1,16))::UBIGINT::BIGINT END"
+    )
+    inter = "len(list_intersect(a.hset, b.hset))"
+    union = f"(len(a.hset) + len(b.hset) - {inter})"
+    return rf"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id IS NOT NULL AND text IS NOT NULL
+), hh AS (
+  SELECT doc_id, list_distinct(list_transform(grams, g -> {h64})) AS hset
+  FROM sh
+), sg AS (
+  SELECT doc_id, hset,
+         {sig_cols}
+  FROM (SELECT doc_id, hset,
+               list_transform(hset, x -> ((x % {P}) + {P}) % {P}) AS hm
+        FROM hh)
+), pr AS (
+  SELECT least(9, (10 * {inter}::BIGINT) // {union}) AS bucket,
+         ({matches}) * 62500 AS qe,
+         CAST(floor({inter}::DOUBLE / {union} * 1000000 + 0.5) AS BIGINT) AS qt
+  FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+)
+SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_pairs,
+       floor(sum(qe)::DOUBLE / count(*) / 1000000.0 * 10000 + 0.5) / 10000 AS mean_est,
+       floor(sum(qt)::DOUBLE / count(*) / 1000000.0 * 10000 + 0.5) / 10000 AS mean_true,
+       floor(sum(abs(qe - qt))::DOUBLE / count(*) / 1000000.0 * 10000 + 0.5) / 10000 AS mean_abs_err
+FROM pr GROUP BY bucket
+"""
+
+
+@query("e202_minhash_audit", _e202_oracle())
+def e202_minhash_audit(spark, sf_dir):
+    """Signature-vs-truth calibration report for the production MinHash:
+    bounded deterministic sample, zero-shuffle Arrow signature pass,
+    broadcast pair stage, exact-BIGINT quantized error sums."""
+    from pivot_spark.operators.neardup import minhash_estimate_report
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_estimate_report(
+        docs, num_hashes=16, seed=42, sample_mod=3, n_buckets=10
+    )
+
+
+# --- E203: cross-source score calibration (calibrate.py::
+# quantile_normalize) — within-source quantile position of n_chars +
+# the equal-rate top-30%-per-source keep flag. Rank comes from the
+# skew-free parallel-prefix row_rank, not a per-source window sort; all
+# divisions are exact-int/exact-int so the oracle's window form agrees.
+_E203_ORACLE = """
+WITH base AS (
+  SELECT doc_id, source, n_chars FROM documents
+  WHERE n_chars IS NOT NULL AND doc_id IS NOT NULL AND source IS NOT NULL
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM base
+)
+SELECT doc_id, source,
+       CASE WHEN n = 1 THEN 0.5
+            ELSE floor((rn - 1)::DOUBLE / (n - 1) * 10000 + 0.5) / 10000
+       END AS q_norm,
+       CASE WHEN n = 1 THEN 0.5 > 1.0 - 0.3
+            ELSE ((rn - 1)::DOUBLE / (n - 1)) > 1.0 - 0.3
+       END AS keep
+FROM r
+"""
+
+
+@query("e203_quantile_normalize", _E203_ORACLE)
+def e203_quantile_normalize(spark, sf_dir):
+    """Per-source quantile normalization of a quality signal + the
+    top-30%-of-every-source filter — the calibration step before one
+    global threshold can be applied across heterogeneous corpora."""
+    from pivot_spark.operators.calibrate import quantile_normalize
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = quantile_normalize(
+        docs, "n_chars", ["source"], "doc_id", keep_top=0.3
+    )
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select("doc_id", "source", r4("q_norm").alias("q_norm"), "keep")
+
+
+# --- E204: min-max contrast-stretch audit over REAL P6 pixels
+# (codecs.py::ppm_contrast_stretch) on the e187 corpus — exact-integer
+# remap v' = ((v-lo)*2000 + rng) div (2*rng) (flat image -> 500), full
+# stretched moments as BIGINTs; the oracle replays the bytes from the
+# source text like e193.
+_E204_ORACLE = _E187_IMG_CTE + """
+, lum AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, w * h), i ->
+           CAST(299 * ascii(substring(p, CAST(i*3 + 1 AS INTEGER), 1))
+              + 587 * ascii(substring(p, CAST(i*3 + 2 AS INTEGER), 1))
+              + 114 * ascii(substring(p, CAST(i*3 + 3 AS INTEGER), 1)) AS BIGINT)) AS l
+  FROM img
+), mm AS (
+  SELECT doc_id, w, h, l, list_min(l) AS lo, list_max(l) AS hi FROM lum
+), st AS (
+  SELECT doc_id, CAST(w * h AS BIGINT) AS n_px, lo, hi,
+         list_transform(l, v -> CASE WHEN hi > lo
+             THEN ((v - lo) * 2000 + (hi - lo)) // (2 * (hi - lo))
+             ELSE CAST(500 AS BIGINT) END) AS sv
+  FROM mm
+)
+SELECT doc_id, n_px,
+       lo / 1000.0 AS luma_lo, hi / 1000.0 AS luma_hi,
+       floor((hi - lo) / 255000.0 * 10000 + 0.5) / 10000 AS contrast,
+       CAST(list_sum(sv) AS BIGINT) AS stretch_sum,
+       CAST(list_sum(list_transform(sv, q204 -> q204 * q204)) AS BIGINT) AS stretch_sumsq
+FROM st
+"""
+
+
+@query("e204_contrast_stretch", _E204_ORACLE)
+def e204_contrast_stretch(spark, sf_dir):
+    """Per-image dynamic range + exact stretched-histogram moments: two
+    scan-stage integer folds per row, zero shuffle, no Python — the
+    vision-normalize parity audit next to e193's blur screen."""
+    from pivot_spark.operators.codecs import ppm_contrast_stretch
+
+    out = ppm_contrast_stretch(_e187_images(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_px", "luma_lo", "luma_hi", "contrast",
+        "stretch_sum", "stretch_sumsq",
+    )
+
+
+# --- E205: held-out Stupid-Backoff scoring (lm.py::
+# stupid_backoff_score) — train counts on even doc_ids, score the odd
+# ones; unseen bigrams genuinely exercise the alpha*c(b)/N backoff
+# branch (vocab 300 forces <unk> traffic). Same r4 avg(-ln .) shape as
+# the green e85.
+_E205_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '')"
+
+_E205_ORACLE = rf"""
+WITH ttoks AS (
+  SELECT doc_id, {_E205_TOKS} AS w FROM documents WHERE doc_id % 2 = 0
+), texpl AS (
+  SELECT unnest(w) AS tok FROM ttoks
+), uc_raw AS (
+  SELECT tok, count(*) AS c FROM texpl GROUP BY 1
+), vocab AS (
+  SELECT tok FROM uc_raw ORDER BY c DESC, tok LIMIT 300
+), tm AS (
+  SELECT CASE WHEN tok IN (SELECT tok FROM vocab) THEN tok ELSE '<unk>' END AS tok
+  FROM texpl
+), uc AS (
+  SELECT tok, count(*) AS c FROM tm GROUP BY 1
+), nt AS (
+  SELECT sum(c)::DOUBLE AS n FROM uc
+), tpraw AS (
+  SELECT w[i] AS a, w[i+1] AS b
+  FROM ttoks, LATERAL unnest(range(1, len(w))) t(i)
+), tp AS (
+  SELECT CASE WHEN a IN (SELECT tok FROM vocab) THEN a ELSE '<unk>' END AS a,
+         CASE WHEN b IN (SELECT tok FROM vocab) THEN b ELSE '<unk>' END AS b
+  FROM tpraw
+), bc AS (
+  SELECT a, b, count(*) AS cb FROM tp GROUP BY 1, 2
+), stoks AS (
+  SELECT doc_id, {_E205_TOKS} AS w FROM documents WHERE doc_id % 2 = 1
+), spraw AS (
+  SELECT doc_id, w[i] AS a, w[i+1] AS b
+  FROM stoks, LATERAL unnest(range(1, len(w))) t(i)
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN a IN (SELECT tok FROM vocab) THEN a ELSE '<unk>' END AS a,
+         CASE WHEN b IN (SELECT tok FROM vocab) THEN b ELSE '<unk>' END AS b
+  FROM spraw
+), scored AS (
+  SELECT sp.doc_id, count(*) AS n_bigrams,
+         round(avg(-ln(CASE WHEN bc.cb IS NOT NULL THEN bc.cb / u1.c
+                            ELSE 0.4 * coalesce(u2.c, 1) / nt.n END)), 4)
+           AS avg_neg_logs
+  FROM sp
+  LEFT JOIN bc USING (a, b)
+  LEFT JOIN uc u1 ON sp.a = u1.tok
+  LEFT JOIN uc u2 ON sp.b = u2.tok
+  CROSS JOIN nt
+  GROUP BY sp.doc_id
+)
+SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_neg_logs
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
+
+@query("e205_stupid_backoff", _E205_ORACLE)
+def e205_stupid_backoff(spark, sf_dir):
+    """Web-scale held-out LM filter: Stupid Backoff (Brants 2007) —
+    counts-only scoring, so it distributes as plain counting; train and
+    score shards are disjoint halves of the corpus."""
+    from pivot_spark.operators.lm import stupid_backoff_score
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    score = docs.filter(F.col("doc_id") % 2 == 1)
+    return stupid_backoff_score(train, score, vocab_size=300, alpha=0.4)
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.
