@@ -41,6 +41,7 @@ from pivot_spark.operators.neardup import (
     ngram_jaccard_pairs,
 )
 from pivot_spark.operators.calibrate import quantile_normalize
+from pivot_spark.operators.coreset import farthest_point_sample
 from pivot_spark.operators.preference import (
     bradley_terry,
     bradley_terry_from_scores,
@@ -164,6 +165,7 @@ from pivot_spark.operators.skew import (
 from pivot_spark.operators.analytics import (
     anova_oneway,
     average_precision,
+    cohens_kappa,
     ranking_metrics,
     dispersion_test,
     interarrival_stats,
@@ -299,7 +301,7 @@ __all__ = [
     "gopher_rules", "gopher_filter", "c4_line_signals", "line_dedup", "strip_boilerplate_lines",
     "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
     "bigram_lm_score", "stupid_backoff_score",
-    "quantile_normalize",
+    "quantile_normalize", "farthest_point_sample", "cohens_kappa",
     "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
     "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",

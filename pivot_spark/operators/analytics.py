@@ -1599,3 +1599,69 @@ def ranking_metrics(
         ).alias("ndcg"),
         F.expr(f"CASE {rr} ELSE CAST(0.0 AS DOUBLE) END").alias("rr"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa agreement between two label columns — the
+    annotation-pipeline audit: how much do two labelers (a gold column
+    vs a heuristic classifier, or two model versions) agree beyond
+    chance?
+
+        kappa = (p_o - p_e) / (1 - p_e),
+        p_o = sum_l n_ll / N,  p_e = sum_l row_l * col_l / N^2
+
+    Rows where either label is NULL are excluded (no judgment). All
+    counts are exact integers; the p_e numerator is accumulated in
+    DECIMAL(38,0) (row_l * col_l overflows BIGINT once N approaches
+    ~3e9 — real at corpus scale), so both ratios and kappa are a pure
+    function of the confusion matrix, identical on any engine or
+    partitioning. Degenerate case p_e = 1 (both columns constant)
+    yields NULL kappa.
+
+    Plan: ONE corpus shuffle (the label-pair aggregate, map-side
+    combine; the confusion matrix is |labels|^2-bounded); everything
+    downstream is answer-sized aggregates combined via broadcast.
+    Returns one row: (n BIGINT, agree BIGINT, po, pe, kappa — 4dp).
+    """
+    base = df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+    conf = base.groupBy(
+        F.col(col_a).alias("__a"), F.col(col_b).alias("__b")
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    conf = conf.persist()
+    conf.count()  # eager fence: tot/rows/cols would each rescan the corpus
+    tot = conf.agg(
+        F.sum("__c").alias("n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))),
+            F.lit(0).cast("long"),
+        ).alias("agree"),
+    )
+    rows = conf.groupBy("__a").agg(F.sum("__c").alias("__ra"))
+    cols = conf.groupBy("__b").agg(F.sum("__c").alias("__cb"))
+    pe_num = (
+        rows.join(cols, F.col("__a") == F.col("__b"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__ra").cast("decimal(38,0)") * F.col("__cb")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("__pe_num")
+        )
+    )
+    out = tot.crossJoin(F.broadcast(pe_num))
+    n = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / n
+    pe = F.col("__pe_num").cast("double") / n / n
+    r4 = lambda c: F.floor(c * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "n",
+        "agree",
+        r4(po).alias("po"),
+        r4(pe).alias("pe"),
+        F.when(pe < 1.0, r4((po - pe) / (1.0 - pe))).alias("kappa"),
+    )

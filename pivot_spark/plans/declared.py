@@ -9839,6 +9839,136 @@ def e205_stupid_backoff(spark, sf_dir):
     return stupid_backoff_score(train, score, vocab_size=300, alpha=0.4)
 
 
+# --- E206: annotation-agreement audit (analytics.py::cohens_kappa) —
+# Cohen's kappa between the declared ``lang`` column and the e05
+# lang_guess heuristic. The oracle rebuilds the IDENTICAL CASE chain
+# from LANG_STOPWORDS (the e05 device) and the same exact-count ratios;
+# the p_e numerator is HUGEINT/DECIMAL(38,0) on the two engines.
+def _lang_guess_sql() -> str:
+    from pivot_spark.functions.text import LANG_STOPWORDS
+
+    score = {}
+    for lang, words in LANG_STOPWORDS.items():
+        if lang == "zh":
+            score[lang] = "len(regexp_extract_all(text, '[一-鿿]'))"
+        else:
+            wl = ", ".join(f"'{w}'" for w in words)
+            score[lang] = (
+                "len(list_filter("
+                r"list_filter(string_split_regex(lower(text), '\s+'), w -> w <> ''),"
+                f" w -> list_contains([{wl}], w)))"
+            )
+    langs = list(score)
+    cases = " ".join(
+        "WHEN s_{0} > 0 AND {1} THEN '{0}'".format(
+            lang,
+            " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang),
+        )
+        for lang in langs
+    )
+    sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"SELECT lang, CASE {cases} ELSE 'und' END AS guess FROM (SELECT lang, {sel} FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)"
+
+
+_E206_ORACLE = f"""
+WITH lab AS MATERIALIZED (
+  {_lang_guess_sql()}
+), conf AS MATERIALIZED (
+  SELECT lang AS a, guess AS b, count(*) AS c FROM lab GROUP BY 1, 2
+), tot AS (
+  SELECT sum(c)::BIGINT AS n,
+         coalesce(sum(c) FILTER (a = b), 0)::BIGINT AS agree
+  FROM conf
+), pe AS (
+  SELECT coalesce(sum(r.ra::HUGEINT * co.cb), 0) AS pe_num
+  FROM (SELECT a, sum(c) AS ra FROM conf GROUP BY 1) r
+  JOIN (SELECT b, sum(c) AS cb FROM conf GROUP BY 1) co ON r.a = co.b
+)
+SELECT n, agree,
+       floor(agree::DOUBLE / n * 10000 + 0.5) / 10000 AS po,
+       floor(pe_num::DOUBLE / n / n * 10000 + 0.5) / 10000 AS pe,
+       CASE WHEN pe_num::DOUBLE / n / n < 1.0
+            THEN floor((agree::DOUBLE / n - pe_num::DOUBLE / n / n)
+                       / (1.0 - pe_num::DOUBLE / n / n) * 10000 + 0.5) / 10000
+       END AS kappa
+FROM tot CROSS JOIN pe
+"""
+
+
+@query("e206_cohens_kappa", _E206_ORACLE)
+def e206_cohens_kappa(spark, sf_dir):
+    """Agreement-beyond-chance between the corpus's declared language
+    labels and the heuristic lang-ID — the audit run before trusting
+    either labeler. One |labels|^2-bounded shuffle, answer-sized rest."""
+    from pivot_spark.functions.text import lang_guess
+    from pivot_spark.operators.analytics import cohens_kappa
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("text").isNotNull())
+        .select("lang", lang_guess(F.col("text")).alias("guess"))
+    )
+    return cohens_kappa(docs, "lang", "guess")
+
+
+# --- E207: farthest-point sampling coreset (coreset.py) — Gonzalez
+# k-center over the embeddings, k=6. Selection is replayed center by
+# center: each oracle step is a MATERIALIZED CTE picking argmax of the
+# least of the unrolled left-assoc squared distances (the e54 fold
+# contract), ties to the smallest vec_id.
+_E207_K = 6
+
+
+def _e207_oracle() -> str:
+    def dist(e: str, c: str) -> str:
+        terms = " + ".join(
+            f"({e}[{i}]::DOUBLE - {c}[{i}]::DOUBLE) * ({e}[{i}]::DOUBLE - {c}[{i}]::DOUBLE)"
+            for i in range(1, _E54_DIM + 1)
+        )
+        return f"(0.0 + {terms})"
+
+    parts = [
+        """WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+), c0 AS MATERIALIZED (
+  SELECT vec_id, embedding AS v, CAST(NULL AS DOUBLE) AS dm
+  FROM b ORDER BY vec_id LIMIT 1
+)"""
+    ]
+    for s in range(1, _E207_K):
+        ds = [dist("e.embedding", f"c{j}.v") for j in range(s)]
+        mind = ds[0] if s == 1 else f"least({', '.join(ds)})"
+        joins = " ".join(f"CROSS JOIN c{j}" for j in range(s))
+        excl = ", ".join(f"(SELECT vec_id FROM c{j})" for j in range(s))
+        parts.append(f""", c{s} AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding AS v, {mind} AS dm
+  FROM b e {joins}
+  WHERE e.vec_id NOT IN ({excl})
+  ORDER BY dm DESC, e.vec_id LIMIT 1
+)""")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {s} AS step, vec_id, floor(dm * 10000 + 0.5) / 10000 AS min_dist FROM c{s}"
+        if s > 0
+        else "SELECT 0 AS step, vec_id, dm AS min_dist FROM c0"
+        for s in range(_E207_K)
+    )
+    return "".join(parts) + "\n" + sel
+
+
+@query("e207_fps_coreset", _e207_oracle())
+def e207_fps_coreset(spark, sf_dir):
+    """Diversity-maximizing coreset: k scan-stage passes, each a
+    broadcast-literal min-distance + distributed TakeOrdered(1); no
+    shuffle, driver state = k x dim."""
+    from pivot_spark.operators.coreset import farthest_point_sample
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = farthest_point_sample(emb, "vec_id", "embedding", k=_E207_K)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select("step", "vec_id", r4("min_dist").alias("min_dist"))
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

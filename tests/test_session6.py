@@ -273,3 +273,96 @@ def test_stupid_backoff_short_docs_null(spark):
     out = {r["doc_id"]: r for r in stupid_backoff_score(train, score).collect()}
     assert out[1]["n_bigrams"] == 0 and out[1]["avg_neg_logs"] is None
     assert out[3]["n_bigrams"] == 0 and out[3]["avg_neg_logs"] is None
+
+
+# --------------------------------------------------------------------------
+# analytics.py::cohens_kappa
+# --------------------------------------------------------------------------
+
+def test_cohens_kappa_perfect_and_chance(spark):
+    from pivot_spark.operators.analytics import cohens_kappa
+
+    rows = [("x", "x")] * 3 + [("y", "y")] * 3
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["kappa"] == 1.0 and r["po"] == 1.0 and r["agree"] == 6
+
+    # independent labels at uniform 50/50: kappa == 0 exactly
+    rows = [("x", "x"), ("x", "y"), ("y", "x"), ("y", "y")]
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 0.5 and r["pe"] == 0.5 and r["kappa"] == 0.0
+
+
+def test_cohens_kappa_known_value(spark):
+    from pivot_spark.operators.analytics import cohens_kappa
+
+    # classic 2x2: a=20,b=5 / c=10,d=15 -> po=0.7, pe=(30*25+20*25)/2500=0.5
+    rows = ([("p", "p")] * 20 + [("p", "n")] * 5
+            + [("n", "p")] * 10 + [("n", "n")] * 15)
+    df = spark.createDataFrame(rows, ["a", "b"])
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["po"] == 0.7 and r["pe"] == 0.5
+    assert r["kappa"] == pytest.approx(0.4)
+
+
+def test_cohens_kappa_degenerate_constant(spark):
+    from pivot_spark.operators.analytics import cohens_kappa
+
+    df = spark.createDataFrame([("x", "x")] * 4, ["a", "b"])
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["pe"] == 1.0 and r["kappa"] is None
+
+
+def test_cohens_kappa_drops_nulls(spark):
+    from pivot_spark.operators.analytics import cohens_kappa
+
+    df = spark.createDataFrame(
+        [("x", "x"), ("x", None), (None, "y")], ["a", "b"]
+    )
+    r = cohens_kappa(df, "a", "b").collect()[0]
+    assert r["n"] == 1
+
+
+# --------------------------------------------------------------------------
+# coreset.py::farthest_point_sample
+# --------------------------------------------------------------------------
+
+def test_fps_picks_spread_points(spark):
+    # three tight clusters on a line; k=3 must take one from each
+    pts = [(0, [0.0, 0.0]), (1, [0.1, 0.0]),
+           (10, [10.0, 0.0]), (11, [10.1, 0.0]),
+           (20, [20.0, 0.0]), (21, [20.1, 0.0])]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts], ["vec_id", "embedding"]
+    )
+    from pivot_spark.operators.coreset import farthest_point_sample
+
+    out = farthest_point_sample(df, k=3).collect()
+    assert [r["step"] for r in out] == [0, 1, 2]
+    ids = [r["vec_id"] for r in out]
+    assert ids[0] == 0           # deterministic start: smallest id
+    assert ids[1] in (20, 21)    # farthest cluster next
+    assert ids[2] in (10, 11)    # middle cluster last
+    assert out[0]["min_dist"] is None and out[1]["min_dist"] > 0
+
+
+def test_fps_duplicates_not_repicked_and_short_corpus(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [1.0, 1.0])], ["vec_id", "embedding"]
+    )
+    from pivot_spark.operators.coreset import farthest_point_sample
+
+    out = farthest_point_sample(df, k=5).collect()
+    assert [r["vec_id"] for r in out] == [0, 1]  # stops at corpus size
+    assert out[1]["min_dist"] == 0.0
+
+
+def test_fps_tie_breaks_to_smallest_id(spark):
+    df = spark.createDataFrame(
+        [(3, [0.0]), (7, [1.0]), (5, [1.0])], ["vec_id", "embedding"]
+    )
+    from pivot_spark.operators.coreset import farthest_point_sample
+
+    out = farthest_point_sample(df, k=2).collect()
+    assert out[0]["vec_id"] == 3 and out[1]["vec_id"] == 5
