@@ -38,8 +38,9 @@ _ROUND_WINDOW = [
     "e168_ppm_decode", "e169_bmp_decode",
     "e123_tfidf_cosine_join", "e124_pmi_cooccurrence",
     "e61_weighted_sample", "e125_readability",
-    # graph family (now on the shared mined-pair stage)
-    "e31_dup_clusters", "e82_dedup_keep_best",
+    # graph family (now on the shared mined-pair stage; e31 rotates to
+    # round 4 — the round-2 judge already gate-replica-verified it)
+    "e82_dedup_keep_best",
     "e107_pagerank", "e115_leakage_safe_split", "e116_negative_sampling",
     "e136_label_propagation", "e157_cross_source_dups", "e162_degree_stats",
     # verdict-named heavy-logic families, not yet driver-checked
@@ -47,7 +48,7 @@ _ROUND_WINDOW = [
     # ran the gate-replica comparison on them, so the freed slots go to
     # this session's brand-new operators e191-e194)
     "e69_scd2_build", "e70_scd2_apply",
-    "e81_spearman_matrix", "e127_duplicated_spans",
+    "e81_spearman_matrix",
     "e134_poisson_bootstrap",
     "e146_cdf_transform", "e152_roc_auc",
     # additional unchecked heavy-logic operators (e32/e35/e36/e41/e54/
@@ -69,6 +70,9 @@ _ROUND_WINDOW = [
     # blur / spectral media screens
     "e191_ranking_ndcg", "e192_curriculum_order",
     "e193_image_blur", "e194_audio_spectral",
+    # session-6 new operators: preference ranking + MinHash audit
+    # (e127 rotates to round 4 — judge gate-replica-verified in r02)
+    "e201_bradley_terry", "e202_minhash_audit",
 ]
 
 
