@@ -39,10 +39,12 @@ _ROUND_WINDOW = [
     "e123_tfidf_cosine_join", "e124_pmi_cooccurrence",
     "e61_weighted_sample", "e125_readability",
     # graph family (now on the shared mined-pair stage; e31 rotates to
-    # round 4 — the round-2 judge already gate-replica-verified it)
+    # round 4 — the round-2 judge already gate-replica-verified it.
+    # e107/e116/e136/e162 rotate to round 4 too: all four are thin
+    # consumers of the same mined-pair stage that e115/e157 exercise
+    # here, freeing slots for the session-6/7 brand-new operators)
     "e82_dedup_keep_best",
-    "e107_pagerank", "e115_leakage_safe_split", "e116_negative_sampling",
-    "e136_label_propagation", "e157_cross_source_dups", "e162_degree_stats",
+    "e115_leakage_safe_split", "e157_cross_source_dups",
     # verdict-named heavy-logic families, not yet driver-checked
     # (e57/e103/e113/e133 rotate to round 4 — the round-2 judge already
     # ran the gate-replica comparison on them, so the freed slots go to
@@ -51,20 +53,21 @@ _ROUND_WINDOW = [
     "e81_spearman_matrix",
     "e134_poisson_bootstrap",
     "e146_cdf_transform", "e152_roc_auc",
-    # additional unchecked heavy-logic operators (e32/e35/e36/e41/e54/
-    # e56 rotate to round 4 — unit-tested and oracle-declared meanwhile)
-    "e38_ngram_decontam",
+    # additional unchecked heavy-logic operators (e32/e35/e36/e38/e41/
+    # e54/e56 rotate to round 4 — unit-tested and oracle-declared
+    # meanwhile; e38's decontam family already has driver-green e23)
     "e75_bloom_decontam", "e85_bigram_lm",
     "e129_neardup_incremental",
-    # new this session: perceptual-fingerprint family + media transforms
-    # (newest code gets the hard signal first)
-    "e185_audio_fingerprint", "e186_audio_neardup",
-    "e187_image_dhash", "e188_image_neardup_dhash",
-    "e189_audio_trim", "e190_image_crop",
+    # session-4 perceptual-fingerprint family: the two end-to-end
+    # neardup queries stay (each exercises its fingerprint + the
+    # generic hamming band join); the standalone fingerprint/trim/crop
+    # queries rotate to round 4 (decode-back oracles + randomized batch
+    # tests cover them meanwhile)
+    "e186_audio_neardup", "e188_image_neardup_dhash",
     # session-3 new operators — newest code gets the hard signal first
-    # (e47/e50/e66/e72 rotate to round 4; they are unit-tested and
+    # (e47/e50/e66/e72/e174 rotate to round 4; they are unit-tested and
     # oracle-declared meanwhile)
-    "e174_audio_features", "e176_boilerplate_lines",
+    "e176_boilerplate_lines",
     "e180_semantic_decontam", "e181_media_sniff",
     # session-5 new operators: retrieval eval, curriculum order,
     # blur / spectral media screens
@@ -73,6 +76,14 @@ _ROUND_WINDOW = [
     # session-6 new operators: preference ranking + MinHash audit
     # (e127 rotates to round 4 — judge gate-replica-verified in r02)
     "e201_bradley_terry", "e202_minhash_audit",
+    # session-6 (cont.): normalization, media, LM and audit operators
+    "e203_quantile_normalize", "e204_contrast_stretch",
+    "e205_stupid_backoff", "e206_cohens_kappa", "e207_fps_coreset",
+    # session-7 new operators: isotonic calibration, graph lcc,
+    # Krippendorff agreement, T5 span corruption, Matryoshka recall
+    "e208_isotonic_calibration", "e209_local_clustering",
+    "e210_krippendorff_alpha", "e211_span_corruption",
+    "e212_matryoshka_recall",
 ]
 
 

@@ -26,6 +26,7 @@ from pivot_spark.operators.components import (
     label_propagation,
     pagerank,
     triangle_stats,
+    local_clustering,
     dedup_clusters,
     dedup_clusters_keep_best,
 )
@@ -40,7 +41,8 @@ from pivot_spark.operators.neardup import (
     ngram_containment_pairs,
     ngram_jaccard_pairs,
 )
-from pivot_spark.operators.calibrate import quantile_normalize
+from pivot_spark.operators.calibrate import isotonic_fit, quantile_normalize
+from pivot_spark.operators.augment import span_corruption
 from pivot_spark.operators.coreset import farthest_point_sample
 from pivot_spark.operators.preference import (
     bradley_terry,
@@ -74,6 +76,7 @@ from pivot_spark.operators.prune import prototypicality_prune
 from pivot_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_lsh,
+    matryoshka_recall,
     semantic_decontaminate,
 )
 
@@ -166,6 +169,7 @@ from pivot_spark.operators.analytics import (
     anova_oneway,
     average_precision,
     cohens_kappa,
+    krippendorff_alpha,
     ranking_metrics,
     dispersion_test,
     interarrival_stats,
@@ -302,6 +306,8 @@ __all__ = [
     "repetition_signals", "tfidf_top_terms", "unigram_lm_score",
     "bigram_lm_score", "stupid_backoff_score",
     "quantile_normalize", "farthest_point_sample", "cohens_kappa",
+    "isotonic_fit", "span_corruption", "local_clustering",
+    "krippendorff_alpha", "matryoshka_recall",
     "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
     "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",

@@ -1665,3 +1665,98 @@ def cohens_kappa(
         r4(pe).alias("pe"),
         F.when(pe < 1.0, r4((po - pe) / (1.0 - pe))).alias("kappa"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) over a LONG ratings frame — the
+    agreement statistic that, unlike Cohen's kappa, handles any number
+    of raters per unit AND missing ratings (units rated by a subset of
+    raters simply contribute fewer pairable values).
+
+    Input: one row per (unit, rating); rater identity is irrelevant for
+    the coincidence-matrix formulation (Krippendorff 2004, §11.3).
+    Units with fewer than 2 non-NULL ratings are dropped (nothing to
+    pair). With per-unit value counts n_uc and m_u = sum_c n_uc:
+
+        o_cc' = sum_u n_uc * (n_uc' - [c=c']) / (m_u - 1)   (coincidences)
+        n_c   = sum_c' o_cc',  n = sum_c n_c  (= total pairable values)
+        D_o   = sum_{c!=c'} o_cc' / n
+        D_e   = sum_{c!=c'} n_c * n_c' / (n * (n - 1))
+        alpha = 1 - D_o / D_e
+
+    Plan: one (unit, value) count aggregate on the corpus, one unit-
+    keyed m_u join, a per-unit value self-join whose fan-out is bounded
+    by (ratings per unit)² — raters, not corpus — then |values|²-sized
+    aggregates. ONE corpus-scale shuffle. Returns one row:
+    (n_units BIGINT, n_pairable BIGINT, d_o, d_e, alpha as raw doubles;
+    callers round). Degenerate D_e = 0 (a single value overall) yields
+    NULL alpha.
+    """
+    base = df.filter(
+        F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(F.col(unit_col).alias("__u"), F.col(value_col).alias("__v"))
+    uc = base.groupBy("__u", "__v").agg(F.count(F.lit(1)).alias("__nc"))
+    mu = uc.groupBy("__u").agg(F.sum("__nc").alias("__m"))
+    uc2 = (
+        uc.join(mu, "__u")
+        .filter(F.col("__m") >= 2)
+        .persist()
+    )
+    uc2.count()  # fence: the self-join + totals would rescan upstream
+    left = uc2.select(
+        "__u", F.col("__v").alias("__c"), F.col("__nc").alias("__na"), "__m"
+    )
+    right = uc2.select(
+        "__u", F.col("__v").alias("__cp"), F.col("__nc").alias("__nb")
+    )
+    coin = (
+        left.join(right, "__u")
+        .select(
+            "__c", "__cp",
+            (
+                F.col("__na").cast("double")
+                * (
+                    F.col("__nb")
+                    - F.when(F.col("__c") == F.col("__cp"), 1).otherwise(0)
+                ).cast("double")
+                / (F.col("__m") - 1).cast("double")
+            ).alias("__o"),
+        )
+        .groupBy("__c", "__cp")
+        .agg(F.sum("__o").alias("__occ"))
+    )
+    coin = coin.persist()
+    coin.count()
+    marg = coin.groupBy("__c").agg(F.sum("__occ").alias("__nc"))
+    tots = coin.agg(
+        F.sum("__occ").alias("__n"),
+        F.coalesce(
+            F.sum(F.when(F.col("__c") != F.col("__cp"), F.col("__occ"))),
+            F.lit(0.0),
+        ).alias("__dis"),
+    )
+    e_num = (
+        marg.alias("x")
+        .crossJoin(marg.alias("y"))
+        .where(F.expr("x.__c <> y.__c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("x.__nc * y.__nc")), F.lit(0.0)).alias(
+                "__en"
+            )
+        )
+    )
+    n_units = uc2.select("__u").distinct().count()
+    d_o = F.col("__dis") / F.col("__n")
+    d_e = F.col("__en") / (F.col("__n") * (F.col("__n") - 1))
+    out = tots.crossJoin(F.broadcast(e_num)).select(
+        F.lit(n_units).cast("long").alias("n_units"),
+        F.round(F.col("__n")).cast("long").alias("n_pairable"),
+        d_o.alias("d_o"),
+        d_e.alias("d_e"),
+        F.when(d_e > 0, 1.0 - d_o / d_e).alias("alpha"),
+    )
+    return out

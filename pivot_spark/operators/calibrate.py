@@ -79,3 +79,120 @@ def quantile_normalize(
     if keep_top is not None:
         out = out.withColumn(keep_col, F.col(out_col) > 1.0 - keep_top)
     return out
+
+
+def isotonic_fit(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 64,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration curve of
+    ``label_col`` against ``score_col`` — the non-parametric step-map
+    behind sklearn's ``IsotonicRegression``, fitted at corpus scale.
+
+    A classifier's raw score is rarely a probability; isotonic
+    regression finds the least-squares monotone map score → P(label)
+    without assuming a sigmoid shape (Platt). Binned formulation:
+
+    1. one scan bins scores into ``bins`` equal-width buckets over the
+       observed [min, max] (single-row range aggregate, broadcast);
+    2. per-bin (n, sum_label) — a ≤``bins``-row aggregate;
+    3. the isotonic fit on the bin means via the *minimax* closed form
+       (Barlow et al. 1972, Thm 1.4.4):
+           fitted(i) = max_{a<=i} min_{b>=i} mean(label over bins a..b)
+       computed as an O(bins²) pair frame — pure relational algebra on
+       an answer-sized frame, no PAV loop, no driver state beyond the
+       plan. The result is provably the PAV solution, in particular
+       non-decreasing in the bin index.
+
+    At 100 TB the corpus is touched once (stage 1-2); everything after
+    is ≤ bins² rows. Output: one row per non-empty bin — (bin, bin_lo,
+    n, mean_label, fitted), ordered semantics left to the caller.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("double").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+
+    rng = base.agg(
+        F.min("__s").alias("__mn"), F.max("__s").alias("__mx")
+    )
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("__s") - F.col("__mn"))
+                    / (F.col("__mx") - F.col("__mn"))
+                    * bins
+                ),
+            )
+        )
+        .cast("int")
+        .alias("bin"),
+        "__y",
+        "__mn",
+        "__mx",
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__y").alias("__sy"),
+        F.min(
+            F.col("__mn") + F.col("bin") * (F.col("__mx") - F.col("__mn")) / bins
+        ).alias("bin_lo"),
+    )
+    # prefix sums over the <=bins-row frame (bounded single-task window)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per_bin.select(
+        "bin", "n", "__sy", "bin_lo",
+        F.sum("n").over(w).alias("__cn"),
+        F.sum("__sy").over(w).alias("__cy"),
+    )
+    a = pre.select(
+        F.col("bin").alias("__a"),
+        (F.col("__cn") - F.col("n")).alias("__cna"),
+        (F.col("__cy") - F.col("__sy")).alias("__cya"),
+    )
+    b = pre.select(
+        F.col("bin").alias("__b"),
+        F.col("__cn").alias("__cnb"),
+        F.col("__cy").alias("__cyb"),
+    )
+    seg = (
+        a.crossJoin(b)
+        .where(F.col("__a") <= F.col("__b"))
+        .select(
+            "__a", "__b",
+            (
+                (F.col("__cyb") - F.col("__cya"))
+                / (F.col("__cnb") - F.col("__cna"))
+            ).alias("__v"),
+        )
+    )
+    idx = pre.select(F.col("bin").alias("__i"))
+    fitted = (
+        seg.join(
+            idx,
+            (F.col("__a") <= F.col("__i")) & (F.col("__i") <= F.col("__b")),
+        )
+        .groupBy("__i", "__a")
+        .agg(F.min("__v").alias("__mnv"))
+        .groupBy("__i")
+        .agg(F.max("__mnv").alias("fitted"))
+    )
+    return (
+        pre.join(fitted, pre["bin"] == fitted["__i"])
+        .select(
+            "bin",
+            "bin_lo",
+            "n",
+            (F.col("__sy") / F.col("n")).alias("mean_label"),
+            "fitted",
+        )
+    )

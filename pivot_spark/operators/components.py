@@ -475,3 +475,75 @@ def degree_stats(
         F.col("__n").alias("n_nodes_total"),
         "max_degree",
     )
+
+
+def local_clustering(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + LOCAL clustering coefficient — the
+    node-level companion of ``triangle_stats`` (which returns the global
+    census): lcc separates "real" duplicate communities (triangle-dense)
+    from accidental candidate chains (triangle-free) per node, so a
+    keep-best pass can treat cohesive template-spam clusters differently
+    from loose hash-collision chains.
+
+    Same degree-ordered wedge enumeration as ``triangle_stats`` (each
+    triangle found exactly once, wedge fan-out √m-bounded by the
+    (degree, id) orientation); the difference is attribution — every
+    found triangle is exploded back to its three corners and counted
+    per node. Output: one row per node — (node, degree, triangles,
+    lcc = 2·triangles / (degree·(degree-1)), 0.0 for degree < 2).
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+    sym = und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    # orient: u -> v iff (deg_u, u) < (deg_v, v)
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("__db"))
+    ranked = und.join(da, "a").join(db, "b")
+    fwd = F.col("__da") < F.col("__db")
+    tie = (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    oriented = ranked.select(
+        F.when(fwd | tie, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(fwd | tie, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    # wedges at u: ordered out-neighbor pairs, closed against oriented v->w
+    o1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    o2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = o1.join(o2, "u").where(F.col("x") < F.col("y"))
+    # close the wedge with an id-canonical equi-join (x < y already):
+    # an OR over both orientations would fall out of hash-join land
+    closer = oriented.select(
+        F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+    )
+    tri = wedges.join(closer, ["x", "y"], "leftsemi")
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce("triangles", F.lit(0)).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+    return out

@@ -386,3 +386,81 @@ def semantic_decontaminate(
         F.col("__mid").alias("match_id"),
         (F.col("__sim") >= float(threshold)).alias("contaminated"),
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dims: "list[int]",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_max_rows: int = 100_000,
+) -> DataFrame:
+    """Recall@k of *truncated-dimension* cosine search vs the full-dim
+    answer — the audit behind Matryoshka-style embeddings (Kusupati et
+    al. 2022): how much retrieval quality survives keeping only the
+    first d coordinates? Run before committing an index to a truncated
+    width (a 4x narrower index is only a win if recall holds).
+
+    For every d in ``dims``: exact top-k on vectors sliced to their
+    first d coordinates (same (cos desc, id asc) total order as
+    ``cosine_topk``), intersected with the full-width top-k. Per-dim
+    summary over ALL queries (a query whose truncated list misses every
+    true neighbor counts as recall 0).
+
+    Plan: one ``cosine_topk`` pass per dim + one full-width pass —
+    each a single corpus scan with no corpus-sized shuffle (the audit
+    is meant to run on a query SAMPLE; pass the corpus persisted if
+    |dims| scans should not re-read the source). Intersections and
+    summaries are (queries x k)-sized. Output: one row per dim —
+    (dim, n_queries, mean_recall, min_recall).
+    """
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    full = cosine_topk(
+        corpus, queries, k, id_col, vec_col, query_max_rows=query_max_rows
+    ).select("query_id", "neighbor_id")
+
+    per_dim = []
+    for d in dims:
+        c_d = corpus.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        q_d = queries.select(
+            F.col(id_col), F.slice(F.col(vec_col), 1, d).alias(vec_col)
+        )
+        t_d = cosine_topk(
+            c_d, q_d, k, id_col, vec_col, query_max_rows=query_max_rows
+        )
+        hits = (
+            t_d.join(full, ["query_id", "neighbor_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("__hits"))
+            .select(F.lit(d).alias("dim"), "query_id", "__hits")
+        )
+        per_dim.append(hits)
+    all_hits = per_dim[0]
+    for h in per_dim[1:]:
+        all_hits = all_hits.unionByName(h)
+
+    qids = queries.select(F.col(id_col).alias("query_id")).distinct()
+    grid = qids.crossJoin(
+        F.broadcast(
+            all_hits.sparkSession.createDataFrame(
+                [(int(d),) for d in dims], "dim int"
+            )
+        )
+    )
+    per_q = grid.join(all_hits, ["dim", "query_id"], "left").select(
+        "dim",
+        "query_id",
+        (F.coalesce(F.col("__hits"), F.lit(0)).cast("double") / k).alias(
+            "__r"
+        ),
+    )
+    return per_q.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.avg("__r").alias("mean_recall"),
+        F.min("__r").alias("min_recall"),
+    )

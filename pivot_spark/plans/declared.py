@@ -9844,7 +9844,7 @@ def e205_stupid_backoff(spark, sf_dir):
 # lang_guess heuristic. The oracle rebuilds the IDENTICAL CASE chain
 # from LANG_STOPWORDS (the e05 device) and the same exact-count ratios;
 # the p_e numerator is HUGEINT/DECIMAL(38,0) on the two engines.
-def _lang_guess_sql() -> str:
+def _lang_guess_sql(with_id: bool = False) -> str:
     from pivot_spark.functions.text import LANG_STOPWORDS
 
     score = {}
@@ -9867,7 +9867,8 @@ def _lang_guess_sql() -> str:
         for lang in langs
     )
     sel = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
-    return f"SELECT lang, CASE {cases} ELSE 'und' END AS guess FROM (SELECT lang, {sel} FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)"
+    idc = "doc_id, " if with_id else ""
+    return f"SELECT {idc}lang, CASE {cases} ELSE 'und' END AS guess FROM (SELECT {idc}lang, {sel} FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)"
 
 
 _E206_ORACLE = f"""
@@ -9967,6 +9968,341 @@ def e207_fps_coreset(spark, sf_dir):
     out = farthest_point_sample(emb, "vec_id", "embedding", k=_E207_K)
     r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
     return out.select("step", "vec_id", r4("min_dist").alias("min_dist"))
+
+
+# --- E208: isotonic calibration curve (calibrate.py::isotonic_fit) —
+# P(returnflag = 'R') as a monotone function of extended price, 32
+# equal-width bins, fitted via the Barlow minimax closed form. The
+# oracle replays the identical binning + O(bins²) minimax algebra; all
+# per-bin sums are exact integers-in-doubles so every division is
+# engine-identical.
+_E208_BINS = 32
+_E208_ORACLE = f"""
+WITH base AS (
+  SELECT l_extendedprice::DOUBLE AS s,
+         CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_returnflag IS NOT NULL
+), rng AS (
+  SELECT min(s) AS mn, max(s) AS mx FROM base
+), binned AS (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE least({_E208_BINS - 1},
+                         floor((s - mn) / (mx - mn) * {_E208_BINS}))::INT
+         END AS bin, y, mn, mx
+  FROM base, rng
+), per AS (
+  SELECT bin, count(*) AS n, sum(y) AS sy,
+         min(mn + bin * (mx - mn) / {_E208_BINS}) AS bin_lo
+  FROM binned GROUP BY bin
+), pre AS (
+  SELECT bin, n, sy, bin_lo,
+         sum(n) OVER (ORDER BY bin) AS cn,
+         sum(sy) OVER (ORDER BY bin) AS cy
+  FROM per
+), seg AS (
+  SELECT a.bin AS ab, b.bin AS bb,
+         (b.cy - a.cy + a.sy) / (b.cn - a.cn + a.n) AS v
+  FROM pre a, pre b WHERE a.bin <= b.bin
+), mm AS (
+  SELECT i.bin, s.ab, min(s.v) AS mnv
+  FROM pre i JOIN seg s ON s.ab <= i.bin AND i.bin <= s.bb
+  GROUP BY i.bin, s.ab
+), fit AS (
+  SELECT bin, max(mnv) AS fitted FROM mm GROUP BY bin
+)
+SELECT p.bin, floor(p.bin_lo * 10000 + 0.5) / 10000 AS bin_lo,
+       p.n::BIGINT AS n,
+       floor(p.sy / p.n * 10000 + 0.5) / 10000 AS mean_label,
+       floor(f.fitted * 10000 + 0.5) / 10000 AS fitted
+FROM per p JOIN fit f USING (bin)
+"""
+
+
+@query("e208_isotonic_calibration", _E208_ORACLE)
+def e208_isotonic_calibration(spark, sf_dir):
+    """Monotone score→probability map at corpus scale: one scan to
+    bin, then pure relational algebra on a ≤bins² frame (no PAV loop,
+    no driver state)."""
+    from pivot_spark.operators.calibrate import isotonic_fit
+
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_extendedprice").isNotNull()
+        & F.col("l_returnflag").isNotNull()
+    )
+    df = li.select(
+        F.col("l_extendedprice").alias("score"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    out = isotonic_fit(df, "score", "y", bins=_E208_BINS)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "bin",
+        r4("bin_lo").alias("bin_lo"),
+        "n",
+        r4("mean_label").alias("mean_label"),
+        r4("fitted").alias("fitted"),
+    )
+
+
+# --- E209: per-node local clustering coefficient over the near-dup
+# graph (components.py::local_clustering) — the node-level companion
+# of e103's global census. Oracle: exact-Jaccard edge CTE (the e162
+# device) + canonical a<b<c triangle join + per-corner attribution.
+_E209_ORACLE = r"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+), ed AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM sh a, sh b
+  WHERE a.doc_id < b.doc_id
+    AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+        (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+), deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM ed UNION ALL SELECT b FROM ed
+  ) GROUP BY v
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+             JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b
+), pn AS (
+  SELECT v, count(*) AS t FROM (
+    SELECT x AS v FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri
+  ) GROUP BY v
+)
+SELECT deg.v AS node, deg.d::BIGINT AS degree,
+       coalesce(pn.t, 0)::BIGINT AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN floor(2.0 * coalesce(pn.t, 0) / (deg.d * (deg.d - 1)) * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS lcc
+FROM deg LEFT JOIN pn ON pn.v = deg.v
+"""
+
+
+@query("e209_local_clustering", _E209_ORACLE)
+def e209_local_clustering(spark, sf_dir):
+    """Triangle-density per node: separates cohesive duplicate
+    communities from accidental candidate chains before keep-best."""
+    from pivot_spark.operators.components import local_clustering
+
+    pairs = _mined_pairs(spark, sf_dir, threshold=0.5)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    out = local_clustering(edges)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "node",
+        F.col("degree").cast("long").alias("degree"),
+        F.col("triangles").cast("long").alias("triangles"),
+        r4("lcc").alias("lcc"),
+    )
+
+
+# --- E210: Krippendorff's alpha (analytics.py::krippendorff_alpha) —
+# the multi-rater agreement statistic over the long (unit, rating)
+# frame built from the declared lang column + the e05 lang-ID. Every
+# unit has exactly 2 ratings here, so all coincidence weights are
+# exact integers-in-doubles and parity is exact; the general m_u > 2 /
+# missing-data path is unit-tested.
+_E210_ORACLE = f"""
+WITH lab AS MATERIALIZED (
+  {{lang_sql}}
+), lng AS (
+  SELECT doc_id AS u, lang AS v FROM lab
+  UNION ALL
+  SELECT doc_id AS u, guess AS v FROM lab
+), uc AS (
+  SELECT u, v, count(*) AS nc FROM lng WHERE v IS NOT NULL GROUP BY u, v
+), mu AS (
+  SELECT u, sum(nc) AS m FROM uc GROUP BY u
+), uc2 AS MATERIALIZED (
+  SELECT uc.u, uc.v, uc.nc, mu.m FROM uc JOIN mu USING (u) WHERE mu.m >= 2
+), coin AS MATERIALIZED (
+  SELECT l.v AS c, r.v AS cp,
+         sum(l.nc::DOUBLE * (r.nc - CASE WHEN l.v = r.v THEN 1 ELSE 0 END)
+             / (l.m - 1)) AS occ
+  FROM uc2 l JOIN uc2 r USING (u) GROUP BY 1, 2
+), marg AS (
+  SELECT c, sum(occ) AS ncv FROM coin GROUP BY c
+), tots AS (
+  SELECT sum(occ) AS n,
+         coalesce(sum(occ) FILTER (c <> cp), 0) AS dis
+  FROM coin
+), en AS (
+  SELECT coalesce(sum(x.ncv * y.ncv), 0) AS e
+  FROM marg x, marg y WHERE x.c <> y.c
+)
+SELECT (SELECT count(DISTINCT u) FROM uc2)::BIGINT AS n_units,
+       round(n)::BIGINT AS n_pairable,
+       floor(dis / n * 10000 + 0.5) / 10000 AS d_o,
+       floor(e / (n * (n - 1)) * 10000 + 0.5) / 10000 AS d_e,
+       CASE WHEN e > 0
+            THEN floor((1 - (dis / n) / (e / (n * (n - 1)))) * 10000 + 0.5) / 10000
+       END AS alpha
+FROM tots, en
+""".format(lang_sql=_lang_guess_sql(with_id=True))
+
+
+@query("e210_krippendorff_alpha", _E210_ORACLE)
+def e210_krippendorff_alpha(spark, sf_dir):
+    """Agreement audit that generalizes e206's kappa to any rater
+    count and missing ratings — one corpus shuffle, then |values|²
+    aggregates."""
+    from pivot_spark.functions.text import lang_guess
+    from pivot_spark.operators.analytics import krippendorff_alpha
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("lang").isNotNull() & F.col("text").isNotNull())
+        .select("doc_id", "lang", lang_guess(F.col("text")).alias("guess"))
+    )
+    long = docs.select(
+        F.col("doc_id").alias("u"), F.col("lang").alias("v")
+    ).unionAll(docs.select("doc_id", "guess"))
+    out = krippendorff_alpha(long, "u", "v")
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "n_units", "n_pairable",
+        r4("d_o").alias("d_o"),
+        r4("d_e").alias("d_e"),
+        r4("alpha").alias("alpha"),
+    )
+
+
+# --- E211: T5 span corruption (augment.py::span_corruption) —
+# deterministic 15% token masking via the portable md5 draw, masked
+# runs collapsed to <extra_id_k>. Oracle: the identical window-function
+# replay (lag for run starts, running sum for sentinel ids, ordered
+# string_agg for both texts).
+_E211_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS tk
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), pos AS (
+  SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS p FROM base
+), tok AS (
+  SELECT doc_id, p - 1 AS pos, tk[p] AS tok,
+         substring(md5('s42:' || doc_id || ':' || (p - 1)), 1, 4) < '2666' AS msk
+  FROM pos
+), runs AS (
+  SELECT *, CASE WHEN msk AND NOT coalesce(
+                   lag(msk) OVER (PARTITION BY doc_id ORDER BY pos), false)
+                 THEN 1 ELSE 0 END AS rs
+  FROM tok
+), kk AS (
+  SELECT *, sum(rs) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS k
+  FROM runs
+), pieces AS (
+  SELECT doc_id, pos, msk, rs,
+         CASE WHEN NOT msk THEN tok
+              WHEN rs = 1 THEN '<extra_id_' || k || '>' END AS inp,
+         CASE WHEN msk AND rs = 1 THEN '<extra_id_' || k || '> ' || tok
+              WHEN msk THEN tok END AS tgt
+  FROM kk
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum(CASE WHEN msk THEN 1 ELSE 0 END)::BIGINT AS n_masked,
+       sum(rs)::BIGINT AS n_spans,
+       coalesce(string_agg(inp, ' ' ORDER BY pos), '') AS input_text,
+       coalesce(string_agg(tgt, ' ' ORDER BY pos), '') AS target_text
+FROM pieces GROUP BY doc_id
+"""
+
+
+@query("e211_span_corruption", _E211_ORACLE)
+def e211_span_corruption(spark, sf_dir):
+    """Model-ready denoising pairs from the corpus — one doc-keyed
+    exchange shared by the run-label window and the final aggregate;
+    reproducible across engines and partitionings."""
+    from pivot_spark.operators.augment import span_corruption
+
+    docs = _read(spark, sf_dir, "documents")
+    return span_corruption(docs, "doc_id", "text", mask_rate=0.15, seed="s42")
+
+
+# --- E212: Matryoshka truncation recall (similarity.py::
+# matryoshka_recall) — recall@5 of first-d-coordinate cosine search vs
+# the 64-dim answer, d in {4, 16, 64}; d=64 pins recall 1.0 as the
+# self-consistency anchor. Oracle: per-dim brute-force top-k on sliced
+# lists intersected with the full-width top-k.
+_E212_K = 5
+_E212_DIMS = (4, 16, 64)
+
+
+def _e212_oracle() -> str:
+    head = f"""
+WITH full_tk AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id
+           ) AS rk
+    FROM embeddings q, embeddings c
+    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+  ) WHERE rk <= {_E212_K}
+), qs AS (
+  SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 20
+)"""
+    parts, sels = [], []
+    for d in _E212_DIMS:
+        parts.append(f""", h{d} AS (
+  SELECT t.query_id, count(*) AS c FROM (
+    SELECT query_id, neighbor_id FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_cosine_similarity(q.embedding[1:{d}]::DOUBLE[], c.embedding[1:{d}]::DOUBLE[]) DESC, c.vec_id
+             ) AS rk
+      FROM embeddings q, embeddings c
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ) WHERE rk <= {_E212_K}
+  ) t JOIN full_tk f USING (query_id, neighbor_id)
+  GROUP BY t.query_id
+)""")
+        sels.append(
+            f"SELECT {d} AS dim, qs.query_id, coalesce(h{d}.c, 0) / {_E212_K}.0 AS r "
+            f"FROM qs LEFT JOIN h{d} ON h{d}.query_id = qs.query_id"
+        )
+    body = "\nUNION ALL\n".join(sels)
+    return (
+        head + "".join(parts)
+        + f"""
+SELECT dim, count(*)::BIGINT AS n_queries,
+       floor(avg(r) * 10000 + 0.5) / 10000 AS mean_recall,
+       floor(min(r) * 10000 + 0.5) / 10000 AS min_recall
+FROM ({body}) GROUP BY dim
+"""
+    )
+
+
+@query("e212_matryoshka_recall", _e212_oracle())
+def e212_matryoshka_recall(spark, sf_dir):
+    """How much retrieval survives truncating the embedding width —
+    one bounded GEMM pass per dim, intersections are (queries x k)-
+    sized."""
+    from pivot_spark.operators.similarity import matryoshka_recall
+
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    out = matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < 20), k=_E212_K,
+        dims=list(_E212_DIMS),
+    )
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "dim", "n_queries",
+        r4("mean_recall").alias("mean_recall"),
+        r4("min_recall").alias("min_recall"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,282 @@
+"""Tests for session-6 operators: isotonic_fit, krippendorff_alpha,
+local_clustering, span_corruption, matryoshka_recall."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pivot_spark.operators.analytics import krippendorff_alpha
+from pivot_spark.operators.augment import span_corruption
+from pivot_spark.operators.calibrate import isotonic_fit
+from pivot_spark.operators.components import local_clustering
+from pivot_spark.operators.similarity import matryoshka_recall
+
+
+# ---------------------------------------------------------------- isotonic
+def _pav(ns, ys):
+    """Reference pool-adjacent-violators on (n, sum_y) bin lists."""
+    blocks = [[n, y] for n, y in zip(ns, ys)]
+    i = 0
+    while i < len(blocks) - 1:
+        if blocks[i][1] / blocks[i][0] > blocks[i + 1][1] / blocks[i + 1][0]:
+            blocks[i][0] += blocks[i + 1][0]
+            blocks[i][1] += blocks[i + 1][1]
+            del blocks[i + 1]
+            i = max(i - 1, 0)
+        else:
+            i += 1
+    out = []
+    for n, y in blocks:
+        out.extend([y / n] * 1)  # one value per block; expand below
+    # expand block means back to per-bin values
+    vals = []
+    bi = 0
+    remaining = blocks[0][0] if blocks else 0
+    for n in ns:
+        if remaining == 0:
+            bi += 1
+            remaining = blocks[bi][0]
+        vals.append(blocks[bi][1] / blocks[bi][0])
+        remaining -= n
+    return vals
+
+
+def test_isotonic_matches_pav_and_is_monotone(spark):
+    # scores 0..9 in 10 bins; labels deliberately non-monotone
+    ys = [0, 1, 1, 0, 0, 1, 0, 1, 1, 1]
+    rows = [(float(s), float(y)) for s, y in zip(range(10), ys)]
+    # two rows per bin to make bin means 0/0.5/1 style
+    rows += [(float(s), float(y)) for s, y in zip(range(10), ys)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = {r["bin"]: r for r in isotonic_fit(df, "s", "y", bins=10).collect()}
+    assert sorted(out) == list(range(10))
+    fitted = [out[b]["fitted"] for b in range(10)]
+    # non-decreasing
+    assert all(a <= b + 1e-12 for a, b in zip(fitted, fitted[1:]))
+    # equals classic PAV on the same bins
+    ref = _pav([out[b]["n"] for b in range(10)],
+               [out[b]["mean_label"] * out[b]["n"] for b in range(10)])
+    assert all(abs(f - r) < 1e-9 for f, r in zip(fitted, ref))
+    # least-squares property vs the raw bin means: PAV solution cannot
+    # be improved by the trivial constant fit
+    means = [out[b]["mean_label"] for b in range(10)]
+    sse_fit = sum(n * (m - f) ** 2 for n, m, f in zip(
+        [out[b]["n"] for b in range(10)], means, fitted))
+    const = sum(m * out[b]["n"] for b, m in zip(range(10), means)) / sum(
+        out[b]["n"] for b in range(10))
+    sse_const = sum(out[b]["n"] * (m - const) ** 2
+                    for b, m in zip(range(10), means))
+    assert sse_fit <= sse_const + 1e-9
+
+
+def test_isotonic_constant_score_single_bin(spark):
+    df = spark.createDataFrame([(1.0, 0.0), (1.0, 1.0)], ["s", "y"])
+    rows = isotonic_fit(df, "s", "y", bins=8).collect()
+    assert len(rows) == 1 and rows[0]["bin"] == 0
+    assert rows[0]["fitted"] == pytest.approx(0.5)
+
+
+def test_isotonic_rejects_bad_bins(spark):
+    df = spark.createDataFrame([(1.0, 0.0)], ["s", "y"])
+    with pytest.raises(ValueError):
+        isotonic_fit(df, "s", "y", bins=0)
+
+
+# ---------------------------------------------------------- krippendorff
+def test_krippendorff_perfect_agreement(spark):
+    rows = [(u, v) for u in range(5) for v in ["x", "x"]]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = krippendorff_alpha(df, "u", "v").collect()[0]
+    # single category overall -> D_e = 0 -> alpha NULL (degenerate)
+    assert r["alpha"] is None
+    rows = [(u, c) for u, c in [(0, "a"), (0, "a"), (1, "b"), (1, "b"),
+                                (2, "a"), (2, "a"), (3, "b"), (3, "b")]]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = krippendorff_alpha(df, "u", "v").collect()[0]
+    assert r["alpha"] == pytest.approx(1.0)
+    assert r["n_units"] == 4 and r["n_pairable"] == 8
+
+
+def test_krippendorff_known_value_with_missing(spark):
+    # Krippendorff (2004) style worked example: 3 raters, some units
+    # missing one rating; single-rating units must be dropped.
+    ratings = {
+        1: ["a", "a", "a"],
+        2: ["b", "b", "b"],
+        3: ["b", "b", "b"],
+        4: ["b", "b", "b"],
+        5: ["b", "b", "b"],
+        6: ["a", "b"],        # disagreement, m=2
+        7: ["a"],             # unpairable -> dropped
+    }
+    rows = [(u, v) for u, vs in ratings.items() for v in vs]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = krippendorff_alpha(df, "u", "v").collect()[0]
+    assert r["n_units"] == 6
+    assert r["n_pairable"] == 17
+    # reference computation (coincidence matrix by hand):
+    # unit 6 contributes o_ab = o_ba = 1 each (m=2); units 1: o_aa = 3;
+    # 2-5: o_bb = 3 each -> o_aa=3, o_bb=12, o_ab=o_ba=1; n=17
+    # n_a = 4, n_b = 13; D_o = 2/17
+    # D_e = (4*13 + 13*4) / (17*16) = 104/272
+    d_o = 2 / 17
+    d_e = 104 / 272
+    assert r["d_o"] == pytest.approx(d_o)
+    assert r["d_e"] == pytest.approx(d_e)
+    assert r["alpha"] == pytest.approx(1 - d_o / d_e)
+
+
+def test_krippendorff_nulls_excluded(spark):
+    rows = [(1, "a"), (1, "a"), (1, None), (None, "b"), (2, "b")]
+    df = spark.createDataFrame(rows, ["u", "v"])
+    r = krippendorff_alpha(df, "u", "v").collect()[0]
+    # unit 2 has one rating -> dropped; unit 1 has two non-null
+    assert r["n_units"] == 1 and r["n_pairable"] == 2
+
+
+# ------------------------------------------------------ local clustering
+def test_local_clustering_triangle_plus_tail(spark):
+    # graph: triangle 1-2-3 plus pendant 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in local_clustering(edges).collect()}
+    assert out[1]["triangles"] == 1 and out[1]["lcc"] == pytest.approx(1.0)
+    assert out[2]["triangles"] == 1 and out[2]["lcc"] == pytest.approx(1.0)
+    # node 3 has degree 3, one triangle among 3 possible pairs
+    assert out[3]["degree"] == 3 and out[3]["triangles"] == 1
+    assert out[3]["lcc"] == pytest.approx(2 * 1 / (3 * 2))
+    assert out[4]["degree"] == 1 and out[4]["triangles"] == 0
+    assert out[4]["lcc"] == 0.0
+
+
+def test_local_clustering_dedupes_and_ignores_self_loops(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3)], ["src", "dst"]
+    )
+    out = {r["node"]: r for r in local_clustering(edges).collect()}
+    assert out[1]["degree"] == 2 and out[1]["triangles"] == 1
+    assert out[1]["lcc"] == pytest.approx(1.0)
+
+
+def test_local_clustering_agrees_with_global_census(spark):
+    from pivot_spark.operators.components import triangle_stats
+
+    # K4 plus a chain
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges += [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    per_node = local_clustering(df).agg(F.sum("triangles")).collect()[0][0]
+    census = triangle_stats(df).collect()[0]["n_triangles"]
+    assert per_node == 3 * census  # each triangle counted at 3 corners
+
+
+# ------------------------------------------------------- span corruption
+def test_span_corruption_deterministic_and_consistent(spark):
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again and again"),
+         (2, "alpha beta"),
+         (3, None),
+         (4, "   ")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           span_corruption(docs, "doc_id", "text", mask_rate=0.5).collect()}
+    # NULL text and whitespace-only text yield no row
+    assert set(out) <= {1, 2}
+    r = out[1]
+    assert r["n_tokens"] == 12
+    assert 0 <= r["n_masked"] <= 12 and r["n_spans"] <= r["n_masked"]
+    # every sentinel in the input appears in the target exactly once
+    for k in range(r["n_spans"]):
+        assert f"<extra_id_{k}>" in r["input_text"]
+        assert r["target_text"].count(f"<extra_id_{k}>") == 1
+    # reconstruction: replacing sentinels in input with target spans
+    # restores the original token sequence
+    tgt = r["target_text"]
+    spans = {}
+    parts = tgt.split("<extra_id_")
+    for p in parts[1:]:
+        k, rest = p.split(">", 1)
+        spans[int(k)] = rest.strip()
+    rebuilt = []
+    for tok in r["input_text"].split(" "):
+        if tok.startswith("<extra_id_"):
+            k = int(tok[len("<extra_id_"):-1])
+            if spans[k]:
+                rebuilt.extend(spans[k].split(" "))
+        else:
+            rebuilt.append(tok)
+    assert rebuilt == "the quick brown fox jumps over the lazy dog again and again".split()
+    # determinism
+    out2 = {r["doc_id"]: r for r in
+            span_corruption(docs, "doc_id", "text", mask_rate=0.5).collect()}
+    assert out2[1]["input_text"] == r["input_text"]
+    assert out2[1]["target_text"] == r["target_text"]
+
+
+def test_span_corruption_rate_zero_like_and_validation(spark):
+    docs = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        span_corruption(docs, "doc_id", "text", mask_rate=0.0)
+    with pytest.raises(ValueError):
+        span_corruption(docs, "doc_id", "text", mask_rate=1.0)
+    # tiny rate: most likely nothing masked -> input == original text
+    r = span_corruption(docs, "doc_id", "text", mask_rate=0.0001).collect()[0]
+    if r["n_masked"] == 0:
+        assert r["input_text"] == "a b c" and r["target_text"] == ""
+        assert r["n_spans"] == 0
+
+
+def test_span_corruption_mask_rate_statistics(spark):
+    # over ~2000 tokens the md5 draw should land near the rate
+    text = " ".join(f"tok{i}" for i in range(2000))
+    docs = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    r = span_corruption(docs, "doc_id", "text", mask_rate=0.15).collect()[0]
+    assert r["n_tokens"] == 2000
+    frac = r["n_masked"] / 2000
+    assert 0.10 < frac < 0.20
+
+
+# ------------------------------------------------------ matryoshka recall
+def test_matryoshka_full_dim_recall_is_one(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") < 5)
+    out = {r["dim"]: r for r in
+           matryoshka_recall(emb, q, k=3, dims=[2, 8]).collect()}
+    assert out[8]["mean_recall"] == pytest.approx(1.0)
+    assert out[8]["min_recall"] == pytest.approx(1.0)
+    assert out[8]["n_queries"] == 5
+    # truncation can only lose recall
+    assert out[2]["mean_recall"] <= 1.0 + 1e-12
+
+
+def test_matryoshka_recall_zero_when_orthogonal_prefix(spark):
+    # first coordinate identical -> truncated dim=1 ranking is a
+    # norm-insensitive tie broken by id; recall well below 1 is expected
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 10.0, 0.0]),
+        (2, [1.0, 0.0, 10.0]),
+        (3, [1.0, -10.0, 0.0]),
+        (4, [1.0, 0.0, -10.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.filter(F.col("vec_id") == 0)
+    out = {r["dim"]: r for r in
+           matryoshka_recall(emb, q, k=2, dims=[1, 3]).collect()}
+    assert out[3]["mean_recall"] == pytest.approx(1.0)
+    # dim=1: all cosines tie at 1.0 -> ids 1,2 chosen; full-dim top-2
+    # under cos desc are also deterministic; just sanity-bound it
+    assert 0.0 <= out[1]["mean_recall"] <= 1.0
+
+
+def test_matryoshka_requires_dims(spark):
+    emb = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        matryoshka_recall(emb, emb, k=1, dims=[])
