@@ -1760,3 +1760,258 @@ def krippendorff_alpha(
         F.when(d_e > 0, 1.0 - d_o / d_e).alias("alpha"),
     )
     return out
+
+
+def threshold_select(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int = 256,
+) -> DataFrame:
+    """Operating-point sweep for a binary score: confusion counts +
+    precision/recall/F1/Youden-J at every candidate threshold — the
+    audit run before freezing a quality-filter cutoff (e152's AUC says
+    how good the score is; this says WHERE to cut it).
+
+    Scores are binned into ``bins`` equal-width buckets over the
+    observed [min, max] (the e208 binning device); thresholding at a
+    bucket's lower edge predicts positive for every bucket >= it, so
+    the whole curve falls out of one descending prefix sum over the
+    ≤``bins``-row histogram. One corpus scan + one tiny aggregate;
+    every count is an exact BIGINT, every rate an exact-int division.
+
+    Output: one row per non-empty bucket — (threshold = bucket lower
+    edge, tp, fp, fn, tn, precision, recall, fpr, f1, youden_j).
+    Callers pick argmax(f1) or argmax(youden_j); precision is NULL
+    when tp + fp = 0.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    base = df.select(
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(label_col).cast("int").alias("__y"),
+    ).filter(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    rng = base.agg(F.min("__s").alias("__mn"), F.max("__s").alias("__mx"))
+    binned = base.crossJoin(F.broadcast(rng)).select(
+        F.when(F.col("__mx") == F.col("__mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(bins - 1),
+                F.floor(
+                    (F.col("__s") - F.col("__mn"))
+                    / (F.col("__mx") - F.col("__mn"))
+                    * bins
+                ),
+            )
+        )
+        .cast("int")
+        .alias("__b"),
+        "__y",
+        "__mn",
+        "__mx",
+    )
+    hist = binned.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").cast("long").alias("__p"),
+        F.min(
+            F.col("__mn") + F.col("__b") * (F.col("__mx") - F.col("__mn")) / bins
+        ).alias("threshold"),
+    )
+    from pyspark.sql import Window
+
+    # descending prefix over the <=bins-row frame (bounded single task)
+    wd = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = hist.agg(
+        F.sum("__n").alias("__tot"), F.sum("__p").alias("__pos")
+    )
+    cur = (
+        hist.select(
+            "__b", "threshold",
+            F.sum("__p").over(wd).alias("tp"),
+            (F.sum("__n").over(wd) - F.sum("__p").over(wd)).alias("fp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            (F.col("__pos") - F.col("tp")).alias("fn"),
+            (F.col("__tot") - F.col("__pos") - F.col("fp")).alias("tn"),
+            F.when(
+                F.col("tp") + F.col("fp") > 0,
+                F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+            ).alias("precision"),
+            F.when(
+                F.col("__pos") > 0,
+                F.col("tp").cast("double") / F.col("__pos"),
+            ).alias("recall"),
+            F.when(
+                F.col("__tot") - F.col("__pos") > 0,
+                F.col("fp").cast("double") / (F.col("__tot") - F.col("__pos")),
+            ).alias("fpr"),
+            F.when(
+                2 * F.col("tp") + F.col("fp") + (F.col("__pos") - F.col("tp")) > 0,
+                2.0 * F.col("tp")
+                / (2 * F.col("tp") + F.col("fp") + (F.col("__pos") - F.col("tp"))),
+            ).alias("f1"),
+        )
+        .withColumn(
+            "youden_j",
+            F.coalesce(F.col("recall"), F.lit(0.0))
+            - F.coalesce(F.col("fpr"), F.lit(0.0)),
+        )
+    )
+    return cur
+
+
+def ipw_estimate(
+    df: DataFrame,
+    treat_col: str,
+    outcome_col: str,
+    propensity_col: str,
+    clip: "tuple[float, float]" = (0.01, 0.99),
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Hájek /
+    self-normalized estimator) — the observational-data companion of
+    ``cuped_adjust``: when treatment was NOT randomized but a
+    propensity score e(x) = P(T=1|x) exists, reweighting by 1/e and
+    1/(1-e) recovers the population means under both arms.
+
+        ate = sum(T·y/e)/sum(T/e) - sum((1-T)·y/(1-e))/sum((1-T)/(1-e))
+
+    Propensities are clipped into ``clip`` first (the standard
+    positivity guard — an e of 0.001 would hand one row a weight of
+    1000 and the estimate to the noisiest unit). ONE single-row
+    aggregate over the corpus; no shuffle beyond it. Output: one row —
+    (n, n_treat, mean_treat_w, mean_ctrl_w, ate, naive_diff) with the
+    unweighted difference alongside so the correction itself is
+    visible.
+    """
+    lo, hi = clip
+    if not 0.0 < lo < hi < 1.0:
+        raise ValueError(f"clip must satisfy 0 < lo < hi < 1, got {clip}")
+    t = F.col(treat_col).cast("int")
+    y = F.col(outcome_col).cast("double")
+    e = F.least(F.greatest(F.col(propensity_col).cast("double"), F.lit(lo)), F.lit(hi))
+    base = df.filter(
+        F.col(treat_col).isNotNull()
+        & F.col(outcome_col).isNotNull()
+        & F.col(propensity_col).isNotNull()
+    )
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).cast("long").alias("n_treat"),
+        F.sum(t * y / e).alias("__tw"),
+        F.sum(t / e).alias("__tn"),
+        F.sum((1 - t) * y / (1 - e)).alias("__cw"),
+        F.sum((1 - t) / (1 - e)).alias("__cn"),
+        F.sum(t * y).alias("__ty"),
+        F.sum(1 - t).cast("long").alias("__nc"),
+        F.sum((1 - t) * y).alias("__cy"),
+    )
+    mt = F.when(F.col("__tn") > 0, F.col("__tw") / F.col("__tn"))
+    mc = F.when(F.col("__cn") > 0, F.col("__cw") / F.col("__cn"))
+    return agg.select(
+        "n",
+        "n_treat",
+        mt.alias("mean_treat_w"),
+        mc.alias("mean_ctrl_w"),
+        (mt - mc).alias("ate"),
+        (
+            F.when(F.col("n_treat") > 0, F.col("__ty") / F.col("n_treat"))
+            - F.when(F.col("__nc") > 0, F.col("__cy") / F.col("__nc"))
+        ).alias("naive_diff"),
+    )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    num_col: str,
+    den_col: str,
+    key_col: str,
+    buckets: int = 50,
+    seed: str = "s42",
+) -> DataFrame:
+    """Delete-one-bucket jackknife standard error for a RATIO metric
+    sum(num)/sum(den) — the correct uncertainty for CTR / revenue-per-
+    order style metrics, where per-row variance formulas are wrong
+    because numerator and denominator are correlated within a unit
+    (Kish 1965; the delete-a-group jackknife used by large A/B
+    platforms).
+
+    Rows are assigned to ``buckets`` groups by the portable md5 draw on
+    ``key_col`` (all rows of a unit land in the same bucket, preserving
+    within-unit correlation); leave-one-out ratios R_b come from the
+    B-row bucket-total frame and
+
+        se = sqrt((B-1)/B * sum_b (R_b - mean(R_b))^2)
+
+    ONE corpus aggregate (B-bounded), then answer-sized algebra.
+    Output: one row — (ratio, se_jack, ci_lo, ci_hi at ±1.96·se,
+    n_buckets BIGINT, n BIGINT).
+    """
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
+    base = df.filter(
+        F.col(key_col).isNotNull()
+        & F.col(num_col).isNotNull()
+        & F.col(den_col).isNotNull()
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.lit(seed), F.col(key_col).cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        ).alias("__b"),
+        F.col(num_col).cast("double").alias("__n"),
+        F.col(den_col).cast("double").alias("__d"),
+    )
+    per = base.groupBy("__b").agg(
+        F.sum("__n").alias("__sn"),
+        F.sum("__d").alias("__sd"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    per = per.persist()
+    tot = per.agg(
+        F.sum("__sn").alias("__tn"),
+        F.sum("__sd").alias("__td"),
+        F.sum("__c").alias("__n_rows"),
+        F.count(F.lit(1)).alias("__nb"),
+    )
+    loo = per.crossJoin(F.broadcast(tot)).select(
+        "__nb", "__tn", "__td", "__n_rows",
+        (
+            (F.col("__tn") - F.col("__sn"))
+            / (F.col("__td") - F.col("__sd"))
+        ).alias("__rb"),
+    )
+    out = loo.groupBy("__nb", "__tn", "__td", "__n_rows").agg(
+        F.avg("__rb").alias("__rbar"),
+        F.sum(F.col("__rb") * F.col("__rb")).alias("__rb2"),
+    )
+    ratio = F.col("__tn") / F.col("__td")
+    # sum (R_b - rbar)^2 = sum R_b^2 - B * rbar^2
+    ss = F.col("__rb2") - F.col("__nb") * F.col("__rbar") * F.col("__rbar")
+    se = F.sqrt(
+        (F.col("__nb") - 1) / F.col("__nb") * F.greatest(ss, F.lit(0.0))
+    )
+    return out.select(
+        ratio.alias("ratio"),
+        se.alias("se_jack"),
+        (ratio - 1.96 * se).alias("ci_lo"),
+        (ratio + 1.96 * se).alias("ci_hi"),
+        F.col("__nb").cast("long").alias("n_buckets"),
+        F.col("__n_rows").cast("long").alias("n"),
+    )

@@ -10305,6 +10305,203 @@ def e212_matryoshka_recall(spark, sf_dir):
     )
 
 
+# --- E213: operating-point sweep (analytics.py::threshold_select) —
+# confusion counts + precision/recall/F1/Youden-J at every candidate
+# threshold of `value` predicting purchase events, 64 bins. Every count
+# is an exact BIGINT prefix sum; rates are exact-int divisions.
+_E213_BINS = 64
+_E213_ORACLE = f"""
+WITH base AS (
+  SELECT value::DOUBLE AS s,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), rng AS (
+  SELECT min(s) AS mn, max(s) AS mx FROM base
+), binned AS (
+  SELECT CASE WHEN mx = mn THEN 0
+              ELSE least({_E213_BINS - 1},
+                         floor((s - mn) / (mx - mn) * {_E213_BINS}))::INT
+         END AS b, y, mn, mx
+  FROM base, rng
+), hist AS (
+  SELECT b, count(*) AS n, sum(y)::BIGINT AS p,
+         min(mn + b * (mx - mn) / {_E213_BINS}) AS threshold
+  FROM binned GROUP BY b
+), tot AS (
+  SELECT sum(n) AS t, sum(p) AS pos FROM hist
+), cur AS (
+  SELECT threshold,
+         sum(p) OVER (ORDER BY b DESC) AS tp,
+         sum(n) OVER (ORDER BY b DESC) - sum(p) OVER (ORDER BY b DESC) AS fp
+  FROM hist
+)
+SELECT floor(threshold * 10000 + 0.5) / 10000 AS threshold,
+       tp::BIGINT AS tp, fp::BIGINT AS fp,
+       (pos - tp)::BIGINT AS fn, (t - pos - fp)::BIGINT AS tn,
+       CASE WHEN tp + fp > 0
+            THEN floor(tp::DOUBLE / (tp + fp) * 10000 + 0.5) / 10000 END AS precision,
+       CASE WHEN pos > 0
+            THEN floor(tp::DOUBLE / pos * 10000 + 0.5) / 10000 END AS recall,
+       CASE WHEN t - pos > 0
+            THEN floor(fp::DOUBLE / (t - pos) * 10000 + 0.5) / 10000 END AS fpr,
+       CASE WHEN 2 * tp + fp + (pos - tp) > 0
+            THEN floor(2.0 * tp / (2 * tp + fp + (pos - tp)) * 10000 + 0.5) / 10000
+       END AS f1,
+       floor((coalesce(tp::DOUBLE / nullif(pos, 0), 0)
+              - coalesce(fp::DOUBLE / nullif(t - pos, 0), 0)) * 10000 + 0.5) / 10000
+         AS youden_j
+FROM cur, tot
+"""
+
+
+@query("e213_threshold_select", _E213_ORACLE)
+def e213_threshold_select(spark, sf_dir):
+    """Where to cut a score: the full operating curve from one corpus
+    scan + a ≤bins-row descending prefix sum (e152 says how good the
+    score is; this says where to threshold it)."""
+    from pivot_spark.operators.analytics import threshold_select
+
+    ev = _read(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("event_type").isNotNull()
+    )
+    df = ev.select(
+        "value",
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    out = threshold_select(df, "value", "y", bins=_E213_BINS)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        r4("threshold").alias("threshold"),
+        "tp", "fp", "fn", "tn",
+        r4("precision").alias("precision"),
+        r4("recall").alias("recall"),
+        r4("fpr").alias("fpr"),
+        r4("f1").alias("f1"),
+        r4("youden_j").alias("youden_j"),
+    )
+
+
+# --- E214: inverse-propensity-weighted treatment effect (analytics.py
+# ::ipw_estimate) — Hájek self-normalized ATE of "returned" on quantity
+# with a deterministic discount-derived propensity (0.05 + 8·discount,
+# inside the clip bounds so the guard never bites and parity is pure
+# float algebra, r4 both sides).
+_E214_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS t,
+         l_quantity::DOUBLE AS y,
+         least(greatest(0.05 + l_discount::DOUBLE * 8, 0.01), 0.99) AS e
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL
+), agg AS (
+  SELECT count(*) AS n, sum(t)::BIGINT AS n_treat,
+         sum(t * y / e) AS tw, sum(t / e) AS tn,
+         sum((1 - t) * y / (1 - e)) AS cw, sum((1 - t) / (1 - e)) AS cn,
+         sum(t * y) AS ty, sum(1 - t)::BIGINT AS nc, sum((1 - t) * y) AS cy
+  FROM base
+)
+SELECT n, n_treat,
+       floor(tw / tn * 10000 + 0.5) / 10000 AS mean_treat_w,
+       floor(cw / cn * 10000 + 0.5) / 10000 AS mean_ctrl_w,
+       floor((tw / tn - cw / cn) * 10000 + 0.5) / 10000 AS ate,
+       floor((ty / n_treat - cy / nc) * 10000 + 0.5) / 10000 AS naive_diff
+FROM agg
+"""
+
+
+@query("e214_ipw_ate", _E214_ORACLE)
+def e214_ipw_ate(spark, sf_dir):
+    """Observational treatment-effect estimate: one single-row corpus
+    aggregate, clipped weights, the naive difference alongside so the
+    correction is visible."""
+    from pivot_spark.operators.analytics import ipw_estimate
+
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_discount").isNotNull()
+    )
+    df = li.select(
+        (F.col("l_returnflag") == "R").cast("int").alias("t"),
+        F.col("l_quantity").alias("y"),
+        (F.lit(0.05) + F.col("l_discount").cast("double") * 8).alias("e"),
+    )
+    out = ipw_estimate(df, "t", "y", "e", clip=(0.01, 0.99))
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "n", "n_treat",
+        r4("mean_treat_w").alias("mean_treat_w"),
+        r4("mean_ctrl_w").alias("mean_ctrl_w"),
+        r4("ate").alias("ate"),
+        r4("naive_diff").alias("naive_diff"),
+    )
+
+
+# --- E215: delete-one-bucket jackknife for a ratio metric (analytics
+# .py::jackknife_ratio) — discount-revenue share sum(price·disc)/
+# sum(price) with order-level buckets (all lines of an order share a
+# bucket). Oracle: identical md5 bucket draw + the B-row leave-one-out
+# algebra.
+_E215_B = 50
+_E215_ORACLE = f"""
+WITH base AS (
+  SELECT CAST('0x' || substring(md5('s42:' || CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT)
+           % {_E215_B} AS b,
+         (l_extendedprice::DOUBLE * l_discount::DOUBLE) AS num,
+         l_extendedprice::DOUBLE AS den
+  FROM lineitem
+  WHERE l_orderkey IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+), per AS (
+  SELECT b, sum(num) AS sn, sum(den) AS sd, count(*) AS c FROM base GROUP BY b
+), tot AS (
+  SELECT sum(sn) AS tn, sum(sd) AS td, sum(c)::BIGINT AS n_rows,
+         count(*)::BIGINT AS nb
+  FROM per
+), loo AS (
+  SELECT nb, tn, td, n_rows, (tn - sn) / (td - sd) AS rb FROM per, tot
+), st AS (
+  SELECT nb, tn, td, n_rows, avg(rb) AS rbar, sum(rb * rb) AS rb2
+  FROM loo GROUP BY nb, tn, td, n_rows
+)
+SELECT floor(tn / td * 10000 + 0.5) / 10000 AS ratio,
+       floor(sqrt((nb - 1.0) / nb * greatest(rb2 - nb * rbar * rbar, 0.0)) * 10000 + 0.5) / 10000 AS se_jack,
+       floor((tn / td - 1.96 * sqrt((nb - 1.0) / nb * greatest(rb2 - nb * rbar * rbar, 0.0))) * 10000 + 0.5) / 10000 AS ci_lo,
+       floor((tn / td + 1.96 * sqrt((nb - 1.0) / nb * greatest(rb2 - nb * rbar * rbar, 0.0))) * 10000 + 0.5) / 10000 AS ci_hi,
+       nb AS n_buckets, n_rows AS n
+FROM st
+"""
+
+
+@query("e215_jackknife_ratio", _E215_ORACLE)
+def e215_jackknife_ratio(spark, sf_dir):
+    """Correct uncertainty for a ratio metric: unit-preserving bucket
+    draw, ONE B-bounded corpus aggregate, answer-sized jackknife
+    algebra."""
+    from pivot_spark.operators.analytics import jackknife_ratio
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast("double")
+            * F.col("l_discount").cast("double")
+        ).alias("num"),
+        F.col("l_extendedprice").cast("double").alias("den"),
+    )
+    out = jackknife_ratio(
+        li, "num", "den", "l_orderkey", buckets=_E215_B, seed="s42"
+    )
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        r4("ratio").alias("ratio"),
+        r4("se_jack").alias("se_jack"),
+        r4("ci_lo").alias("ci_lo"),
+        r4("ci_hi").alias("ci_hi"),
+        "n_buckets", "n",
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

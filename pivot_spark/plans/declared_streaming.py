@@ -557,3 +557,69 @@ FROM events GROUP BY user_id
         return round_doubles(
             out.select("user_id", "event_id", "event_type", "value")
         )
+
+    # ---- S13: native session_window aggregation ----------------------
+    # The JVM-side sessionization surface (F.session_window), vs S03's
+    # Python-stateful operator. Calibrated: Spark merges events exactly
+    # gap apart (break iff diff > gap — same tie rule as the S03 fold;
+    # window end = last event + gap). Append mode emits a session only
+    # once the final watermark max(ts) - 10min passes its end; boundary
+    # ties are absent in the testdata (same strict/non-strict check as
+    # S03's calibration, same second grid and 1800/600 arithmetic).
+    _S13_ORACLE = """
+WITH ev AS (
+  SELECT user_id, date_trunc('second', ts) AS t, value FROM events
+), o AS (
+  SELECT user_id, t, value,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR epoch(t) - epoch(lag(t) OVER w) > 1800
+              THEN 1 ELSE 0 END AS brk
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), s AS (
+  SELECT user_id, t, value,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+), agg AS (
+  SELECT user_id, min(t) AS session_start,
+         max(t) + INTERVAL 1800 SECOND AS window_end,
+         count(*) AS n_events, round(sum(value), 4) AS sum_value
+  FROM s GROUP BY user_id, sid
+), mx AS (
+  SELECT max(date_trunc('second', ts)) AS m FROM events
+)
+SELECT user_id, session_start, window_end, n_events, sum_value
+FROM agg, mx
+WHERE epoch(window_end) < epoch(m) - 600
+"""
+
+    @query("s13_stream_session_native", _S13_ORACLE)
+    def s13_stream_session_native(spark, sf_dir):
+        """F.session_window (30-min gap) drained in append mode: the
+        memory sink holds exactly the sessions whose window end is
+        behind the final watermark."""
+        with _shuffle(spark, 8):
+            src = (
+                _stream(spark, sf_dir, "events")
+                .select(
+                    "user_id",
+                    F.date_trunc("second", "ts").alias("ts"),
+                    "value",
+                )
+                .withWatermark("ts", "10 minutes")
+            )
+            agg = src.groupBy(
+                "user_id", F.session_window("ts", "30 minutes")
+            ).agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            out = agg.select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("window_end"),
+                "n_events",
+                "sum_value",
+            )
+            name = _drain(out, "append")
+        return spark.table(name)

@@ -280,3 +280,95 @@ def test_matryoshka_requires_dims(spark):
     emb = spark.createDataFrame([(0, [1.0, 2.0])], ["vec_id", "embedding"])
     with pytest.raises(ValueError):
         matryoshka_recall(emb, emb, k=1, dims=[])
+
+
+# ------------------------------------------------------ threshold select
+def test_threshold_select_perfect_separation(spark):
+    from pivot_spark.operators.analytics import threshold_select
+
+    rows = [(float(s), 1 if s >= 5 else 0) for s in range(10)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    out = threshold_select(df, "s", "y", bins=10).collect()
+    best = max(out, key=lambda r: r["f1"])
+    # the optimal cut recovers the true boundary: all 5 positives, 0 FP
+    assert best["tp"] == 5 and best["fp"] == 0 and best["fn"] == 0
+    assert best["f1"] == pytest.approx(1.0)
+    assert best["youden_j"] == pytest.approx(1.0)
+    # lowest threshold predicts everything positive
+    lo = min(out, key=lambda r: r["threshold"])
+    assert lo["tp"] == 5 and lo["fp"] == 5 and lo["recall"] == pytest.approx(1.0)
+
+
+def test_threshold_select_counts_consistent(spark):
+    from pivot_spark.operators.analytics import threshold_select
+
+    import random
+    rng = random.Random(3)
+    rows = [(rng.uniform(0, 1), rng.randint(0, 1)) for _ in range(200)]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    total_pos = sum(y for _, y in rows)
+    for r in threshold_select(df, "s", "y", bins=16).collect():
+        assert r["tp"] + r["fn"] == total_pos
+        assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == 200
+
+
+# ----------------------------------------------------------------- IPW
+def test_ipw_recovers_effect_under_confounding(spark):
+    from pivot_spark.operators.analytics import ipw_estimate
+
+    # confounded assignment: group A (e=0.8) has outcome base 10,
+    # group B (e=0.2) base 0; true treatment effect is +1 everywhere.
+    rows = []
+    for g, e, base, n in [("a", 0.8, 10.0, 500), ("b", 0.2, 0.0, 500)]:
+        n_t = int(n * e)
+        rows += [(1, base + 1.0, e)] * n_t
+        rows += [(0, base, e)] * (n - n_t)
+    df = spark.createDataFrame(rows, ["t", "y", "e"])
+    r = ipw_estimate(df, "t", "y", "e").collect()[0]
+    # naive diff is badly biased upward (treated skew toward group a)
+    assert r["naive_diff"] > 3.0
+    # IPW recovers the true effect
+    assert r["ate"] == pytest.approx(1.0, abs=1e-9)
+
+
+def test_ipw_clip_and_validation(spark):
+    from pivot_spark.operators.analytics import ipw_estimate
+
+    df = spark.createDataFrame([(1, 1.0, 0.0001), (0, 0.0, 0.9999)],
+                               ["t", "y", "e"])
+    r = ipw_estimate(df, "t", "y", "e", clip=(0.1, 0.9)).collect()[0]
+    # clipped to 0.1/0.9: weights bounded, estimate finite
+    assert math.isfinite(r["ate"])
+    with pytest.raises(ValueError):
+        ipw_estimate(df, "t", "y", "e", clip=(0.5, 0.4))
+
+
+# ------------------------------------------------------------ jackknife
+def test_jackknife_ratio_exact_on_constant_ratio(spark):
+    from pivot_spark.operators.analytics import jackknife_ratio
+
+    # num = 0.5 * den everywhere -> every leave-one-out ratio is 0.5,
+    # jackknife variance is exactly 0
+    rows = [(i, 0.5 * (i + 1.0), i + 1.0) for i in range(200)]
+    df = spark.createDataFrame(rows, ["k", "num", "den"])
+    r = jackknife_ratio(df, "num", "den", "k", buckets=10).collect()[0]
+    assert r["ratio"] == pytest.approx(0.5)
+    assert r["se_jack"] == pytest.approx(0.0, abs=1e-12)
+    assert r["ci_lo"] == pytest.approx(0.5) and r["ci_hi"] == pytest.approx(0.5)
+    assert r["n_buckets"] == 10 and r["n"] == 200
+
+
+def test_jackknife_ratio_se_positive_and_brackets(spark):
+    from pivot_spark.operators.analytics import jackknife_ratio
+
+    import random
+    rng = random.Random(9)
+    rows = [(i, rng.uniform(0, 2), 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, ["k", "num", "den"])
+    r = jackknife_ratio(df, "num", "den", "k", buckets=25).collect()[0]
+    true_mean = sum(x for _, x, _ in rows) / 500
+    assert r["ratio"] == pytest.approx(true_mean)
+    assert r["se_jack"] > 0
+    assert r["ci_lo"] < true_mean < r["ci_hi"]
+    with pytest.raises(ValueError):
+        jackknife_ratio(df, "num", "den", "k", buckets=1)
