@@ -43,6 +43,7 @@ from pivot_spark.operators.neardup import (
 )
 from pivot_spark.operators.calibrate import isotonic_fit, quantile_normalize
 from pivot_spark.operators.augment import span_corruption
+from pivot_spark.operators.bpe import bpe_decode
 from pivot_spark.operators.coreset import farthest_point_sample
 from pivot_spark.operators.preference import (
     bradley_terry,
@@ -60,6 +61,7 @@ from pivot_spark.operators.semdedup import semdedup
 # --- similarity / ANN / embeddings
 from pivot_spark.operators.embedding import (
     centroids,
+    class_separability,
     normalize_vectors,
     quantize_int8,
     random_projection,
@@ -170,6 +172,9 @@ from pivot_spark.operators.analytics import (
     average_precision,
     cohens_kappa,
     krippendorff_alpha,
+    threshold_select,
+    ipw_estimate,
+    jackknife_ratio,
     ranking_metrics,
     dispersion_test,
     interarrival_stats,
@@ -251,6 +256,7 @@ from pivot_spark.operators.chunking import chunk_documents
 # --- multimodal real codecs (uncompressed formats, pure Catalyst)
 from pivot_spark.operators.codecs import (
     decode_bmp,
+    pgm_equalize,
     decode_ppm,
     decode_wav,
     make_bmp,
@@ -307,7 +313,9 @@ __all__ = [
     "bigram_lm_score", "stupid_backoff_score",
     "quantile_normalize", "farthest_point_sample", "cohens_kappa",
     "isotonic_fit", "span_corruption", "local_clustering",
-    "krippendorff_alpha", "matryoshka_recall",
+    "krippendorff_alpha", "matryoshka_recall", "threshold_select",
+    "ipw_estimate", "jackknife_ratio", "class_separability",
+    "pgm_equalize", "bpe_decode",
     "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
     "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",

@@ -90,16 +90,24 @@ def bpe_learn(
         # bind the split array to a lambda variable so it is evaluated
         # once per vocab row, not once per adjacent pair (expressions
         # referenced inside an HOF lambda are re-evaluated per element)
+        # NB: fully-merged single-symbol words must yield NO pairs —
+        # sequence(1, 0) is DESCENDING [1, 0] in Spark, so an unguarded
+        # size-1 word would index element_at(sp, 2) out of bounds
         pairs = F.explode(
             F.element_at(
                 F.transform(
                     F.array(F.split(F.col("sym"), " ")),
-                    lambda sp: F.transform(
-                        F.sequence(F.lit(1), F.size(sp) - 1),
-                        lambda i: F.struct(
-                            F.element_at(sp, i).alias("l"),
-                            F.element_at(sp, i + F.lit(1)).alias("r"),
+                    lambda sp: F.when(
+                        F.size(sp) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(sp) - 1),
+                            lambda i: F.struct(
+                                F.element_at(sp, i).alias("l"),
+                                F.element_at(sp, i + F.lit(1)).alias("r"),
+                            ),
                         ),
+                    ).otherwise(
+                        F.array().cast("array<struct<l:string,r:string>>")
                     ),
                 ),
                 1,
@@ -169,3 +177,21 @@ def bpe_encode(
         F.transform(F.col("__bpe_syms"), lambda s: F.split(s, " "))
     )
     return out.withColumn(out_col, tokens).drop("__bpe_syms")
+
+
+def bpe_decode(
+    df: DataFrame,
+    tokens_col: str,
+    out_col: str = "decoded",
+) -> DataFrame:
+    """Inverse of ``bpe_encode``: concatenate the subword tokens and
+    turn each ``</w>`` terminator back into a word boundary. For any
+    merge list, decode(encode(text)) equals the canonical form of the
+    input (lowercased, whitespace collapsed — exactly what the encoder
+    consumed), which makes this the round-trip audit for a learned
+    tokenizer: a match-rate below 1.0 means the merge table or the
+    encoder is corrupt. Pure scan-stage string algebra."""
+    joined = F.array_join(F.col(tokens_col), "")
+    return df.withColumn(
+        out_col, F.trim(F.regexp_replace(joined, "</w>", " "))
+    )

@@ -1785,3 +1785,131 @@ def ppm_contrast_stretch(
             "stretch_sumsq": F.when(good, a["q"]),
         }
     ).drop("__hx", "__hdr", "__mm", "__st", "__ok")
+
+
+def pgm_equalize(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str = "gray",
+    out_col: str = "equalized",
+) -> DataFrame:
+    """Per-image histogram equalization emitting REAL P5 PGM bytes —
+    the classic contrast transform (Gonzalez & Woods §3.3), the
+    nonlinear companion of ``ppm_contrast_stretch``:
+
+        out(v) = round((cdf(v) - cdf_min) / (n_px - cdf_min) * maxval)
+
+    with cdf the per-image cumulative gray histogram and cdf_min its
+    smallest nonzero entry. All arithmetic is exact integer half-up
+    (floor((x*2*maxval + denom) / (2*denom))) so the remap is engine-
+    and partitioning-identical; constant images (denominator 0) map to
+    gray 0 by convention.
+
+    Plan: each blob is parsed once and its pixel VALUES leave as an
+    array in one scan-stage projection (the blob itself never rides an
+    explode); pixels become (id, pos, value) rows, the histogram / cdf
+    / remap table live on the ≤256-rows-per-image VALUE frame (one
+    image-keyed window), and the remap join + ordered payload rebuild
+    shuffle pixel-sized frames keyed by image id — linear end to end,
+    no O(n_px²) step. Rows that are not valid P5 get NULL output.
+    """
+    raw = F.col(binary_col)
+    ok0, w, h, mx, hdr_len = _pnm_header(raw, "P5", bpp=1)
+    src = df.withColumn("__ok", ok0)
+    ok = F.col("__ok")
+    n_px = (w * h).cast("long")
+    src = src.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__hdr": F.when(ok, hdr_len.cast("long")),
+            "__npx": F.when(ok, n_px),
+            "__mx": F.when(ok, mx.cast("long")),
+        }
+    )
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
+    vals = F.when(
+        ok & (F.col("__npx") > 0),
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("__npx") - 1),
+            _lam("ieq", lambda i: _u8h(hxc, hdrc + i + 1)),
+        ),
+    )
+    base = src.withColumn("__vals", vals)
+
+    # fence: (a) filter on the CHEAP gates only — a filter on the
+    # computed __vals column would be pushed below the projection and
+    # alias-substitute the whole per-pixel transform tree into it (the
+    # e185 pushdown landmine); (b) truncate lineage before the value
+    # frame fans out into a self-join (px ⋈ remap both derive from it —
+    # without the fence the upstream builder tree is duplicated into
+    # every branch and the plan explodes combinatorially)
+    ids = (
+        base.filter(ok & (F.col("__npx") > 0))
+        .select(F.col(id_col).alias("__id"), "__npx", "__mx", "__vals")
+        .localCheckpoint(eager=False)
+    )
+    px = ids.select(
+        "__id", F.posexplode("__vals").alias("__pos", "__v")
+    )
+    hist = px.groupBy("__id", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    from pyspark.sql import Window
+
+    wcum = (
+        Window.partitionBy("__id")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("__id")
+    cd = hist.select(
+        "__id", "__v",
+        F.sum("__c").over(wcum).alias("__cdf"),
+    ).withColumn("__cdfmin", F.min("__cdf").over(wall))
+    stats = ids.select("__id", "__npx", "__mx")
+    denom = F.col("__npx") - F.col("__cdfmin")
+    remap = cd.join(stats, "__id").select(
+        "__id", "__v",
+        F.when(
+            denom > 0,
+            F.floor(
+                (
+                    (F.col("__cdf") - F.col("__cdfmin")) * F.col("__mx") * 2
+                    + denom
+                )
+                / (2 * denom)
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("__nv"),
+    )
+    rebuilt = (
+        px.join(remap, ["__id", "__v"])
+        .select(
+            "__id", "__pos", F.lpad(F.hex(F.col("__nv")), 2, "0").alias("__h2")
+        )
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__h2")))
+                    ),
+                    lambda s: s["__h2"],
+                ),
+                "",
+            ).alias("__payload_hex")
+        )
+    )
+    header = F.concat(
+        F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n"), mx.cast("string"), F.lit("\n"),
+    )
+    out = base.join(
+        rebuilt, base[id_col] == rebuilt["__id"], "left"
+    ).select(
+        *[c for c in df.columns],
+        F.when(
+            ok & (F.col("__npx") > 0) & F.col("__payload_hex").isNotNull(),
+            F.concat(F.encode(header, "UTF-8"), F.unhex(F.col("__payload_hex"))),
+        ).alias(out_col),
+    )
+    return out

@@ -194,3 +194,79 @@ def random_projection(
         for j, plane in enumerate(planes)
     ]
     return df.withColumn(out_col, F.array(*comps))
+
+
+def class_separability(
+    df: DataFrame,
+    vec_col: str,
+    label_col: str,
+    dim: int,
+) -> DataFrame:
+    """Per-dimension Fisher discriminant ratio of an embedding column
+    against a label — the "is this embedding space any good for this
+    label?" audit run before spending GPU-hours on a probe/classifier:
+    dimensions with high between-class / within-class variance carry
+    the signal; a flat ratio across all dims says the label is not
+    linearly readable here.
+
+    For each dimension d (ANOVA decomposition):
+        between_d = (sum_c s_cd^2/n_c - N*mu_d^2) / N
+        within_d  = (sum_c ssq_cd  - sum_c s_cd^2/n_c) / N
+        fisher_d  = between_d / within_d          (NULL if within = 0)
+
+    Plan: ONE corpus scan -> per-class aggregate carrying the dim-wise
+    sum and sum-of-squares arrays (|classes| rows), exploded to
+    |classes| x dim rows, then a dim-keyed aggregate — the corpus is
+    never shuffled, only answer-sized frames are. Output: one row per
+    dimension — (dim 1-based INT, n_classes, between_var, within_var,
+    fisher_ratio).
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.col(vec_col)
+    base = df.filter(
+        F.col(label_col).isNotNull() & v.isNotNull() & (F.size(v) >= dim)
+    )
+    per = base.groupBy(F.col(label_col).alias("__c")).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.array(
+            *[
+                F.sum(v.getItem(i).cast("double")).alias(f"__s{i}")
+                for i in range(dim)
+            ]
+        ).alias("__sv"),
+        F.array(
+            *[
+                F.sum(
+                    v.getItem(i).cast("double") * v.getItem(i).cast("double")
+                ).alias(f"__q{i}")
+                for i in range(dim)
+            ]
+        ).alias("__qv"),
+    )
+    exploded = per.select(
+        "__c", "__n", F.posexplode(F.arrays_zip("__sv", "__qv"))
+    ).select(
+        "__c",
+        "__n",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("col.__sv").alias("__s"),
+        F.col("col.__qv").alias("__q"),
+    )
+    g = exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("__n").alias("__N"),
+        F.sum("__s").alias("__ts"),
+        F.sum(F.col("__s") * F.col("__s") / F.col("__n")).alias("__tsn"),
+        F.sum("__q").alias("__tq"),
+    )
+    mu = F.col("__ts") / F.col("__N")
+    between = (F.col("__tsn") - F.col("__N") * mu * mu) / F.col("__N")
+    within = (F.col("__tq") - F.col("__tsn")) / F.col("__N")
+    return g.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n_classes").cast("long").alias("n_classes"),
+        between.alias("between_var"),
+        within.alias("within_var"),
+        F.when(within > 0, between / within).alias("fisher_ratio"),
+    )

@@ -10502,6 +10502,237 @@ def e215_jackknife_ratio(spark, sf_dir):
     )
 
 
+# --- E216: per-image histogram equalization emitting REAL P5 bytes
+# (codecs.py::pgm_equalize) over the e179 text-byte image corpus run
+# through ppm_to_pgm first. Exact integer half-up remap; the oracle
+# replays histogram/cdf/remap per image and serializes the full
+# equalized pixel vector, so every output byte is hash-checked.
+_E216_ORACLE = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+         rpad(substring(text, 1, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER)),
+              CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER), ' ') AS p
+  FROM documents
+), gr AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, w * h),
+           i -> (299 * ascii(substring(p, CAST(1 + i * 3 AS INTEGER), 1))
+               + 587 * ascii(substring(p, CAST(2 + i * 3 AS INTEGER), 1))
+               + 114 * ascii(substring(p, CAST(3 + i * 3 AS INTEGER), 1))
+               + 500) // 1000) AS g
+  FROM img
+), pxv AS (
+  SELECT doc_id, p - 1 AS pos, g[p] AS v
+  FROM (SELECT doc_id, g, unnest(generate_series(1, len(g))) AS p FROM gr)
+), hist AS (
+  SELECT doc_id, v, count(*) AS c FROM pxv GROUP BY 1, 2
+), cd AS (
+  SELECT doc_id, v, sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cdf
+  FROM hist
+), st AS (
+  SELECT doc_id, min(cdf) AS cdfmin FROM cd GROUP BY 1
+), np AS (
+  SELECT doc_id, CAST(w * h AS BIGINT) AS n_px, w, h FROM img
+), map AS (
+  SELECT cd.doc_id, v,
+         CASE WHEN n_px - cdfmin > 0
+              THEN ((cdf - cdfmin) * 255 * 2 + (n_px - cdfmin))
+                     // (2 * (n_px - cdfmin))
+              ELSE 0 END AS nv
+  FROM cd JOIN st USING (doc_id) JOIN np USING (doc_id)
+), outv AS (
+  SELECT pxv.doc_id, pos, nv
+  FROM pxv JOIN map ON map.doc_id = pxv.doc_id AND map.v = pxv.v
+)
+SELECT o.doc_id, np.w AS width, np.h AS height,
+       CAST(length('P5' || chr(10) || np.w || ' ' || np.h || chr(10) || '255' || chr(10))
+            + np.n_px AS BIGINT) AS n_bytes,
+       '[' || string_agg(nv, '|' ORDER BY pos) || ']' AS gray_values
+FROM outv o JOIN np ON np.doc_id = o.doc_id
+GROUP BY o.doc_id, np.w, np.h, np.n_px
+"""
+
+
+@query("e216_image_equalize", _E216_ORACLE)
+def e216_image_equalize(spark, sf_dir):
+    """Histogram equalization end-to-end: P6 corpus -> real P5 -> real
+    equalized P5, decoded back byte-for-byte. Pixels ride linear
+    id-keyed shuffles; the remap table lives on a ≤256-row-per-image
+    value frame."""
+    from pivot_spark.operators.codecs import (
+        _pnm_header,
+        _u8h,
+        make_ppm,
+        pgm_equalize,
+        ppm_to_pgm,
+    )
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn(
+            "p",
+            F.encode(
+                F.expr("rpad(substring(text, 1, w*h*3), w*h*3, ' ')"), "UTF-8"
+            ),
+        )
+    )
+    img = d.select(
+        "doc_id", make_ppm(F.col("w"), F.col("h"), F.col("p")).alias("image")
+    )
+    pgm = ppm_to_pgm(img).select("doc_id", F.col("gray").alias("gray"))
+    eq = pgm_equalize(pgm, "doc_id", "gray", out_col="equalized").filter(
+        F.col("equalized").isNotNull()
+    )
+    # decode the emitted file back: header parse + per-pixel bytes
+    raw = F.col("equalized")
+    ok, w2, h2, mx2, hdr2 = _pnm_header(raw, "P5", bpp=1)
+    eq = eq.withColumn("__ok", ok)
+    eq = eq.withColumns(
+        {"__hx": F.when(F.col("__ok"), F.hex(raw)),
+         "__hdr": F.when(F.col("__ok"), hdr2.cast("long"))}
+    )
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
+    n_px = (w2 * h2).cast("long")
+    from pivot_spark.operators.codecs import _lam
+
+    vals = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_px - 1),
+        _lam("ieqd", lambda i: _u8h(hxc, hdrc + i + 1)),
+    )
+    return eq.select(
+        "doc_id",
+        w2.cast("int").alias("width"),
+        h2.cast("int").alias("height"),
+        F.length(raw).cast("long").alias("n_bytes"),
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(vals, lambda v: v.cast("string")), "|"
+            ),
+            F.lit("]"),
+        ).alias("gray_values"),
+    )
+
+
+# --- E217: BPE round-trip audit (bpe.py::bpe_decode) — decode the
+# e114 encoding and verify it reproduces the canonical (lowercased,
+# whitespace-collapsed) input for EVERY document, per source. The
+# oracle replays the full learn+encode pipeline (the e114 device) plus
+# the same concat/replace decode; counts are exact ints.
+def _e217_oracle() -> str:
+    # reuse the e114 encode device up to its final SELECT, then decode
+    base = _e114_oracle().rsplit("SELECT doc_id", 1)[0]
+    return (
+        base
+        + f""", dec AS (
+  SELECT d.doc_id,
+         trim(replace(array_to_string(flatten(list_transform(e.syms, s -> string_split(s, ' '))), ''), '</w>', ' ')) AS decoded,
+         trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS canon,
+         d.source
+  FROM d{_BPE_N} e JOIN documents d USING (doc_id)
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN decoded = canon THEN 1 ELSE 0 END)::BIGINT AS n_match,
+       floor(sum(CASE WHEN decoded = canon THEN 1 ELSE 0 END)::DOUBLE
+             / count(*) * 10000 + 0.5) / 10000 AS match_rate
+FROM dec GROUP BY source
+"""
+    )
+
+
+@query("e217_bpe_roundtrip", _e217_oracle())
+def e217_bpe_roundtrip(spark, sf_dir):
+    """Tokenizer integrity check: decode(encode(x)) must equal the
+    canonical input everywhere; a rate below 1.0 means a corrupt merge
+    table or encoder. Scan-stage both ways."""
+    from pivot_spark.operators.bpe import bpe_decode, bpe_encode, bpe_learn
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in bpe_learn(docs, "text", num_merges=_BPE_N).collect()
+    ]
+    enc = bpe_encode(docs, "text", merges)
+    dec = bpe_decode(enc, "tokens")
+    canon = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    # NULL text: decoded and canon are both NULL -> the oracle's CASE
+    # counts 0, so the NULL-safe flag must be an explicit 0 here too
+    flagged = dec.select(
+        "source",
+        F.coalesce((F.col("decoded") == canon).cast("int"), F.lit(0)).alias(
+            "__m"
+        ),
+    )
+    out = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__m").cast("long").alias("n_match"),
+    )
+    return out.select(
+        "source", "n_docs", "n_match",
+        (
+            F.floor(
+                F.col("n_match").cast("double")
+                / F.col("n_docs")
+                * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("match_rate"),
+    )
+
+
+# --- E218: per-dimension Fisher discriminant ratio of the embedding
+# space against its label column (embedding.py::class_separability) —
+# the "is the label linearly readable here?" audit. Oracle: one unnest
+# over dims, identical ANOVA algebra, r4 both sides.
+_E218_ORACLE = """
+WITH base AS (
+  SELECT label, embedding FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= 64
+), ld AS (
+  SELECT label, unnest(generate_series(1, 64)) AS dim, embedding AS e FROM base
+), per AS (
+  SELECT dim, label, count(*) AS n,
+         sum(e[dim]::DOUBLE) AS s,
+         sum(e[dim]::DOUBLE * e[dim]::DOUBLE) AS q
+  FROM ld GROUP BY 1, 2
+), g AS (
+  SELECT dim, count(*) AS n_classes, sum(n) AS nn, sum(s) AS ts,
+         sum(s * s / n) AS tsn, sum(q) AS tq
+  FROM per GROUP BY dim
+)
+SELECT dim::INT AS dim, n_classes::BIGINT AS n_classes,
+       floor((tsn - nn * (ts / nn) * (ts / nn)) / nn * 10000 + 0.5) / 10000 AS between_var,
+       floor((tq - tsn) / nn * 10000 + 0.5) / 10000 AS within_var,
+       CASE WHEN (tq - tsn) / nn > 0
+            THEN floor(((tsn - nn * (ts / nn) * (ts / nn)) / nn)
+                       / ((tq - tsn) / nn) * 10000 + 0.5) / 10000
+       END AS fisher_ratio
+FROM g
+"""
+
+
+@query("e218_class_separability", _E218_ORACLE)
+def e218_class_separability(spark, sf_dir):
+    """Embedding-quality audit vs the label: one corpus scan, per-class
+    sum/sumsq arrays, dim-keyed answer-sized algebra."""
+    from pivot_spark.operators.embedding import class_separability
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = class_separability(emb, "embedding", "label", dim=64)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "dim", "n_classes",
+        r4("between_var").alias("between_var"),
+        r4("within_var").alias("within_var"),
+        r4("fisher_ratio").alias("fisher_ratio"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

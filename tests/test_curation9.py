@@ -372,3 +372,89 @@ def test_jackknife_ratio_se_positive_and_brackets(spark):
     assert r["ci_lo"] < true_mean < r["ci_hi"]
     with pytest.raises(ValueError):
         jackknife_ratio(df, "num", "den", "k", buckets=1)
+
+
+# ------------------------------------------------------ class separability
+def test_class_separability_signal_vs_noise_dim(spark):
+    from pivot_spark.operators.embedding import class_separability
+
+    # dim 1 separates classes perfectly (means -1 vs +1, tiny within);
+    # dim 2 is identical noise in both classes
+    rows = []
+    for i in range(40):
+        c = i % 2
+        rows.append((c, [(-1.0 if c == 0 else 1.0) + (i % 5) * 1e-3,
+                         float(i % 7)]))
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    out = {r["dim"]: r for r in
+           class_separability(df, "embedding", "label", dim=2).collect()}
+    assert out[1]["n_classes"] == 2
+    assert out[1]["fisher_ratio"] > 100 * (out[2]["fisher_ratio"] or 0.0)
+    # ANOVA identity: between + within == total variance (population)
+    import statistics
+    col1 = [(-1.0 if i % 2 == 0 else 1.0) + (i % 5) * 1e-3 for i in range(40)]
+    total = statistics.pvariance(col1)
+    assert out[1]["between_var"] + out[1]["within_var"] == pytest.approx(total)
+
+
+def test_class_separability_single_class_and_validation(spark):
+    from pivot_spark.operators.embedding import class_separability
+
+    df = spark.createDataFrame([(0, [1.0, 2.0]), (0, [3.0, 4.0])],
+                               ["label", "embedding"])
+    out = class_separability(df, "embedding", "label", dim=2).collect()
+    for r in out:
+        assert r["between_var"] == pytest.approx(0.0)
+    with pytest.raises(ValueError):
+        class_separability(df, "embedding", "label", dim=0)
+
+
+# ----------------------------------------------------------- bpe decode
+def test_bpe_roundtrip_identity(spark):
+    from pivot_spark.operators.bpe import bpe_decode, bpe_encode, bpe_learn
+
+    docs = spark.createDataFrame(
+        [(1, "The cat  sat on THE mat"), (2, "cat cat cat"), (3, None)],
+        ["doc_id", "text"],
+    )
+    merges = [(r.left, r.right)
+              for r in bpe_learn(docs, "text", num_merges=6).collect()]
+    enc = bpe_encode(docs, "text", merges)
+    dec = {r["doc_id"]: r["decoded"] for r in
+           bpe_decode(enc, "tokens").collect()}
+    assert dec[1] == "the cat sat on the mat"
+    assert dec[2] == "cat cat cat"
+    assert dec[3] is None
+
+
+# ----------------------------------------------------------- equalize
+def test_pgm_equalize_known_image(spark):
+    from pivot_spark.operators.codecs import pgm_equalize
+
+    # 2x2 gray image with values 10,10,20,250 ; maxval 255
+    hdr = b"P5\n2 2\n255\n"
+    img = hdr + bytes([10, 10, 20, 250])
+    df = spark.createDataFrame([(1, bytearray(img))], "id long, gray binary")
+    out = pgm_equalize(df, "id", "gray").collect()[0]["equalized"]
+    assert out is not None
+    body = bytes(out)
+    assert body.startswith(b"P5\n2 2\n255\n")
+    px = list(body[len(hdr):])
+    # cdf: 10 -> 2, 20 -> 3, 250 -> 4 ; cdfmin = 2 ; denom = 2
+    # out(10) = round(0/2*255) = 0 ; out(20) = round(1/2*255) = 128
+    # out(250) = round(2/2*255) = 255
+    assert px == [0, 0, 128, 255]
+
+
+def test_pgm_equalize_constant_and_invalid(spark):
+    from pivot_spark.operators.codecs import pgm_equalize
+
+    hdr = b"P5\n3 1\n255\n"
+    img = hdr + bytes([7, 7, 7])
+    rows = [(1, bytearray(img)), (2, bytearray(b"NOTPGM"))]
+    df = spark.createDataFrame(rows, "id long, gray binary")
+    out = {r["id"]: r["equalized"] for r in
+           pgm_equalize(df, "id", "gray").collect()}
+    # constant image: denominator 0 -> all pixels map to 0
+    assert list(bytes(out[1])[len(hdr):]) == [0, 0, 0]
+    assert out[2] is None
