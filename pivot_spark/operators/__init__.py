@@ -256,7 +256,9 @@ from pivot_spark.operators.chunking import chunk_documents
 # --- multimodal real codecs (uncompressed formats, pure Catalyst)
 from pivot_spark.operators.codecs import (
     decode_bmp,
+    pgm_binarize_otsu,
     pgm_equalize,
+    wav_gain,
     decode_ppm,
     decode_wav,
     make_bmp,
@@ -315,7 +317,7 @@ __all__ = [
     "isotonic_fit", "span_corruption", "local_clustering",
     "krippendorff_alpha", "matryoshka_recall", "threshold_select",
     "ipw_estimate", "jackknife_ratio", "class_separability",
-    "pgm_equalize", "bpe_decode",
+    "pgm_equalize", "bpe_decode", "pgm_binarize_otsu", "wav_gain",
     "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
     "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",

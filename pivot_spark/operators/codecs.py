@@ -1787,6 +1787,110 @@ def ppm_contrast_stretch(
     ).drop("__hx", "__hdr", "__mm", "__st", "__ok")
 
 
+def _pgm_value_frames(df: DataFrame, id_col: str, binary_col: str):
+    """Shared front end for per-image pixel-VALUE operators (equalize,
+    Otsu binarize): parse the P5 header, pull every pixel out of the
+    blob ONCE as an array column, and explode to (id, pos, value) rows.
+
+    Returns (base, ids, px): ``base`` is the input + ``__ok``/gate
+    columns (for the final assembly join), ``ids`` the fenced
+    (__id, __npx, __mx, __vals) frame, ``px`` the exploded pixel frame.
+
+    The fence matters twice: (a) downstream must filter on the CHEAP
+    gates only — a filter on the computed __vals column is pushed below
+    the projection and alias-substitutes the whole per-pixel transform
+    tree into it (the e185 pushdown landmine); (b) ``ids`` is
+    localCheckpoint'ed because the pixel frame fans out into a
+    self-join (px ⋈ remap both derive from it) — without lineage
+    truncation the upstream builder tree duplicates into every branch
+    and the plan explodes combinatorially."""
+    # materialize the INPUT blobs before any per-pixel work: the binary
+    # column may itself be an expensive expression (e.g. the output of
+    # ppm_to_pgm), and CollapseProject inlines a single-referenced
+    # hex(raw) alias into the per-pixel lambda — re-evaluating the
+    # whole upstream tree once per PIXEL (interpreted HOFs have no
+    # subexpression elimination). Measured: 62s -> ~2s at sf0.1.
+    df = df.localCheckpoint(eager=False)
+    raw = F.col(binary_col)
+    ok0, w, h, mx, hdr_len = _pnm_header(raw, "P5", bpp=1)
+    src = df.withColumn("__ok", ok0)
+    ok = F.col("__ok")
+    n_px = (w * h).cast("long")
+    src = src.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__hdr": F.when(ok, hdr_len.cast("long")),
+            "__npx": F.when(ok, n_px),
+            "__mx": F.when(ok, mx.cast("long")),
+        }
+    )
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
+    vals = F.when(
+        ok & (F.col("__npx") > 0),
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), F.col("__npx") - 1),
+            _lam("ieq", lambda i: _u8h(hxc, hdrc + i + 1)),
+        ),
+    )
+    base = src.withColumn("__vals", vals)
+    ids = (
+        base.filter(ok & (F.col("__npx") > 0))
+        .select(F.col(id_col).alias("__id"), "__npx", "__mx", "__vals")
+        .localCheckpoint(eager=False)
+    )
+    px = ids.select("__id", F.posexplode("__vals").alias("__pos", "__v"))
+    return base, ids, px
+
+
+def _pgm_remapped_out(
+    df: DataFrame,
+    base: DataFrame,
+    px: DataFrame,
+    remap: DataFrame,
+    id_col: str,
+    binary_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Shared back end: apply a per-image (value → new value) ``remap``
+    table to the pixel frame, rebuild the payload in pixel order, and
+    emit a real P5 file next to the caller's columns (NULL for rows
+    that were not valid P5)."""
+    rebuilt = (
+        px.join(remap, ["__id", "__v"])
+        .select(
+            "__id", "__pos", F.lpad(F.hex(F.col("__nv")), 2, "0").alias("__h2")
+        )
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("__pos"), F.col("__h2")))
+                    ),
+                    lambda s: s["__h2"],
+                ),
+                "",
+            ).alias("__payload_hex")
+        )
+    )
+    raw = F.col(binary_col)
+    _, w, h, mx, _ = _pnm_header(raw, "P5", bpp=1)
+    header = F.concat(
+        F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"),
+        F.lit("\n"), mx.cast("string"), F.lit("\n"),
+    )
+    ok = F.col("__ok")
+    return base.join(
+        rebuilt, base[id_col] == rebuilt["__id"], "left"
+    ).select(
+        *[c for c in df.columns],
+        F.when(
+            ok & (F.col("__npx") > 0) & F.col("__payload_hex").isNotNull(),
+            F.concat(F.encode(header, "UTF-8"), F.unhex(F.col("__payload_hex"))),
+        ).alias(out_col),
+    )
+
+
 def pgm_equalize(
     df: DataFrame,
     id_col: str,
@@ -1813,44 +1917,7 @@ def pgm_equalize(
     shuffle pixel-sized frames keyed by image id — linear end to end,
     no O(n_px²) step. Rows that are not valid P5 get NULL output.
     """
-    raw = F.col(binary_col)
-    ok0, w, h, mx, hdr_len = _pnm_header(raw, "P5", bpp=1)
-    src = df.withColumn("__ok", ok0)
-    ok = F.col("__ok")
-    n_px = (w * h).cast("long")
-    src = src.withColumns(
-        {
-            "__hx": F.when(ok, F.hex(raw)),
-            "__hdr": F.when(ok, hdr_len.cast("long")),
-            "__npx": F.when(ok, n_px),
-            "__mx": F.when(ok, mx.cast("long")),
-        }
-    )
-    hxc, hdrc = F.col("__hx"), F.col("__hdr")
-    vals = F.when(
-        ok & (F.col("__npx") > 0),
-        F.transform(
-            F.sequence(F.lit(0).cast("long"), F.col("__npx") - 1),
-            _lam("ieq", lambda i: _u8h(hxc, hdrc + i + 1)),
-        ),
-    )
-    base = src.withColumn("__vals", vals)
-
-    # fence: (a) filter on the CHEAP gates only — a filter on the
-    # computed __vals column would be pushed below the projection and
-    # alias-substitute the whole per-pixel transform tree into it (the
-    # e185 pushdown landmine); (b) truncate lineage before the value
-    # frame fans out into a self-join (px ⋈ remap both derive from it —
-    # without the fence the upstream builder tree is duplicated into
-    # every branch and the plan explodes combinatorially)
-    ids = (
-        base.filter(ok & (F.col("__npx") > 0))
-        .select(F.col(id_col).alias("__id"), "__npx", "__mx", "__vals")
-        .localCheckpoint(eager=False)
-    )
-    px = ids.select(
-        "__id", F.posexplode("__vals").alias("__pos", "__v")
-    )
+    base, ids, px = _pgm_value_frames(df, id_col, binary_col)
     hist = px.groupBy("__id", "__v").agg(F.count(F.lit(1)).alias("__c"))
     from pyspark.sql import Window
 
@@ -1881,35 +1948,164 @@ def pgm_equalize(
         .otherwise(F.lit(0).cast("long"))
         .alias("__nv"),
     )
-    rebuilt = (
-        px.join(remap, ["__id", "__v"])
+    return _pgm_remapped_out(df, base, px, remap, id_col, binary_col, out_col)
+
+
+def pgm_binarize_otsu(
+    df: DataFrame,
+    id_col: str,
+    binary_col: str = "gray",
+    out_col: str = "binarized",
+    threshold_col: str = "otsu_threshold",
+) -> DataFrame:
+    """Otsu binarization emitting REAL P5 bytes: per image, pick the
+    threshold t* maximizing the between-class variance of the gray
+    histogram (Otsu 1979), then map v <= t* to 0 and v > t* to maxval —
+    the document-scan / blank-region screen that needs no tuned
+    threshold.
+
+    For each candidate t (every distinct value with cdf(t) < n_px):
+        crit(t) = (cdf(t)·S - n_px·cumsum(t))² / (cdf(t)·(n_px - cdf(t)))
+    with S the image's gray total — the standard algebraic form of
+    ω₀ω₁(μ₀-μ₁)². All inputs are exact integers in doubles (< 2⁵³), the
+    expression shape is engine-identical, ties break to the smallest t,
+    and a constant image (no valid split) thresholds at its single
+    value (all pixels → 0).
+
+    Same scale shape as ``pgm_equalize``: pixels leave the blob once,
+    the criterion lives on the ≤256-rows-per-image value frame, linear
+    id-keyed shuffles only. Adds ``threshold_col`` (BIGINT, NULL for
+    invalid rows) next to the emitted file.
+    """
+    from pyspark.sql import Window
+
+    base, ids, px = _pgm_value_frames(df, id_col, binary_col)
+    hist = px.groupBy("__id", "__v").agg(F.count(F.lit(1)).alias("__c"))
+    wcum = (
+        Window.partitionBy("__id")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cd = hist.select(
+        "__id", "__v",
+        F.sum("__c").over(wcum).alias("__cdf"),
+        F.sum(F.col("__v") * F.col("__c")).over(wcum).alias("__cs"),
+    )
+    tot = hist.groupBy("__id").agg(
+        F.sum(F.col("__v") * F.col("__c")).alias("__S")
+    )
+    cand = cd.join(tot, "__id").join(
+        ids.select("__id", "__npx", "__mx"), "__id"
+    )
+    a = (F.col("__cdf") * F.col("__S") - F.col("__npx") * F.col("__cs")).cast(
+        "double"
+    )
+    den = (F.col("__cdf") * (F.col("__npx") - F.col("__cdf"))).cast("double")
+    crit = F.when(F.col("__cdf") < F.col("__npx"), a * a / den)
+    wbest = Window.partitionBy("__id").orderBy(
+        F.desc_nulls_last("__crit"), F.asc("__v")
+    )
+    best = (
+        cand.withColumn("__crit", crit)
+        .withColumn("__rn", F.row_number().over(wbest))
+        .filter(F.col("__rn") == 1)
+        .select("__id", F.col("__v").alias("__t"), "__mx")
+    )
+    remap = (
+        hist.select("__id", "__v")
+        .join(best, "__id")
         .select(
-            "__id", "__pos", F.lpad(F.hex(F.col("__nv")), 2, "0").alias("__h2")
-        )
-        .groupBy("__id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("__pos"), F.col("__h2")))
-                    ),
-                    lambda s: s["__h2"],
-                ),
-                "",
-            ).alias("__payload_hex")
+            "__id", "__v",
+            F.when(F.col("__v") <= F.col("__t"), F.lit(0).cast("long"))
+            .otherwise(F.col("__mx"))
+            .alias("__nv"),
         )
     )
-    header = F.concat(
-        F.lit("P5\n"), w.cast("string"), F.lit(" "), h.cast("string"),
-        F.lit("\n"), mx.cast("string"), F.lit("\n"),
+    out = _pgm_remapped_out(df, base, px, remap, id_col, binary_col, out_col)
+    thr = best.select(F.col("__id"), F.col("__t").alias(threshold_col))
+    return out.join(thr, out[id_col] == thr["__id"], "left").drop("__id")
+
+
+def wav_gain(
+    df: DataFrame,
+    target_peak: int = 30000,
+    binary_col: str = "audio",
+    out_col: str = "normalized",
+) -> DataFrame:
+    """Peak normalization emitting REAL WAV bytes: scale every sample
+    by target_peak / peak(|samples|) so the loudest sample lands
+    exactly on ``target_peak`` — the cheap per-clip loudness leveler
+    run before energy thresholding (a quiet and a loud copy of the
+    same clip otherwise score differently in every energy screen).
+
+    The rescale is exact integer half-up, engine-identical:
+        out = floor((2·v·T + P) / (2·P))       (P = peak, T = target)
+    so ±P map to exactly ±T and no clamp is needed for T <= 32767.
+    Silent files (P = 0) pass through unchanged (gain is undefined).
+    One fold computes the peak, one transform rewrites the samples —
+    each int16 word leaves the blob once per pass; the 44-byte header
+    is copied verbatim (rate/channels/sizes are unchanged). Scan-stage,
+    no shuffle, no Python.
+    """
+    if not 0 < target_peak <= 32767:
+        raise ValueError(
+            f"target_peak must be in (0, 32767], got {target_peak}"
+        )
+    # materialize the input blobs first: this operator chains TWO HOF
+    # passes (the peak fold is referenced inside the rewrite lambda),
+    # so an expression-valued binary column (e.g. a make_wav builder
+    # tree) would be inlined into nested lambdas multiple times —
+    # observed as a driver OOM in expression canonicalization
+    df = df.localCheckpoint(eager=False)
+    raw = F.col(binary_col)
+    ok, n_ch, rate, n_samp = _wav_header(binary_col)
+    df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
+    ok = F.col("__ok")
+    n_words = (n_samp * n_ch).cast("long")
+    out = df.withColumns(
+        {
+            "__hx": F.when(ok, F.hex(raw)),
+            "__nw": F.when(ok, n_words),
+        }
     )
-    out = base.join(
-        rebuilt, base[id_col] == rebuilt["__id"], "left"
-    ).select(
-        *[c for c in df.columns],
-        F.when(
-            ok & (F.col("__npx") > 0) & F.col("__payload_hex").isNotNull(),
-            F.concat(F.encode(header, "UTF-8"), F.unhex(F.col("__payload_hex"))),
-        ).alias(out_col),
+    hxc = F.col("__hx")
+
+    def word(j: Column) -> Column:
+        pos = F.lit(45).cast("long") + j * 2
+        v = _u8h(hxc, pos) + _u8h(hxc, pos + 1) * 256
+        return F.when(v >= 32768, v - 65536).otherwise(v)
+
+    idx = F.sequence(F.lit(0).cast("long"), F.col("__nw") - 1)
+    peak = F.when(
+        ok & (F.col("__nw") > 0),
+        F.aggregate(
+            F.transform(idx, _lam("jwg", word)),
+            F.lit(0).cast("long"),
+            _lam("awg, vwg", lambda a, v: F.greatest(a, F.abs(v))),
+        ),
     )
-    return out
+    out = out.withColumn("__pk", peak)
+    pk = F.col("__pk")
+
+    def scaled(j: Column) -> Column:
+        v = word(j)
+        nv = F.floor(
+            (2 * v * F.lit(target_peak) + pk) / (2 * pk)
+        ).cast("long")
+        b = F.pmod(nv, F.lit(65536))
+        return F.concat(
+            F.lpad(F.hex(b % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(b / 256).cast("long")), 2, "0"),
+        )
+
+    payload = F.unhex(
+        F.array_join(F.transform(idx, _lam("jwg2", scaled)), "")
+    )
+    header = F.expr(f"substring({binary_col}, 1, 44)")
+    keep = [c for c in out.columns if c not in ("__hx", "__nw", "__pk", "__ok")]
+    return out.select(
+        *keep,
+        F.when(ok & (F.col("__nw") > 0) & (pk > 0), F.concat(header, payload))
+        .when(ok & (pk == 0), raw)
+        .alias(out_col),
+    )

@@ -10733,6 +10733,208 @@ def e218_class_separability(spark, sf_dir):
     )
 
 
+# --- E219: peak-normalization gain emitting REAL WAV bytes (codecs.py
+# ::wav_gain) over the signed e174 corpus — every output SAMPLE is
+# hash-checked: the oracle replays the exact integer half-up rescale
+# floor((2vT + P) / (2P)) on the same signed sample list.
+_E219_T = 30000
+_E219_ORACLE = f"""
+WITH au AS (
+  SELECT doc_id, rpad(substring(text, 1, {2 * _E174_N}), {2 * _E174_N}, ' ') AS p
+  FROM documents
+), sm AS (
+  SELECT doc_id,
+         list_transform(range(0, {_E174_N}), i ->
+           (ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1))
+            + 256 * ascii(substring(p, CAST(2 + i * 2 AS INTEGER), 1)))
+           * (CASE WHEN ascii(substring(p, CAST(1 + i * 2 AS INTEGER), 1)) % 2 = 1
+                   THEN -1 ELSE 1 END)) AS v
+  FROM au
+), pk AS (
+  SELECT doc_id, v, list_max(list_transform(v, x -> abs(x))) AS p FROM sm
+), sc AS (
+  SELECT doc_id, p,
+         CASE WHEN p > 0
+              THEN list_transform(v, x ->
+                     CAST(floor((2 * x * {_E219_T} + p) / (2 * p)) AS BIGINT))
+              ELSE v END AS nv
+  FROM pk
+)
+SELECT doc_id, CAST({_E174_N} AS BIGINT) AS n_samples,
+       list_max(list_transform(nv, x -> abs(x)))::BIGINT AS out_peak,
+       '[' || array_to_string(nv, '|') || ']' AS sample_values
+FROM sc
+"""
+
+
+@query("e219_audio_gain", _E219_ORACLE)
+def e219_audio_gain(spark, sf_dir):
+    """Per-clip loudness leveling: the loudest sample of every emitted
+    file lands exactly on the target peak; one fold + one rewrite pass
+    per blob, scan-stage."""
+    from pivot_spark.operators.codecs import _lam, _u8h, make_wav, wav_gain
+
+    need = 2 * _E174_N
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
+    )
+    au = d.select(
+        "doc_id", make_wav(1, 8000, _e174_payload("pp")).alias("audio")
+    )
+    # fence the emitted file before the decode-back: wav_gain's output
+    # is a pure projection (no shuffle boundary), so without a
+    # checkpoint the per-element decode lambda would inline the whole
+    # gain expression per WORD, and the isNotNull filter would be
+    # pushed below the projection carrying the full tree with it
+    g = wav_gain(au, target_peak=_E219_T).localCheckpoint(eager=False).filter(
+        F.col("normalized").isNotNull()
+    )
+    # decode the emitted file back: signed int16 words after the header
+    g = g.withColumn("__hx", F.hex(F.col("normalized")))
+    hxc = F.col("__hx")
+
+    def word(j):
+        pos = F.lit(45).cast("long") + j * 2
+        v = _u8h(hxc, pos) + _u8h(hxc, pos + 1) * 256
+        return F.when(v >= 32768, v - 65536).otherwise(v)
+
+    vals = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(_E174_N - 1).cast("long")),
+        _lam("jgd", word),
+    )
+    g = g.withColumn("__vals", vals)
+    return g.select(
+        "doc_id",
+        F.lit(_E174_N).cast("long").alias("n_samples"),
+        F.array_max(
+            F.transform(F.col("__vals"), lambda v: F.abs(v))
+        ).cast("long").alias("out_peak"),
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(F.col("__vals"), lambda v: v.cast("string")), "|"
+            ),
+            F.lit("]"),
+        ).alias("sample_values"),
+    )
+
+
+# --- E220: Otsu binarization emitting REAL P5 bytes (codecs.py::
+# pgm_binarize_otsu) over the e179 image corpus (via ppm_to_pgm). The
+# oracle replays histogram/cdf/between-class-variance argmax (exact
+# ints in doubles, ties to smallest t) and the full binarized vector.
+_E220_ORACLE = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(4 + doc_id % 5 AS INTEGER) AS w,
+         CAST(3 + doc_id % 4 AS INTEGER) AS h,
+         rpad(substring(text, 1, CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER)),
+              CAST((4 + doc_id % 5) * (3 + doc_id % 4) * 3 AS INTEGER), ' ') AS p
+  FROM documents
+), gr AS (
+  SELECT doc_id, w, h,
+         list_transform(range(0, w * h),
+           i -> (299 * ascii(substring(p, CAST(1 + i * 3 AS INTEGER), 1))
+               + 587 * ascii(substring(p, CAST(2 + i * 3 AS INTEGER), 1))
+               + 114 * ascii(substring(p, CAST(3 + i * 3 AS INTEGER), 1))
+               + 500) // 1000) AS g
+  FROM img
+), pxv AS (
+  SELECT doc_id, g[p] AS v
+  FROM (SELECT doc_id, g, unnest(generate_series(1, len(g))) AS p FROM gr)
+), hist AS (
+  SELECT doc_id, v, count(*) AS c FROM pxv GROUP BY 1, 2
+), cd AS (
+  SELECT doc_id, v,
+         sum(c) OVER (PARTITION BY doc_id ORDER BY v) AS cdf,
+         sum(v * c) OVER (PARTITION BY doc_id ORDER BY v) AS cs
+  FROM hist
+), tot AS (
+  SELECT doc_id, sum(v * c) AS S, sum(c) AS n_px FROM hist GROUP BY 1
+), cand AS (
+  SELECT cd.doc_id, v,
+         CASE WHEN cdf < n_px
+              THEN ((cdf * S - n_px * cs)::DOUBLE * (cdf * S - n_px * cs)::DOUBLE)
+                     / ((cdf * (n_px - cdf))::DOUBLE)
+         END AS crit
+  FROM cd JOIN tot ON tot.doc_id = cd.doc_id
+), best AS (
+  SELECT doc_id, v AS t FROM (
+    SELECT doc_id, v,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY crit DESC NULLS LAST, v ASC) AS rn
+    FROM cand
+  ) WHERE rn = 1
+)
+SELECT gr.doc_id, gr.w AS width, gr.h AS height,
+       best.t::BIGINT AS otsu_threshold,
+       '[' || array_to_string(
+           list_transform(gr.g, x -> CASE WHEN x <= best.t THEN 0 ELSE 255 END),
+           '|') || ']' AS gray_values
+FROM gr JOIN best ON best.doc_id = gr.doc_id
+"""
+
+
+@query("e220_image_otsu", _E220_ORACLE)
+def e220_image_otsu(spark, sf_dir):
+    """No-tuning document binarization: the between-class-variance
+    argmax lives on the per-image value frame; every output byte of
+    the emitted P5 is hash-checked."""
+    from pivot_spark.operators.codecs import (
+        _lam,
+        _pnm_header,
+        _u8h,
+        make_ppm,
+        pgm_binarize_otsu,
+        ppm_to_pgm,
+    )
+
+    d = (
+        _read(spark, sf_dir, "documents")
+        .withColumn("w", (F.lit(4) + F.col("doc_id") % 5).cast("int"))
+        .withColumn("h", (F.lit(3) + F.col("doc_id") % 4).cast("int"))
+        .withColumn(
+            "p",
+            F.encode(
+                F.expr("rpad(substring(text, 1, w*h*3), w*h*3, ' ')"), "UTF-8"
+            ),
+        )
+    )
+    img = d.select(
+        "doc_id", make_ppm(F.col("w"), F.col("h"), F.col("p")).alias("image")
+    )
+    pgm = ppm_to_pgm(img).select("doc_id", F.col("gray").alias("gray"))
+    bz = pgm_binarize_otsu(pgm, "doc_id", "gray").filter(
+        F.col("binarized").isNotNull()
+    )
+    raw = F.col("binarized")
+    ok, w2, h2, mx2, hdr2 = _pnm_header(raw, "P5", bpp=1)
+    bz = bz.withColumn("__ok", ok)
+    bz = bz.withColumns(
+        {"__hx": F.when(F.col("__ok"), F.hex(raw)),
+         "__hdr": F.when(F.col("__ok"), hdr2.cast("long"))}
+    )
+    hxc, hdrc = F.col("__hx"), F.col("__hdr")
+    n_px = (w2 * h2).cast("long")
+    vals = F.transform(
+        F.sequence(F.lit(0).cast("long"), n_px - 1),
+        _lam("ibzd", lambda i: _u8h(hxc, hdrc + i + 1)),
+    )
+    return bz.select(
+        "doc_id",
+        w2.cast("int").alias("width"),
+        h2.cast("int").alias("height"),
+        F.col("otsu_threshold").cast("long").alias("otsu_threshold"),
+        F.concat(
+            F.lit("["),
+            F.array_join(
+                F.transform(vals, lambda v: v.cast("string")), "|"
+            ),
+            F.lit("]"),
+        ).alias("gray_values"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

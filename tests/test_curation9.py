@@ -458,3 +458,80 @@ def test_pgm_equalize_constant_and_invalid(spark):
     # constant image: denominator 0 -> all pixels map to 0
     assert list(bytes(out[1])[len(hdr):]) == [0, 0, 0]
     assert out[2] is None
+
+
+# --------------------------------------------------------------- otsu
+def test_otsu_bimodal_image(spark):
+    from pivot_spark.operators.codecs import pgm_binarize_otsu
+
+    # clear bimodal: cluster at 10-20, cluster at 200-210
+    vals = [10, 12, 14, 20, 200, 205, 210, 208]
+    hdr = b"P5\n4 2\n255\n"
+    df = spark.createDataFrame(
+        [(1, bytearray(hdr + bytes(vals)))], "id long, gray binary"
+    )
+    r = pgm_binarize_otsu(df, "id", "gray").collect()[0]
+    assert 20 <= r["otsu_threshold"] < 200
+    body = list(bytes(r["binarized"])[len(hdr):])
+    assert body == [0, 0, 0, 0, 255, 255, 255, 255]
+
+
+def test_otsu_constant_image_and_invalid(spark):
+    from pivot_spark.operators.codecs import pgm_binarize_otsu
+
+    hdr = b"P5\n2 1\n255\n"
+    rows = [(1, bytearray(hdr + bytes([9, 9]))), (2, bytearray(b"nope"))]
+    df = spark.createDataFrame(rows, "id long, gray binary")
+    out = {r["id"]: r for r in pgm_binarize_otsu(df, "id", "gray").collect()}
+    # constant image: threshold = the single value, all pixels -> 0
+    assert out[1]["otsu_threshold"] == 9
+    assert list(bytes(out[1]["binarized"])[len(hdr):]) == [0, 0]
+    assert out[2]["binarized"] is None and out[2]["otsu_threshold"] is None
+
+
+# ------------------------------------------------------------- wav gain
+def _wav(samples, rate=8000, n_ch=1):
+    import struct
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+           + struct.pack("<IHHIIHH", 16, 1, n_ch, rate, rate * 2 * n_ch,
+                         2 * n_ch, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    return hdr + data
+
+
+def test_wav_gain_peak_lands_on_target(spark):
+    from pivot_spark.operators.codecs import decode_wav, wav_gain
+
+    import struct
+    src = _wav([100, -50, 25, -100])
+    df = spark.createDataFrame([(1, bytearray(src))], "id long, audio binary")
+    out = wav_gain(df, target_peak=30000).collect()[0]["normalized"]
+    body = bytes(out)[44:]
+    vals = list(struct.unpack("<4h", body))
+    # scale = 30000/100: 100 -> 30000, -100 -> -30000, 50 -> 15000
+    assert vals == [30000, -15000, 7500, -30000]
+    # emitted file is a valid WAV: decode it back
+    df2 = spark.createDataFrame([(1, bytearray(bytes(out)))],
+                                "id long, audio binary")
+    meta = decode_wav(df2).collect()[0]["meta"]
+    assert meta["n_samples"] == 4 and meta["sample_rate"] == 8000
+
+
+def test_wav_gain_rounding_silent_and_validation(spark):
+    from pivot_spark.operators.codecs import wav_gain
+
+    import struct
+    # peak 3, target 10: 1 -> round(10/3) = 3.33 -> floor(3.33+?) half-up:
+    # floor((2*1*10+3)/6) = floor(23/6) = 3 ; 2 -> floor(43/6) = 7
+    src = _wav([1, 2, 3, -3])
+    df = spark.createDataFrame([(1, bytearray(src)),
+                                (2, bytearray(_wav([0, 0])))],
+                               "id long, audio binary")
+    out = {r["id"]: r["normalized"]
+           for r in wav_gain(df, target_peak=10).collect()}
+    assert list(struct.unpack("<4h", bytes(out[1])[44:])) == [3, 7, 10, -10]
+    # silent file passes through unchanged
+    assert bytes(out[2]) == _wav([0, 0])
+    with pytest.raises(ValueError):
+        wav_gain(df, target_peak=0)
