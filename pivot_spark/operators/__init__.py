@@ -62,6 +62,7 @@ from pivot_spark.operators.semdedup import semdedup
 from pivot_spark.operators.embedding import (
     centroids,
     class_separability,
+    mahalanobis_ood,
     normalize_vectors,
     quantize_int8,
     random_projection,
@@ -93,6 +94,7 @@ from pivot_spark.functions.web import (
 )
 from pivot_spark.operators.dsir import dsir_logweights
 from pivot_spark.operators.lm import (
+    char_bigram_gibberish,
     bigram_lm_score,
     stupid_backoff_score,
     unigram_lm_score,
@@ -318,6 +320,7 @@ __all__ = [
     "krippendorff_alpha", "matryoshka_recall", "threshold_select",
     "ipw_estimate", "jackknife_ratio", "class_separability",
     "pgm_equalize", "bpe_decode", "pgm_binarize_otsu", "wav_gain",
+    "mahalanobis_ood", "char_bigram_gibberish",
     "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
     "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",

@@ -270,3 +270,60 @@ def class_separability(
         within.alias("within_var"),
         F.when(within > 0, between / within).alias("fisher_ratio"),
     )
+
+
+def mahalanobis_ood(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    out_col: str = "md2",
+) -> DataFrame:
+    """Diagonal-covariance Mahalanobis out-of-distribution score per
+    vector — the standard cheap OOD screen (Lee et al. 2018, simplified
+    to a diagonal Σ so it distributes as two scans):
+
+        md2(x) = sum_d (x_d - mu_d)² / var_d
+
+    against the corpus's own per-dimension mean/population-variance.
+    High md2 rows are embedding-space outliers: encoder failures, empty
+    inputs, adversarial junk — the things a quality filter should
+    quarantine before training.
+
+    Plan: ONE single-row stats aggregate (2·dim sums), broadcast back,
+    then a scan-stage left-associative 64-term fold per row (the e54
+    fold contract, so the float shape is engine-replayable). Zero-
+    variance dimensions contribute 0 (they carry no information).
+    Output: input id + ``out_col`` DOUBLE (never NULL for valid rows);
+    rows with NULL/short vectors are dropped.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    v = F.col(vec_col)
+    base = df.filter(
+        F.col(id_col).isNotNull() & v.isNotNull() & (F.size(v) >= dim)
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(v.getItem(i).cast("double")).alias(f"__s{i}")
+            for i in range(dim)
+        ],
+        *[
+            F.sum(
+                v.getItem(i).cast("double") * v.getItem(i).cast("double")
+            ).alias(f"__q{i}")
+            for i in range(dim)
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    terms = []
+    for i in range(dim):
+        mu = F.col(f"__s{i}") / F.col("__n")
+        var = F.col(f"__q{i}") / F.col("__n") - mu * mu
+        d = v.getItem(i).cast("double") - mu
+        terms.append(F.when(var > 0, d * d / var).otherwise(F.lit(0.0)))
+    md2 = terms[0]
+    for t in terms[1:]:
+        md2 = md2 + t
+    return j.select(F.col(id_col), md2.alias(out_col))

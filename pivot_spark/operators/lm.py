@@ -312,3 +312,81 @@ def stupid_backoff_score(
         F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
         F.col(score_col),
     )
+
+
+def char_bigram_gibberish(
+    train_df: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    laplace: float = 1.0,
+    score_col: str = "avg_neg_log",
+) -> DataFrame:
+    """Character-bigram gibberish score — the classic keyboard-mash /
+    mojibake screen (the char-level analogue of the word-level LM
+    filters above, and the shape of the widely-used public
+    "gibberish-detector" trick): train char-bigram counts on a clean
+    shard, score every document by the mean negative log of
+    P(c2 | c1) with Laplace smoothing over the observed alphabet.
+
+    Text is canonicalized to lowercase with whitespace collapsed to
+    single spaces; documents shorter than 2 chars are dropped. Natural
+    language sits in a tight score band; random characters, base64
+    blobs and broken encodings score far above it.
+
+        P(c2|c1) = (c(c1 c2) + laplace) / (c(c1) + laplace * |alphabet|)
+
+    Plan: train side is two char-keyed count aggregates (alphabet- and
+    alphabet²-bounded, broadcastable); score side explodes the document
+    into bigrams once, joins the two count tables (broadcast), and
+    aggregates back per doc — one doc-keyed exchange. Output: one row
+    per scored doc — (id, n_bigrams BIGINT, ``score_col`` DOUBLE).
+    """
+    if laplace <= 0:
+        raise ValueError(f"laplace must be positive, got {laplace}")
+
+    def canon(c):
+        return F.trim(F.regexp_replace(F.lower(F.col(c)), r"\s+", " "))
+
+    def bigrams(frame, with_id):
+        t = frame.filter(F.col(text_col).isNotNull()).select(
+            *( [F.col(id_col).alias("__id")] if with_id else [] ),
+            canon(text_col).alias("__t"),
+        ).filter(F.length("__t") >= 2)
+        idx = F.sequence(F.lit(1), F.length("__t") - 1)
+        return t.select(
+            *( ["__id"] if with_id else [] ),
+            F.explode(
+                F.transform(idx, lambda i: F.substring(F.col("__t"), i, 2))
+            ).alias("__bg"),
+        )
+
+    tr = bigrams(train_df, with_id=False)
+    big = tr.groupBy("__bg").agg(F.count(F.lit(1)).alias("__cbg"))
+    uni = (
+        tr.select(F.substring("__bg", 1, 1).alias("__c1"))
+        .groupBy("__c1")
+        .agg(F.count(F.lit(1)).alias("__c1n"))
+    )
+    alpha_sz = uni.select(
+        F.count(F.lit(1)).cast("double").alias("__V")
+    )
+    sc = bigrams(df, with_id=True).withColumn(
+        "__c1", F.substring("__bg", 1, 1)
+    )
+    j = (
+        sc.join(F.broadcast(big), "__bg", "left")
+        .join(F.broadcast(uni), "__c1", "left")
+        .crossJoin(F.broadcast(alpha_sz))
+    )
+    p = (F.coalesce(F.col("__cbg"), F.lit(0)) + F.lit(laplace)) / (
+        F.coalesce(F.col("__c1n"), F.lit(0)) + F.lit(laplace) * F.col("__V")
+    )
+    return (
+        j.select("__id", (-F.log(p)).alias("__nl"))
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("__nl").alias(score_col),
+        )
+    )

@@ -10935,6 +10935,103 @@ def e220_image_otsu(spark, sf_dir):
     )
 
 
+# --- E221: diagonal-Mahalanobis OOD score per embedding (embedding.py
+# ::mahalanobis_ood) — the outlier quarantine screen. Oracle: unrolled
+# 64-dim stats + the same left-assoc 64-term fold (e54 contract).
+def _e221_oracle() -> str:
+    d = _E54_DIM
+    sums = ", ".join(
+        f"sum(embedding[{i}]::DOUBLE) AS s{i}, "
+        f"sum(embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE) AS q{i}"
+        for i in range(1, d + 1)
+    )
+    terms = " + ".join(
+        f"(CASE WHEN (q{i} / n - (s{i} / n) * (s{i} / n)) > 0 "
+        f"THEN (embedding[{i}]::DOUBLE - s{i} / n) * (embedding[{i}]::DOUBLE - s{i} / n) "
+        f"/ (q{i} / n - (s{i} / n) * (s{i} / n)) ELSE 0.0 END)"
+        for i in range(1, d + 1)
+    )
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL AND len(embedding) >= {d}
+), st AS MATERIALIZED (
+  SELECT count(*) AS n, {sums} FROM b
+)
+SELECT vec_id, floor(({terms}) * 10000 + 0.5) / 10000 AS md2
+FROM b, st
+"""
+
+
+@query("e221_ood_scores", _e221_oracle())
+def e221_ood_scores(spark, sf_dir):
+    """Embedding-space outlier screen: one single-row stats aggregate
+    broadcast back, scan-stage per-row fold, no corpus shuffle."""
+    from pivot_spark.operators.embedding import mahalanobis_ood
+
+    emb = _read(spark, sf_dir, "embeddings")
+    out = mahalanobis_ood(emb, "vec_id", "embedding", dim=_E54_DIM)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select("vec_id", r4("md2").alias("md2"))
+
+
+# --- E222: char-bigram gibberish score (lm.py::char_bigram_gibberish)
+# — keyboard-mash / mojibake screen. Train shard doc_id % 5 != 0,
+# score shard doc_id % 5 == 0 (genuinely disjoint, so unseen bigrams
+# hit the Laplace floor). Oracle: identical canonicalization, counts,
+# and -ln algebra.
+_E222_ORACLE = r"""
+WITH tr AS (
+  SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL AND doc_id % 5 <> 0
+), trb AS (
+  SELECT substring(t, i, 2) AS bg
+  FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i
+        FROM tr WHERE length(t) >= 2)
+), big AS (
+  SELECT bg, count(*) AS c FROM trb GROUP BY bg
+), uni AS (
+  SELECT substring(bg, 1, 1) AS c1, count(*) AS cn FROM trb GROUP BY 1
+), V AS (
+  SELECT count(*)::DOUBLE AS v FROM uni
+), sc AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents WHERE text IS NOT NULL AND doc_id % 5 = 0
+), scb AS (
+  SELECT doc_id, substring(t, i, 2) AS bg
+  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+        FROM sc WHERE length(t) >= 2)
+), j AS (
+  SELECT doc_id,
+         -ln((coalesce(big.c, 0) + 1.0)
+             / (coalesce(uni.cn, 0) + 1.0 * v)) AS nl
+  FROM scb
+  LEFT JOIN big USING (bg)
+  LEFT JOIN uni ON uni.c1 = substring(scb.bg, 1, 1)
+  CROSS JOIN V
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       floor(avg(nl) * 10000 + 0.5) / 10000 AS avg_neg_log
+FROM j GROUP BY doc_id
+"""
+
+
+@query("e222_char_gibberish", _E222_ORACLE)
+def e222_char_gibberish(spark, sf_dir):
+    """Char-level LM screen: alphabet-bounded broadcast count tables,
+    one doc-keyed exchange on the score shard."""
+    from pivot_spark.operators.lm import char_bigram_gibberish
+
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    score = docs.filter(F.col("doc_id") % 5 == 0)
+    out = char_bigram_gibberish(train, score, "doc_id", "text")
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "doc_id", "n_bigrams", r4("avg_neg_log").alias("avg_neg_log")
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -535,3 +535,49 @@ def test_wav_gain_rounding_silent_and_validation(spark):
     assert bytes(out[2]) == _wav([0, 0])
     with pytest.raises(ValueError):
         wav_gain(df, target_peak=0)
+
+
+# --------------------------------------------------------------- OOD
+def test_mahalanobis_flags_outlier_and_ignores_constant_dim(spark):
+    from pivot_spark.operators.embedding import mahalanobis_ood
+
+    rows = [(i, [float(i % 3), 5.0]) for i in range(30)]   # dim2 constant
+    rows.append((99, [100.0, 5.0]))                        # clear outlier
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["md2"] for r in
+           mahalanobis_ood(df, "vec_id", "embedding", dim=2).collect()}
+    assert out[99] == max(out.values())
+    assert out[99] > 10 * max(v for k, v in out.items() if k != 99)
+    # constant dim contributes zero -> md2 equals the 1-d z^2
+    one_d = {r["vec_id"]: r["md2"] for r in mahalanobis_ood(
+        df.select("vec_id",
+                  F.slice("embedding", 1, 1).alias("embedding")),
+        "vec_id", "embedding", dim=1).collect()}
+    for k in out:
+        assert out[k] == pytest.approx(one_d[k])
+    with pytest.raises(ValueError):
+        mahalanobis_ood(df, "vec_id", "embedding", dim=0)
+
+
+# --------------------------------------------------------- gibberish
+def test_char_gibberish_separates_mash_from_text(spark):
+    from pivot_spark.operators.lm import char_bigram_gibberish
+
+    english = ("the quick brown fox jumps over the lazy dog and then "
+               "the dog sleeps while the fox runs through the field")
+    train = spark.createDataFrame(
+        [(i, english) for i in range(10)], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [(1, "the brown dog runs over the field"),
+         (2, "xq zk jx qv wz kq xj zv qx kz jw"),
+         (3, "a"),            # shorter than one bigram after canon
+         (4, None)],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           char_bigram_gibberish(train, score).collect()}
+    assert set(out) == {1, 2}
+    assert out[2]["avg_neg_log"] > out[1]["avg_neg_log"] + 1.0
+    with pytest.raises(ValueError):
+        char_bigram_gibberish(train, score, laplace=0.0)
