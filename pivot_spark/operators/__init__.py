@@ -207,7 +207,7 @@ from pivot_spark.operators.analytics import (
     user_journeys,
     wilson_rank,
 )
-from pivot_spark.operators.attribution import attribute
+from pivot_spark.operators.attribution import attribute, markov_attribution
 from pivot_spark.operators.funnel import funnel
 from pivot_spark.operators.rolling import (
     cusum_changepoints,
@@ -320,7 +320,7 @@ __all__ = [
     "krippendorff_alpha", "matryoshka_recall", "threshold_select",
     "ipw_estimate", "jackknife_ratio", "class_separability",
     "pgm_equalize", "bpe_decode", "pgm_binarize_otsu", "wav_gain",
-    "mahalanobis_ood", "char_bigram_gibberish",
+    "mahalanobis_ood", "char_bigram_gibberish", "markov_attribution",
     "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
     "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",

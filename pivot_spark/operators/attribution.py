@@ -103,3 +103,166 @@ def attribute(
             "value_credit", F.col("__val") * F.col("credit")
         ).drop("__val")
     return out
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    is_conversion: Column,
+    tiebreak_col: str,
+    steps: int = 30,
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the
+    order-aware complement of the rule-based ``attribute`` models:
+    build a first-order journey chain START → channels → CONV/NULL,
+    then credit each channel by how much total conversion probability
+    DISAPPEARS when that channel is knocked out (every transition into
+    it redirected to the NULL sink) — Anderl et al. 2014's removal
+    effect, the standard answer to "last-touch over-credits the
+    bottom of the funnel".
+
+    Journey model: per user, events in (ts, tiebreak) order, truncated
+    at the FIRST conversion (which becomes the absorbing CONV state);
+    non-converting journeys absorb in NULL. Transition probabilities
+    are exact count ratios. Conversion probabilities come from
+    ``steps`` synchronous power-iteration steps on the (scenario ×
+    state) probability frame — all scenarios (base + one per removed
+    channel) advance through ONE tiny join per step, so the engine
+    never touches the corpus again after the one transition-count
+    aggregate. Absorbing states self-loop, so step K carries the
+    cumulative absorption mass; K = 30 is exact to ~1e-9 for any chain
+    whose non-absorbing mass decays geometrically (every journey chain;
+    callers can raise it).
+
+    Output: one row per channel — (channel, p_conv_base,
+    p_conv_removed, removal_effect = 1 - removed/base,
+    attribution_share = removal effect normalized over channels;
+    NULL shares when the base chain never converts).
+
+    Scale: ONE corpus-sized window + pair aggregate; everything after
+    lives on frames bounded by |channels|² and is fenced every few
+    steps so the iterated plan stays shallow.
+    """
+    if steps < 1:
+        raise ValueError(f"steps must be >= 1, got {steps}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    ev = (
+        events.filter(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(channel_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("__u"),
+            F.when(is_conversion, F.lit("CONV"))
+            .otherwise(F.col(channel_col).cast("string"))
+            .alias("__st"),
+            F.row_number().over(w).alias("__rn"),
+        )
+    )
+    # truncate each journey at its first conversion (inclusive)
+    first_conv = ev.filter(F.col("__st") == "CONV").groupBy("__u").agg(
+        F.min("__rn").alias("__fc")
+    )
+    trunc = ev.join(first_conv, "__u", "left").filter(
+        F.col("__fc").isNull() | (F.col("__rn") <= F.col("__fc"))
+    )
+    w2 = Window.partitionBy("__u").orderBy("__rn")
+    seq = trunc.select(
+        "__u", "__st", "__rn",
+        F.coalesce(F.lag("__st").over(w2), F.lit("START")).alias("__prev"),
+        F.max("__rn").over(Window.partitionBy("__u")).alias("__last"),
+    )
+    pair_body = seq.select(F.col("__prev").alias("__from"), F.col("__st").alias("__to"))
+    # terminal NULL for non-converting journeys
+    tail = seq.filter(
+        (F.col("__rn") == F.col("__last")) & (F.col("__st") != "CONV")
+    ).select(F.col("__st").alias("__from"), F.lit("NULL").alias("__to"))
+    pairs = pair_body.unionByName(tail)
+    counts = pairs.groupBy("__from", "__to").agg(F.count(F.lit(1)).alias("__c"))
+    counts = counts.persist()
+    counts.count()  # fence: scenarios/states/iteration all reuse it
+    row_tot = counts.groupBy("__from").agg(F.sum("__c").alias("__t"))
+    trans = counts.join(row_tot, "__from").select(
+        "__from", "__to",
+        (F.col("__c").cast("double") / F.col("__t")).alias("__p"),
+    )
+    channels = [
+        r["__from"]
+        for r in counts.select("__from").distinct().collect()
+        if r["__from"] not in ("START", "CONV", "NULL")
+    ]
+    channels.sort()
+    spark = events.sparkSession
+    scen = spark.createDataFrame(
+        [("__base__",)] + [(c,) for c in channels], "__scen string"
+    )
+    # knocked-out channel: every transition INTO it redirects to NULL
+    st = scen.crossJoin(trans).select(
+        "__scen", "__from",
+        F.when(F.col("__to") == F.col("__scen"), F.lit("NULL"))
+        .otherwise(F.col("__to"))
+        .alias("__to"),
+        "__p",
+    ).groupBy("__scen", "__from", "__to").agg(F.sum("__p").alias("__p"))
+    # absorbing self-loops so step K holds cumulative absorption
+    absorb = scen.crossJoin(
+        spark.createDataFrame([("CONV",), ("NULL",)], "__s string")
+    ).select(
+        "__scen", F.col("__s").alias("__from"), F.col("__s").alias("__to"),
+        F.lit(1.0).alias("__p"),
+    )
+    st = st.unionByName(absorb)
+
+    # The chain is ALPHABET-bounded: (channels+1) scenarios x states^2
+    # transition rows. Iterate the power steps on the DRIVER (the
+    # k-means / Bradley-Terry convention for alphabet-bounded state) —
+    # engine-side iteration would cost 2 shuffle stages per step for a
+    # ~250-row frame. The corpus itself is touched exactly once above.
+    rows = st.collect()
+    by_scen: dict = {}
+    for r in rows:
+        by_scen.setdefault(r["__scen"], []).append(
+            (r["__from"], r["__to"], r["__p"])
+        )
+    base_pc = 0.0
+    out_rows = []
+    for s in ["__base__"] + channels:
+        edges = sorted(by_scen.get(s, []))
+        vec = {"START": 1.0}
+        for _ in range(steps):
+            nxt: dict = {}
+            for f, t, p in edges:
+                pv = vec.get(f)
+                if pv is not None:
+                    nxt[t] = nxt.get(t, 0.0) + pv * p
+            vec = nxt
+        pc = vec.get("CONV", 0.0)
+        if s == "__base__":
+            base_pc = pc
+        else:
+            out_rows.append((s, pc))
+    res = [
+        (
+            c, base_pc, pc,
+            (1.0 - pc / base_pc) if base_pc > 0 else None,
+        )
+        for c, pc in out_rows
+    ]
+    sre = sum(r[3] for r in res if r[3] is not None)
+    final = [
+        (
+            c, pb, pc, re,
+            (re / sre) if (re is not None and sre > 0) else None,
+        )
+        for (c, pb, pc, re) in res
+    ]
+    return spark.createDataFrame(
+        final,
+        "channel string, p_conv_base double, p_conv_removed double, "
+        "removal_effect double, attribution_share double",
+    )

@@ -11032,6 +11032,113 @@ def e222_char_gibberish(spark, sf_dir):
     )
 
 
+# --- E223: Markov removal-effect attribution (attribution.py::
+# markov_attribution) — order-aware channel credit from the journey
+# chain. Oracle: identical journey truncation + transition counts +
+# knockout scenarios + 30 unrolled power-iteration CTEs.
+_E223_K = 30
+
+
+def _e223_oracle() -> str:
+    head = """
+WITH ev AS (
+  SELECT user_id AS u,
+         CASE WHEN event_type = 'purchase' THEN 'CONV' ELSE event_type END AS st,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND ts IS NOT NULL AND event_type IS NOT NULL
+), fc AS (
+  SELECT u, min(rn) AS fcn FROM ev WHERE st = 'CONV' GROUP BY u
+), tr AS (
+  SELECT ev.u, ev.st, ev.rn FROM ev LEFT JOIN fc USING (u)
+  WHERE fc.fcn IS NULL OR ev.rn <= fc.fcn
+), seq AS (
+  SELECT u, st, rn,
+         coalesce(lag(st) OVER (PARTITION BY u ORDER BY rn), 'START') AS prev,
+         max(rn) OVER (PARTITION BY u) AS lastrn
+  FROM tr
+), pairs AS (
+  SELECT prev AS f, st AS t FROM seq
+  UNION ALL
+  SELECT st AS f, 'NULL' AS t FROM seq WHERE rn = lastrn AND st <> 'CONV'
+), cnt AS MATERIALIZED (
+  SELECT f, t, count(*) AS c FROM pairs GROUP BY 1, 2
+), rt AS (
+  SELECT f, sum(c) AS tot FROM cnt GROUP BY 1
+), trans AS (
+  SELECT cnt.f, cnt.t, cnt.c::DOUBLE / rt.tot AS p FROM cnt JOIN rt USING (f)
+), chan AS (
+  SELECT DISTINCT f AS ch FROM cnt WHERE f NOT IN ('START', 'CONV', 'NULL')
+), scen AS MATERIALIZED (
+  SELECT '__base__' AS s UNION ALL SELECT ch FROM chan
+), st0 AS MATERIALIZED (
+  SELECT s, f, t2 AS t, sum(p) AS p FROM (
+    SELECT s, f, CASE WHEN t = s THEN 'NULL' ELSE t END AS t2, p
+    FROM scen, trans
+  ) GROUP BY 1, 2, 3
+  UNION ALL SELECT s, 'CONV' AS f, 'CONV' AS t, 1.0 AS p FROM scen
+  UNION ALL SELECT s, 'NULL' AS f, 'NULL' AS t, 1.0 AS p FROM scen
+), v0 AS (
+  SELECT s, 'START' AS state, 1.0 AS pr FROM scen
+)"""
+    # every step MATERIALIZED: non-materialized chained CTEs inline
+    # into a 30-deep nested plan that stalls the optimizer (the e201
+    # Bradley-Terry oracle uses the same discipline)
+    steps = "".join(
+        f""", v{k} AS MATERIALIZED (
+  SELECT v{k - 1}.s, st0.t AS state, sum(pr * p) AS pr
+  FROM v{k - 1} JOIN st0 ON st0.s = v{k - 1}.s AND st0.f = v{k - 1}.state
+  GROUP BY 1, 2
+)"""
+        for k in range(1, _E223_K + 1)
+    )
+    return head + steps + f""", conv AS (
+  SELECT scen.s, coalesce(vc.pr, 0.0) AS pc
+  FROM scen LEFT JOIN (
+    SELECT s, pr FROM v{_E223_K} WHERE state = 'CONV'
+  ) vc ON vc.s = scen.s
+), base AS (
+  SELECT pc AS pb FROM conv WHERE s = '__base__'
+), per AS (
+  SELECT s AS channel, pb, pc,
+         CASE WHEN pb > 0 THEN 1.0 - pc / pb END AS re
+  FROM conv, base WHERE s <> '__base__'
+), tot AS (
+  SELECT sum(re) AS sre FROM per
+)
+SELECT channel,
+       floor(pb * 10000 + 0.5) / 10000 AS p_conv_base,
+       floor(pc * 10000 + 0.5) / 10000 AS p_conv_removed,
+       floor(re * 10000 + 0.5) / 10000 AS removal_effect,
+       CASE WHEN sre > 0
+            THEN floor(re / sre * 10000 + 0.5) / 10000 END AS attribution_share
+FROM per, tot
+"""
+
+
+@query("e223_markov_attribution", _e223_oracle())
+def e223_markov_attribution(spark, sf_dir):
+    """Order-aware channel credit: one corpus window + pair aggregate,
+    then all knockout scenarios advance through one tiny join per
+    power-iteration step."""
+    from pivot_spark.operators.attribution import markov_attribution
+
+    ev = _read(spark, sf_dir, "events")
+    out = markov_attribution(
+        ev, "user_id", "ts", "event_type",
+        is_conversion=F.col("event_type") == "purchase",
+        tiebreak_col="event_id", steps=_E223_K,
+    )
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "channel",
+        r4("p_conv_base").alias("p_conv_base"),
+        r4("p_conv_removed").alias("p_conv_removed"),
+        r4("removal_effect").alias("removal_effect"),
+        r4("attribution_share").alias("attribution_share"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

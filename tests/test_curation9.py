@@ -581,3 +581,67 @@ def test_char_gibberish_separates_mash_from_text(spark):
     assert out[2]["avg_neg_log"] > out[1]["avg_neg_log"] + 1.0
     with pytest.raises(ValueError):
         char_bigram_gibberish(train, score, laplace=0.0)
+
+
+# ---------------------------------------------------- markov attribution
+def test_markov_attribution_hand_computed_chain(spark):
+    from pivot_spark.operators.attribution import markov_attribution
+
+    # A: c1 -> CONV ; B: c2 -> NULL ; C: c1 -> c2 -> CONV
+    # START: c1 2/3, c2 1/3 ; c1: CONV .5, c2 .5 ; c2: CONV .5, NULL .5
+    # P(conv) = 2/3 ; remove c1 -> 1/6 (RE .75) ; remove c2 -> 1/3 (RE .5)
+    rows = [
+        ("A", "2024-01-01 00:00:00", 1, "c1"),
+        ("A", "2024-01-01 00:01:00", 2, "purchase"),
+        ("B", "2024-01-01 00:00:00", 3, "c2"),
+        ("C", "2024-01-01 00:00:00", 4, "c1"),
+        ("C", "2024-01-01 00:01:00", 5, "c2"),
+        ("C", "2024-01-01 00:02:00", 6, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "channel"]
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "channel",
+    )
+    out = {r["channel"]: r for r in markov_attribution(
+        df, "user_id", "ts", "channel",
+        is_conversion=F.col("channel") == "purchase",
+        tiebreak_col="event_id", steps=40,
+    ).collect()}
+    assert set(out) == {"c1", "c2"}
+    assert out["c1"]["p_conv_base"] == pytest.approx(2 / 3, abs=1e-9)
+    assert out["c1"]["removal_effect"] == pytest.approx(0.75, abs=1e-9)
+    assert out["c2"]["removal_effect"] == pytest.approx(0.5, abs=1e-9)
+    assert out["c1"]["attribution_share"] == pytest.approx(0.6, abs=1e-9)
+    assert out["c2"]["attribution_share"] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_markov_attribution_truncates_at_first_conversion(spark):
+    from pivot_spark.operators.attribution import markov_attribution
+
+    # events AFTER the first purchase must not contribute transitions:
+    # without truncation c9 would appear as a channel
+    rows = [
+        ("A", "2024-01-01 00:00:00", 1, "c1"),
+        ("A", "2024-01-01 00:01:00", 2, "purchase"),
+        ("A", "2024-01-01 00:02:00", 3, "c9"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["user_id", "ts", "event_id", "channel"]
+    ).select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", "channel",
+    )
+    out = markov_attribution(
+        df, "user_id", "ts", "channel",
+        is_conversion=F.col("channel") == "purchase",
+        tiebreak_col="event_id",
+    ).collect()
+    assert [r["channel"] for r in out] == ["c1"]
+    with pytest.raises(ValueError):
+        markov_attribution(
+            df, "user_id", "ts", "channel",
+            is_conversion=F.col("channel") == "purchase",
+            tiebreak_col="event_id", steps=0,
+        )
