@@ -784,3 +784,87 @@ def key_containment(
             (F.col("__rn") == F.col("__rd")).alias("right_unique"),
         )
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    tiebreak_col: str,
+    probs: Sequence[float] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-group continuous quantiles without a per-group sort —
+    the skew-safe grouped sibling of ``quantiles`` (whose exact mode is
+    global-only). The obvious ``percentile() OVER (PARTITION BY g)``
+    sorts each group inside one task: with a handful of huge groups
+    that is the canonical 100 TB bottleneck. Here the order comes from
+    ONE global ``row_rank`` over (group, value, tiebreak) (range
+    partition + broadcast offsets — a big group spans MANY partitions),
+    and each quantile needs only the two bracketing ranks per group:
+
+        h = (n-1)·p ;  v = v_floor(h) + (h - floor(h))·(v_ceil(h) - v_floor(h))
+
+    (type-7 / ``quantile_cont`` interpolation). The bracketing rows are
+    fetched with an EQUI-join on (group, rank) against an answer-sized
+    (group × prob × 2) rank list — the corpus is shuffled exactly once,
+    by the ranker. Output: one row per (group, prob) — group cols,
+    ``prob`` DOUBLE, ``value`` DOUBLE. NULL values/groups are dropped.
+    """
+    groups = list(group_cols)
+    ps = sorted(set(float(p) for p in probs))
+    if not ps or any(not 0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be within [0, 1], got {probs}")
+    base = df.filter(
+        F.col(value_col).isNotNull() & F.col(tiebreak_col).isNotNull()
+    )
+    for g in groups:
+        base = base.filter(F.col(g).isNotNull())
+    ranked = row_rank(
+        base.select(*groups, value_col, tiebreak_col),
+        [*groups, value_col, tiebreak_col],
+        out_col="__grank",
+    )
+    per_group = ranked.groupBy(*groups).agg(
+        F.min("__grank").alias("__gmin"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    pframe = per_group.sparkSession.createDataFrame(
+        [(p,) for p in ps], "prob double"
+    )
+    # needed in-group ranks: floor(h) and ceil(h) per (group, prob)
+    need = (
+        per_group.crossJoin(F.broadcast(pframe))
+        .select(
+            *groups, "prob", "__gmin", "__n",
+            ((F.col("__n") - 1) * F.col("prob")).alias("__h"),
+        )
+        .select(
+            *groups, "prob", "__h",
+            (F.col("__gmin") + F.floor("__h").cast("long")).alias("__rlo"),
+            (F.col("__gmin") + F.ceil("__h").cast("long")).alias("__rhi"),
+        )
+    )
+    lo = need.select(
+        *groups, "prob", "__h", F.lit(0).alias("__hi_side"),
+        F.col("__rlo").alias("__grank"),
+    )
+    hi = need.select(
+        *groups, "prob", "__h", F.lit(1).alias("__hi_side"),
+        F.col("__rhi").alias("__grank"),
+    )
+    wanted = lo.unionByName(hi)
+    hit = ranked.select(
+        *groups, "__grank", F.col(value_col).cast("double").alias("__v")
+    ).join(wanted, [*groups, "__grank"])
+    agg = hit.groupBy(*groups, "prob").agg(
+        F.min(F.when(F.col("__hi_side") == 0, F.col("__v"))).alias("__vlo"),
+        F.max(F.when(F.col("__hi_side") == 1, F.col("__v"))).alias("__vhi"),
+        F.first("__h").alias("__h"),
+    )
+    frac = F.col("__h") - F.floor("__h")
+    return agg.select(
+        *groups, "prob",
+        (
+            F.col("__vlo") + frac * (F.col("__vhi") - F.col("__vlo"))
+        ).alias("value"),
+    )

@@ -11139,6 +11139,46 @@ def e223_markov_attribution(spark, sf_dir):
     )
 
 
+# --- E224: exact per-group quantiles via the skew-free parallel rank
+# (profile.py::group_quantiles) — no per-group sort anywhere. Oracle:
+# DuckDB quantile_cont per group (the same type-7 interpolation).
+_E224_ORACLE = """
+WITH g AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice::DOUBLE, 0.5) AS q50,
+         quantile_cont(l_extendedprice::DOUBLE, 0.9) AS q90,
+         quantile_cont(l_extendedprice::DOUBLE, 0.99) AS q99
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_orderkey IS NOT NULL
+  GROUP BY 1
+)
+SELECT l_returnflag, 0.5::DOUBLE AS prob, floor(q50 * 10000 + 0.5) / 10000 AS value FROM g
+UNION ALL
+SELECT l_returnflag, 0.9::DOUBLE, floor(q90 * 10000 + 0.5) / 10000 FROM g
+UNION ALL
+SELECT l_returnflag, 0.99::DOUBLE, floor(q99 * 10000 + 0.5) / 10000 FROM g
+"""
+
+
+@query("e224_group_quantiles", _E224_ORACLE)
+def e224_group_quantiles(spark, sf_dir):
+    """Grouped exact percentiles at 100 TB: one global range-partition
+    rank, bracketing rows fetched by an answer-sized equi-join — a huge
+    group never sits in one task."""
+    from pivot_spark.operators.profile import group_quantiles
+
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey").isNotNull()
+    )
+    out = group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice",
+        tiebreak_col="l_orderkey", probs=(0.5, 0.9, 0.99),
+    )
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select("l_returnflag", "prob", r4("value").alias("value"))
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

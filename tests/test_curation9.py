@@ -645,3 +645,34 @@ def test_markov_attribution_truncates_at_first_conversion(spark):
             is_conversion=F.col("channel") == "purchase",
             tiebreak_col="event_id", steps=0,
         )
+
+
+# ------------------------------------------------------- group quantiles
+def test_group_quantiles_matches_type7(spark):
+    from pivot_spark.operators.profile import group_quantiles
+
+    # group a: 1..5 -> p50 = 3, p25 = 2.0, p75 = 4.0 (type-7)
+    # group b: 10, 20 -> p50 = 15 (interpolated)
+    rows = [("a", float(v), v) for v in range(1, 6)]
+    rows += [("b", 10.0, 10), ("b", 20.0, 11)]
+    df = spark.createDataFrame(rows, ["g", "v", "k"])
+    out = {(r["g"], r["prob"]): r["value"] for r in group_quantiles(
+        df, ["g"], "v", "k", probs=(0.25, 0.5, 0.75)).collect()}
+    assert out[("a", 0.5)] == pytest.approx(3.0)
+    assert out[("a", 0.25)] == pytest.approx(2.0)
+    assert out[("a", 0.75)] == pytest.approx(4.0)
+    assert out[("b", 0.5)] == pytest.approx(15.0)
+    # extremes
+    out2 = {(r["g"], r["prob"]): r["value"] for r in group_quantiles(
+        df, ["g"], "v", "k", probs=(0.0, 1.0)).collect()}
+    assert out2[("a", 0.0)] == 1.0 and out2[("a", 1.0)] == 5.0
+    with pytest.raises(ValueError):
+        group_quantiles(df, ["g"], "v", "k", probs=(1.5,))
+
+
+def test_group_quantiles_single_row_group(spark):
+    from pivot_spark.operators.profile import group_quantiles
+
+    df = spark.createDataFrame([("a", 7.0, 1)], ["g", "v", "k"])
+    out = group_quantiles(df, ["g"], "v", "k", probs=(0.5,)).collect()
+    assert out[0]["value"] == pytest.approx(7.0)
