@@ -84,9 +84,11 @@ _ROUND_WINDOW = [
     "e208_isotonic_calibration", "e209_local_clustering",
     "e210_krippendorff_alpha", "e211_span_corruption",
     "e212_matryoshka_recall",
-    # (e213-e218 + s13 — threshold sweep, IPW, jackknife, equalize,
-    # BPE roundtrip, class separability, native session window — are
-    # gate-replica-verified this session and head the round-4 rotation)
+    # (e213-e224 + s13 — threshold sweep, IPW, jackknife, equalize,
+    # BPE roundtrip, class separability, WAV gain, Otsu, OOD,
+    # gibberish, Markov attribution, group quantiles, native session
+    # window — are gate-replica-verified this session and head the
+    # round-4 rotation)
 ]
 
 
