@@ -1741,7 +1741,7 @@ def krippendorff_alpha(
     )
     e_num = (
         marg.alias("x")
-        .crossJoin(marg.alias("y"))
+        .crossJoin(F.broadcast(marg.alias("y")))
         .where(F.expr("x.__c <> y.__c"))
         .agg(
             F.coalesce(F.sum(F.expr("x.__nc * y.__nc")), F.lit(0.0)).alias(

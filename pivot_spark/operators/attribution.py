@@ -202,7 +202,10 @@ def markov_attribution(
         [("__base__",)] + [(c,) for c in channels], "__scen string"
     )
     # knocked-out channel: every transition INTO it redirects to NULL
-    st = scen.crossJoin(trans).select(
+    # broadcast: a bare crossJoin of two parallelize-backed tiny
+    # frames plans a CartesianProduct with 32x32 partition pairs —
+    # ~1000 tasks for 100 rows (measured 8-10s); BNLJ is instant
+    st = scen.crossJoin(F.broadcast(trans)).select(
         "__scen", "__from",
         F.when(F.col("__to") == F.col("__scen"), F.lit("NULL"))
         .otherwise(F.col("__to"))
@@ -211,7 +214,7 @@ def markov_attribution(
     ).groupBy("__scen", "__from", "__to").agg(F.sum("__p").alias("__p"))
     # absorbing self-loops so step K holds cumulative absorption
     absorb = scen.crossJoin(
-        spark.createDataFrame([("CONV",), ("NULL",)], "__s string")
+        F.broadcast(spark.createDataFrame([("CONV",), ("NULL",)], "__s string"))
     ).select(
         "__scen", F.col("__s").alias("__from"), F.col("__s").alias("__to"),
         F.lit(1.0).alias("__p"),

@@ -165,7 +165,7 @@ def isotonic_fit(
         F.col("__cy").alias("__cyb"),
     )
     seg = (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("__a") <= F.col("__b"))
         .select(
             "__a", "__b",
