@@ -229,6 +229,7 @@ from pivot_spark.operators.heavy import heavy_hitters
 from pivot_spark.operators.outliers import mad_outliers, winsorized_stats
 from pivot_spark.operators.profile import (
     group_quantiles,
+    zipf_fit,
     cdf_transform,
     key_containment,
     row_rank,
@@ -322,7 +323,7 @@ __all__ = [
     "ipw_estimate", "jackknife_ratio", "class_separability",
     "pgm_equalize", "bpe_decode", "pgm_binarize_otsu", "wav_gain",
     "mahalanobis_ood", "char_bigram_gibberish", "markov_attribution",
-    "group_quantiles",
+    "group_quantiles", "zipf_fit",
     "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
     "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",

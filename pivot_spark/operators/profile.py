@@ -868,3 +868,79 @@ def group_quantiles(
             F.col("__vlo") + frac * (F.col("__vhi") - F.col("__vlo"))
         ).alias("value"),
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    lowercase: bool = True,
+    min_count: int = 1,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus unigram distribution — the
+    corpus-health audit next to ``vocab_richness``: natural language
+    follows ln(freq) ≈ a + s·ln(rank) with slope s ≈ -1; a much
+    flatter slope means templated/duplicated text, a much steeper one
+    a degenerate vocabulary (e.g. boilerplate-stripped fragments).
+
+    Plan: token explode -> type counts (one type-keyed agg), ranks via
+    the skew-free ``row_rank`` over (count desc, type) — no single-task
+    vocabulary sort — then ONE single-row centered-moments OLS over
+    (ln rank, ln count) restricted to types with count >=
+    ``min_count`` (rank is assigned on the FULL vocabulary first).
+    Output one row: (n_types BIGINT, n_fit BIGINT, slope, intercept,
+    r2 — NULL when the fit is degenerate).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    types = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.explode(toks).alias("__t"))
+        .groupBy("__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("__t", "__c", (-F.col("__c")).alias("__negc"))
+    )
+    ranked = row_rank(types, ["__negc", "__t"], out_col="__rank")
+    pts = ranked.filter(F.col("__c") >= min_count).select(
+        F.log(F.col("__rank").cast("double")).alias("__x"),
+        F.log(F.col("__c").cast("double")).alias("__y"),
+    )
+    n_types = ranked.agg(F.count(F.lit(1)).alias("n_types"))
+    means = pts.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.avg("__x").alias("__mx"),
+        F.avg("__y").alias("__my"),
+    )
+    mom = (
+        pts.crossJoin(F.broadcast(means))
+        .agg(
+            F.first("n_fit").alias("n_fit"),
+            F.first("__mx").alias("__mx"),
+            F.first("__my").alias("__my"),
+            F.sum(
+                (F.col("__x") - F.col("__mx")) * (F.col("__y") - F.col("__my"))
+            ).alias("__sxy"),
+            F.sum(
+                (F.col("__x") - F.col("__mx")) * (F.col("__x") - F.col("__mx"))
+            ).alias("__sxx"),
+            F.sum(
+                (F.col("__y") - F.col("__my")) * (F.col("__y") - F.col("__my"))
+            ).alias("__syy"),
+        )
+    )
+    slope = F.when(F.col("__sxx") > 0, F.col("__sxy") / F.col("__sxx"))
+    return mom.crossJoin(F.broadcast(n_types)).select(
+        "n_types",
+        F.col("n_fit").cast("long").alias("n_fit"),
+        slope.alias("slope"),
+        F.when(
+            F.col("__sxx") > 0,
+            F.col("__my") - (F.col("__sxy") / F.col("__sxx")) * F.col("__mx"),
+        ).alias("intercept"),
+        F.when(
+            (F.col("__sxx") > 0) & (F.col("__syy") > 0),
+            (F.col("__sxy") * F.col("__sxy"))
+            / (F.col("__sxx") * F.col("__syy")),
+        ).alias("r2"),
+    )

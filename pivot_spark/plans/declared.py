@@ -11179,6 +11179,57 @@ def e224_group_quantiles(spark, sf_dir):
     return out.select("l_returnflag", "prob", r4("value").alias("value"))
 
 
+# --- E225: Zipf's-law slope of the corpus unigram distribution
+# (profile.py::zipf_fit) — corpus-health audit (natural text fits
+# slope ≈ -1). Oracle: type counts + row_number rank + the e62
+# centered-moments OLS device on (ln rank, ln count).
+_E225_ORACLE = r"""
+WITH types AS MATERIALIZED (
+  SELECT w AS t, count(*) AS c
+  FROM (
+    SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS w
+    FROM documents WHERE text IS NOT NULL
+  ) GROUP BY w
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, t ASC) AS r FROM types
+), pts AS (
+  SELECT ln(r::DOUBLE) AS x, ln(c::DOUBLE) AS y FROM ranked WHERE c >= 2
+), means AS (
+  SELECT count(*) AS n_fit, avg(x) AS mx, avg(y) AS my FROM pts
+), mom AS (
+  SELECT max(m.n_fit) AS n_fit, max(m.mx) AS mx, max(m.my) AS my,
+         sum((x - m.mx) * (y - m.my)) AS sxy,
+         sum((x - m.mx) * (x - m.mx)) AS sxx,
+         sum((y - m.my) * (y - m.my)) AS syy
+  FROM pts, means m
+)
+SELECT (SELECT count(*) FROM types)::BIGINT AS n_types,
+       n_fit::BIGINT AS n_fit,
+       floor(CASE WHEN sxx > 0 THEN sxy / sxx END * 10000 + 0.5) / 10000 AS slope,
+       floor(CASE WHEN sxx > 0 THEN my - (sxy / sxx) * mx END * 10000 + 0.5) / 10000 AS intercept,
+       floor(CASE WHEN sxx > 0 AND syy > 0 THEN (sxy * sxy) / (sxx * syy) END * 10000 + 0.5) / 10000 AS r2
+FROM mom
+"""
+
+
+@query("e225_zipf_fit", _E225_ORACLE)
+def e225_zipf_fit(spark, sf_dir):
+    """Corpus-health slope: type counts, skew-free global rank, one
+    single-row OLS — the vocabulary never sits in one task."""
+    from pivot_spark.operators.profile import zipf_fit
+
+    docs = _read(spark, sf_dir, "documents")
+    out = zipf_fit(docs, "text", min_count=2)
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "n_types", "n_fit",
+        r4("slope").alias("slope"),
+        r4("intercept").alias("intercept"),
+        r4("r2").alias("r2"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -676,3 +676,38 @@ def test_group_quantiles_single_row_group(spark):
     df = spark.createDataFrame([("a", 7.0, 1)], ["g", "v", "k"])
     out = group_quantiles(df, ["g"], "v", "k", probs=(0.5,)).collect()
     assert out[0]["value"] == pytest.approx(7.0)
+
+
+# --------------------------------------------------------------- zipf
+def test_zipf_fit_exact_power_law(spark):
+    from pivot_spark.operators.profile import zipf_fit
+
+    import math
+    # construct counts EXACTLY c(r) = round(1000 / r): slope ~ -1, r2 ~ 1
+    words = []
+    for r in range(1, 21):
+        words += [f"w{r:02d}"] * round(1000 / r)
+    docs = spark.createDataFrame([(1, " ".join(words))], ["id", "text"])
+    r = zipf_fit(docs, "text").collect()[0]
+    assert r["n_types"] == 20 and r["n_fit"] == 20
+    assert r["slope"] == pytest.approx(-1.0, abs=0.05)
+    assert r["r2"] > 0.999
+    # intercept ~ ln(1000)
+    assert r["intercept"] == pytest.approx(math.log(1000), abs=0.1)
+
+
+def test_zipf_fit_min_count_and_degenerate(spark):
+    from pivot_spark.operators.profile import zipf_fit
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c")], ["id", "text"]
+    )
+    r = zipf_fit(docs, "text", min_count=2).collect()[0]
+    assert r["n_types"] == 3 and r["n_fit"] == 2
+    # single distinct word -> sxx = 0 -> NULL fit
+    r2 = zipf_fit(
+        spark.createDataFrame([(1, "x x x")], ["id", "text"]), "text"
+    ).collect()[0]
+    assert r2["slope"] is None and r2["r2"] is None
+    with pytest.raises(ValueError):
+        zipf_fit(docs, "text", min_count=0)
