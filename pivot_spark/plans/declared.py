@@ -11230,6 +11230,80 @@ def e225_zipf_fit(spark, sf_dir):
     )
 
 
+# --- E226: END-TO-END curation pipeline — the composition showcase:
+# quality gate -> exact dedup (keep-min fingerprint survivor) ->
+# benchmark decontamination -> leakage-safe split, all existing
+# operators chained exactly as a real corpus build would run them.
+# Oracle: the same four stages as chained CTEs (e02/e01/e23/e25
+# devices verbatim).
+def _e226_oracle() -> str:
+    t1 = _sample_threshold(0.8)
+    t2 = _sample_threshold(0.9)
+    return rf"""
+WITH base AS (
+  SELECT doc_id, lang, source, text,
+         len(list_filter(string_split_regex(text, '\s+'), w -> w <> '')) AS wc,
+         length(regexp_replace(text, '\s+', '', 'g')) AS nchars,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+), quality AS (
+  SELECT * FROM base
+  WHERE wc BETWEEN 10 AND 5000
+    AND nchars::DOUBLE / wc BETWEEN 2 AND 12
+), dedup AS (
+  SELECT * FROM quality q
+  WHERE doc_id = (SELECT min(doc_id) FROM quality b WHERE b.fp = q.fp)
+), decon AS (
+  SELECT * FROM dedup d
+  WHERE NOT EXISTS (
+    SELECT 1 FROM base b WHERE b.doc_id % 7 = 0 AND b.fp = d.fp
+  )
+)
+SELECT doc_id, lang, source, wc,
+       CASE
+         WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{t1}' THEN 'train'
+         WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{t2}' THEN 'valid'
+         ELSE 'test'
+       END AS split
+FROM decon
+"""
+
+
+@query("e226_curation_pipeline", _e226_oracle())
+def e226_curation_pipeline(spark, sf_dir):
+    """The whole corpus build in one plan: scan-stage quality gate,
+    ONE fingerprint-keyed dedup shuffle, broadcast anti-join
+    decontamination, scan-stage split — the corpus is shuffled exactly
+    once end to end."""
+    from pivot_spark.functions.text import fingerprint, tokens
+    from pivot_spark.operators.dedup import dedup_against, dedup_exact
+    from pivot_spark.operators.sample import hash_split
+
+    docs = _read(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("doc_id").isNotNull()
+    )
+    base = docs.select(
+        "doc_id", "lang", "source",
+        F.size(tokens(F.col("text"))).alias("wc"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias(
+            "__nchars"
+        ),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+    quality = base.filter(
+        F.col("wc").between(10, 5000)
+        & (F.col("__nchars").cast("double") / F.col("wc")).between(2, 12)
+    )
+    deduped = dedup_exact(quality, keys=["fp"], order_by=["doc_id"])
+    block = base.filter(F.col("doc_id") % 7 == 0).select("fp")
+    decon = dedup_against(deduped, block, on="fp", broadcast=True)
+    out = hash_split(
+        decon, "doc_id",
+        {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="s42",
+    )
+    return out.select("doc_id", "lang", "source", "wc", "split")
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.
