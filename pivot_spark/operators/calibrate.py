@@ -165,6 +165,8 @@ def isotonic_fit(
         F.col("__cy").alias("__cyb"),
     )
     seg = (
+        # broadcast the <=bins-row side: equal cost under AQE
+        # (measured), and safe when AQE coalescing is off
         a.crossJoin(F.broadcast(b))
         .where(F.col("__a") <= F.col("__b"))
         .select(
