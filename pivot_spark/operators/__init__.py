@@ -147,6 +147,7 @@ from pivot_spark.operators.fuzzy import sorted_neighborhood_pairs, best_fuzzy_ma
 from pivot_spark.operators.range_join import range_join
 from pivot_spark.operators.bucketize import (
     ntile_buckets,
+    robust_scale,
     threshold_buckets,
     zscore_normalize,
 )
@@ -323,7 +324,7 @@ __all__ = [
     "ipw_estimate", "jackknife_ratio", "class_separability",
     "pgm_equalize", "bpe_decode", "pgm_binarize_otsu", "wav_gain",
     "mahalanobis_ood", "char_bigram_gibberish", "markov_attribution",
-    "group_quantiles", "zipf_fit",
+    "group_quantiles", "zipf_fit", "robust_scale",
     "bradley_terry", "bradley_terry_from_scores", "pairwise_wins",
     "dsir_logweights", "hashed_linear_score",
     "bpe_learn", "bpe_encode", "calibration_report",

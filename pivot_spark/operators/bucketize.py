@@ -89,3 +89,46 @@ def zscore_normalize(
         F.round((F.col(value_col) - F.col("__mu")) / F.col("__sd"), 4),
     ).otherwise(F.lit(0.0))
     return joined.withColumn(out_col, z).drop("__mu", "__sd")
+
+
+def robust_scale(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    value_col: str,
+    tiebreak_col: str,
+    out_col: str = "robust_z",
+) -> DataFrame:
+    """Per-group robust scaling ``(x - median) / IQR`` — the outlier-
+    proof sibling of ``zscore_normalize`` (one mega-value drags a mean
+    and stddev arbitrarily far; the median and quartiles move by at
+    most one rank), the scaling to use before outlier-sensitive
+    downstream math. Zero-IQR groups map to 0 (constant-ish feature,
+    no signal).
+
+    Plan: the quartiles come from ``profile.group_quantiles`` — the
+    skew-free global-rank formulation, so no group is ever sorted
+    inside one task — pivoted to one row per group and joined back as
+    a broadcast; the fact table is shuffled only by the ranker's range
+    partitioning. Adds ``out_col`` DOUBLE next to the input columns
+    (NULL-value rows keep a NULL score).
+    """
+    from pivot_spark.operators.profile import group_quantiles
+
+    keys = list(keys)
+    q = group_quantiles(
+        df, keys, value_col, tiebreak_col, probs=(0.25, 0.5, 0.75)
+    )
+    stats = q.groupBy(*keys).agg(
+        F.min(F.when(F.col("prob") == 0.25, F.col("value"))).alias("__q25"),
+        F.min(F.when(F.col("prob") == 0.5, F.col("value"))).alias("__q50"),
+        F.min(F.when(F.col("prob") == 0.75, F.col("value"))).alias("__q75"),
+    )
+    joined = df.join(F.broadcast(stats), keys, "left")
+    iqr = F.col("__q75") - F.col("__q25")
+    z = F.when(
+        iqr > 0,
+        (F.col(value_col).cast("double") - F.col("__q50")) / iqr,
+    ).otherwise(
+        F.when(F.col(value_col).isNotNull(), F.lit(0.0))
+    )
+    return joined.withColumn(out_col, z).drop("__q25", "__q50", "__q75")

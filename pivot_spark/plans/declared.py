@@ -11304,6 +11304,49 @@ def e226_curation_pipeline(spark, sf_dir):
     return out.select("doc_id", "lang", "source", "wc", "split")
 
 
+# --- E227: per-group robust scaling (bucketize.py::robust_scale) —
+# (x - median) / IQR on the skew-free group_quantiles quartiles.
+# Oracle: DuckDB quantile_cont quartiles + the same scan algebra.
+_E227_ORACLE = """
+WITH st AS (
+  SELECT l_returnflag,
+         quantile_cont(l_quantity::DOUBLE, 0.25) AS q25,
+         quantile_cont(l_quantity::DOUBLE, 0.5) AS q50,
+         quantile_cont(l_quantity::DOUBLE, 0.75) AS q75
+  FROM lineitem
+  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_orderkey IS NOT NULL
+  GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       CASE WHEN q75 - q25 > 0
+            THEN floor((l_quantity::DOUBLE - q50) / (q75 - q25) * 10000 + 0.5) / 10000
+            ELSE 0.0 END AS robust_z
+FROM lineitem l JOIN st USING (l_returnflag)
+WHERE l.l_returnflag IS NOT NULL AND l.l_quantity IS NOT NULL
+  AND l.l_orderkey IS NOT NULL
+"""
+
+
+@query("e227_robust_scale", _E227_ORACLE)
+def e227_robust_scale(spark, sf_dir):
+    """Outlier-proof normalization at scale: quartiles from the global
+    rank (no per-group sort), broadcast back over one corpus scan."""
+    from pivot_spark.operators.bucketize import robust_scale
+
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_quantity").isNotNull()
+        & F.col("l_orderkey").isNotNull()
+    )
+    out = robust_scale(li, ["l_returnflag"], "l_quantity", "l_orderkey")
+    r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
+    return out.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        r4("robust_z").alias("robust_z"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Streaming surface replay queries (s01-s06): registered last so batch
 # queries keep their insertion order; see declared_streaming.py.

@@ -711,3 +711,23 @@ def test_zipf_fit_min_count_and_degenerate(spark):
     assert r2["slope"] is None and r2["r2"] is None
     with pytest.raises(ValueError):
         zipf_fit(docs, "text", min_count=0)
+
+
+# --------------------------------------------------------- robust scale
+def test_robust_scale_outlier_proof(spark):
+    from pivot_spark.operators.bucketize import robust_scale
+
+    # values 1..9 plus a huge outlier: median 5.5 -> with outlier the
+    # quartiles barely move, so the outlier's score is large but the
+    # bulk stays near 0 (z-score would compress the bulk instead)
+    rows = [("g", float(v), v) for v in range(1, 10)] + [("g", 1000.0, 99)]
+    df = spark.createDataFrame(rows, ["g", "v", "k"])
+    out = {r["k"]: r["robust_z"] for r in
+           robust_scale(df, ["g"], "v", "k").collect()}
+    assert abs(out[5]) < 0.5            # bulk value stays near center
+    assert out[99] > 100                # outlier scores far out
+    # constant group -> IQR 0 -> all zeros
+    df2 = spark.createDataFrame([("c", 4.0, 1), ("c", 4.0, 2)],
+                                ["g", "v", "k"])
+    out2 = [r["robust_z"] for r in robust_scale(df2, ["g"], "v", "k").collect()]
+    assert out2 == [0.0, 0.0]
