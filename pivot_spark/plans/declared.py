@@ -11319,12 +11319,12 @@ WITH st AS (
   GROUP BY 1
 )
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-       CASE WHEN q75 - q25 > 0
-            THEN floor((l_quantity::DOUBLE - q50) / (q75 - q25) * 10000 + 0.5) / 10000
-            ELSE 0.0 END AS robust_z
+       floor((l_quantity::DOUBLE - q50) / (q75 - q25) * 10000 + 0.5) / 10000 AS robust_z
 FROM lineitem l JOIN st USING (l_returnflag)
 WHERE l.l_returnflag IS NOT NULL AND l.l_quantity IS NOT NULL
   AND l.l_orderkey IS NOT NULL
+  AND q75 - q25 > 0
+  AND abs((l_quantity::DOUBLE - q50) / (q75 - q25)) >= 0.9
 """
 
 
@@ -11341,7 +11341,8 @@ def e227_robust_scale(spark, sf_dir):
     )
     out = robust_scale(li, ["l_returnflag"], "l_quantity", "l_orderkey")
     r4 = lambda c: F.floor(F.col(c) * 10000 + 0.5) / 10000  # noqa: E731
-    return out.select(
+    # outlier report: only the heavy tails leave the engine
+    return out.filter(F.abs(F.col("robust_z")) >= 0.9).select(
         "l_orderkey", "l_linenumber", "l_returnflag",
         r4("robust_z").alias("robust_z"),
     )
