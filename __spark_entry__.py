@@ -28,10 +28,43 @@ from pyspark.sql import DataFrame, SparkSession
 # diagnostics, array canonicalization, MinHash mining, multimodal meta).
 _CANARIES = ["p17", "p21_errors", "p10", "e03_neardup_minhash", "e07_multimodal_meta"]
 
-# Round-3 rotation: new/changed this round first (streaming replay,
-# real codecs, tfidf/pmi caps, weighted-sample fix), then the round-2
-# verdict's heavy-logic families, then more unchecked operators.
+# Round-4 rotation (45 slots): (a) the two round-3 driver reds with
+# their canonicalization fixes (e61 -0.0, e152 HUGEINT) to prove the
+# fix at the gate; (b) e213-e227 + s13 — shipped in round 3 verified
+# only by the gate replica (ADVICE item 4); (c) the rest of the
+# streaming surface s07-s12 (s07 -0.0 fixed); (d) the 18 oracles that
+# emitted uncast DuckDB HUGEINT, now CAST AS BIGINT — front-loaded so
+# the fix gets a hard driver signal; (e) heavy-logic never-checked
+# picks from the round-3 verdict list.
 _ROUND_WINDOW = [
+    # (a) round-3 reds, fixed
+    "e61_weighted_sample", "e152_roc_auc",
+    # (b) round-3 session-7/8 operators, gate-replica-only so far
+    "e213_threshold_select", "e214_ipw_ate", "e215_jackknife_ratio",
+    "e216_image_equalize", "e217_bpe_roundtrip", "e218_class_separability",
+    "e219_audio_gain", "e220_image_otsu", "e221_ood_scores",
+    "e222_char_gibberish", "e223_markov_attribution", "e224_group_quantiles",
+    "e225_zipf_fit", "e226_curation_pipeline", "e227_robust_scale",
+    "s13_stream_session_native",
+    # (c) streaming sweep: the last driver-unchecked S-queries
+    "s07_stream_ewma", "s08_stream_quantile", "s09_stream_enrich",
+    "s10_stream_upsert", "s11_stream_interval_join_outer",
+    "s12_stream_window_distinct",
+    # (d) HUGEINT-cast oracles (round-4 fix, previously latent reds)
+    "e32_chunk_dedup", "e38_ngram_decontam", "e41_profile",
+    "e42_token_entropy", "e135_join_size_estimate", "e137_kaplan_meier",
+    "e138_classification_report", "e139_rendezvous_rebalance",
+    "e140_anova", "e141_mannwhitney", "e148_plan_compaction",
+    "e154_vocab_richness", "e155_brier", "e159_trending_keys",
+    "e167_dedup_savings", "e185_audio_fingerprint", "e187_image_dhash",
+    "e199_pii_report",
+    # (e) heavy-logic never-checked (round-3 verdict item 3)
+    "e31_dup_clusters", "e57_semdedup", "e113_bpe_learn",
+]
+
+# Round-3 window (all driver-checked in CORRECTNESS_r03; kept for the
+# audit trail of what each round's 50-slot gate covered).
+_R3_WINDOW = [
     # new or changed in round 3
     "s01_stream_pivot", "s02_stream_dedup", "s03_stream_session",
     "s04_stream_debounce", "s05_stream_interval_join", "s06_stream_topk",

@@ -113,8 +113,10 @@ def covariance_matrix(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
         return spark.createDataFrame([], "i int, j int, cov double")
     C = (S - np.outer(s, s) / n) / n
     iu = np.triu_indices(dim)
+    # `+ 0.0` folds IEEE -0.0 to +0.0 so the value hash sees one
+    # canonical zero on both engines (e61/s07 convention).
     rows = [
-        (int(i), int(j), float(round(C[i, j], 4)))
+        (int(i), int(j), float(round(C[i, j], 4)) + 0.0)
         for i, j in zip(iu[0], iu[1])
     ]
     return spark.createDataFrame(rows, "i int, j int, cov double")

@@ -1747,7 +1747,7 @@ WITH ws AS (
 )
 SELECT d.doc_id,
        coalesce(p.n_chunks, 0) AS n_chunks,
-       coalesce(p.n_dup_chunks, 0) AS n_dup_chunks,
+       CAST(coalesce(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
        round(coalesce(p.n_dup_chunks / p.n_chunks, 0), 4) AS dup_chunk_fraction
 FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
@@ -1981,7 +1981,7 @@ WITH w AS (
 )
 SELECT doc_id,
        count(gram) AS n_grams,
-       sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_overlap,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
        CASE WHEN count(gram) > 0
             THEN round(sum(CASE WHEN hit THEN 1 ELSE 0 END)::DOUBLE / count(gram), 4)
             ELSE 0.0 END AS overlap_frac,
@@ -2104,7 +2104,7 @@ def _e41_oracle() -> str:
         s = c == "l_returnflag"
         rows.append(
             f"SELECT '{c}' AS column, count(*) AS n_rows, "
-            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
             f"count(DISTINCT {c}) AS n_distinct, "
             + (
                 f"round(min({c})::DOUBLE, 4) AS num_min, "
@@ -2154,7 +2154,7 @@ WITH w AS (
   FROM tf JOIN n USING (doc_id) GROUP BY 1
 )
 SELECT d.doc_id,
-       coalesce(n.n, 0) AS n_tokens,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS n_tokens,
        coalesce(h.h, 0.0) AS token_entropy,
        CASE WHEN coalesce(n.n, 0) > 1
             THEN round(coalesce(h.h, 0.0) / ln(n.n::DOUBLE), 4)
@@ -2912,7 +2912,7 @@ WITH t AS (
                                ORDER BY sample_key DESC, doc_id) AS rn
   FROM t
 )
-SELECT doc_id, lang, n_chars, round(sample_key, 4) AS sample_key
+SELECT doc_id, lang, n_chars, round(sample_key, 4) + 0 AS sample_key
 FROM r WHERE rn <= 5
 """,
 )
@@ -2921,8 +2921,12 @@ def e61_weighted_sample(spark, sf_dir):
 
     docs = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     out = weighted_sample_k(docs, "doc_id", "n_chars", k=5, group_col="lang")
+    # `+ 0` on both sides folds IEEE -0.0 to +0.0 (DuckDB keeps the sign
+    # of a rounded negative underflow; Spark's HALF_UP BigDecimal round
+    # does not) so the driver's value hash sees one canonical zero.
     return out.select(
-        "doc_id", "lang", "n_chars", F.round("sample_key", 4).alias("sample_key")
+        "doc_id", "lang", "n_chars",
+        (F.round("sample_key", 4) + F.lit(0.0)).alias("sample_key"),
     )
 
 
@@ -4940,7 +4944,7 @@ WITH ex AS (
   GROUP BY 1, 2
 )
 SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
-       round((sp - ma.s * mb.s / (SELECT n FROM nn)) / (SELECT n FROM nn), 4) AS cov
+       round((sp - ma.s * mb.s / (SELECT n FROM nn)) / (SELECT n FROM nn), 4) + 0 AS cov
 FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j
 """
 
@@ -6176,11 +6180,11 @@ WITH lc AS (
     SELECT c FROM per ORDER BY c DESC, k LIMIT 5
   )
 )
-SELECT (SELECT sum(c) FROM per) AS est_rows,
+SELECT CAST((SELECT sum(c) FROM per) AS BIGINT) AS est_rows,
        (SELECT count(*) FROM per) AS n_keys_matched,
        (SELECT count(*) FROM lc) AS n_keys_left,
        (SELECT count(*) FROM rc) AS n_keys_right,
-       top_contrib,
+       CAST(top_contrib AS BIGINT) AS top_contrib,
        round(top_contrib / CAST((SELECT sum(c) FROM per) AS DOUBLE), 4)
          AS top_share
 FROM tc
@@ -6287,7 +6291,8 @@ WITH per AS (
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_risk
   FROM g
 )
-SELECT t, n_risk, d, censored,
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CAST(censored AS BIGINT) AS censored,
        round(exp(sum(CASE WHEN d > 0 THEN
                        CASE WHEN d < n_risk THEN ln(1 - d / CAST(n_risk AS DOUBLE))
                             ELSE '-infinity'::DOUBLE END
@@ -6369,7 +6374,8 @@ acc AS (
   FROM tm FULL JOIN pm ON tm.class = pm.class
   LEFT JOIN tp ON coalesce(tm.class, pm.class) = tp.class
 )
-SELECT class, n_true, n_pred, tp,
+SELECT class, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred, tp,
        round(coalesce(tp / nullif(CAST(n_pred AS DOUBLE), 0), 0), 4) AS precision,
        round(coalesce(tp / nullif(CAST(n_true AS DOUBLE), 0), 0), 4) AS recall,
        round(coalesce(2 * (tp / nullif(CAST(n_pred AS DOUBLE), 0))
@@ -6427,7 +6433,7 @@ WITH keys AS (
 ), mt AS (
   SELECT max(c) AS m FROM (SELECT s_to, count(*) AS c FROM j GROUP BY 1)
 )
-SELECT n_keys, moved,
+SELECT n_keys, CAST(moved AS BIGINT) AS moved,
        round(moved / CAST(n_keys AS DOUBLE), 4) AS moved_share,
        CAST(0.2 AS DOUBLE) AS expected_share,
        round(mf.m / CAST(n_keys AS DOUBLE), 4) AS max_share_from,
@@ -6468,8 +6474,9 @@ WITH per AS (
          sum(n_g * m_g * m_g) AS sm2
   FROM per
 )
-SELECT k, n, round(sm2 - n * m * m, 4) AS ssb, round(ssw, 4) AS ssw,
-       k - 1 AS df_between, n - k AS df_within,
+SELECT k, CAST(n AS BIGINT) AS n,
+       round(sm2 - n * m * m, 4) AS ssb, round(ssw, 4) AS ssw,
+       k - 1 AS df_between, CAST(n - k AS BIGINT) AS df_within,
        round(((sm2 - n * m * m) / (k - 1)) / (ssw / (n - k)), 4) AS f_stat,
        round((sm2 - n * m * m) / ((sm2 - n * m * m) + ssw), 4) AS eta_sq
 FROM a
@@ -6515,7 +6522,7 @@ WITH b AS (
          sum(CASE WHEN a THEN NULL ELSE rk END) AS rb
   FROM r
 )
-SELECT n_a, n_b,
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(ra - n_a * (n_a + 1) / 2.0, 4) AS u_a,
        round(rb - n_b * (n_b + 1) / 2.0, 4) AS u_b,
        round(ra / n_a, 4) AS mean_rank_a,
@@ -6831,7 +6838,7 @@ WITH files AS (
 ), binned AS (
   SELECT path, size, CAST(floor((cum - size) / 4000.0) AS BIGINT) AS bin FROM c
 )
-SELECT b.path, b.size, b.bin, s.bin_bytes
+SELECT b.path, b.size, b.bin, CAST(s.bin_bytes AS BIGINT) AS bin_bytes
 FROM binned b
 JOIN (SELECT bin, sum(size) AS bin_bytes FROM binned GROUP BY 1) s USING (bin)
 """
@@ -7012,8 +7019,8 @@ WITH b AS (
            + (count(*) OVER (PARTITION BY s) - 1) / 2.0 AS rk
   FROM b
 ), a AS (
-  SELECT sum(CASE WHEN p THEN 1 ELSE 0 END) AS n_pos,
-         sum(CASE WHEN p THEN 0 ELSE 1 END) AS n_neg,
+  SELECT CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) AS n_neg,
          sum(CASE WHEN p THEN rk END) AS rp
   FROM r
 )
@@ -7095,7 +7102,8 @@ WITH toks AS (
          sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2
   FROM types
 )
-SELECT n_tokens, n_types, f1, f2,
+SELECT CAST(n_tokens AS BIGINT) AS n_tokens, n_types,
+       CAST(f1 AS BIGINT) AS f1, CAST(f2 AS BIGINT) AS f2,
        round(CASE WHEN f2 > 0
                   THEN n_types + f1 * f1 / (2.0 * f2)
                   ELSE n_types + f1 * (f1 - 1) / 2.0 END, 4) AS chao1,
@@ -7142,7 +7150,7 @@ WITH b AS (
          sum(n * my * my) AS smy2
   FROM per
 )
-SELECT n, round(brier, 4) AS brier, round(rel, 4) AS reliability,
+SELECT CAST(n AS BIGINT) AS n, round(brier, 4) AS brier, round(rel, 4) AS reliability,
        round(smy2 / n - rate * rate, 4) AS resolution,
        round(rate * (1 - rate), 4) AS uncertainty,
        round(rate, 4) AS base_rate
@@ -7290,7 +7298,7 @@ WITH b AS (
          sum(CASE WHEN bk = m THEN 1 ELSE 0 END) AS n_cur
   FROM b, mx WHERE bk >= m - 1 GROUP BY key
 )
-SELECT key, n_prev, n_cur,
+SELECT key, CAST(n_prev AS BIGINT) AS n_prev, CAST(n_cur AS BIGINT) AS n_cur,
        round((n_cur + 1) / (n_prev + 1.0), 4) AS lift,
        round(CASE WHEN n_cur + n_prev > 0
                   THEN (n_cur - n_prev) / sqrt(CAST(n_cur + n_prev AS DOUBLE))
@@ -7635,9 +7643,9 @@ WITH toks AS (
   FROM toks t LEFT JOIN rem r USING (doc_id)
 )
 SELECT source, count(*) AS n_docs,
-       sum(n_tokens) AS raw_tokens,
-       sum(n_tokens - n_removed) AS effective_tokens,
-       sum(n_removed) AS removed_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(n_tokens - n_removed) AS BIGINT) AS effective_tokens,
+       CAST(sum(n_removed) AS BIGINT) AS removed_tokens,
        round(sum(n_removed) / CAST(sum(n_tokens) AS DOUBLE), 4) AS savings_frac
 FROM per GROUP BY 1
 """
@@ -8759,9 +8767,9 @@ WITH au AS (
   FROM sm
 ), fp AS (
   SELECT doc_id,
-         coalesce(list_sum(list_transform(range(0, {_E185_NF - 1}), b ->
+         CAST(coalesce(list_sum(list_transform(range(0, {_E185_NF - 1}), b ->
            CASE WHEN e[b + 2] > e[b + 1]
-                THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0) AS afp
+                THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0) AS BIGINT) AS afp
   FROM en
 )
 """
@@ -8839,9 +8847,9 @@ WITH img AS (
   FROM img
 ), dh AS (
   SELECT doc_id,
-         coalesce(list_sum(list_transform(range(0, 56), b ->
+         CAST(coalesce(list_sum(list_transform(range(0, 56), b ->
            CASE WHEN l[(b // 8) * 9 + (b % 8) + 2] > l[(b // 8) * 9 + (b % 8) + 1]
-                THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0) AS dhash
+                THEN 1::BIGINT << b ELSE 0::BIGINT END)), 0) AS BIGINT) AS dhash
   FROM lm
 )
 """
@@ -9476,9 +9484,10 @@ def _e199_oracle() -> str:
         name = repl.strip("<>").lower()
         hits = f"len(regexp_extract_all(text, '{pattern}'))"
         cols.append(
-            f"sum(CASE WHEN {hits} > 0 THEN 1 ELSE 0 END) AS {name}_docs"
+            f"CAST(sum(CASE WHEN {hits} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS {name}_docs"
         )
-        cols.append(f"sum({hits}) AS {name}_hits")
+        cols.append(f"CAST(sum({hits}) AS BIGINT) AS {name}_hits")
     return (
         "SELECT source, count(*) AS n_docs, "
         + ", ".join(cols)

@@ -413,8 +413,8 @@ WITH RECURSIVE ev AS (
               THEN abs((e.x - s.mean) / sqrt(s.var)) >= 3.0 ELSE false END
   FROM ev e JOIN st s ON e.user_id = s.user_id AND e.rn = s.rn + 1
 )
-SELECT user_id, ts, round(x, 4) AS value, round(mean, 2) AS ewma,
-       round(z, 2) AS z, anom AS is_anomaly
+SELECT user_id, ts, round(x, 4) + 0 AS value, round(mean, 2) + 0 AS ewma,
+       round(z, 2) + 0 AS z, anom AS is_anomaly
 FROM st
 """
 
@@ -433,9 +433,14 @@ FROM st
         # recursive-CTE doubles differ in the last ulps, and at 4dp two of
         # ~60k rows straddle a rounding boundary between Spark's
         # BigDecimal HALF_UP and DuckDB's float-scaled round.
+        # `+ 0` folds IEEE -0.0 (DuckDB keeps the sign of a rounded
+        # negative underflow; Spark's HALF_UP round does not) to +0.0
+        # on both sides so the driver's value hash agrees.
         return t.select(
-            "user_id", "ts", F.round("value", 4).alias("value"),
-            F.round("ewma", 2).alias("ewma"), F.round("z", 2).alias("z"),
+            "user_id", "ts",
+            (F.round("value", 4) + F.lit(0.0)).alias("value"),
+            (F.round("ewma", 2) + F.lit(0.0)).alias("ewma"),
+            (F.round("z", 2) + F.lit(0.0)).alias("z"),
             "is_anomaly",
         )
 

@@ -3,6 +3,18 @@ run every __spark_entry__.queries() entry in Spark AND its oracle_sql()
 in DuckDB on the same parquet, compare row count + column names +
 canonicalized values (order-insensitive).
 
+STRICTNESS (round-4 verdict item #2): the driver's value hash does NOT
+re-round floats and does NOT normalize IEEE -0.0, and it materializes the
+DuckDB side through pandas (``.df()``), where uncast HUGEINT / nullable
+int columns silently become float64/object. This replica therefore:
+
+- canonicalizes floats with ``repr(float(v))`` — full precision, the
+  sign of zero preserved (``-0.0`` != ``0.0``);
+- fetches the oracle BOTH via ``fetchall`` AND via ``.df()`` and flags
+  the query if EITHER disagrees with the Spark result — a fetchall-only
+  match that breaks under pandas (HUGEINT→float64, int-with-null→float)
+  is exactly the class the driver flagged in rounds 1-3 (e61, e152).
+
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
 
@@ -23,19 +35,30 @@ from pivot_spark.sources.catalog import TABLES
 
 
 def canon_cell(v) -> str:
+    """Driver-strict canonical string for one cell: no re-rounding, no
+    -0.0 folding; NaN/None → ''. numpy scalars unwrap to Python."""
     if v is None:
         return ""
+    t = type(v).__name__
+    if t == "ndarray":
+        v = list(v)
+    if hasattr(v, "item") and t in (
+        "int8", "int16", "int32", "int64", "uint8", "uint16", "uint32",
+        "uint64", "float32", "float64", "bool_",
+    ):
+        v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
             return ""
-        r = round(v, 4)
-        if r == 0:
-            r = 0.0  # normalize -0.0
-        return f"{r:.4f}"
+        return repr(v)
     if isinstance(v, bool):
         return "true" if v else "false"
-    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+    if isinstance(v, (list, tuple)):
         return "[" + "|".join(canon_cell(x) for x in v) + "]"
+    if t == "Timestamp":  # pandas Timestamp from the .df() fetch
+        if v != v:  # NaT
+            return ""
+        return str(v.to_pydatetime())
     return str(v)
 
 
@@ -44,6 +67,20 @@ def canon_frame(cols, rows) -> tuple[list[str], list[tuple]]:
     out = [tuple(canon_cell(r[i]) for i in order) for r in rows]
     out.sort()
     return [cols[i] for i in order], out
+
+
+def _df_rows(df) -> list[tuple]:
+    """pandas frame → rows with NaN→None (pandas NULL idiom)."""
+    out = []
+    for r in df.itertuples(index=False):
+        row = []
+        for v in r:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append(None)
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return out
 
 
 def main() -> int:
@@ -73,6 +110,8 @@ def main() -> int:
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = [tuple(r) for r in res.fetchall()]
+        pdf = con.execute(oracles[name]).df()
+        prows = _df_rows(pdf)
         ok = True
         if sorted(scols) != sorted(dcols):
             print(f"{name:18s} COLUMN MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
@@ -82,17 +121,19 @@ def main() -> int:
             ok = False
         else:
             _, sc = canon_frame(scols, srows)
-            _, dc = canon_frame(dcols, drows)
-            if sc != dc:
-                bad = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
-                print(f"{name:18s} VALUE MISMATCH ({sum(1 for a,b in zip(sc,dc) if a!=b)} rows) e.g. {bad}")
-                ok = False
+            for fetch, rows in (("fetchall", drows), ("df", prows)):
+                _, dc = canon_frame(dcols, rows)
+                if sc != dc:
+                    n_bad = sum(1 for a, b in zip(sc, dc) if a != b)
+                    bad = [(a, b) for a, b in zip(sc, dc) if a != b][:3]
+                    print(f"{name:18s} VALUE MISMATCH [{fetch}] ({n_bad} rows) e.g. {bad}")
+                    ok = False
         if ok:
             print(f"{name:18s} OK rows={len(srows)} cols={len(scols)}")
         else:
             failed.append(name)
     if failed:
-        print(f"\nFAILED: {failed}")
+        print(f"\nFAILED: {sorted(set(failed))}")
         return 1
     print("\nALL MATCH")
     return 0
