@@ -36,8 +36,21 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM + file index before timing
+    # Warm up before timing: the file index for sf_dir, plus two real
+    # throwaway queries at sf0.001 — one whole-stage-codegen aggregate
+    # (p17) and one Arrow pandas_udf kernel (e03) — so the first MEASURED
+    # query doesn't absorb session-level codegen-compiler / Python-worker
+    # / Arrow start-up (round-3's six >1.5x flags were all first-run
+    # effects adjudicated away by isolated re-runs).
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for wq in ("p17", "e03_neardup_minhash"):
+            try:
+                QUERIES[wq](spark, warm_dir).collect()
+            except Exception:
+                pass
+        spark.catalog.clearCache()
 
     baseline: dict[str, float] = {}
     bl_path = os.path.join(REPO, "BASELINE_OPERATIVE.json")

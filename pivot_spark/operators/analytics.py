@@ -1759,7 +1759,13 @@ def krippendorff_alpha(
         d_e.alias("d_e"),
         F.when(d_e > 0, 1.0 - d_o / d_e).alias("alpha"),
     )
-    return out
+    # The answer is ONE row: materialize it, release the fences (a
+    # long-lived session would otherwise accumulate cached blocks per
+    # invocation), and hand back an answer-sized local frame.
+    rows = out.collect()
+    coin.unpersist()
+    uc2.unpersist()
+    return out.sparkSession.createDataFrame(rows, out.schema)
 
 
 def threshold_select(
@@ -2007,7 +2013,7 @@ def jackknife_ratio(
     se = F.sqrt(
         (F.col("__nb") - 1) / F.col("__nb") * F.greatest(ss, F.lit(0.0))
     )
-    return out.select(
+    res = out.select(
         ratio.alias("ratio"),
         se.alias("se_jack"),
         (ratio - 1.96 * se).alias("ci_lo"),
@@ -2015,3 +2021,7 @@ def jackknife_ratio(
         F.col("__nb").cast("long").alias("n_buckets"),
         F.col("__n_rows").cast("long").alias("n"),
     )
+    # One-row answer: materialize, release the fence, return local.
+    rows = res.collect()
+    per.unpersist()
+    return res.sparkSession.createDataFrame(rows, res.schema)

@@ -227,6 +227,7 @@ def markov_attribution(
     # engine-side iteration would cost 2 shuffle stages per step for a
     # ~250-row frame. The corpus itself is touched exactly once above.
     rows = st.collect()
+    counts.unpersist()  # everything downstream is driver-side now
     by_scen: dict = {}
     for r in rows:
         by_scen.setdefault(r["__scen"], []).append(

@@ -962,8 +962,9 @@ def minhash_estimate_report(
     num_hashes: int = 16,
     shingle_len: int = 3,
     seed: int = 42,
-    sample_mod: int = 7,
+    sample_size: "int | None" = 512,
     n_buckets: int = 10,
+    max_pairs: int = 2_000_000,
 ) -> DataFrame:
     """Estimator-quality audit for the MinHash signature itself: on a
     deterministic document sample, compare the signature-estimated
@@ -973,11 +974,17 @@ def minhash_estimate_report(
     This is the calibration check a dedup pipeline runs before trusting
     an LSH threshold: |est - true| should concentrate near the
     binomial sd sqrt(j(1-j)/k). Auditing every corpus pair is O(n^2)
-    and never the plan — a bounded deterministic sample
-    (``id % sample_mod = 0``, engine-portable) IS the design; the pair
-    stage broadcasts the sampled side, so the corpus-sized work is one
-    scan computing sampled signatures (``minhash_signatures``'s
-    zero-shuffle Arrow kernel).
+    and never the plan — the sample is an ABSOLUTE-size deterministic
+    draw: the ``sample_size`` ids with the smallest
+    ``md5('mh_audit:' || id)`` (engine-portable, ties broken by id).
+    In Spark that is a TakeOrdered top-k over ids only (each partition
+    keeps k candidates — no global sort, no text movement) followed by
+    a broadcast semi-join, so the audit's pair stage is O(k^2)
+    REGARDLESS of corpus size — at 100x the data the same k ids win
+    and the audit costs the same. ``sample_size=None`` audits every
+    row (tiny frames / tests) but still trips the ``max_pairs`` guard:
+    any configuration whose pair stage would exceed it raises instead
+    of silently exploding.
 
     Error/means are integer-quantized per pair BEFORE summing (est is
     an exact multiple of 1/k -> ``matches * (1e6/k)``; true is quantized
@@ -993,13 +1000,37 @@ def minhash_estimate_report(
         raise ValueError(
             f"num_hashes must divide 1e6 for exact quantization, got {num_hashes}"
         )
-    if sample_mod < 1:
-        raise ValueError(f"sample_mod must be >= 1, got {sample_mod}")
-    sample = df.filter(
-        (F.col(id_col) % sample_mod == 0)
-        & F.col(id_col).isNotNull()
-        & F.col(text_col).isNotNull()
-    )
+    base = df.filter(F.col(id_col).isNotNull() & F.col(text_col).isNotNull())
+    if sample_size is not None:
+        if sample_size < 1:
+            raise ValueError(f"sample_size must be >= 1, got {sample_size}")
+        if sample_size * (sample_size - 1) // 2 > max_pairs:
+            raise ValueError(
+                f"sample_size={sample_size} implies "
+                f"{sample_size * (sample_size - 1) // 2} pairs "
+                f"> max_pairs={max_pairs}"
+            )
+        ids = (
+            base.select(
+                F.col(id_col).alias("__sid"),
+                F.md5(F.concat(F.lit("mh_audit:"), F.col(id_col).cast("string")))
+                .alias("__h"),
+            )
+            .orderBy("__h", "__sid")
+            .limit(sample_size)
+            .select("__sid")
+        )
+        sample = base.join(
+            F.broadcast(ids), base[id_col] == F.col("__sid"), "left_semi"
+        )
+    else:
+        n = base.count()
+        if n * (n - 1) // 2 > max_pairs:
+            raise ValueError(
+                f"auditing all {n} rows implies {n * (n - 1) // 2} pairs "
+                f"> max_pairs={max_pairs}; pass a sample_size"
+            )
+        sample = base
     sigs = minhash_signatures(
         sample, id_col, text_col,
         num_hashes=num_hashes, shingle_len=shingle_len, seed=seed,

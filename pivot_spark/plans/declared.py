@@ -1131,7 +1131,7 @@ def e15_knn_ivf_fullprobe(spark, sf_dir):
 # upstream DataFrame plan (the reference achieves this only through
 # pipeline stages around the plugin).
 _E16_ORACLE = """
-SELECT year(o.o_orderdate) AS order_year,
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
        round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'O'), 4) AS "O_rev",
        round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'F'), 4) AS "F_rev",
        round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'P'), 4) AS "P_rev",
@@ -1929,7 +1929,7 @@ WITH t AS (
               ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS cut
   FROM r
 )
-SELECT t.doc_id, t.source, t.n_tok
+SELECT t.doc_id, t.source, CAST(t.n_tok AS INTEGER) AS n_tok
 FROM t JOIN thr USING (source)
 WHERE substr(md5('mixture' || ':' || t.source || '/' || CAST(t.doc_id AS VARCHAR)), 1, 4)
       < thr.cut
@@ -2660,8 +2660,8 @@ WITH aug AS (
   FROM aug
 )
 SELECT doc_id,
-  len(lines) AS n_lines,
-  len(kept) AS n_kept_lines,
+  CAST(len(lines) AS INTEGER) AS n_lines,
+  CAST(len(kept) AS INTEGER) AS n_kept_lines,
   CASE WHEN len(lines) > 0
        THEN round(len(list_filter(lines, l -> regexp_matches(l, '[.!?"]$')))::DOUBLE / len(lines), 4)
        ELSE 0.0 END AS frac_terminal_lines,
@@ -3918,7 +3918,8 @@ tok AS (
          CAST(count(*) AS INTEGER) AS n_lists
   FROM u GROUP BY 1, 2
 )
-SELECT query_id, doc_id, rrf_score, n_lists, rank FROM (
+SELECT CAST(query_id AS INTEGER) AS query_id, doc_id, rrf_score, n_lists, rank
+FROM (
   SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             ORDER BY rrf_score DESC, doc_id) AS INTEGER) AS rank
   FROM fused
@@ -4771,7 +4772,9 @@ def _e104_oracle() -> str:
             sels.append(
                 f"SELECT '{c}' AS column, {d} AS digit, CAST(c{d} AS BIGINT) AS n, "
                 f"round(c{d} / t, 4) AS observed, "
-                f"round({math.log10(1 + 1 / d)!r}, 4) AS expected, "
+                # CAST: a bare numeric literal rounds to DECIMAL(18,4) in
+                # DuckDB, which a type-aware compare sees as != double
+                f"CAST(round({math.log10(1 + 1 / d)!r}, 4) AS DOUBLE) AS expected, "
                 f"round(({chi_terms}) * t, 4) AS chi2 "
                 f"FROM (SELECT *, ({tot})::DOUBLE AS t FROM (SELECT {counts} FROM {t}))"
             )
@@ -5999,7 +6002,7 @@ WITH b AS (
 ), tot AS (
   SELECT sum(n) AS t, sum(n * abs(pos_rate - mean_score)) AS werr FROM per
 )
-SELECT bin, round(bin / 10.0, 4) AS bin_lo, n,
+SELECT CAST(bin AS INTEGER) AS bin, round(bin / 10.0, 4) AS bin_lo, n,
        round(n / CAST(t AS DOUBLE), 4) AS share,
        round(mean_score, 4) AS mean_score, round(pos_rate, 4) AS pos_rate,
        round(abs(pos_rate - mean_score), 4) AS gap,
@@ -6919,7 +6922,7 @@ WITH base AS (
     SELECT r, row_number() OVER (ORDER BY r) AS rn FROM calib
   ), kk WHERE rn >= k
 )
-SELECT kk.n AS n_calib, CAST(kk.k AS INTEGER) AS k, round(q.q_hat, 4) AS q_hat,
+SELECT CAST(kk.n AS INTEGER) AS n_calib, CAST(kk.k AS INTEGER) AS k, round(q.q_hat, 4) AS q_hat,
        (SELECT count(*) FROM res WHERE event_id % 2 = 1) AS n_test,
        round((SELECT avg(CASE WHEN r <= q.q_hat THEN 1.0 ELSE 0.0 END)
               FROM res WHERE event_id % 2 = 1), 4) AS coverage
@@ -7063,7 +7066,7 @@ WITH b AS (
   FROM g WHERE p
 )
 SELECT (SELECT count(*) FROM pr) AS n_pos,
-       (SELECT count(*) FROM g) AS n,
+       CAST((SELECT count(*) FROM g) AS INTEGER) AS n,
        round(avg(ir / CAST(gr AS DOUBLE)), 4) AS ap
 FROM pr
 """
@@ -9652,7 +9655,14 @@ WITH sh AS (
     range(1, greatest(len(list_filter(string_split_regex(text,'\s+'), w -> w <> ''))-2, 1)+1),
     i -> array_to_string(list_filter(string_split_regex(text,'\s+'), w -> w <> '')[i:i+2], ' ')
   )) AS grams
-  FROM documents WHERE doc_id % 3 = 0 AND doc_id IS NOT NULL AND text IS NOT NULL
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    AND doc_id IN (
+      SELECT doc_id FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+      ORDER BY md5('mh_audit:' || CAST(doc_id AS VARCHAR)), doc_id
+      LIMIT 256
+    )
 ), hh AS (
   SELECT doc_id, list_distinct(list_transform(grams, g -> {h64})) AS hset
   FROM sh
@@ -9679,13 +9689,14 @@ FROM pr GROUP BY bucket
 @query("e202_minhash_audit", _e202_oracle())
 def e202_minhash_audit(spark, sf_dir):
     """Signature-vs-truth calibration report for the production MinHash:
-    bounded deterministic sample, zero-shuffle Arrow signature pass,
-    broadcast pair stage, exact-BIGINT quantized error sums."""
+    ABSOLUTE-size deterministic sample (md5 top-k over ids, so the pair
+    stage is O(k^2) at any corpus size), zero-shuffle Arrow signature
+    pass, broadcast pair stage, exact-BIGINT quantized error sums."""
     from pivot_spark.operators.neardup import minhash_estimate_report
 
     docs = _read(spark, sf_dir, "documents")
     return minhash_estimate_report(
-        docs, num_hashes=16, seed=42, sample_mod=3, n_buckets=10
+        docs, num_hashes=16, seed=42, sample_size=256, n_buckets=10
     )
 
 
@@ -11268,7 +11279,7 @@ WITH base AS (
     SELECT 1 FROM base b WHERE b.doc_id % 7 = 0 AND b.fp = d.fp
   )
 )
-SELECT doc_id, lang, source, wc,
+SELECT doc_id, lang, source, CAST(wc AS INTEGER) AS wc,
        CASE
          WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{t1}' THEN 'train'
          WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{t2}' THEN 'valid'

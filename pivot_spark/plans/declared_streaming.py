@@ -568,9 +568,11 @@ FROM events GROUP BY user_id
     # Python-stateful operator. Calibrated: Spark merges events exactly
     # gap apart (break iff diff > gap — same tie rule as the S03 fold;
     # window end = last event + gap). Append mode emits a session only
-    # once the final watermark max(ts) - 10min passes its end; boundary
-    # ties are absent in the testdata (same strict/non-strict check as
-    # S03's calibration, same second grid and 1800/600 arithmetic).
+    # once the final watermark passes its end. The watermark delay is
+    # 599.5 s — deliberately OFF the whole-second event grid — so
+    # "window_end vs watermark" can never tie and Spark's eviction
+    # strictness (<= vs <) is data-independently equivalent to the
+    # oracle's integer-grid `end + 600 <= max(ts)` (round-3 ADVICE).
     _S13_ORACLE = """
 WITH ev AS (
   SELECT user_id, date_trunc('second', ts) AS t, value FROM events
@@ -595,7 +597,7 @@ WITH ev AS (
 )
 SELECT user_id, session_start, window_end, n_events, sum_value
 FROM agg, mx
-WHERE epoch(window_end) < epoch(m) - 600
+WHERE epoch(window_end) + 600 <= epoch(m)
 """
 
     @query("s13_stream_session_native", _S13_ORACLE)
@@ -611,7 +613,7 @@ WHERE epoch(window_end) < epoch(m) - 600
                     F.date_trunc("second", "ts").alias("ts"),
                     "value",
                 )
-                .withWatermark("ts", "10 minutes")
+                .withWatermark("ts", "599500 milliseconds")
             )
             agg = src.groupBy(
                 "user_id", F.session_window("ts", "30 minutes")

@@ -53,6 +53,25 @@ def test_no_oracle_emits_hugeint(con):
     assert not bad, f"oracles emitting HUGEINT (CAST AS BIGINT them): {bad}"
 
 
+def test_type_parity_spark_vs_oracle(con, spark):
+    """Every oracle's DESCRIBE types must map 1:1 onto the Spark result
+    schema. The driver's hash is type-aware (e152 went red on HUGEINT vs
+    BIGINT with identical values; e104 was latently red on DECIMAL vs
+    DOUBLE), so type drift IS a correctness bug here."""
+    from tools.type_parity import compare
+
+    bad = {}
+    for name, fn in entry_mod.queries().items():
+        sql = entry_mod.oracle_sql().get(name)
+        if sql is None:
+            continue
+        sdf = fn(spark, SF_DIR)
+        probs = compare(sdf.dtypes, con.execute(f"DESCRIBE {sql}").fetchall())
+        if probs:
+            bad[name] = probs
+    assert not bad, f"type parity violations: {bad}"
+
+
 def test_no_oracle_emits_negative_zero(con):
     bad = {}
     for name, sql in entry_mod.oracle_sql().items():

@@ -125,7 +125,7 @@ def test_minhash_estimate_report_identical_and_disjoint(spark):
     from pivot_spark.operators.neardup import minhash_estimate_report
 
     out = {r["bucket"]: r for r in minhash_estimate_report(
-        df, num_hashes=16, sample_mod=1).collect()}
+        df, num_hashes=16, sample_size=None).collect()}
     # bucket 9: the identical pair; bucket 0: the two disjoint pairs
     assert out[9]["n_pairs"] == 1
     assert out[9]["mean_est"] == 1.0 and out[9]["mean_true"] == 1.0
@@ -144,7 +144,7 @@ def test_minhash_estimate_report_error_bounded(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     from pivot_spark.operators.neardup import minhash_estimate_report
 
-    out = minhash_estimate_report(df, num_hashes=16, sample_mod=1).collect()
+    out = minhash_estimate_report(df, num_hashes=16, sample_size=None).collect()
     assert len(out) == 1
     r = out[0]
     t = r["mean_true"]
@@ -158,6 +158,27 @@ def test_minhash_estimate_report_rejects_bad_k(spark):
 
     with pytest.raises(ValueError, match="divide"):
         minhash_estimate_report(df, num_hashes=7)
+
+
+
+
+def test_minhash_estimate_report_pair_guards(spark):
+    rows = [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from pivot_spark.operators.neardup import minhash_estimate_report
+
+    # static guard: sample_size alone bounds the pair stage
+    with pytest.raises(ValueError, match="max_pairs"):
+        minhash_estimate_report(df, num_hashes=16, sample_size=100, max_pairs=10)
+    # dynamic guard: sample_size=None counts the frame before pairing
+    with pytest.raises(ValueError, match="max_pairs"):
+        minhash_estimate_report(df, num_hashes=16, sample_size=None, max_pairs=10)
+    # bounded draw: only sample_size ids enter the pair stage, and the
+    # md5 top-k draw is deterministic across invocations
+    a = minhash_estimate_report(df, num_hashes=16, sample_size=4).collect()
+    b = minhash_estimate_report(df, num_hashes=16, sample_size=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert sum(r["n_pairs"] for r in a) == 6  # C(4,2)
 
 
 # --------------------------------------------------------------------------

@@ -10,10 +10,12 @@ int columns silently become float64/object. This replica therefore:
 
 - canonicalizes floats with ``repr(float(v))`` — full precision, the
   sign of zero preserved (``-0.0`` != ``0.0``);
-- fetches the oracle BOTH via ``fetchall`` AND via ``.df()`` and flags
-  the query if EITHER disagrees with the Spark result — a fetchall-only
-  match that breaks under pandas (HUGEINT→float64, int-with-null→float)
-  is exactly the class the driver flagged in rounds 1-3 (e61, e152).
+- fetches the oracle BOTH via ``fetchall`` AND via ``.arrow()`` (the
+  typed layer the driver's hash behaves like: nullable ints stay
+  int64, HUGEINT becomes decimal128, dates stay dates) and flags the
+  query if EITHER disagrees with the Spark result. Type-level parity
+  (BIGINT vs HUGEINT vs DECIMAL) is checked separately by
+  ``tools/type_parity.py``.
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -55,10 +57,11 @@ def canon_cell(v) -> str:
         return "true" if v else "false"
     if isinstance(v, (list, tuple)):
         return "[" + "|".join(canon_cell(x) for x in v) + "]"
-    if t == "Timestamp":  # pandas Timestamp from the .df() fetch
-        if v != v:  # NaT
-            return ""
-        return str(v.to_pydatetime())
+    if t == "Decimal":
+        # exact decimal (e.g. arrow decimal128 from HUGEINT): keep the
+        # digits verbatim — a trailing-zero difference vs the double
+        # repr IS a finding, not noise
+        return str(v)
     return str(v)
 
 
@@ -69,18 +72,10 @@ def canon_frame(cols, rows) -> tuple[list[str], list[tuple]]:
     return [cols[i] for i in order], out
 
 
-def _df_rows(df) -> list[tuple]:
-    """pandas frame → rows with NaN→None (pandas NULL idiom)."""
-    out = []
-    for r in df.itertuples(index=False):
-        row = []
-        for v in r:
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                row.append(None)
-            else:
-                row.append(v)
-        out.append(tuple(row))
-    return out
+def _arrow_rows(tbl) -> list[tuple]:
+    """arrow table → native-typed rows (ints stay int, NULL → None)."""
+    cols = tbl.column_names
+    return [tuple(d[c] for c in cols) for d in tbl.to_pylist()]
 
 
 def main() -> int:
@@ -110,8 +105,7 @@ def main() -> int:
         res = con.execute(oracles[name])
         dcols = [d[0] for d in res.description]
         drows = [tuple(r) for r in res.fetchall()]
-        pdf = con.execute(oracles[name]).df()
-        prows = _df_rows(pdf)
+        prows = _arrow_rows(con.execute(oracles[name]).arrow())
         ok = True
         if sorted(scols) != sorted(dcols):
             print(f"{name:18s} COLUMN MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
@@ -121,7 +115,7 @@ def main() -> int:
             ok = False
         else:
             _, sc = canon_frame(scols, srows)
-            for fetch, rows in (("fetchall", drows), ("df", prows)):
+            for fetch, rows in (("fetchall", drows), ("arrow", prows)):
                 _, dc = canon_frame(dcols, rows)
                 if sc != dc:
                     n_bad = sum(1 for a, b in zip(sc, dc) if a != b)
