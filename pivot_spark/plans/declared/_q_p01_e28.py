@@ -1,0 +1,1425 @@
+"""Declared queries p01-e28: split from the original single-module
+registry; the package __init__ imports the parts in sequence so
+QUERIES/ORACLES keep their registration order."""
+
+from __future__ import annotations
+
+from ._base import (  # noqa: F401
+    F, FLAGS, PivotConfig, T, _li_oracle, _pivot_li,
+    _read, dedup_exact, pivot, query, round_doubles, serialize_arrays,
+)
+
+
+
+# --------------------------------------------------------------------------
+# P01-P23: the reference pivot surface (SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+@query("p01", _li_oracle([("cnt", lambda f: f"count(l_quantity) FILTER ({f})")]))
+def p01(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "cnt:count(l_quantity)")
+
+
+@query("p02", _li_oracle([("call", lambda f: f"count(*) FILTER ({f})")]))
+def p02(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "call:count(*)")
+
+
+@query(
+    "p03",
+    _li_oracle(
+        [
+            (
+                "cd",
+                lambda f: (
+                    f"CAST(count(DISTINCT l_suppkey) FILTER ({f}) + "
+                    f"coalesce(max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) "
+                    f"FILTER ({f}), 0) AS INTEGER)"
+                ),
+            )
+        ]
+    ),
+)
+def p03(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "cd:countdistinct(l_suppkey)")
+
+
+@query("p04", _li_oracle([("s", lambda f: f"round(sum(l_quantity) FILTER ({f}), 4)")]))
+def p04(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "s:sum(l_quantity)")
+
+
+@query("p05", _li_oracle([("a", lambda f: f"round(avg(l_discount) FILTER ({f}), 4)")]))
+def p05(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "a:avg(l_discount)")
+
+
+@query(
+    "p06",
+    _li_oracle(
+        [
+            ("mn", lambda f: f"round(min(l_extendedprice) FILTER ({f}), 4)"),
+            ("mx", lambda f: f"round(max(l_extendedprice) FILTER ({f}), 4)"),
+        ]
+    ),
+)
+def p06(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "mn:min(l_extendedprice),mx:max(l_extendedprice)")
+
+
+def _ci_extreme(col, f, which):
+    # case-insensitive min/max with binary tie-break == struct min/max over
+    # (lower(x), x) — the same composite key the Spark builder uses.
+    return (
+        f"({which}({{'k': lower({col}), 'v': {col}}}) "
+        f"FILTER ({f} AND {col} IS NOT NULL)).v"
+    )
+
+
+@query(
+    "p07",
+    _li_oracle(
+        [
+            ("mn", lambda f: _ci_extreme("l_linestatus", f, "min")),
+            ("mx", lambda f: _ci_extreme("l_linestatus", f, "max")),
+        ]
+    ),
+)
+def p07(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "mn:min(l_linestatus),mx:max(l_linestatus)")
+
+
+_ORD = "l_orderkey * 8 + l_linenumber"  # l_linenumber in 1..7 -> unique scalar key
+
+
+@query(
+    "p08",
+    _li_oracle(
+        [
+            (
+                "f",
+                lambda f: (
+                    f"strftime((min({{'k': {_ORD}, 'v': l_shipdate}}) FILTER ({f})).v, "
+                    f"'%Y-%m-%d %H:%M:%S')"
+                ),
+            ),
+            (
+                "l",
+                lambda f: (
+                    f"strftime((max({{'k': {_ORD}, 'v': l_shipdate}}) FILTER ({f})).v, "
+                    f"'%Y-%m-%d %H:%M:%S')"
+                ),
+            ),
+        ]
+    ),
+)
+def p08(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem").withColumn(
+        "__ord", F.col("l_orderkey") * 8 + F.col("l_linenumber")
+    )
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N,R",
+        pivot_rows="l_linenumber",
+        aggregates="f:first(l_shipdate),l:last(l_shipdate)",
+        order_by=["__ord"],
+    )
+    out = pivot(df, cfg).output
+    fmt = [
+        F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss").alias(c)
+        if c != "l_linenumber"
+        else F.col(c)
+        for c in out.columns
+    ]
+    return out.select(*fmt)
+
+
+@query(
+    "p09",
+    _li_oracle(
+        [
+            ("sd", lambda f: f"round(stddev_pop(l_quantity) FILTER ({f}), 4)"),
+            ("v", lambda f: f"round(var_pop(l_quantity) FILTER ({f}), 4)"),
+        ]
+    ),
+)
+def p09(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "sd:stddev(l_quantity),v:variance(l_quantity)")
+
+
+@query(
+    "p10",
+    _li_oracle(
+        [
+            (
+                "cl",
+                lambda f: (
+                    f"'[' || array_to_string(coalesce("
+                    f"list(l_linestatus ORDER BY l_linestatus) FILTER ({f}), []), "
+                    f"'|') || ']'"
+                ),
+            )
+        ]
+    ),
+)
+def p10(spark, sf_dir):
+    return serialize_arrays(_pivot_li(spark, sf_dir, "cl:collectlist(l_linestatus)"))
+
+
+@query(
+    "p11",
+    _li_oracle(
+        [
+            (
+                "cs",
+                lambda f: (
+                    f"'[' || array_to_string(coalesce("
+                    f"list(DISTINCT l_linestatus ORDER BY l_linestatus) FILTER ({f}), "
+                    f"[]), '|') || ']'"
+                ),
+            )
+        ]
+    ),
+)
+def p11(spark, sf_dir):
+    return serialize_arrays(_pivot_li(spark, sf_dir, "cs:collectset(l_linestatus)"))
+
+
+_P12_ORACLE = (
+    "SELECT CAST(year(o_orderdate) AS INTEGER) AS order_year, "
+    + ", ".join(
+        f"coalesce((min({{'k': -length(o_orderpriority), 'v': o_orderpriority}}) "
+        f"FILTER (o_orderstatus = '{v}' AND o_orderpriority IS NOT NULL)).v, '') "
+        f'AS "{v}_lo", '
+        f"(min({{'k': length(o_orderpriority), 'v': o_orderpriority}}) "
+        f"FILTER (o_orderstatus = '{v}' AND o_orderpriority IS NOT NULL)).v "
+        f'AS "{v}_sh"'
+        for v in ["O", "F", "P"]
+    )
+    + " FROM orders GROUP BY order_year"
+)
+
+
+@query("p12", _P12_ORACLE)
+def p12(spark, sf_dir):
+    df = _read(spark, sf_dir, "orders").withColumn("order_year", F.year("o_orderdate"))
+    cfg = PivotConfig(
+        pivot_columns="o_orderstatus=O,F,P",
+        pivot_rows="order_year",
+        aggregates="lo:longeststring(o_orderpriority),sh:shorteststring(o_orderpriority)",
+    )
+    return pivot(df, cfg).output
+
+
+_EVENT_TYPES = ["click", "view", "purchase"]
+
+_P13_ORACLE = (
+    "SELECT bucket, "
+    + ", ".join(
+        f"count(*) FILTER (event_type = '{v}' AND p IS NULL) AS \"{v}_nn\""
+        for v in _EVENT_TYPES
+    )
+    + " FROM (SELECT user_id % 10 AS bucket, event_type, "
+    "CASE WHEN value < 20 THEN NULL ELSE props END AS p FROM events) GROUP BY bucket"
+)
+
+
+@query("p13", _P13_ORACLE)
+def p13(spark, sf_dir):
+    df = (
+        _read(spark, sf_dir, "events")
+        .withColumn("bucket", F.col("user_id") % 10)
+        .withColumn(
+            "p",
+            F.when(F.col("value") < 20, F.lit(None).cast("string")).otherwise(
+                F.col("props")
+            ),
+        )
+    )
+    cfg = PivotConfig(
+        pivot_columns="event_type=" + ",".join(_EVENT_TYPES),
+        pivot_rows="bucket",
+        aggregates="nn:countnulls(p)",
+    )
+    return pivot(df, cfg).output
+
+
+@query(
+    "p14",
+    _li_oracle(
+        [
+            (
+                "c",
+                lambda f: (
+                    f"coalesce(string_agg(l_linestatus, ', ' ORDER BY l_linestatus) "
+                    f"FILTER ({f}), '')"
+                ),
+            ),
+            (
+                "cdx",
+                lambda f: (
+                    f"coalesce(string_agg(DISTINCT l_linestatus, ', ' "
+                    f"ORDER BY l_linestatus) FILTER ({f}), '')"
+                ),
+            ),
+        ]
+    ),
+)
+def p14(spark, sf_dir):
+    return _pivot_li(
+        spark, sf_dir, "c:concat(l_linestatus),cdx:concatdistinct(l_linestatus)"
+    )
+
+
+_P15_ORACLE = (
+    "SELECT bucket, "
+    + ", ".join(
+        f"coalesce(bool_and(b) FILTER (event_type = '{v}'), true) AS \"{v}_la\", "
+        f"coalesce(bool_or(b) FILTER (event_type = '{v}'), false) AS \"{v}_lr\""
+        for v in _EVENT_TYPES
+    )
+    + " FROM (SELECT user_id % 10 AS bucket, event_type, value > 50 AS b FROM events) "
+    "GROUP BY bucket"
+)
+
+
+@query("p15", _P15_ORACLE)
+def p15(spark, sf_dir):
+    df = (
+        _read(spark, sf_dir, "events")
+        .withColumn("bucket", F.col("user_id") % 10)
+        .withColumn("b", F.col("value") > 50)
+    )
+    cfg = PivotConfig(
+        pivot_columns="event_type=" + ",".join(_EVENT_TYPES),
+        pivot_rows="bucket",
+        aggregates="la:logicaland(b),lr:logicalor(b)",
+    )
+    return pivot(df, cfg).output
+
+
+@query(
+    "p16",
+    _li_oracle(
+        [
+            (
+                "ss",
+                lambda f: (
+                    f"round(coalesce(sum(l_discount * l_discount) FILTER ({f}), 0), 4)"
+                ),
+            ),
+            (
+                "css",
+                lambda f: (
+                    f"round(sum(l_discount * l_discount) FILTER ({f}) - "
+                    f"pow(sum(l_discount) FILTER ({f}), 2) / "
+                    f"count(l_discount) FILTER ({f}), 4)"
+                ),
+            ),
+        ]
+    ),
+)
+def p16(spark, sf_dir):
+    return _pivot_li(
+        spark, sf_dir,
+        "ss:sumofsquares(l_discount),css:correctedsumofsquares(l_discount)",
+    )
+
+
+_P17_ORACLE = (
+    "SELECT l_linenumber, "
+    + ", ".join(
+        f"round(sum(l_quantity) FILTER (l_returnflag = '{v1}' AND "
+        f"l_linestatus = '{v2}'), 4) AS \"{v1}_{v2}_s\""
+        for v1 in FLAGS
+        for v2 in ["O", "F"]
+    )
+    + " FROM lineitem GROUP BY l_linenumber"
+)
+
+
+@query("p17", _P17_ORACLE)
+def p17(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N,R;l_linestatus=O,F",
+        pivot_rows="l_linenumber",
+        aggregates="s:sum(l_quantity)",
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+_P18_ORACLE = (
+    "SELECT l_returnflag, l_linestatus, "
+    + ", ".join(
+        f"round(sum(l_quantity) FILTER (l_linenumber = {n}), 4) AS \"{n}_s\""
+        for n in [1, 2, 3]
+    )
+    + " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+)
+
+
+@query("p18", _P18_ORACLE)
+def p18(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_linenumber=1,2,3",
+        pivot_rows="l_returnflag,l_linestatus",
+        aggregates="s:sum(l_quantity)",
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+_P19_ORACLE = (
+    "SELECT l_linenumber, "
+    "round(coalesce(sum(l_quantity) FILTER (l_returnflag = 'A'), 0), 4) AS flag_a_total, "
+    "round(coalesce(sum(l_quantity) FILTER (l_returnflag = 'N'), 0), 4) AS \"N_s\", "
+    "round(coalesce(sum(l_quantity) FILTER (l_returnflag = 'R'), 0), 4) AS \"R_s\" "
+    "FROM lineitem GROUP BY l_linenumber"
+)
+
+
+@query("p19", _P19_ORACLE)
+def p19(spark, sf_dir):
+    return _pivot_li(
+        spark, sf_dir, "s:sum(l_quantity)",
+        default_value="0", field_aliases="A_s:flag_a_total",
+    )
+
+
+@query(
+    "p20",
+    "SELECT l_linenumber, "
+    "round(sum(l_quantity) FILTER (l_returnflag = 'A'), 4) AS \"A_s\", "
+    "round(sum(l_quantity) FILTER (l_returnflag = 'N'), 4) AS \"N_s\" "
+    "FROM lineitem GROUP BY l_linenumber",
+)
+def p20(spark, sf_dir):
+    return _pivot_li(spark, sf_dir, "s:sum(l_quantity)", values="A,N", on_error="skip-error")
+
+
+_P22_ORACLE = "SELECT true AS fail_pipeline_raised"
+
+
+@query("p22", _P22_ORACLE)
+def p22(spark, sf_dir):
+    """on_error=fail-pipeline raises on undeclared pivot values — the
+    declared divergence from the reference, whose ERROR_FAIL_PIPELINE is
+    miswired to "skip-error" and silently drops groups
+    (PivotConfig.java:78-80, widget sends "fail-pipeline"). This probe
+    returns a one-row proof frame that the raise actually happened."""
+    from pivot_spark.operators.pivot import PivotError
+
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N",  # R is undeclared -> must raise
+        pivot_rows="l_linenumber",
+        aggregates="s:sum(l_quantity)",
+        on_error="fail-pipeline",
+    )
+    try:
+        pivot(df, cfg)
+        raised = False
+    except PivotError:
+        raised = True
+    return spark.createDataFrame(
+        [(raised,)],
+        T.StructType([T.StructField("fail_pipeline_raised", T.BooleanType(), False)]),
+    )
+
+
+_P21_ORACLE = (
+    "SELECT l_orderkey, "
+    "round(sum(l_quantity) FILTER (l_returnflag = 'A'), 4) AS \"A_s\", "
+    "round(sum(l_quantity) FILTER (l_returnflag = 'N'), 4) AS \"N_s\" "
+    "FROM lineitem GROUP BY l_orderkey "
+    "HAVING count(*) FILTER (l_returnflag NOT IN ('A','N') OR l_returnflag IS NULL) = 0"
+)
+
+
+@query("p21", _P21_ORACLE)
+def p21(spark, sf_dir):
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N",
+        pivot_rows="l_orderkey",
+        aggregates="s:sum(l_quantity)",
+        on_error="send-to-error-port",
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+_P21_BAD = "l_returnflag NOT IN ('A','N') OR l_returnflag IS NULL"
+
+_P21_ERRORS_ORACLE = (
+    "SELECT l_orderkey, '[' || array_to_string("
+    "list(DISTINCT coalesce(l_returnflag, 'null') "
+    "ORDER BY coalesce(l_returnflag, 'null')) "
+    f"FILTER ({_P21_BAD}), '|') || ']' AS l_returnflag_undeclared "
+    "FROM lineitem GROUP BY l_orderkey "
+    f"HAVING count(*) FILTER ({_P21_BAD}) > 0"
+)
+
+
+@query("p21_errors", _P21_ERRORS_ORACLE)
+def p21_errors(spark, sf_dir):
+    """Error-port frame: bad group keys + per-pivot-column distinct
+    undeclared values (the reference's "missing data model" diagnostics,
+    Pivot.java:330-353)."""
+    df = _read(spark, sf_dir, "lineitem")
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N",
+        pivot_rows="l_orderkey",
+        aggregates="s:sum(l_quantity)",
+        on_error="send-to-error-port",
+    )
+    return serialize_arrays(pivot(df, cfg).errors)
+
+
+_P23_FILTER = "NOT (l_returnflag = 'R' AND l_linenumber <= 2)"
+
+_P23_ORACLE = (
+    "SELECT l_linenumber, "
+    + ", ".join(
+        f"count(*) FILTER (l_returnflag = '{v}') AS \"{v}_cnt\", "
+        f"coalesce(bool_and(b) FILTER (l_returnflag = '{v}'), true) AS \"{v}_la\", "
+        f"round(coalesce(sum(l_discount * l_discount) FILTER (l_returnflag = '{v}'), 0), 4) "
+        f'AS "{v}_ss"'
+        for v in FLAGS
+    )
+    + f" FROM (SELECT *, l_quantity > 0 AS b FROM lineitem WHERE {_P23_FILTER}) "
+    "GROUP BY l_linenumber"
+)
+
+
+@query("p23", _P23_ORACLE)
+def p23(spark, sf_dir):
+    df = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(~((F.col("l_returnflag") == "R") & (F.col("l_linenumber") <= 2)))
+        .withColumn("b", F.col("l_quantity") > 0)
+    )
+    cfg = PivotConfig(
+        pivot_columns="l_returnflag=A,N,R",
+        pivot_rows="l_linenumber",
+        aggregates="cnt:count(*),la:logicaland(b),ss:sumofsquares(l_discount)",
+    )
+    return round_doubles(pivot(df, cfg).output)
+
+
+# --------------------------------------------------------------------------
+# Extension queries (north-star operators, SURVEY.md §7)
+# --------------------------------------------------------------------------
+
+@query(
+    "e01_dedup_exact",
+    "SELECT user_id, event_type, min(event_id) AS event_id, "
+    "round((min({'k': event_id, 'v': value})).v, 4) AS value "
+    "FROM events GROUP BY user_id, event_type",
+)
+def e01_dedup_exact(spark, sf_dir):
+    df = _read(spark, sf_dir, "events")
+    out = dedup_exact(df, ["user_id", "event_type"], order_by=["event_id"])
+    return round_doubles(out.select("user_id", "event_type", "event_id", "value"))
+
+
+# word-3-gram Jaccard >= 0.5 pairs; oracle is brute-force n^2 in SQL, the
+# Spark side is MinHash-LSH (r=2, b=64 -> miss prob ~1e-8 at j=0.5) with
+# exact verification, so both compute the identical pair set.
+_E03_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+"""
+
+
+@query("e03_neardup_minhash", _E03_ORACLE)
+def e03_neardup_minhash(spark, sf_dir):
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
+
+    df = _read(spark, sf_dir, "documents")
+    out = neardup_minhash_lsh(df, threshold=0.5, num_hashes=128, bands=64)
+    return round_doubles(out)
+
+
+_E04_ORACLE = """
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id
+         ) AS INTEGER) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id
+) WHERE rank <= 3
+"""
+
+
+@query("e04_knn_cosine", _E04_ORACLE)
+def e04_knn_cosine(spark, sf_dir):
+    from pivot_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf_dir, "embeddings")  # float32 arrays go straight in: the Arrow-side numpy
+    # kernels cast to float64 per batch (an F.transform cast here would be
+    # evaluated interpreted per element — measured ~2x the scoring cost)
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(cosine_topk(emb, q, k=3))
+
+
+def _e05_oracle() -> str:
+    from pivot_spark.functions.text import LANG_STOPWORDS
+
+    score = {}
+    for lang, words in LANG_STOPWORDS.items():
+        if lang == "zh":
+            score[lang] = "len(regexp_extract_all(text, '[一-鿿]'))"
+        else:
+            wl = ", ".join(f"'{w}'" for w in words)
+            score[lang] = f"len(list_filter(ltoks, w -> list_contains([{wl}], w)))"
+    langs = list(score)
+    cases = " ".join(
+        "WHEN s_{0} > 0 AND {1} THEN '{0}'".format(
+            lang, " AND ".join(f"s_{lang} >= s_{o}" for o in langs if o != lang)
+        )
+        for lang in langs
+    )
+    return f"""
+WITH b AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS toks,
+    list_filter(string_split_regex(lower(text), '\\s+'), w -> w <> '') AS ltoks
+  FROM documents
+), s AS (
+  SELECT doc_id, text, toks,
+    {', '.join(f'{expr} AS s_{lang}' for lang, expr in score.items())}
+  FROM b
+)
+SELECT doc_id,
+  CAST(len(toks) AS INTEGER) AS token_cnt,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INTEGER) AS word_cnt,
+  CAST(length(text) AS INTEGER) AS char_cnt,
+  round(CASE WHEN length(text) > 0
+        THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))::DOUBLE / length(text)
+        ELSE 0 END, 4) AS alpha_ratio,
+  round(CASE WHEN len(toks) > 0
+        THEN list_sum(list_transform(toks, w -> length(w)))::DOUBLE / len(toks)
+        ELSE 0 END, 4) AS mean_tok_len,
+  CAST(s_en AS INTEGER) AS stop_en,
+  CASE {cases} ELSE 'und' END AS lang_guess
+FROM s
+"""
+
+
+@query("e05_text_quality", _e05_oracle())
+def e05_text_quality(spark, sf_dir):
+    from pivot_spark.functions import text as X
+
+    df = _read(spark, sf_dir, "documents")
+    t = F.col("text")
+    out = df.select(
+        "doc_id",
+        X.token_count(t).alias("token_cnt"),
+        X.word_count(t).alias("word_cnt"),
+        X.char_count(t).alias("char_cnt"),
+        X.alpha_ratio(t).alias("alpha_ratio"),
+        X.mean_token_len(t).alias("mean_tok_len"),
+        X.stopword_count(t, "en").alias("stop_en"),
+        X.lang_guess(t).alias("lang_guess"),
+    )
+    return round_doubles(out)
+
+
+@query(
+    "e06_fingerprint",
+    "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+    "FROM documents",
+)
+def e06_fingerprint(spark, sf_dir):
+    from pivot_spark.functions.text import fingerprint
+
+    df = _read(spark, sf_dir, "documents")
+    return df.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@query(
+    "e07_multimodal_meta",
+    "SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS width, "
+    "CAST(doc_id % 48 + 1 AS INTEGER) AS height, 'fimg' AS format, "
+    "12 + octet_length(encode(text)) AS n_bytes FROM documents",
+)
+def e07_multimodal_meta(spark, sf_dir):
+    from pivot_spark.operators import multimodal as M
+
+    df = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        M.make_fake_image(
+            (F.col("doc_id") % 64 + 1).cast("int"),
+            (F.col("doc_id") % 48 + 1).cast("int"),
+            F.encode(F.col("text"), "UTF-8"),
+        ).alias("image"),
+    )
+    decoded = M.decode_image(df, "image")
+    return decoded.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def _e08_oracle() -> str:
+    """Replays the full 60-bit md5-slice SimHash in SQL: per-shingle
+    hash -> 60 sign balances -> signature -> all-pairs hamming. The
+    engine's block join is a guaranteed superset of hamming<=7 pairs
+    (n_blocks=10 > 7), so after the exact filter both sides agree."""
+    bals = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END" for i in range(60))
+    return f"""
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-1, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+1], ' ')
+  )) AS grams
+  FROM documents
+), h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, unnest(grams) AS g FROM sh)
+), bal AS (
+  SELECT doc_id, {bals} FROM h GROUP BY doc_id
+), sig AS (
+  SELECT doc_id, {sig} AS sig FROM bal
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+FROM sig a, sig b
+WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 7
+"""
+
+
+@query("e08_neardup_simhash", _e08_oracle())
+def e08_neardup_simhash(spark, sf_dir):
+    """SimHash near-dup with the engine-portable md5_60 base hash: the
+    whole signature pipeline (shingle -> 60-bit hash -> sign balances ->
+    block-permutation candidate join -> exact hamming verify) is
+    hash-checked against an all-pairs SQL replay."""
+    from pivot_spark.operators.neardup import neardup_simhash
+
+    df = _read(spark, sf_dir, "documents")
+    out = neardup_simhash(df, max_hamming=7, num_bits=60, base_hash="md5_60")
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+
+def _srp_sig_sql(vec_expr: str, n_planes: int, dim: int, seed: int) -> str:
+    """SQL replay of ``similarity.srp_signature``: the seeded Gaussian
+    plane weights as literals (e95 idiom), sign bits packed to BIGINT."""
+    from pivot_spark.operators.similarity import _srp_planes
+
+    bits = []
+    for i, plane in enumerate(_srp_planes(n_planes, dim, seed)):
+        dot = " + ".join(
+            f"{vec_expr}[{j + 1}]::DOUBLE * ({w!r})" for j, w in enumerate(plane)
+        )
+        bits.append(f"CASE WHEN ({dot}) > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END")
+    return "(" + " + ".join(bits) + ")"
+
+
+def _e09_oracle() -> str:
+    # SRP signatures replayed with the plane literals (4 tables, 12
+    # planes, seed 42 + 1000*t — similarity.srp_signatures_pd); candidate
+    # = any-table signature match, then exact cosine rank over candidates
+    sigs = ", ".join(
+        _srp_sig_sql("embedding", 12, 64, 42 + 1000 * t) + f" AS s{t}"
+        for t in range(4)
+    )
+    match = " OR ".join(f"q.s{t} = c.s{t}" for t in range(4))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sigs} FROM embeddings
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC, c.vec_id
+         ) AS INTEGER) AS rank
+  FROM sigs q, sigs c
+  WHERE q.vec_id < 10 AND c.vec_id != q.vec_id AND ({match})
+) WHERE rank <= 3"""
+
+
+@query("e09_knn_lsh", _e09_oracle())
+def e09_knn_lsh(spark, sf_dir):
+    from pivot_spark.operators.similarity import cosine_topk_lsh
+
+    emb = _read(spark, sf_dir, "embeddings")  # float32 arrays go straight in: the Arrow-side numpy
+    # kernels cast to float64 per batch (an F.transform cast here would be
+    # evaluated interpreted per element — measured ~2x the scoring cost)
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(cosine_topk_lsh(emb, q, k=3, dim=64))
+
+
+@query(
+    "e02_text_stats",
+    "SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars, "
+    "min(n_chars) AS min_chars, max(n_chars) AS max_chars, "
+    "CAST(count(DISTINCT source) AS INTEGER) AS n_sources "
+    "FROM documents GROUP BY lang",
+)
+def e02_text_stats(spark, sf_dir):
+    df = _read(spark, sf_dir, "documents")
+    out = df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("n_chars").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.count_distinct("source").cast("int").alias("n_sources"),
+    )
+    return round_doubles(out)
+
+
+# E10: EXACT word-3-gram Jaccard near-dup via prefix-filtered set-
+# similarity self-join (no MinHash approximation — same ground truth as
+# E03 but the Spark path is the distributed exact algorithm; the oracle
+# is the all-pairs definition). 3-gram shingles, not 2-gram: the corpus
+# has only ~1k distinct 2-grams, which makes every prefix token hot and
+# candidate generation quadratic regardless of filtering.
+_E10_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    range(1, greatest(len(list_filter(string_split_regex(text,'\\s+'), w -> w <> ''))-2, 1)+1),
+    i -> array_to_string(list_filter(string_split_regex(text,'\\s+'), w -> w <> '')[i:i+2], ' ')
+  )) AS grams
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.grams, b.grams))::DOUBLE /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jaccard
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND len(list_intersect(a.grams, b.grams))::DOUBLE /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+"""
+
+
+@query("e10_ngram_jaccard", _E10_ORACLE)
+def e10_ngram_jaccard(spark, sf_dir):
+    from pivot_spark.operators.neardup import ngram_jaccard_pairs
+
+    df = _read(spark, sf_dir, "documents")
+    return round_doubles(ngram_jaccard_pairs(df, threshold=0.5, shingle_len=3))
+
+
+# E11: embedding-cosine near-dup, exact all-pairs path (correctness
+# anchor; the testdata embeddings are random so threshold sits in the
+# upper tail of the cosine distribution, ~tens of pairs at sf0.01).
+_E11_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cos
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.v, b.v) >= 0.4
+"""
+
+
+@query("e11_neardup_cosine", _E11_ORACLE)
+def e11_neardup_cosine(spark, sf_dir):
+    from pivot_spark.operators.neardup import neardup_embedding_cosine
+
+    emb = _read(spark, sf_dir, "embeddings")  # float32 arrays go straight in: the Arrow-side numpy
+    # kernels cast to float64 per batch (an F.transform cast here would be
+    # evaluated interpreted per element — measured ~2x the scoring cost)
+    return round_doubles(
+        neardup_embedding_cosine(emb, threshold=0.4, exact=True, dim=64)
+    )
+
+
+# E12: same operator, SRP-LSH bucketed path (the 100 TB scale path).
+# The seeded Gaussian hyperplanes are plan literals, so the whole
+# bucket-join + exact-verify pipeline replays in SQL (e95 idiom) — the
+# only divergence risk is a sign flip at |dot| ~ 1e-13, measure zero.
+def _e12_oracle() -> str:
+    sigs = ", ".join(
+        _srp_sig_sql("embedding", 6, 64, 42 + 1000 * t) + f" AS s{t}"
+        for t in range(8)
+    )
+    match = " OR ".join(f"a.s{t} = b.s{t}" for t in range(8))
+    return f"""
+WITH sigs AS (
+  SELECT vec_id, embedding, {sigs} FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos
+FROM sigs a, sigs b
+WHERE a.vec_id < b.vec_id AND ({match})
+  AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"""
+
+
+@query("e12_neardup_cosine_lsh", _e12_oracle())
+def e12_neardup_cosine_lsh(spark, sf_dir):
+    from pivot_spark.operators.neardup import neardup_embedding_cosine
+
+    emb = _read(spark, sf_dir, "embeddings")  # float32 arrays go straight in: the Arrow-side numpy
+    # kernels cast to float64 per batch (an F.transform cast here would be
+    # evaluated interpreted per element — measured ~2x the scoring cost)
+    return round_doubles(
+        neardup_embedding_cosine(emb, threshold=0.4, dim=64, n_planes=6, n_tables=8)
+    )
+
+
+def _moment_cells():
+    """Spark's skewness/kurtosis are the population g1/g2; DuckDB's
+    builtins are sample-corrected, so the oracle derives g1/g2 from raw
+    moments: g1 = m3/m2^1.5, g2 = m4/m2^2 - 3 with central moments
+    expanded in terms of avg(x^k)."""
+    x = "l_quantity"
+    mu = f"avg({x}) FILTER (__F__)"
+    a2 = f"avg({x}*{x}) FILTER (__F__)"
+    a3 = f"avg({x}*{x}*{x}) FILTER (__F__)"
+    a4 = f"avg({x}*{x}*{x}*{x}) FILTER (__F__)"
+    m2 = f"({a2} - ({mu})*({mu}))"
+    m3 = f"({a3} - 3*({mu})*({a2}) + 2*({mu})*({mu})*({mu}))"
+    m4 = (
+        f"({a4} - 4*({mu})*({a3}) + 6*({mu})*({mu})*({a2})"
+        f" - 3*({mu})*({mu})*({mu})*({mu}))"
+    )
+    skew = f"round({m3} / pow({m2}, 1.5), 4)"
+    kurt = f"round({m4} / ({m2}*{m2}) - 3, 4)"
+    return [
+        ("sk", lambda f, s=skew: s.replace("__F__", f)),
+        ("ku", lambda f, k=kurt: k.replace("__F__", f)),
+    ]
+
+
+@query("p24", _li_oracle(_moment_cells()))
+def p24(spark, sf_dir):
+    """SKEWNESS/KURTOSIS pivot cells (reference RunningStats.java:24-85)."""
+    return _pivot_li(spark, sf_dir, "sk:skewness(l_quantity),ku:kurtosis(l_quantity)")
+
+
+# E13: record-picker aggregation (reference SelectionFunction SPI /
+# MaxSelection — function/MaxSelection.java:24-49): per group, the whole
+# record holding the max field value, deterministic composite tie-break.
+_E13_ORACLE = """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_returnflag
+           ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC
+         ) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@query("e13_select_extreme", _E13_ORACLE)
+def e13_select_extreme(spark, sf_dir):
+    from pivot_spark.operators.select_extreme import select_extreme
+
+    df = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return select_extreme(df, ["l_returnflag"], "l_extendedprice", mode="max")
+
+
+# E14: sessionization — 30-min inactivity gap over events, one row per
+# (user, session) with count/start/end/duration. events.ts is
+# TIMESTAMP_NTZ (micros); both sides compare in integer MICROseconds
+# (session tz pinned UTC so unix_micros(cast(..)) == DuckDB epoch_us).
+_E14_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), s AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), t AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM s
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+       min(ts_us) AS t_start, max(ts_us) AS t_end,
+       max(ts_us) - min(ts_us) AS duration
+FROM t GROUP BY user_id, session_idx
+"""
+# ^ session_idx cast: DuckDB sum() OVER yields HUGEINT, which pandas
+# renders as float64 ("2.0" vs Spark's "2") — oracle-side type, not a
+# value difference.
+
+
+@query("e14_sessionize", _E14_ORACLE)
+def e14_sessionize(spark, sf_dir):
+    from pivot_spark.operators.sessionize import session_stats
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        # integer DIV: float division rounds away the low microsecond
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    )
+    return session_stats(
+        ev, "user_id", "ts_us", gap=1_800_000_000, order_cols=["event_id"]
+    )
+
+
+# E15: IVF-Flat ANN (k-means coarse quantizer + probed inverted lists) —
+# seeded/deterministic but not SQL-expressible: rows-only check. The
+# exact-recall configuration (nprobe == n_clusters) is unit-tested to
+# equal brute force.
+@query("e15_knn_ivf")
+def e15_knn_ivf(spark, sf_dir):
+    from pivot_spark.operators.ivf import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(
+        cosine_topk_ivf(emb, q, k=3, n_clusters=16, nprobe=4)
+    )
+
+
+# E15b: IVF at nprobe == n_clusters scans every inverted list — exactly
+# brute force — so the exact top-k oracle (same as E04) hash-checks the
+# whole IVF plumbing (train/assign/probe/score/top-k), not just row counts.
+@query("e15_knn_ivf_fullprobe", _E04_ORACLE)
+def e15_knn_ivf_fullprobe(spark, sf_dir):
+    from pivot_spark.operators.ivf import cosine_topk_ivf
+
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    return round_doubles(
+        cosine_topk_ivf(emb, q, k=3, n_clusters=8, nprobe=8)
+    )
+
+
+# E16: relational composition — join lineitem to orders, derive the
+# order year, pivot by order status. The pivot stage composes with any
+# upstream DataFrame plan (the reference achieves this only through
+# pipeline stages around the plugin).
+_E16_ORACLE = """
+SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+       round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'O'), 4) AS "O_rev",
+       round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'F'), 4) AS "F_rev",
+       round(sum(l.l_extendedprice) FILTER (o.o_orderstatus = 'P'), 4) AS "P_rev",
+       count(*) FILTER (o.o_orderstatus = 'O') AS "O_n",
+       count(*) FILTER (o.o_orderstatus = 'F') AS "F_n",
+       count(*) FILTER (o.o_orderstatus = 'P') AS "P_n"
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY year(o.o_orderdate)
+"""
+
+
+@query("e16_join_pivot", _E16_ORACLE)
+def e16_join_pivot(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.year("o_orderdate").alias("order_year")
+    )
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    cfg = PivotConfig(
+        pivot_columns="o_orderstatus=O,F,P",
+        pivot_rows="order_year",
+        aggregates="rev:sum(l_extendedprice),n:count(*)",
+    )
+    out = pivot(joined, cfg).output
+    # oracle emits columns grouped by agg; names already align (sorted cmp)
+    return round_doubles(out)
+
+
+# E17: multi-granularity rollup over events — the grouping-sets surface
+# the reference lacks entirely (SURVEY.md §2.3), native in Spark.
+# Subtotal rows carry NULL group keys on both sides.
+_E17_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       count(*) AS n, round(sum(value), 4) AS total
+FROM events
+GROUP BY ROLLUP(event_type, CAST(ts AS DATE))
+"""
+
+
+@query("e17_rollup", _E17_ORACLE)
+def e17_rollup(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    out = ev.rollup("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    return round_doubles(out)
+
+
+@query(
+    "p25",
+    _li_oracle(
+        [("md", lambda f: f"round(quantile_cont(l_extendedprice, 0.5) FILTER ({f}), 4)")]
+    ),
+)
+def p25(spark, sf_dir):
+    """MEDIAN pivot cells (engine extension: exact continuous median,
+    same interpolation as DuckDB quantile_cont)."""
+    return _pivot_li(spark, sf_dir, "md:median(l_extendedprice)")
+
+# --------------------------------------------------------------------------
+# E18-E22: training-data curation operators (sampling, TF-IDF, top-k,
+# cross-corpus decontamination) — SURVEY.md §2.4 extension table
+# --------------------------------------------------------------------------
+
+def _sample_threshold(rate: float) -> str:
+    from pivot_spark.operators.sample import _threshold
+
+    return _threshold(rate)
+
+
+@query(
+    "e18_hash_sample",
+    "SELECT doc_id, lang, source FROM documents "
+    "WHERE substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'",
+)
+def e18_hash_sample(spark, sf_dir):
+    """Deterministic hash-threshold sample (rate 0.25): reproducible
+    across engines and partitionings — the oracle replays the exact
+    same kept-set in DuckDB."""
+    from pivot_spark.operators.sample import hash_sample
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_sample(df, "doc_id", 0.25, salt="s42")
+
+
+def _e19_oracle() -> str:
+    en, zh, dflt = (_sample_threshold(r) for r in (0.5, 1.0, 0.1))
+    return (
+        "SELECT doc_id, lang FROM documents "
+        "WHERE substring(md5('s42:' || lang || '/' || CAST(doc_id AS VARCHAR)), 1, 4) < "
+        f"CASE lang WHEN 'en' THEN '{en}' WHEN 'zh' THEN '{zh}' ELSE '{dflt}' END"
+    )
+
+
+@query("e19_sample_stratified", _e19_oracle())
+def e19_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic sampling (language rebalancing:
+    halve en, keep all zh, 10% elsewhere) — one CASE predicate, no join."""
+    from pivot_spark.operators.sample import stratified_hash_sample
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_hash_sample(
+        df, "doc_id", "lang", {"en": 0.5, "zh": 1.0}, default_rate=0.1, salt="s42"
+    )
+
+
+_E20_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, t.term
+  FROM documents,
+       LATERAL unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> length(x) >= 2)) AS t(term)
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfq AS (
+  SELECT term, count(*) AS df_docs FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfq.df_docs,
+         tf.tf * ln((SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) FROM documents)
+                    / dfq.df_docs) AS tfidf
+  FROM tf JOIN dfq USING (term)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rn
+  FROM scored
+)
+SELECT doc_id, term, tf, df_docs, round(tfidf, 4) AS tfidf,
+       CAST(rn AS INTEGER) AS rank
+FROM ranked WHERE rn <= 3
+"""
+
+
+@query("e20_tfidf", _E20_ORACLE)
+def e20_tfidf(spark, sf_dir):
+    """TF-IDF top-3 terms per document — three partial/final aggregations,
+    no UDFs; ties broken by term ascending."""
+    from pivot_spark.operators.tfidf import tfidf_top_terms
+
+    df = _read(spark, sf_dir, "documents")
+    return round_doubles(tfidf_top_terms(df, "doc_id", "text", top=3))
+
+
+_E21_ORACLE = """
+SELECT event_id, event_type, round(value, 4) AS value, CAST(rn AS INTEGER) AS rank
+FROM (SELECT event_id, event_type, value,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events)
+WHERE rn <= 3
+"""
+
+
+@query("e21_topk_window", _E21_ORACLE)
+def e21_topk_window(spark, sf_dir):
+    """Per-group top-k via window row_number (spillable per-group sort)."""
+    from pivot_spark.operators.topk import topk_per_group
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = topk_per_group(
+        ev, ["event_type"], "value", k=3, descending=True, tie_cols=["event_id"]
+    )
+    return round_doubles(out.select("event_id", "event_type", "value", "rank"))
+
+
+@query("e22_topk_agg", _E21_ORACLE)
+def e22_topk_agg(spark, sf_dir):
+    """Same result via the bounded sorted-array aggregation (single hash
+    aggregate, map-side combine; no per-group full sort) — checked against
+    the identical window oracle."""
+    from pivot_spark.operators.topk import topk_per_group_agg
+
+    ev = _read(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = topk_per_group_agg(
+        ev, ["event_type"], "value", k=3, descending=True, tie_cols=["event_id"]
+    )
+    return round_doubles(out.select("event_id", "event_type", "value", "rank"))
+
+
+_E23_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, lang,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT d.doc_id, d.lang, d.fp FROM fp d
+WHERE NOT EXISTS (SELECT 1 FROM fp b WHERE b.doc_id % 7 = 0 AND b.fp = d.fp)
+"""
+
+
+@query("e23_decontaminate", _E23_ORACLE)
+def e23_decontaminate(spark, sf_dir):
+    """Cross-corpus decontamination: drop documents whose normalization
+    fingerprint appears in a blocklist (here: every 7th doc standing in
+    for an eval set). One broadcast left-anti join — the 100 TB corpus is
+    scanned once, no shuffle."""
+    from pivot_spark.functions.text import fingerprint
+    from pivot_spark.operators.dedup import dedup_against
+
+    docs = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "lang", fingerprint(F.col("text")).alias("fp"))
+    )
+    block = docs.filter(F.col("doc_id") % 7 == 0).select("fp")
+    return dedup_against(docs, block, on="fp", broadcast=True)
+
+
+# --------------------------------------------------------------------------
+# E24-E28: as-of join, train/valid/test split, quantile buckets, PII
+# redaction, repetition signals
+# --------------------------------------------------------------------------
+
+_E24_ORACLE = """
+WITH p AS (
+  SELECT user_id, event_id AS p_event, epoch_us(ts) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), c0 AS (
+  SELECT user_id, epoch_us(ts) AS ts_us,
+         max(event_id) AS event_id, arg_max(value, event_id) AS value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+)
+SELECT p.user_id, p.p_event, p.p_ts, c0.ts_us AS ts_us_r,
+       c0.event_id AS event_id_r, round(c0.value, 4) AS value_r
+FROM p ASOF LEFT JOIN c0 ON p.user_id = c0.user_id AND p.p_ts >= c0.ts_us
+"""
+
+
+@query("e24_asof_join", _E24_ORACLE)
+def e24_asof_join(spark, sf_dir):
+    """As-of join: each purchase matched with the user's most recent
+    click at-or-before it (union + window running-last, ONE shuffle on
+    the user key — not a non-equi range join). Oracle: DuckDB ASOF JOIN."""
+    from pivot_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+        "event_type", "value",
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_event"), F.col("ts_us").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts_us", "event_id", "value"
+    )
+    out = asof_join(
+        p, c, on="user_id", left_ts="p_ts", right_ts="ts_us",
+        direction="backward", tie_col="event_id",
+    )
+    return round_doubles(out)
+
+
+def _e25_oracle() -> str:
+    cum1 = 0.8
+    cum2 = 0.8 + 0.1  # accumulate exactly like hash_split does
+    t1, t2 = _sample_threshold(cum1), _sample_threshold(cum2)
+    return (
+        "SELECT doc_id, lang, CASE "
+        f"WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{t1}' THEN 'train' "
+        f"WHEN substring(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '{t2}' THEN 'valid' "
+        "ELSE 'test' END AS split FROM documents"
+    )
+
+
+@query("e25_hash_split", _e25_oracle())
+def e25_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/valid/test partition by hashed id —
+    disjoint, exhaustive, stable as the corpus grows."""
+    from pivot_spark.operators.sample import hash_split
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    return hash_split(
+        df, "doc_id", {"train": 0.8, "valid": 0.1, "test": 0.1}, salt="s42"
+    )
+
+
+@query(
+    "e26_ntile_buckets",
+    "SELECT doc_id, lang, n_chars, CAST(ntile(4) OVER ("
+    "PARTITION BY lang ORDER BY n_chars, doc_id) AS INTEGER) AS bucket "
+    "FROM documents",
+)
+def e26_ntile_buckets(spark, sf_dir):
+    """Exact per-language length-quartile tiers (ANSI ntile)."""
+    from pivot_spark.operators.bucketize import ntile_buckets
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return ntile_buckets(df, ["lang"], "n_chars", 4, tie_cols=["doc_id"])
+
+
+# threshold_buckets uses a mergeable quantile sketch (approxQuantile) —
+# boundaries are approximate, not SQL-replicable: rows-only check; the
+# shuffle-free plan and monotonicity are unit-tested.
+@query("e26b_threshold_buckets")
+def e26b_threshold_buckets(spark, sf_dir):
+    from pivot_spark.operators.bucketize import threshold_buckets
+
+    df = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return threshold_buckets(df, "n_chars", 4)
+
+
+_PII_SUFFIX = (
+    " contact user{d}@example.com ip 10.0.{m}.7 "
+    "ssn 123-45-6789 call +1 555-123-4567"
+)
+
+_E27_ORACLE = (
+    "SELECT doc_id, "
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ip 10.0.' "
+    "|| CAST(doc_id % 256 AS VARCHAR) || '.7 ssn 123-45-6789 call +1 555-123-4567', "
+    r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+    r"'\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'), "
+    r"'\+?\d{1,3}[ -]\(?\d{2,4}\)?[ -]\d{3,4}[ -]?\d{0,4}\b', '<PHONE>', 'g') "
+    "AS redacted FROM documents"
+)
+
+
+@query("e27_redact_pii", _E27_ORACLE)
+def e27_redact_pii(spark, sf_dir):
+    """PII scrub over text augmented with deterministic synthetic PII
+    (the corpus itself has none): emails, IPv4, SSN-shaped ids, phone
+    runs — identical regex chain replayed by the oracle."""
+    from pivot_spark.functions.redact import redact_pii
+
+    df = _read(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ssn 123-45-6789 call +1 555-123-4567"),
+    )
+    return df.select("doc_id", redact_pii(aug).alias("redacted"))
+
+
+_E28_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> length(x) >= 1) AS t
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM base, LATERAL unnest(t) AS u(w) GROUP BY 1, 2
+), wagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS distinct_words
+  FROM wc GROUP BY 1
+), bc AS (
+  SELECT doc_id, g, count(*) AS c
+  FROM (SELECT doc_id,
+               list_transform(range(1, greatest(len(t), 1)),
+                              i -> t[i] || ' ' || t[i+1]) AS gs
+        FROM base), LATERAL unnest(gs) AS u(g)
+  GROUP BY 1, 2
+), bagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, max(c) AS top_c
+  FROM bc GROUP BY 1
+)
+SELECT b.doc_id,
+       coalesce(w.n_words, 0) AS n_words,
+       coalesce(w.distinct_words, 0) AS distinct_words,
+       round(CASE WHEN coalesce(w.n_words, 0) > 0
+                  THEN 1.0 - w.distinct_words / w.n_words
+                  ELSE 0.0 END, 4) AS dup_word_frac,
+       coalesce(g.n_bigrams, 0) AS n_bigrams,
+       round(CASE WHEN coalesce(g.n_bigrams, 0) > 0
+                  THEN CAST(g.top_c AS DOUBLE) / g.n_bigrams
+                  ELSE 0.0 END, 4) AS top_bigram_frac
+FROM (SELECT DISTINCT doc_id FROM base) b
+LEFT JOIN wagg w USING (doc_id)
+LEFT JOIN bagg g USING (doc_id)
+"""
+
+
+@query("e28_repetition", _E28_ORACLE)
+def e28_repetition(spark, sf_dir):
+    """MassiveText-style repetition quality signals (duplicate-word and
+    top-bigram fractions) per document."""
+    from pivot_spark.operators.repetition import repetition_signals
+
+    df = _read(spark, sf_dir, "documents")
+    return round_doubles(repetition_signals(df, "doc_id", "text"))
+
+
+# --------------------------------------------------------------------------
+# E29-E30, P26: embedding centroids, rolling features, sketch aggregates
+# --------------------------------------------------------------------------
+
+_E29_ORACLE = """
+WITH pos AS (
+  SELECT label, t.i AS pos, CAST(embedding[t.i + 1] AS DOUBLE) AS x
+  FROM embeddings, LATERAL unnest(range(len(embedding))) AS t(i)
+  WHERE embedding IS NOT NULL
+), byp AS (
+  SELECT label, pos, avg(x) AS m FROM pos GROUP BY 1, 2
+), cnt AS (
+  SELECT label, count(*) AS n FROM embeddings
+  WHERE embedding IS NOT NULL GROUP BY 1
+)
+SELECT c.label, c.n,
+       '[' || array_to_string(
+         (SELECT list(printf('%.4f', round(b.m, 4)) ORDER BY b.pos)
+          FROM byp b WHERE b.label = c.label), '|') || ']' AS centroid
+FROM cnt c
+"""
