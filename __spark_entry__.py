@@ -58,8 +58,10 @@ _ROUND_WINDOW = [
     "e154_vocab_richness", "e155_brier", "e159_trending_keys",
     "e167_dedup_savings", "e185_audio_fingerprint", "e187_image_dhash",
     "e199_pii_report",
-    # (e) heavy-logic never-checked (round-3 verdict item 3)
-    "e31_dup_clusters", "e57_semdedup", "e113_bpe_learn",
+    # (e) heavy-logic never-checked (round-3 verdict item 3) + the
+    # round-4 PNG codec (e113_bpe_learn yields its slot: e217's
+    # roundtrip drives learn+encode+decode end-to-end this window)
+    "e31_dup_clusters", "e57_semdedup", "e228_png_decode",
 ]
 
 # Round-3 window (all driver-checked in CORRECTNESS_r03; kept for the

@@ -142,8 +142,16 @@ def markov_attribution(
     NULL shares when the base chain never converts).
 
     Scale: ONE corpus-sized window + pair aggregate; everything after
-    lives on frames bounded by |channels|² and is fenced every few
-    steps so the iterated plan stays shallow.
+    lives on frames bounded by |channels|² (alphabet-sized), iterated
+    on the driver in sorted-edge order.
+
+    Float determinism: the driver loop sums Python floats in sorted
+    (from, to) edge order, while a SQL replay sums per step in
+    whatever order its aggregate visits rows; over ``steps``
+    iterations the accumulated drift is bounded by ~steps * |states| *
+    ulp (≈1e-12 here) — far below the 4-decimal output rounding unless
+    a probability sits within ~1e-12 of a 0.5e-4 rounding boundary,
+    which the declared e223 check would surface as a one-cell diff.
     """
     if steps < 1:
         raise ValueError(f"steps must be >= 1, got {steps}")

@@ -1340,3 +1340,72 @@ def e227_robust_scale(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_returnflag",
         r4("robust_z").alias("robust_z"),
     )
+
+
+# --- E228: REAL compressed-container decode (PNG, stored-deflate) —
+# fabricate genuine PNGs (byte-identical to zlib-level-0 output,
+# test_png.py pins this against CPython zlib) from document text, then
+# parse IHDR / stored-block layout, VERIFY CRC-32 + Adler-32 from the
+# bytes, and compute exact channel means — all scan-stage Catalyst
+# (codecs.py::decode_png). The oracle replays the payload characters
+# directly: the container is lossless, so decoded means equal source-
+# character means, and the verified-checksum path is covered by the
+# n_bytes/meta columns being non-NULL for every row.
+_E228_W, _E228_H = 6, 5
+
+
+def _e228_size() -> int:
+    from pivot_spark.operators.codecs import png_file_size
+
+    return png_file_size(_E228_W, _E228_H)
+
+
+_E228_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id,
+         rpad(substring(text, 1, {_E228_W * _E228_H * 3}),
+              {_E228_W * _E228_H * 3}, ' ') AS p
+  FROM documents
+)
+SELECT doc_id,
+       CAST({_E228_W} AS INTEGER) AS width, CAST({_E228_H} AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth, CAST(2 AS INTEGER) AS color_type,
+       CAST({_e228_size()} AS BIGINT) AS n_bytes,
+       round(list_avg(list_transform(range(0, {_E228_W * _E228_H}),
+             i -> ascii(substring(p, CAST(1 + i * 3 AS INTEGER), 1)))), 4) AS mean_r,
+       round(list_avg(list_transform(range(0, {_E228_W * _E228_H}),
+             i -> ascii(substring(p, CAST(2 + i * 3 AS INTEGER), 1)))), 4) AS mean_g,
+       round(list_avg(list_transform(range(0, {_E228_W * _E228_H}),
+             i -> ascii(substring(p, CAST(3 + i * 3 AS INTEGER), 1)))), 4) AS mean_b
+FROM img
+"""
+
+
+@query("e228_png_decode", _E228_ORACLE)
+def e228_png_decode(spark, sf_dir):
+    """Real PNG (stored-deflate zlib) encode->decode roundtrip over the
+    corpus: the compressed-container leg of the media stack. Emitter is
+    byte-identical to CPython zlib level 0; decoder verifies signature,
+    IHDR CRC, block layout, scanline filters, IDAT CRC-32 and Adler-32
+    before trusting a single pixel byte (codecs.py::decode_png)."""
+    from pivot_spark.operators.codecs import decode_png, make_png
+
+    n = _E228_W * _E228_H * 3
+    d = _read(spark, sf_dir, "documents").withColumn(
+        "p", F.encode(F.expr(f"rpad(substring(text, 1, {n}), {n}, ' ')"), "UTF-8")
+    )
+    img = d.select(
+        "doc_id", make_png(_E228_W, _E228_H, F.col("p")).alias("image")
+    )
+    out = decode_png(img)
+    return out.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.bit_depth").alias("bit_depth"),
+        F.col("meta.color_type").alias("color_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )

