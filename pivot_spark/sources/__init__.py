@@ -1,3 +1,10 @@
+from pivot_spark.sources.bucketed import (
+    bucket_spec,
+    bucketed_join,
+    buckets_compatible,
+    read_bucketed,
+    write_bucketed,
+)
 from pivot_spark.sources.catalog import TABLES, load_table, load_tables, register_views
 from pivot_spark.sources.io import (
     FORMATS,
@@ -23,4 +30,9 @@ __all__ = [
     "run_file_pipeline",
     "write_bucketed_table",
     "write_manifest",
+    "bucket_spec",
+    "bucketed_join",
+    "buckets_compatible",
+    "read_bucketed",
+    "write_bucketed",
 ]

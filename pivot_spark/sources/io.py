@@ -152,10 +152,12 @@ def write_bucketed_table(
 ) -> None:
     """Persist as a bucketed (and optionally sorted) managed table —
     the co-located-join layout: two tables bucketed the same way on the
-    join key join WITHOUT a shuffle (verified in tests/test_plans.py).
-    At 100 TB this turns every recurring fact⨝fact join on the bucket
-    key from a full exchange into a local zip of bucket files. Bucketing
-    requires saveAsTable (the metastore records the layout)."""
+    join key join WITHOUT a shuffle (verified in tests/test_plans.py and
+    tests/test_bucketed.py). At 100 TB this turns every recurring
+    fact⨝fact join on the bucket key from a full exchange into a local
+    zip of bucket files. Bucketing requires saveAsTable (the metastore
+    records the layout). Thin shim over ``sources.bucketed`` (multi-key
+    layouts, spec introspection, co-bucket guards live there)."""
     w = df.write.format(fmt).mode(mode)
     if sort_col:
         w = w.bucketBy(num_buckets, bucket_col).sortBy(sort_col)
