@@ -36,6 +36,21 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Machine-speed calibration anchors, reported alongside the suite:
+    # a single-core Python loop and a fixed JVM codegen job. Absolute
+    # query seconds are only comparable across runs when these agree —
+    # round 4 measured a uniform ~1.3x suite shift traced to the HOST
+    # (unchanged queries slowed identically; see BASELINE.md §round-4).
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    py_calib = round(time.perf_counter() - t0, 3)
+    spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
+    jvm_calib = round(time.perf_counter() - t0, 3)
+
     # Warm up before timing: the file index for sf_dir, plus two real
     # throwaway queries at sf0.001 — one whole-stage-codegen aggregate
     # (p17) and one Arrow pandas_udf kernel (e03) — so the first MEASURED
@@ -93,6 +108,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
+        "calib": {"py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib},
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -123,6 +139,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_regressed_1p5x": len(regressed),
+        "calib": {"py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib},
         "full": "BENCH_FULL.json",
     }
     sys.stdout.flush()
