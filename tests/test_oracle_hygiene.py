@@ -57,10 +57,16 @@ def test_type_parity_spark_vs_oracle(con, spark):
     """Every oracle's DESCRIBE types must map 1:1 onto the Spark result
     schema. The driver's hash is type-aware (e152 went red on HUGEINT vs
     BIGINT with identical values; e104 was latently red on DECIMAL vs
-    DOUBLE), so type drift IS a correctness bug here."""
+    DOUBLE), so type drift IS a correctness bug here.
+
+    The same per-query build loop also enforces the global physical-plan
+    invariant from tools/plan_audit.py: NO declared batch query may plan
+    a CartesianProduct (the 32x32-partition-pair landmine BASELINE.md
+    documents — broadcast the tiny side instead)."""
     from tools.type_parity import compare
 
     bad = {}
+    cartesian = []
     for name, fn in entry_mod.queries().items():
         sql = entry_mod.oracle_sql().get(name)
         if sql is None:
@@ -69,7 +75,12 @@ def test_type_parity_spark_vs_oracle(con, spark):
         probs = compare(sdf.dtypes, con.execute(f"DESCRIBE {sql}").fetchall())
         if probs:
             bad[name] = probs
+        if not ("_stream" in name and name.startswith("s")):
+            plan = sdf._jdf.queryExecution().executedPlan().toString()
+            if "CartesianProduct" in plan:
+                cartesian.append(name)
     assert not bad, f"type parity violations: {bad}"
+    assert not cartesian, f"CartesianProduct planned by: {cartesian}"
 
 
 def test_no_oracle_emits_negative_zero(con):
