@@ -128,3 +128,91 @@ def span_corruption(
         _joined("__inp").alias("input_text"),
         _joined("__tgt").alias("target_text"),
     )
+
+
+def fim_transform(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seed: str = "fim42",
+    pre_tok: str = "<PRE>",
+    mid_tok: str = "<MID>",
+    suf_tok: str = "<SUF>",
+) -> DataFrame:
+    """Fill-in-the-Middle transform (Bavarian et al. 2022): split each
+    document at two deterministic positions into (prefix, middle,
+    suffix) and emit both canonical reorderings —
+
+    * PSM: ``<PRE> prefix <SUF> suffix <MID> middle``
+    * SPM: ``<SUF> suffix <PRE> prefix <MID> middle``
+
+    — the training pairs that teach a causal LM to infill. The split
+    points are md5 draws (``'<seed>:1:'||id`` / ``'<seed>:2:'||id``)
+    mapped to [0, L] by EXACT integer arithmetic — ``(v * (L+1)) >>
+    48`` on the 48-bit hash value — so the same document yields the
+    same pair on any engine, rerun, or partitioning (no float
+    rounding at the boundary, unlike a ``floor(u * L)`` construction).
+
+    Pure scan-stage: two md5 calls + three substrings per row, zero
+    shuffles, zero Python. NULL ids/texts are excluded; an empty text
+    yields three empty parts (sentinels only).
+
+    Output: (id, split_lo INT, split_hi INT, prefix, middle, suffix,
+    fim_psm, fim_spm).
+    """
+    two48 = 281474976710656  # 2^48
+
+    def draw(tag: str):
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{seed}:{tag}:"),
+                        F.col(id_col).cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(text_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("__t"),
+        F.length(text_col).cast("long").alias("__L"),
+        draw("1").alias("__v1"),
+        draw("2").alias("__v2"),
+    )
+    # `div`, not `/`: Spark's `/` is DOUBLE division, and v*(L+1) can
+    # exceed 2^53 where doubles drop integer precision — `div` keeps
+    # the whole computation in exact 64-bit integers
+    a = F.expr(f"(__v1 * (__L + 1)) div {two48}")
+    b = F.expr(f"(__v2 * (__L + 1)) div {two48}")
+    base = base.select(
+        "id", "__t",
+        F.least(a, b).cast("int").alias("split_lo"),
+        F.greatest(a, b).cast("int").alias("split_hi"),
+    )
+    lo, hi = F.col("split_lo"), F.col("split_hi")
+    prefix = F.col("__t").substr(F.lit(1), lo)
+    middle = F.col("__t").substr(lo + 1, hi - lo)
+    suffix = F.col("__t").substr(hi + 1, F.length("__t") - hi)
+    out = base.select(
+        "id", "split_lo", "split_hi",
+        prefix.alias("prefix"), middle.alias("middle"), suffix.alias("suffix"),
+    )
+    return out.select(
+        "*",
+        F.concat(
+            F.lit(pre_tok), "prefix", F.lit(suf_tok), "suffix",
+            F.lit(mid_tok), "middle",
+        ).alias("fim_psm"),
+        F.concat(
+            F.lit(suf_tok), "suffix", F.lit(pre_tok), "prefix",
+            F.lit(mid_tok), "middle",
+        ).alias("fim_spm"),
+    )

@@ -1409,3 +1409,50 @@ def e228_png_decode(spark, sf_dir):
         F.round("mean_g", 4).alias("mean_g"),
         F.round("mean_b", 4).alias("mean_b"),
     )
+
+
+# --- E229: Fill-in-the-Middle transform (Bavarian et al. 2022) — the
+# infilling counterpart of e211's T5 span corruption: deterministic
+# two-point split into (prefix, middle, suffix) + the PSM and SPM
+# reorderings a causal LM trains on. Split points are exact-integer
+# ((v * (L+1)) >> 48) md5 arithmetic — no float at the boundary — so
+# the oracle replays them term-for-term.
+_E229_H1 = "md5('fim42:1:' || CAST(doc_id AS VARCHAR))"
+_E229_H2 = "md5('fim42:2:' || CAST(doc_id AS VARCHAR))"
+_E229_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text AS tx, CAST(length(text) AS BIGINT) AS L,
+         CAST('0x' || substring({_E229_H1}, 1, 12) AS UBIGINT)::BIGINT AS v1,
+         CAST('0x' || substring({_E229_H2}, 1, 12) AS UBIGINT)::BIGINT AS v2
+  FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
+), s AS (
+  SELECT doc_id, tx,
+         CAST(least((v1 * (L + 1)) // 281474976710656,
+                    (v2 * (L + 1)) // 281474976710656) AS INTEGER) AS split_lo,
+         CAST(greatest((v1 * (L + 1)) // 281474976710656,
+                       (v2 * (L + 1)) // 281474976710656) AS INTEGER) AS split_hi
+  FROM t
+), p AS (
+  SELECT doc_id, split_lo, split_hi,
+         substring(tx, 1, split_lo) AS prefix,
+         substring(tx, split_lo + 1, split_hi - split_lo) AS middle,
+         substring(tx, split_hi + 1, length(tx) - split_hi) AS suffix
+  FROM s
+)
+SELECT doc_id, split_lo, split_hi, prefix, middle, suffix,
+       '<PRE>' || prefix || '<SUF>' || suffix || '<MID>' || middle AS fim_psm,
+       '<SUF>' || suffix || '<PRE>' || prefix || '<MID>' || middle AS fim_spm
+FROM p
+"""
+
+
+@query("e229_fim_transform", _E229_ORACLE)
+def e229_fim_transform(spark, sf_dir):
+    """FIM training pairs over the corpus: scan-stage md5 splits + the
+    PSM/SPM sentinel reorderings (operators/augment.py::fim_transform);
+    zero shuffles, exact-integer split points on any engine."""
+    from pivot_spark.operators.augment import fim_transform
+
+    docs = _read(spark, sf_dir, "documents")
+    out = fim_transform(docs, "doc_id", "text", seed="fim42")
+    return out.withColumnRenamed("id", "doc_id")

@@ -731,3 +731,58 @@ def test_robust_scale_outlier_proof(spark):
                                 ["g", "v", "k"])
     out2 = [r["robust_z"] for r in robust_scale(df2, ["g"], "v", "k").collect()]
     assert out2 == [0.0, 0.0]
+
+
+# --------------------------------------------------------------------------
+# augment.py::fim_transform
+# --------------------------------------------------------------------------
+
+def test_fim_parts_reassemble_and_are_deterministic(spark):
+    from pivot_spark.operators.augment import fim_transform
+
+    rows = [(i, f"doc {i} " + "abcdefghij" * (i + 1)) for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["id"]: r for r in fim_transform(df, "doc_id", "text").collect()}
+    b = {r["id"]: r for r in fim_transform(df, "doc_id", "text").collect()}
+    assert a.keys() == b.keys() and len(a) == 20
+    texts = dict(rows)
+    for i, r in a.items():
+        # lossless split: prefix+middle+suffix reassembles the document
+        assert r["prefix"] + r["middle"] + r["suffix"] == texts[i]
+        assert 0 <= r["split_lo"] <= r["split_hi"] <= len(texts[i])
+        # canonical reorderings carry the same three parts
+        assert r["fim_psm"] == (
+            "<PRE>" + r["prefix"] + "<SUF>" + r["suffix"] + "<MID>" + r["middle"]
+        )
+        assert r["fim_spm"] == (
+            "<SUF>" + r["suffix"] + "<PRE>" + r["prefix"] + "<MID>" + r["middle"]
+        )
+        # deterministic across invocations
+        assert tuple(r) == tuple(b[i])
+    # the splits actually vary across documents (not degenerate)
+    assert len({(r["split_lo"], r["split_hi"]) for r in a.values()}) > 5
+
+
+def test_fim_edge_cases(spark):
+    from pivot_spark.operators.augment import fim_transform
+
+    rows = [(1, ""), (2, "x"), (3, None), (None, "y")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["id"]: r for r in fim_transform(df, "doc_id", "text").collect()}
+    assert set(out) == {1, 2}  # NULL id/text excluded
+    r = out[1]
+    assert (r["prefix"], r["middle"], r["suffix"]) == ("", "", "")
+    assert r["fim_psm"] == "<PRE><SUF><MID>"
+    r2 = out[2]
+    assert r2["prefix"] + r2["middle"] + r2["suffix"] == "x"
+
+
+def test_fim_is_scan_stage(spark):
+    from pivot_spark.operators.augment import fim_transform
+
+    df = spark.createDataFrame([(1, "hello world")], ["doc_id", "text"])
+    plan = (
+        fim_transform(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
