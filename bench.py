@@ -96,6 +96,17 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
     total = round(sum(timings.values()), 3)
 
+    # second calibration sample AFTER the suite: the start/end pair
+    # exposes within-run host drift (throttling, noisy neighbors)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    py_calib_end = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
+    jvm_calib_end = round(time.perf_counter() - t0, 3)
+
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
     except ValueError:
@@ -108,7 +119,9 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
-        "calib": {"py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib},
+        "calib": {"py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib,
+                  "py_loop_1e7_sec_end": py_calib_end,
+                  "jvm_sum_2e8_sec_end": jvm_calib_end},
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -127,10 +140,17 @@ def main() -> None:
     # regressed when it is >1.5x the baseline AFTER dividing that
     # factor out (round-4 evidence: a uniform 1.29x host shift flagged
     # 47 queries that isolated re-runs showed unchanged).
+    # anchors are spread across the REGISTRATION ORDER (early / middle /
+    # late) because the host's speed drifts within one ~20-min suite run
+    # (burst turbo at start, sustained-load throttling later): an
+    # early-only anchor set read 1.05x in the same run whose late-suite
+    # untouched queries read 1.6x
     anchors = [
         "p01", "p03", "p08", "p13", "e01_dedup_exact", "e02_text_stats",
         "e05_text_quality", "e18_hash_sample", "e21_topk_window",
         "e43_cube", "e63_retention", "e94_mode_by_key",
+        "e100_ks_test", "e121_rfm", "e146_cdf_transform",
+        "e160_sequence_surprise", "e165_interarrival", "e200_table_checksum",
     ]
     anchor_ratios = sorted(ratios[a] for a in anchors if a in ratios)
     host_factor = (
@@ -163,7 +183,9 @@ def main() -> None:
         "n_queries": len(timings),
         "n_regressed_1p5x": len(regressed),
         "host_factor_vs_baseline": round(host_factor, 3),
-        "calib": {"py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib},
+        "calib": {"py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib,
+                  "py_loop_1e7_sec_end": py_calib_end,
+                  "jvm_sum_2e8_sec_end": jvm_calib_end},
         "full": "BENCH_FULL.json",
     }
     sys.stdout.flush()
