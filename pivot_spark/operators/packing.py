@@ -142,3 +142,59 @@ def curriculum_order(
         [F.col("pos_in_bucket"), F.col("bucket")],
         out_col=out_col,
     )
+
+
+def length_batches(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Length-grouped batch planning (the dynamic-padding trick every
+    training loader uses: batching similar-length sequences shrinks the
+    pad-to-max waste): order rows by ``len_col`` DESC (ties by id),
+    chunk the global order into batches of ``batch_size``, and report
+    each batch's padding economics.
+
+    The global order comes from ``row_rank`` — range partition +
+    per-partition row_number + broadcast prefix offsets — so NO global
+    single-partition sort exists at any corpus size; the batch report
+    is answer-sized (corpus_rows / batch_size rows).
+
+    Output per batch: (batch INT, n_rows, max_len, sum_len,
+    padded_len = n_rows * max_len, pad_efficiency = sum/padded 4dp —
+    1.0 means zero wasted pad positions). Rows with NULL id/length are
+    excluded.
+    """
+    from pivot_spark.operators.profile import row_rank
+
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+    base = df.filter(
+        F.col(id_col).isNotNull() & F.col(len_col).isNotNull()
+    ).select(
+        F.col(id_col).alias("__id"), F.col(len_col).cast("long").alias("__n")
+    )
+    ranked = row_rank(
+        base, [F.col("__n").desc(), F.col("__id")], out_col="__rk"
+    )
+    agg = (
+        ranked.withColumn(
+            "batch",
+            F.expr(f"CAST((__rk - 1) div {batch_size} AS INT)"),
+        )
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("__n").alias("max_len"),
+            F.sum("__n").alias("sum_len"),
+        )
+    )
+    padded = F.col("n_rows") * F.col("max_len")
+    return agg.select(
+        "batch", "n_rows", "max_len", "sum_len",
+        padded.alias("padded_len"),
+        F.round(F.col("sum_len") / padded.cast("double"), 4).alias(
+            "pad_efficiency"
+        ),
+    )

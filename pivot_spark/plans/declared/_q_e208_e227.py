@@ -1456,3 +1456,37 @@ def e229_fim_transform(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     out = fim_transform(docs, "doc_id", "text", seed="fim42")
     return out.withColumnRenamed("id", "doc_id")
+
+
+# --- E230: length-grouped batch planning — the dynamic-padding loader
+# layout: global length-DESC order (skew-free row_rank, no global
+# sort), chunked into fixed batches, per-batch padding economics. The
+# oracle replays the order/chunking with a window row_number.
+_E230_B = 64
+_E230_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+), b AS (
+  SELECT CAST((rk - 1) // {_E230_B} AS INTEGER) AS batch, n_chars FROM r
+)
+SELECT batch, count(*) AS n_rows,
+       CAST(max(n_chars) AS BIGINT) AS max_len,
+       CAST(sum(n_chars) AS BIGINT) AS sum_len,
+       CAST(count(*) * max(n_chars) AS BIGINT) AS padded_len,
+       round(sum(n_chars) / CAST(count(*) * max(n_chars) AS DOUBLE), 4)
+         AS pad_efficiency
+FROM b GROUP BY batch
+"""
+
+
+@query("e230_length_batches", _E230_ORACLE)
+def e230_length_batches(spark, sf_dir):
+    """Padding-efficiency batch report over the corpus
+    (operators/packing.py::length_batches): answer-sized output, the
+    only corpus-wide stage is the range-partitioned ranker."""
+    from pivot_spark.operators.packing import length_batches
+
+    docs = _read(spark, sf_dir, "documents")
+    return length_batches(docs, "doc_id", "n_chars", batch_size=_E230_B)

@@ -59,3 +59,41 @@ def test_shard_bounds_validated(spark):
         shuffle_shard(df, "id", 0)
     with pytest.raises(ValueError):
         pack_sequences(df, "id", "n", budget=10, n_shards=1 << 17)
+
+
+# --------------------------------------------------------------------------
+# packing.py::length_batches
+# --------------------------------------------------------------------------
+
+def test_length_batches_groups_similar_lengths(spark):
+    from pivot_spark.operators.packing import length_batches
+
+    # lengths 1..100 -> with B=10, batch 0 holds 100..91 etc.; grouping
+    # by length makes every batch's efficiency >= 91/100 while one
+    # random batch of the same data would sit near 0.5
+    rows = [(i, i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, ["doc_id", "n"])
+    out = {r["batch"]: r for r in length_batches(df, "doc_id", "n", 10).collect()}
+    assert len(out) == 10
+    assert all(r["n_rows"] == 10 for r in out.values())
+    assert out[0]["max_len"] == 100 and out[9]["max_len"] == 10
+    assert all(r["pad_efficiency"] >= 0.5 for r in out.values())
+    assert out[0]["pad_efficiency"] >= 0.95
+    # total rows conserved, padded >= sum
+    assert sum(r["sum_len"] for r in out.values()) == sum(range(1, 101))
+    assert all(r["padded_len"] >= r["sum_len"] for r in out.values())
+
+
+def test_length_batches_edges(spark):
+    import pytest
+
+    from pivot_spark.operators.packing import length_batches
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, None), (None, 3), (3, 5)], "doc_id int, n int"
+    )
+    out = length_batches(df, "doc_id", "n", 64).collect()
+    assert len(out) == 1 and out[0]["n_rows"] == 2  # NULLs excluded
+    assert out[0]["pad_efficiency"] == 1.0  # equal lengths: no waste
+    with pytest.raises(ValueError, match="batch_size"):
+        length_batches(df, "doc_id", "n", 0)
