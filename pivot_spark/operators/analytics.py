@@ -1695,6 +1695,13 @@ def krippendorff_alpha(
     (n_units BIGINT, n_pairable BIGINT, d_o, d_e, alpha as raw doubles;
     callers round). Degenerate D_e = 0 (a single value overall) yields
     NULL alpha.
+
+    EAGER: this operator executes at call time (it materializes the
+    one-row answer so the cache fences around the reused coincidence
+    frame can be released immediately — a long-lived session would
+    otherwise accumulate cached blocks per invocation) and returns a
+    localized answer-sized frame. Plan-only callers (plan audits,
+    type-parity sweeps) pay full execution for queries built on it.
     """
     base = df.filter(
         F.col(unit_col).isNotNull() & F.col(value_col).isNotNull()
@@ -1957,6 +1964,10 @@ def jackknife_ratio(
     ONE corpus aggregate (B-bounded), then answer-sized algebra.
     Output: one row — (ratio, se_jack, ci_lo, ci_hi at ±1.96·se,
     n_buckets BIGINT, n BIGINT).
+
+    EAGER: executes at call time and returns a localized answer-sized
+    frame (see ``krippendorff_alpha`` — same cache-fence rationale).
+    Plan-only callers pay full execution for queries built on it.
     """
     if buckets < 2:
         raise ValueError(f"buckets must be >= 2, got {buckets}")

@@ -149,9 +149,12 @@ def fim_transform(
     — the training pairs that teach a causal LM to infill. The split
     points are md5 draws (``'<seed>:1:'||id`` / ``'<seed>:2:'||id``)
     mapped to [0, L] by EXACT integer arithmetic — ``(v * (L+1)) >>
-    48`` on the 48-bit hash value — so the same document yields the
+    32`` on the 32-bit hash value — so the same document yields the
     same pair on any engine, rerun, or partitioning (no float
     rounding at the boundary, unlike a ``floor(u * L)`` construction).
+    The 32-bit draw keeps ``v * (L+1)`` inside int64 for any text up
+    to 2^31 - 1 characters (a 48-bit draw would silently wrap int64
+    past 32 K chars); texts longer than that are out of contract.
 
     Pure scan-stage: two md5 calls + three substrings per row, zero
     shuffles, zero Python. NULL ids/texts are excluded; an empty text
@@ -160,7 +163,7 @@ def fim_transform(
     Output: (id, split_lo INT, split_hi INT, prefix, middle, suffix,
     fim_psm, fim_spm).
     """
-    two48 = 281474976710656  # 2^48
+    two32 = 4294967296  # 2^32
 
     def draw(tag: str):
         return F.conv(
@@ -172,7 +175,7 @@ def fim_transform(
                     )
                 ),
                 1,
-                12,
+                8,
             ),
             16,
             10,
@@ -190,8 +193,8 @@ def fim_transform(
     # `div`, not `/`: Spark's `/` is DOUBLE division, and v*(L+1) can
     # exceed 2^53 where doubles drop integer precision — `div` keeps
     # the whole computation in exact 64-bit integers
-    a = F.expr(f"(__v1 * (__L + 1)) div {two48}")
-    b = F.expr(f"(__v2 * (__L + 1)) div {two48}")
+    a = F.expr(f"(__v1 * (__L + 1)) div {two32}")
+    b = F.expr(f"(__v2 * (__L + 1)) div {two32}")
     base = base.select(
         "id", "__t",
         F.least(a, b).cast("int").alias("split_lo"),

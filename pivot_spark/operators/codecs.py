@@ -2146,7 +2146,9 @@ def make_png(width: int, height: int, payload: Column) -> Column:
 
     The zlib stream inside IDAT uses STORED (BTYPE=0) deflate blocks in
     the greedy 65535-byte layout — byte-identical to what
-    ``zlib.compress(raw, level=0)`` emits — so the file is readable by
+    ``zlib.compress(raw, level=0)`` emits for raw <= 65531 bytes (one
+    block; past that zlib's block sizes diverge from the greedy model,
+    see ``decode_png``) — so the file is readable by
     any standards-compliant PNG decoder AND parseable back by
     ``decode_png``'s expression arithmetic (stored blocks are the one
     deflate flavor whose payload needs no bit-level Huffman state;
@@ -2250,13 +2252,17 @@ def decode_png(
     channel_means: bool = True,
 ) -> DataFrame:
     """Parse REAL truecolor PNGs whose zlib stream is stored-deflate in
-    a constant-block-size greedy layout — which covers BOTH
-    ``zlib.compress(raw, 0)`` (65531-byte blocks: zlib reserves buffer
-    headroom) and ``make_png`` (65535) — the one compressed-container
-    family that is fully decodable in scan-stage Catalyst byte
-    arithmetic, because stored blocks are byte-aligned (RFC 1951
-    §3.2.4). The block size is DERIVED from the first block's LEN
-    field and every later block is verified against it.
+    a constant-block-size greedy layout — ``make_png`` output (65535-
+    byte blocks) at any size, and ``zlib.compress(raw, 0)`` output
+    (65531-byte first block) up to TWO stored blocks, i.e. raw <=
+    2*65531 bytes (~128 KB; CPython zlib's third block onward shrinks
+    — e.g. (65531, 32773, 32758) for a 131062-byte stream — which
+    breaks the constant-size model and is rejected, meta NULL, never a
+    wrong value). This is the one compressed-container family that is
+    fully decodable in scan-stage Catalyst byte arithmetic, because
+    stored blocks are byte-aligned (RFC 1951 §3.2.4). The block size
+    is DERIVED from the first block's LEN field and every later block
+    is verified against it.
 
     Declared limitations (each makes ``ok`` false, never a wrong
     answer): single IDAT chunk directly after IHDR; bit depth 8, color
@@ -2409,7 +2415,7 @@ def decode_png(
         ),
     )
     out = out.withColumn(meta_col, meta)
-    drop = ["__pre", "__hx", "__w", "__h", "__L", "__nb", "__ok"]
+    drop = ["__pre", "__hx", "__w", "__h", "__L", "__nb", "__bk", "__ok"]
     if not channel_means:
         return out.drop(*drop)
 

@@ -1362,10 +1362,16 @@ def _e228_size() -> int:
 
 _E228_ORACLE = f"""
 WITH img AS (
+  -- ASCII-restrict before padding: the Spark side averages UTF-8
+  -- BYTES of the payload while this oracle averages CODEPOINTS;
+  -- they agree iff every payload char is ASCII. NULLs excluded on
+  -- both sides (a NULL text yields NULL meta in the decoder).
   SELECT doc_id,
-         rpad(substring(text, 1, {_E228_W * _E228_H * 3}),
+         rpad(substring(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
+                        1, {_E228_W * _E228_H * 3}),
               {_E228_W * _E228_H * 3}, ' ') AS p
   FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
 )
 SELECT doc_id,
        CAST({_E228_W} AS INTEGER) AS width, CAST({_E228_H} AS INTEGER) AS height,
@@ -1391,8 +1397,23 @@ def e228_png_decode(spark, sf_dir):
     from pivot_spark.operators.codecs import decode_png, make_png
 
     n = _E228_W * _E228_H * 3
-    d = _read(spark, sf_dir, "documents").withColumn(
-        "p", F.encode(F.expr(f"rpad(substring(text, 1, {n}), {n}, ' ')"), "UTF-8")
+    # ASCII-restrict the payload (multibyte chars would inflate the
+    # UTF-8 byte payload past width*height*3 and get truncated by
+    # make_png's substring, silently diverging from the codepoint
+    # oracle); exclude NULLs so both sides see the same row set.
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .withColumn(
+            "p",
+            F.encode(
+                F.expr(
+                    "rpad(substring(regexp_replace(text,"
+                    f" '[^\\\\x00-\\\\x7F]', '?'), 1, {n}), {n}, ' ')"
+                ),
+                "UTF-8",
+            ),
+        )
     )
     img = d.select(
         "doc_id", make_png(_E228_W, _E228_H, F.col("p")).alias("image")
@@ -1415,22 +1436,23 @@ def e228_png_decode(spark, sf_dir):
 # infilling counterpart of e211's T5 span corruption: deterministic
 # two-point split into (prefix, middle, suffix) + the PSM and SPM
 # reorderings a causal LM trains on. Split points are exact-integer
-# ((v * (L+1)) >> 48) md5 arithmetic — no float at the boundary — so
-# the oracle replays them term-for-term.
+# ((v * (L+1)) >> 32) md5 arithmetic — the 32-bit draw keeps the
+# product inside int64 for texts up to 2^31-1 chars — so the oracle
+# replays them term-for-term with no float at the boundary.
 _E229_H1 = "md5('fim42:1:' || CAST(doc_id AS VARCHAR))"
 _E229_H2 = "md5('fim42:2:' || CAST(doc_id AS VARCHAR))"
 _E229_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text AS tx, CAST(length(text) AS BIGINT) AS L,
-         CAST('0x' || substring({_E229_H1}, 1, 12) AS UBIGINT)::BIGINT AS v1,
-         CAST('0x' || substring({_E229_H2}, 1, 12) AS UBIGINT)::BIGINT AS v2
+         CAST('0x' || substring({_E229_H1}, 1, 8) AS UBIGINT)::BIGINT AS v1,
+         CAST('0x' || substring({_E229_H2}, 1, 8) AS UBIGINT)::BIGINT AS v2
   FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL
 ), s AS (
   SELECT doc_id, tx,
-         CAST(least((v1 * (L + 1)) // 281474976710656,
-                    (v2 * (L + 1)) // 281474976710656) AS INTEGER) AS split_lo,
-         CAST(greatest((v1 * (L + 1)) // 281474976710656,
-                       (v2 * (L + 1)) // 281474976710656) AS INTEGER) AS split_hi
+         CAST(least((v1 * (L + 1)) // 4294967296,
+                    (v2 * (L + 1)) // 4294967296) AS INTEGER) AS split_lo,
+         CAST(greatest((v1 * (L + 1)) // 4294967296,
+                       (v2 * (L + 1)) // 4294967296) AS INTEGER) AS split_hi
   FROM t
 ), p AS (
   SELECT doc_id, split_lo, split_hi,

@@ -777,6 +777,19 @@ def test_fim_edge_cases(spark):
     assert r2["prefix"] + r2["middle"] + r2["suffix"] == "x"
 
 
+def test_fim_long_text_no_int64_overflow(spark):
+    # Regression: a 48-bit draw overflows v*(L+1) past 2^63 once
+    # L+1 > 2^15, silently wrapping (non-ANSI Spark) into negative
+    # split points. The 32-bit draw must stay exact up to 2^31 chars.
+    from pivot_spark.operators.augment import fim_transform
+
+    long_text = "z" * 40000  # > 32768, the old wrap threshold
+    df = spark.createDataFrame([(1, long_text)], ["doc_id", "text"])
+    r = fim_transform(df, "doc_id", "text").collect()[0]
+    assert 0 <= r["split_lo"] <= r["split_hi"] <= 40000
+    assert r["prefix"] + r["middle"] + r["suffix"] == long_text
+
+
 def test_fim_is_scan_stage(spark):
     from pivot_spark.operators.augment import fim_transform
 

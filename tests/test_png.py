@@ -70,6 +70,21 @@ def test_decode_png_roundtrip_and_means(spark):
         assert r[name] == pytest.approx(exp, abs=1e-9)
 
 
+def test_decode_png_output_schema_has_no_internal_columns(spark):
+    # Regression: the drop list once omitted __bk, leaking an internal
+    # long column into every decode_png output (and clobbering any
+    # pre-existing __bk column).
+    from pivot_spark.operators.codecs import decode_png, make_png
+
+    w, h = 4, 3
+    p = _payload(w, h)
+    df = spark.createDataFrame([(1, p)], "id int, p binary")
+    img = df.select("id", make_png(w, h, F.col("p")).alias("image"))
+    for means in (True, False):
+        cols = decode_png(img, channel_means=means).columns
+        assert not [c for c in cols if c.startswith("__")], cols
+
+
 def test_decode_png_reads_real_zlib_file_multiblock(spark):
     # 150x150 RGB -> raw 67,950 bytes -> TWO stored blocks
     from pivot_spark.operators.codecs import decode_png

@@ -1,9 +1,12 @@
 """Physical-plan audit over EVERY declared batch query.
 
 `.explain` discipline, made systematic: build each query's DataFrame at
-sf0.001 (plan analysis only — nothing is executed for batch queries),
-walk the physical plan string, and report the operators that decide
-100 TB behavior:
+sf0.001 (plan analysis only — building a batch query executes nothing,
+EXCEPT queries built on the eager one-row operators
+``analytics.krippendorff_alpha`` / ``analytics.jackknife_ratio``, which
+materialize their answer at call time to release cache fences — those
+few pay full sf0.001 execution here), walk the physical plan string,
+and report the operators that decide 100 TB behavior:
 
 * shuffle surface — hash / range / single-partition Exchanges;
 * join strategies — broadcast vs sort-merge vs the two landmines
