@@ -133,7 +133,12 @@ def source_diversity(
     high mean = the feed is boilerplate-heavy (dedup it first)."""
     if sample_k < 2:
         raise ValueError(f"sample_k must be >= 2, got {sample_k}")
-    from pivot_spark.operators.neardup import word_shingles_pd
+    # Expression shingles, not the pandas-UDF variant: shingling runs
+    # AFTER the top-k sample filter (<= k rows per group), so the
+    # corpus-scale argument for the Arrow path doesn't apply and the
+    # expression keeps the stage in whole-stage codegen with no Python
+    # worker round-trip (round-4 bench flag e161).
+    from pivot_spark.operators.neardup import word_shingles
 
     base = df.filter(
         F.col(id_col).isNotNull() & F.col(group_col).isNotNull()
@@ -146,7 +151,7 @@ def source_diversity(
         .select(
             F.col(group_col).alias("grp"),
             F.col(id_col).alias("__id"),
-            word_shingles_pd(F.lower(F.col(text_col)), shingle_len).alias("__g"),
+            word_shingles(F.lower(F.col(text_col)), shingle_len).alias("__g"),
         )
         .persist()
     )
