@@ -27,9 +27,29 @@ replays the same bytes from the source text.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _arrow_engine(engine: str) -> bool:
+    """Resolve the decode-engine switch shared by the heavy codec
+    operators: "expr" keeps the pure-Catalyst byte-fold path (oracle
+    development, plan pinning), "arrow" hands off to the
+    ``codecs_arrow`` mapInPandas kernels (the corpus-scale path —
+    vectorized numpy instead of one interpreted lambda step per byte),
+    and "auto" (the default everywhere) reads $SPARK_GRAFT_CODEC_ENGINE
+    and falls back to "arrow". Both paths are output-identical
+    (tests/test_codecs_arrow_parity.py)."""
+    if engine == "expr":
+        return False
+    if engine == "arrow":
+        return True
+    if engine != "auto":
+        raise ValueError(f"engine must be expr|arrow|auto, got {engine!r}")
+    return os.environ.get("SPARK_GRAFT_CODEC_ENGINE", "arrow") != "expr"
 
 
 def _u8(raw: Column, pos: Column) -> Column:
@@ -474,14 +494,20 @@ def decode_wav(
     binary_col: str = "audio",
     meta_col: str = "meta",
     channel_stats: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Parse canonical PCM-16 WAV headers (RIFF | fmt@12 | data@36 —
     the stdlib ``wave``-writer layout; files with extra chunks before
     ``data`` are returned as NULL meta, declared limitation) and exact
     per-channel mean / RMS over the signed samples. Channels beyond the
     second are parsed in meta but not aggregated (``mean_ch1``/
-    ``rms_ch1`` are NULL for mono). Scan-stage Catalyst only — the
-    audio-feature extraction path needs no Python."""
+    ``rms_ch1`` are NULL for mono). engine="expr" is scan-stage
+    Catalyst; the default resolves to the output-identical Arrow
+    kernel (see ``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.decode_wav(df, binary_col, meta_col, channel_stats)
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -582,6 +608,7 @@ def wav_features(
     df: DataFrame,
     binary_col: str = "audio",
     silence_abs: int = 4096,
+    engine: str = "auto",
 ) -> DataFrame:
     """Audio screening features over channel 0 of canonical PCM-16 WAVs:
     ``n_samples``, ``zcr`` (zero-crossing rate, crossings/(n-1)),
@@ -597,7 +624,12 @@ def wav_features(
     channel count are materialized and gated with ``ok`` (hoisted
     columns evaluate unconditionally; see decode_wav notes), and all
     lambda argument names are unique per this function (CollapseProject
-    lambda-name mis-binding)."""
+    lambda-name mis-binding). Default engine: the Arrow kernel
+    (``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.wav_features(df, binary_col, silence_abs)
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -794,6 +826,7 @@ def wav_downsample(
     factor: int,
     binary_col: str = "audio",
     out_col: str = "downsampled",
+    engine: str = "auto",
 ) -> DataFrame:
     """Integer-decimation downsample emitting REAL WAV bytes: keep every
     ``factor``-th frame (ALL channels of it), sample rate becomes
@@ -807,10 +840,14 @@ def wav_downsample(
     indices slicing ``block*2`` hex chars each from the hexed source
     (hex once per row — the HOF-lambda CSE pitfall), then one
     ``unhex``; header fields are rebuilt with little-endian byte
-    arithmetic from the parsed source header. Scan-stage, no shuffle,
-    no Python."""
+    arithmetic from the parsed source header. Default engine: the
+    Arrow kernel (``_arrow_engine``)."""
     if factor < 1:
         raise ValueError(f"factor must be >= 1, got {factor}")
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.wav_downsample(df, factor, binary_col, out_col)
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -1053,6 +1090,7 @@ def wav_mixdown(
     df: DataFrame,
     binary_col: str = "audio",
     out_col: str = "mono",
+    engine: str = "auto",
 ) -> DataFrame:
     """Stereo→mono mixdown emitting REAL WAV bytes: each output sample
     is ``floor((L + R) / 2)`` (floor division of the SIGNED sum — the
@@ -1064,7 +1102,12 @@ def wav_mixdown(
     Same plan shape as ``wav_downsample``: header fields as gated named
     columns + one expr-string header, one interpreted ``transform``
     over output samples (each reading 2 or 4 source bytes from the
-    hexed blob), one ``unhex``. Scan-stage, no shuffle, no Python."""
+    hexed blob), one ``unhex``. Default engine: the Arrow kernel
+    (``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.wav_mixdown(df, binary_col, out_col)
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -1136,6 +1179,7 @@ def wav_trim_silence(
     binary_col: str = "audio",
     threshold_abs: int = 4096,
     out_col: str = "trimmed",
+    engine: str = "auto",
 ) -> DataFrame:
     """Leading/trailing-silence trim emitting REAL WAV bytes — the
     VAD-lite first pass of a speech-curation pipeline. A sample is
@@ -1148,10 +1192,17 @@ def wav_trim_silence(
 
     One fold finds (first, last) active indices, one interpreted
     ``transform`` copies the kept frames from the hexed blob, the
-    header is rebuilt as ONE expr string. Scan-stage, no shuffle, no
-    Python; malformed input -> NULL via the shared header gate."""
+    header is rebuilt as ONE expr string. Malformed input -> NULL via
+    the shared header gate. Default engine: the Arrow kernel
+    (``_arrow_engine``)."""
     if threshold_abs < 0:
         raise ValueError(f"threshold_abs must be >= 0, got {threshold_abs}")
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.wav_trim_silence(
+            df, binary_col, threshold_abs, out_col
+        )
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -1293,6 +1344,7 @@ def audio_fingerprint(
     binary_col: str = "audio",
     out_col: str = "afp",
     n_frames: int = 17,
+    engine: str = "auto",
 ) -> DataFrame:
     """Energy-delta acoustic fingerprint over channel 0 of canonical
     PCM-16 WAVs: the samples are split into ``n_frames`` equal frames
@@ -1308,11 +1360,15 @@ def audio_fingerprint(
     over that frame's index range), built as ONE ``F.expr`` string (the
     Column-object form costs real driver seconds in py4j round-trips —
     see ``_le_sql``). Malformed blobs -> NULL fingerprint via the
-    shared poison-pill header gate. No shuffle, no Python; pair mining
-    over the fingerprint is ``neardup.hamming_pairs`` (banded, never
-    n²)."""
+    shared poison-pill header gate. Pair mining over the fingerprint
+    is ``neardup.hamming_pairs`` (banded, never n²). Default engine:
+    the Arrow kernel (``_arrow_engine``)."""
     if not 2 <= n_frames <= 64:
         raise ValueError(f"n_frames must be in [2, 64], got {n_frames}")
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.audio_fingerprint(df, binary_col, out_col, n_frames)
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -1381,6 +1437,7 @@ def ppm_dhash(
     out_col: str = "dhash",
     grid_w: int = 8,
     grid_h: int = 7,
+    engine: str = "auto",
 ) -> DataFrame:
     """Difference-hash (dHash — the classic public gradient image
     fingerprint) over REAL P6 pixels: nearest-neighbor-sample a
@@ -1396,9 +1453,10 @@ def ppm_dhash(
     reading 3 bytes from the hexed blob), the packing is a scalar
     projection — scan-stage, no shuffle, no Python. Sized for
     thumbnail-scale payloads like the rest of the expression codecs;
-    megapixel inputs should decode via an Arrow ``mapInPandas`` kernel
-    and reuse the same threshold/pack step. Malformed blobs -> NULL
-    hash via the poison-pill header gate. Pair mining is
+    the default engine resolves to the Arrow ``mapInPandas`` kernel
+    (``_arrow_engine``), which reuses the same NN-grid/threshold/pack
+    arithmetic at any payload size. Malformed blobs -> NULL hash via
+    the poison-pill header gate. Pair mining is
     ``neardup.hamming_pairs``."""
     bits = grid_w * grid_h
     if not (grid_w >= 1 and grid_h >= 1 and bits <= 63):
@@ -1406,6 +1464,10 @@ def ppm_dhash(
             f"need grid_w, grid_h >= 1 and grid_w*grid_h <= 63, got "
             f"{grid_w}x{grid_h}"
         )
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.ppm_dhash(df, binary_col, out_col, grid_w, grid_h)
     raw = F.col(binary_col)
     ok, w, h, mx, hdr_len = _ppm_header(raw)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -1582,6 +1644,7 @@ def wav_spectral(
     bins: "tuple[int, ...]" = (1, 2, 3, 6),
     binary_col: str = "audio",
     coef_scale: int = 1000,
+    engine: str = "auto",
 ) -> DataFrame:
     """Spectral-energy screen over the leading ``n_samples`` channel-0
     samples of canonical PCM-16 WAVs: per DFT bin k the normalized
@@ -1606,11 +1669,18 @@ def wav_spectral(
 
     Files shorter than ``n_samples`` (or malformed) -> NULL powers.
     Output: input columns + ``p_bin{k}`` per bin + ``dom_bin`` (the
-    argmax bin, ties to the lowest k; NULL when powers are NULL)."""
+    argmax bin, ties to the lowest k; NULL when powers are NULL).
+    Default engine: the Arrow kernel (``_arrow_engine``)."""
     if n_samples < 2:
         raise ValueError(f"n_samples must be >= 2, got {n_samples}")
     if not bins:
         raise ValueError("bins must be non-empty")
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.wav_spectral(
+            df, n_samples, bins, binary_col, coef_scale
+        )
     coeffs = dft_coeffs(n_samples, bins, coef_scale)
     raw = F.col(binary_col)
     ok, n_ch, rate, n_samp = _wav_header(binary_col)
@@ -2031,6 +2101,7 @@ def wav_gain(
     target_peak: int = 30000,
     binary_col: str = "audio",
     out_col: str = "normalized",
+    engine: str = "auto",
 ) -> DataFrame:
     """Peak normalization emitting REAL WAV bytes: scale every sample
     by target_peak / peak(|samples|) so the loudest sample lands
@@ -2044,13 +2115,17 @@ def wav_gain(
     Silent files (P = 0) pass through unchanged (gain is undefined).
     One fold computes the peak, one transform rewrites the samples —
     each int16 word leaves the blob once per pass; the 44-byte header
-    is copied verbatim (rate/channels/sizes are unchanged). Scan-stage,
-    no shuffle, no Python.
+    is copied verbatim (rate/channels/sizes are unchanged). Default
+    engine: the Arrow kernel (``_arrow_engine``).
     """
     if not 0 < target_peak <= 32767:
         raise ValueError(
             f"target_peak must be in (0, 32767], got {target_peak}"
         )
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.wav_gain(df, target_peak, binary_col, out_col)
     # materialize the input blobs first: this operator chains TWO HOF
     # passes (the peak fold is referenced inside the rewrite lambda),
     # so an expression-valued binary column (e.g. a make_wav builder
@@ -2250,6 +2325,7 @@ def decode_png(
     binary_col: str = "image",
     meta_col: str = "meta",
     channel_means: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Parse REAL truecolor PNGs whose zlib stream is stored-deflate in
     a constant-block-size greedy layout — ``make_png`` output (65535-
@@ -2280,8 +2356,14 @@ def decode_png(
 
     Adds ``meta`` (NULL for anything that fails a check) and, with
     ``channel_means``, exact ``mean_r``/``mean_g``/``mean_b`` over the
-    de-filtered pixel bytes. All scan-stage; no shuffle, no Python.
+    de-filtered pixel bytes. engine="expr" is all scan-stage Catalyst;
+    the default resolves to the output-identical Arrow kernel
+    (``_arrow_engine``).
     """
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.decode_png(df, binary_col, meta_col, channel_means)
     raw = F.col(binary_col)
     w = _be(raw, 17, 4)
     h = _be(raw, 21, 4)

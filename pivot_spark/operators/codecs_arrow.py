@@ -1,0 +1,476 @@
+"""Arrow ``mapInPandas`` kernels for the media codec family — the
+large-payload handoff the expression codecs document (``codecs.py``
+module docstring: "for megapixel images the per-byte expression fold
+should hand off to an Arrow ``mapInPandas`` kernel").
+
+Each kernel is OUTPUT-IDENTICAL to its expression twin in
+``codecs.py`` — same column names/positions/types, same NULL gates
+(the poison-pill header checks are replicated literally), same exact
+integer arithmetic — so the DuckDB byte-replay oracles and the parity
+suite (``tests/test_codecs_arrow_parity.py``) hold for both engines.
+The expression path interprets ~1 higher-order lambda step per BYTE
+(no whole-stage codegen inside HOF lambdas); these kernels decode a
+whole Arrow batch per Python call with ``np.frombuffer`` views, so the
+per-sample cost is a vectorized numpy op instead of an interpreted
+Catalyst eval. At thumbnail scale both are correct; at megapixel /
+minutes-of-audio scale only this path is.
+
+Plan shape: one ``MapInPandas`` node over the scan — still zero
+shuffles, still a scan-stage projection; the only cost moved is
+JVM->Arrow->numpy batch transfer of the blob column (which the
+expression path paid too, as a hex() materialization 2x the blob
+size).
+
+Dispatch: the public ``codecs.py`` operators take ``engine=`` ("auto"
+resolves via $SPARK_GRAFT_CODEC_ENGINE, default "arrow") and forward
+here; call sites never import this module directly.
+"""
+
+from __future__ import annotations
+
+import binascii
+import zlib
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# scaffold
+# ---------------------------------------------------------------------------
+
+
+def _append_kernel(df: DataFrame, binary_col: str, new_fields, per_blob):
+    """mapInPandas appending ``new_fields`` computed by ``per_blob``
+    (bytes-or-None -> tuple of len(new_fields) values) to every row.
+    Input columns pass through untouched; output column order is input
+    order + new fields, matching the expression twins' ``select(*keep,
+    ...)`` layout."""
+    base = [f for f in df.schema.fields if f.name not in {g.name for g in new_fields}]
+    schema = T.StructType(base + list(new_fields))
+    names = [f.name for f in schema.fields]
+    new_names = [f.name for f in new_fields]
+
+    def gen(batches):
+        for pdf in batches:
+            cols = {n: [] for n in new_names}
+            for b in pdf[binary_col]:
+                vals = per_blob(None if b is None else bytes(b))
+                for n, v in zip(new_names, vals):
+                    cols[n].append(v)
+            for n in new_names:
+                pdf[n] = pd.Series(cols[n], dtype=object, index=pdf.index)
+            yield pdf[names]
+
+    return df.mapInPandas(gen, schema=schema)
+
+
+def _i64(x: int) -> int:
+    """Wrap a Python int to signed 64-bit — the non-ANSI Spark long
+    semantics the expression twins compute in."""
+    return ((x + (1 << 63)) % (1 << 64)) - (1 << 63)
+
+
+# ---------------------------------------------------------------------------
+# WAV (canonical PCM-16, stdlib-wave layout: RIFF | fmt@12 | data@36)
+# ---------------------------------------------------------------------------
+
+
+def _wav_parse(b: "bytes | None"):
+    """Literal replica of ``codecs._wav_header``'s gate: returns
+    (n_channels, sample_rate, n_samples) or None. Every check matches
+    the expression ok-predicate term for term."""
+    if b is None or len(b) < 44:
+        return None
+    if b[0:4] != b"RIFF" or b[8:16] != b"WAVEfmt ":
+        return None
+    le = lambda o, k: int.from_bytes(b[o : o + k], "little")  # noqa: E731
+    if le(20, 2) != 1 or le(34, 2) != 16:
+        return None
+    if b[36:40] != b"data":
+        return None
+    nch, rate, dsz = le(22, 2), le(24, 4), le(40, 4)
+    if not (1 <= nch <= 64) or not (1 <= rate <= 1_000_000_000):
+        return None
+    if len(b) != 44 + dsz or dsz % (2 * nch) != 0:
+        return None
+    return nch, rate, dsz // (2 * nch)
+
+
+def _samples(b: bytes) -> np.ndarray:
+    """All interleaved signed 16-bit words as int64."""
+    return np.frombuffer(b, dtype="<i2", offset=44).astype(np.int64)
+
+
+def _wav_header_bytes(nch: int, rate: int, dsz: int) -> bytes:
+    """Canonical 44-byte PCM-16 header (the make_wav / rebuilt-header
+    layout: byte_rate = rate * block, block = 2 * nch)."""
+    blk = 2 * nch
+    return (
+        b"RIFF"
+        + (dsz + 36).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + nch.to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * blk).to_bytes(4, "little")
+        + blk.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + dsz.to_bytes(4, "little")
+    )
+
+
+def decode_wav(df, binary_col="audio", meta_col="meta", channel_stats=True):
+    from pivot_spark.operators.codecs import WAV_META_SCHEMA
+
+    fields = [T.StructField(meta_col, WAV_META_SCHEMA)]
+    if channel_stats:
+        fields += [
+            T.StructField("mean_ch0", T.DoubleType()),
+            T.StructField("rms_ch0", T.DoubleType()),
+            T.StructField("mean_ch1", T.DoubleType()),
+            T.StructField("rms_ch1", T.DoubleType()),
+        ]
+
+    def per_blob(b):
+        hdr = _wav_parse(b)
+        if hdr is None:
+            return (None,) * len(fields)
+        nch, rate, n = hdr
+        meta = {
+            "n_channels": nch,
+            "sample_rate": rate,
+            "bits": 16,
+            "n_samples": n,
+            "duration_s": n / rate,
+            "format": "wav",
+            "n_bytes": len(b),
+        }
+        if not channel_stats:
+            return (meta,)
+        stats = [None, None, None, None]
+        if n > 0:
+            v = _samples(b)
+            for ch in (0, 1):
+                if nch > ch:
+                    c = v[ch::nch]
+                    s = int(c.sum())
+                    q = int((c * c).sum())
+                    stats[2 * ch] = s / float(n)
+                    stats[2 * ch + 1] = float(np.sqrt(q / float(n)))
+        return (meta, *stats)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def wav_features(df, binary_col="audio", silence_abs=4096):
+    fields = [
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("crest", T.DoubleType()),
+        T.StructField("silence_frac", T.DoubleType()),
+    ]
+
+    def per_blob(b):
+        hdr = _wav_parse(b)
+        if hdr is None:
+            return (None,) * 5
+        nch, _rate, n = hdr
+        if n == 0:
+            return (0, None, None, None, None)
+        v = _samples(b)[::nch]
+        a, c = v[:-1], v[1:]
+        z = int((((a < 0) & (c > 0)) | ((a > 0) & (c < 0))).sum())
+        mx = int(np.abs(v).max())
+        q = int((v * v).sum())
+        sil = int((np.abs(v) < int(silence_abs)).sum())
+        zcr = z / float(n - 1) if n > 1 else 0.0
+        crest = mx / float(np.sqrt(q / float(n))) if q > 0 else None
+        return (n, zcr, mx, crest, sil / float(n))
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def wav_mixdown(df, binary_col="audio", out_col="mono"):
+    fields = [T.StructField(out_col, T.BinaryType())]
+
+    def per_blob(b):
+        hdr = _wav_parse(b)
+        if hdr is None:
+            return (None,)
+        nch, rate, n = hdr
+        if n == 0:
+            return (None,)
+        v = _samples(b)
+        mono = (v[0::nch] + v[1::nch]) >> 1 if nch >= 2 else v[0::nch]
+        payload = (mono % 65536).astype("<u2").tobytes()
+        return (_wav_header_bytes(1, rate, n * 2) + payload,)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def wav_trim_silence(df, binary_col="audio", threshold_abs=4096, out_col="trimmed"):
+    fields = [T.StructField(out_col, T.BinaryType())]
+    thr = int(threshold_abs)
+
+    def per_blob(b):
+        hdr = _wav_parse(b)
+        if hdr is None:
+            return (None,)
+        nch, rate, n = hdr
+        blk = 2 * nch
+        if n > 0:
+            active = np.nonzero(np.abs(_samples(b)[::nch]) >= thr)[0]
+        else:
+            active = np.empty(0, dtype=np.int64)
+        if active.size == 0:
+            return (_wav_header_bytes(nch, rate, 0),)
+        lo, hi = int(active[0]), int(active[-1])
+        payload = b[44 + lo * blk : 44 + (hi + 1) * blk]
+        return (_wav_header_bytes(nch, rate, len(payload)) + payload,)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def wav_downsample(df, factor, binary_col="audio", out_col="downsampled"):
+    fields = [T.StructField(out_col, T.BinaryType())]
+
+    def per_blob(b):
+        hdr = _wav_parse(b)
+        if hdr is None:
+            return (None,)
+        nch, rate, n = hdr
+        if n == 0:
+            return (None,)
+        blk = 2 * nch
+        frames = np.frombuffer(b, dtype=np.uint8, offset=44).reshape(n, blk)
+        payload = frames[::factor].tobytes()
+        return (_wav_header_bytes(nch, rate // factor, len(payload)) + payload,)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def wav_gain(df, target_peak=30000, binary_col="audio", out_col="normalized"):
+    fields = [T.StructField(out_col, T.BinaryType())]
+    tp = int(target_peak)
+
+    def per_blob(b):
+        hdr = _wav_parse(b)
+        if hdr is None:
+            return (None,)
+        nch, _rate, n = hdr
+        if n * nch == 0:
+            return (None,)
+        v = _samples(b)
+        pk = int(np.abs(v).max())
+        if pk == 0:
+            return (b,)
+        scaled = (2 * v * tp + pk) // (2 * pk)
+        return (b[:44] + (scaled % 65536).astype("<u2").tobytes(),)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def audio_fingerprint(df, binary_col="audio", out_col="afp", n_frames=17):
+    fields = [T.StructField(out_col, T.LongType())]
+    nf = int(n_frames)
+
+    def per_blob(b):
+        hdr = _wav_parse(b)
+        if hdr is None:
+            return (None,)
+        nch, _rate, n = hdr
+        if n == 0:
+            return (None,)
+        v = _samples(b)[::nch]
+        cs = np.concatenate(([0], np.cumsum(v * v)))
+        en = [
+            int(cs[(f + 1) * n // nf] - cs[f * n // nf]) for f in range(nf)
+        ]
+        sig = 0
+        for f in range(nf - 1):
+            if en[f + 1] > en[f]:
+                sig |= 1 << f
+        return (_i64(sig),)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def wav_spectral(df, n_samples, bins=(1, 2, 3, 6), binary_col="audio",
+                 coef_scale=1000):
+    from pivot_spark.operators.codecs import dft_coeffs
+
+    coeffs = dft_coeffs(n_samples, bins, coef_scale)
+    basis = {
+        k: (np.array(cr, dtype=np.int64), np.array(sr, dtype=np.int64))
+        for k, (cr, sr) in coeffs.items()
+    }
+    denom = float(coef_scale) ** 2 * float(n_samples) ** 2
+    fields = [T.StructField(f"p_bin{k}", T.DoubleType()) for k in bins] + [
+        T.StructField("dom_bin", T.IntegerType())
+    ]
+
+    def per_blob(b):
+        hdr = _wav_parse(b)
+        if hdr is None or hdr[2] < n_samples:
+            return (None,) * (len(bins) + 1)
+        nch = hdr[0]
+        v = _samples(b)[::nch][:n_samples]
+        pw = {}
+        for k in bins:
+            cr, sr = basis[k]
+            x, y = int(v @ cr), int(v @ sr)
+            pw[k] = _i64(_i64(x * x) + _i64(y * y))
+        best = max(pw.values())
+        dom = min(k for k in bins if pw[k] == best)
+        return (*[pw[k] / denom for k in bins], dom)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6) — perceptual hash
+# ---------------------------------------------------------------------------
+
+import re
+
+# Java \s is ASCII-only; match codecs._pnm_header's regex literally
+_PPM_RE = re.compile(r"^P6[ \t\n\x0b\f\r]+(\d{1,7})[ \t\n\x0b\f\r]+"
+                     r"(\d{1,7})[ \t\n\x0b\f\r]+(\d{1,3})[ \t\n\x0b\f\r]")
+
+
+def _ppm_parse(b: "bytes | None"):
+    """Replica of ``codecs._pnm_header`` (P6, bpp=3): returns
+    (width, height, maxval, hdr_len) or None. The header region of any
+    ACCEPTED file is pure ASCII, so the byte-length of the match equals
+    the expression side's character-length."""
+    if b is None:
+        return None
+    m = _PPM_RE.match(b[:32].decode("utf-8", errors="replace"))
+    if not m:
+        return None
+    w, h, mx = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    hdr = len(m.group(0))
+    if mx > 255 or len(b) != hdr + w * h * 3:
+        return None
+    return w, h, mx, hdr
+
+
+def ppm_dhash(df, binary_col="image", out_col="dhash", grid_w=8, grid_h=7):
+    fields = [T.StructField(out_col, T.LongType())]
+    gw1 = grid_w + 1
+
+    def per_blob(b):
+        p = _ppm_parse(b)
+        if p is None:
+            return (None,)
+        w, h, _mx, hdr = p
+        px = np.frombuffer(b, dtype=np.uint8, offset=hdr).astype(np.int64)
+        rows = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
+        cols = (np.arange(gw1, dtype=np.int64) * w) // gw1
+        base = (rows[:, None] * w + cols[None, :]) * 3
+        lm = 299 * px[base] + 587 * px[base + 1] + 114 * px[base + 2]
+        sig = 0
+        for r in range(grid_h):
+            for c in range(grid_w):
+                if lm[r, c + 1] > lm[r, c]:
+                    sig |= 1 << (r * grid_w + c)
+        return (_i64(sig),)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+# ---------------------------------------------------------------------------
+# PNG (truecolor 8-bit, stored-deflate zlib)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = bytes.fromhex("89504E470D0A1A0A")
+_PNG_IEND = bytes.fromhex("0000000049454E44AE426082")
+
+
+def _png_parse(b: "bytes | None"):
+    """Replica of ``codecs.decode_png``'s full verification chain:
+    returns (width, height, destreamed_raw_bytes) or None. Every gate
+    (signature, IHDR + CRC, constant-block stored layout, per-block
+    headers, scanline filters, IDAT CRC-32, zlib Adler-32, IEND)
+    matches the expression predicate term for term."""
+    if b is None or len(b) < 57:
+        return None
+    if b[0:8] != _PNG_SIG:
+        return None
+    be = lambda o, k: int.from_bytes(b[o : o + k], "big")  # noqa: E731
+    # IHDR
+    if be(8, 4) != 13 or b[12:16] != b"IHDR":
+        return None
+    if b[24] != 8 or b[25] != 2 or b[26] != 0 or b[27] != 0 or b[28] != 0:
+        return None
+    if binascii.crc32(b[12:29]) != be(29, 4):
+        return None
+    w, h = be(16, 4), be(20, 4)
+    L = h * (1 + 3 * w)
+    blk = max(1, b[44] + 256 * b[45])
+    nb = max(1, -(-L // blk))
+    idat_len = 2 + 5 * nb + L + 4
+    if not (w > 0 and h > 0):
+        return None
+    if len(b) != 57 + idat_len or be(33, 4) != idat_len:
+        return None
+    if b[37:41] != b"IDAT" or b[41] != 0x78:
+        return None
+    # stored-block headers + destream
+    parts = []
+    for k in range(nb):
+        hp = 43 + k * (blk + 5)
+        want_final = 1 if k == nb - 1 else 0
+        ln = b[hp + 1] + 256 * b[hp + 2]
+        nln = b[hp + 3] + 256 * b[hp + 4]
+        if b[hp] != want_final or ln != min(blk, L - k * blk) or ln + nln != 65535:
+            return None
+        parts.append(b[hp + 5 : hp + 5 + ln])
+    raw = b"".join(parts)
+    # scanline filter bytes
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + 3 * w)
+    if scan[:, 0].any():
+        return None
+    if zlib.adler32(raw) != be(48 + (nb - 1) * (blk + 5) + (L - (nb - 1) * blk), 4):
+        return None
+    if binascii.crc32(b[37 : 41 + idat_len]) != be(41 + idat_len, 4):
+        return None
+    if b[45 + idat_len : 57 + idat_len] != _PNG_IEND:
+        return None
+    return w, h, scan
+
+
+def decode_png(df, binary_col="image", meta_col="meta", channel_means=True):
+    from pivot_spark.operators.codecs import PNG_META_SCHEMA
+
+    fields = [T.StructField(meta_col, PNG_META_SCHEMA)]
+    if channel_means:
+        fields += [
+            T.StructField("mean_r", T.DoubleType()),
+            T.StructField("mean_g", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+        ]
+
+    def per_blob(b):
+        p = _png_parse(b)
+        if p is None:
+            return (None,) * len(fields)
+        w, h, scan = p
+        meta = {
+            "width": w, "height": h, "bit_depth": 8, "color_type": 2,
+            "format": "png", "n_bytes": len(b),
+        }
+        if not channel_means:
+            return (meta,)
+        px = scan[:, 1:].reshape(-1, 3).astype(np.int64)
+        n_px = w * h
+        sums = px.sum(axis=0)
+        return (meta, *[int(sums[c]) / float(n_px) for c in range(3)])
+
+    return _append_kernel(df, binary_col, fields, per_blob)

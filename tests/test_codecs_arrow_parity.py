@@ -1,0 +1,208 @@
+"""Engine parity: every Arrow mapInPandas codec kernel must be
+CELL-IDENTICAL to its Catalyst expression twin — same values (exact,
+including float bit patterns via repr), same NULL gates, same byte
+output — on well-formed, degenerate (empty / silent / mono) and
+malformed (poison-pill) inputs. This is the contract that lets the
+declared queries switch engines without touching their oracles."""
+
+from __future__ import annotations
+
+import math
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from pivot_spark.operators import codecs
+
+
+def _wav(nch: int, rate: int, samples: "list[int]") -> bytes:
+    payload = b"".join(
+        (s & 0xFFFF).to_bytes(2, "little") for s in samples
+    )
+    assert len(samples) % nch == 0
+    return (
+        b"RIFF" + (len(payload) + 36).to_bytes(4, "little") + b"WAVEfmt "
+        + (16).to_bytes(4, "little") + (1).to_bytes(2, "little")
+        + nch.to_bytes(2, "little") + rate.to_bytes(4, "little")
+        + (rate * 2 * nch).to_bytes(4, "little")
+        + (2 * nch).to_bytes(2, "little") + (16).to_bytes(2, "little")
+        + b"data" + len(payload).to_bytes(4, "little") + payload
+    )
+
+
+def _ppm(w: int, h: int, px: bytes) -> bytes:
+    return f"P6\n{w} {h}\n255\n".encode() + px
+
+
+def _png(w: int, h: int, rgb: bytes) -> bytes:
+    raw = b"".join(
+        b"\x00" + rgb[r * 3 * w : (r + 1) * 3 * w] for r in range(h)
+    )
+    z = zlib.compress(raw, 0)
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    return (
+        bytes.fromhex("89504E470D0A1A0A")
+        + chunk(b"IHDR", ihdr) + chunk(b"IDAT", z) + chunk(b"IEND", b"")
+    )
+
+
+@pytest.fixture(scope="module")
+def wav_df(spark):
+    rows = [
+        (1, _wav(1, 8000, [0, 100, -200, 300, -32768, 32767, 5, -5])),
+        (2, _wav(2, 44100, [10, -10, 20000, -20000, 0, 0, 7, 9])),
+        (3, _wav(1, 8000, [])),                     # zero samples
+        (4, _wav(1, 8000, [0, 0, 0, 0])),           # fully silent
+        (5, b"RIFFgarbage_not_a_wav_file_xxxxxxxxxxxxxxxxxx"),
+        (6, None),
+        (7, _wav(3, 16000, [1, 2, 3, -4, -5, -6])),  # 3 channels
+        (8, _wav(1, 8000, [4096, -4096, 4095, -4095])),  # threshold edges
+        (9, _wav(2, 8000, [1, 1])[:-1]),             # truncated / misaligned
+    ]
+    return spark.createDataFrame(rows, "id long, audio binary").cache()
+
+
+@pytest.fixture(scope="module")
+def ppm_df(spark):
+    import random
+
+    rnd = random.Random(7)
+    px = bytes(rnd.randrange(256) for _ in range(20 * 10 * 3))
+    rows = [
+        (1, _ppm(20, 10, px)),
+        (2, _ppm(9, 7, bytes(range(9 * 7 * 3 % 256)) * 0 + bytes((i * 13) % 256 for i in range(9 * 7 * 3)))),
+        (3, b"P6\n4 4\n255\nshort"),                 # length mismatch
+        (4, b"not an image at all"),
+        (5, None),
+    ]
+    return spark.createDataFrame(rows, "id long, image binary").cache()
+
+
+@pytest.fixture(scope="module")
+def png_df(spark):
+    import random
+
+    rnd = random.Random(11)
+    big_w, big_h = 150, 150                           # two stored blocks
+    rows = [
+        (1, _png(4, 3, bytes((i * 7) % 256 for i in range(36)))),
+        (2, _png(big_w, big_h, bytes(rnd.randrange(256) for _ in range(big_w * big_h * 3)))),
+        (3, b"\x89PNG but not really"),
+        (4, None),
+    ]
+    # corrupted pixel byte without fixing checksums
+    bad = bytearray(rows[0][1])
+    bad[60] ^= 0xFF
+    rows.append((5, bytes(bad)))
+    return spark.createDataFrame(rows, "id long, image binary").cache()
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if hasattr(v, "asDict"):
+        return tuple(sorted((k, _canon(x)) for k, x in v.asDict().items()))
+    return v
+
+
+def _assert_same(expr_df, arrow_df):
+    assert expr_df.columns == arrow_df.columns
+    # simpleString ignores nullability (expr literals are non-nullable,
+    # kernel schemas advisory-nullable — irrelevant to values)
+    assert [f.dataType.simpleString() for f in expr_df.schema.fields] == [
+        f.dataType.simpleString() for f in arrow_df.schema.fields
+    ]
+    e = {r["id"]: r for r in expr_df.collect()}
+    a = {r["id"]: r for r in arrow_df.collect()}
+    assert e.keys() == a.keys()
+    for i in e:
+        for c in expr_df.columns:
+            assert _canon(e[i][c]) == _canon(a[i][c]), (i, c, e[i][c], a[i][c])
+
+
+_WAV_CASES = [
+    ("decode_wav", (), {}),
+    ("decode_wav", (), {"channel_stats": False}),
+    ("wav_features", (), {}),
+    ("wav_features", (), {"silence_abs": 4096}),
+    ("wav_mixdown", (), {}),
+    ("wav_trim_silence", (), {}),
+    ("wav_trim_silence", (), {"threshold_abs": 4096}),
+    ("wav_downsample", (2,), {}),
+    ("wav_downsample", (3,), {}),
+    ("wav_gain", (), {}),
+    ("wav_gain", (), {"target_peak": 32767}),
+    ("audio_fingerprint", (), {"n_frames": 4}),
+    ("wav_spectral", (4,), {"bins": (1, 2)}),
+]
+
+
+@pytest.mark.parametrize(
+    "name, args, kwargs",
+    _WAV_CASES,
+    ids=[f"{n}-{i}" for i, (n, _, _) in enumerate(_WAV_CASES)],
+)
+def test_wav_kernel_parity(spark, wav_df, name, args, kwargs):
+    fn = getattr(codecs, name)
+    _assert_same(
+        fn(wav_df, *args, engine="expr", **kwargs),
+        fn(wav_df, *args, engine="arrow", **kwargs),
+    )
+
+
+def test_ppm_dhash_parity(spark, ppm_df):
+    _assert_same(
+        codecs.ppm_dhash(ppm_df, engine="expr"),
+        codecs.ppm_dhash(ppm_df, engine="arrow"),
+    )
+    _assert_same(
+        codecs.ppm_dhash(ppm_df, grid_w=4, grid_h=4, engine="expr"),
+        codecs.ppm_dhash(ppm_df, grid_w=4, grid_h=4, engine="arrow"),
+    )
+
+
+def test_decode_png_parity(spark, png_df):
+    _assert_same(
+        codecs.decode_png(png_df, engine="expr"),
+        codecs.decode_png(png_df, engine="arrow"),
+    )
+    _assert_same(
+        codecs.decode_png(png_df, channel_means=False, engine="expr"),
+        codecs.decode_png(png_df, channel_means=False, engine="arrow"),
+    )
+
+
+def test_arrow_is_default_engine(spark, wav_df, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_CODEC_ENGINE", raising=False)
+    plan = (
+        codecs.decode_wav(wav_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" in plan
+    monkeypatch.setenv("SPARK_GRAFT_CODEC_ENGINE", "expr")
+    plan = (
+        codecs.decode_wav(wav_df)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan
+
+
+def test_arrow_kernel_is_zero_shuffle(spark, wav_df):
+    plan = (
+        codecs.wav_features(wav_df, engine="arrow")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan and "Join" not in plan
