@@ -28,6 +28,29 @@ sys.path.insert(0, REPO)
 MAX_INLINE_QUERIES = 40
 
 
+def _calib_sample(spark) -> "tuple[float, float]":
+    """One (python-loop, jvm-codegen) anchor pair."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc += i
+    py = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
+    return py, time.perf_counter() - t0
+
+
+def _calib_point(spark, reps: int = 5) -> "tuple[float, float]":
+    """Median-of-``reps`` interleaved anchor samples — round 4's
+    single-sample anchors moved 2x WITHIN one run (0.501 -> 0.229s jvm),
+    so a point estimate has error bars wider than the regressions it
+    gates; the median of 5 interleaved samples is stable to <15%."""
+    ss = [_calib_sample(spark) for _ in range(reps)]
+    py = sorted(s[0] for s in ss)[reps // 2]
+    jvm = sorted(s[1] for s in ss)[reps // 2]
+    return round(py, 3), round(jvm, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from pivot_spark.session import get_spark
@@ -37,19 +60,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Machine-speed calibration anchors, reported alongside the suite:
-    # a single-core Python loop and a fixed JVM codegen job. Absolute
-    # query seconds are only comparable across runs when these agree —
-    # round 4 measured a uniform ~1.3x suite shift traced to the HOST
-    # (unchanged queries slowed identically; see BASELINE.md §round-4).
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(10_000_000):
-        acc += i
-    py_calib = round(time.perf_counter() - t0, 3)
+    # a single-core Python loop and a fixed JVM codegen job, sampled as
+    # median-of-5 at start / mid-suite / end (the suite-position spread
+    # exposes within-run host drift: turbo at start, throttling later).
+    # Absolute query seconds are only comparable across runs when these
+    # agree — round 4 measured a uniform ~1.3x suite shift traced to
+    # the HOST (see BASELINE.md §round-4).
     spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
-    t0 = time.perf_counter()
-    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
-    jvm_calib = round(time.perf_counter() - t0, 3)
+    py_calib, jvm_calib = _calib_point(spark)
 
     # Warm up before timing: the file index for sf_dir, plus two real
     # throwaway queries at sf0.001 — one whole-stage-codegen aggregate
@@ -75,7 +93,11 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    py_calib_mid = jvm_calib_mid = None
+    mid_at = len(QUERIES) // 2
+    for qi, (name, fn) in enumerate(QUERIES.items()):
+        if qi == mid_at:
+            py_calib_mid, jvm_calib_mid = _calib_point(spark)
         runs = []
         for _ in range(reps):
             # queries are independent: drop DataFrames persisted by the
@@ -96,16 +118,27 @@ def main() -> None:
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
     total = round(sum(timings.values()), 3)
 
-    # second calibration sample AFTER the suite: the start/end pair
-    # exposes within-run host drift (throttling, noisy neighbors)
-    t0 = time.perf_counter()
-    acc = 0
-    for i in range(10_000_000):
-        acc += i
-    py_calib_end = round(time.perf_counter() - t0, 3)
-    t0 = time.perf_counter()
-    spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
-    jvm_calib_end = round(time.perf_counter() - t0, 3)
+    # third calibration point AFTER the suite: start/mid/end medians
+    # expose within-run host drift (throttling, noisy neighbors); the
+    # spread is the confidence range any host-factor decision must
+    # carry (round-4 verdict item 5: gate on the range, not a point)
+    py_calib_end, jvm_calib_end = _calib_point(spark)
+
+    def _spread(vals: "list[float]") -> float:
+        pts = [v for v in vals if v]
+        med = sorted(pts)[len(pts) // 2]
+        return round((max(pts) - min(pts)) / med, 3) if med else 0.0
+
+    calib = {
+        "py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib,
+        "py_loop_1e7_sec_mid": py_calib_mid,
+        "jvm_sum_2e8_sec_mid": jvm_calib_mid,
+        "py_loop_1e7_sec_end": py_calib_end,
+        "jvm_sum_2e8_sec_end": jvm_calib_end,
+        "py_spread": _spread([py_calib, py_calib_mid, py_calib_end]),
+        "jvm_spread": _spread([jvm_calib, jvm_calib_mid, jvm_calib_end]),
+        "samples_per_point": 5,
+    }
 
     try:
         sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
@@ -119,9 +152,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "reps": reps,
-        "calib": {"py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib,
-                  "py_loop_1e7_sec_end": py_calib_end,
-                  "jvm_sum_2e8_sec_end": jvm_calib_end},
+        "calib": calib,
     }
     with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -183,9 +214,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_regressed_1p5x": len(regressed),
         "host_factor_vs_baseline": round(host_factor, 3),
-        "calib": {"py_loop_1e7_sec": py_calib, "jvm_sum_2e8_sec": jvm_calib,
-                  "py_loop_1e7_sec_end": py_calib_end,
-                  "jvm_sum_2e8_sec_end": jvm_calib_end},
+        "calib": calib,
         "full": "BENCH_FULL.json",
     }
     sys.stdout.flush()
