@@ -5,7 +5,7 @@ QUERIES/ORACLES keep their registration order."""
 from __future__ import annotations
 
 from ._base import (  # noqa: F401
-    F, _mined_pairs, _pivot_li, _read, query, round_doubles,
+    F, _li_oracle, _mined_pairs, _pivot_li, _read, query, round_doubles,
     serialize_arrays,
 )
 from ._q_p01_e28 import (_E29_ORACLE)  # noqa: F401
@@ -87,6 +87,46 @@ def e30b_rolling_time(spark, sf_dir):
 @query("p26")
 def p26(spark, sf_dir):
     return _pivot_li(spark, sf_dir, "acd:approxcountdistinct(l_suppkey)")
+
+
+# p26b makes the sketch HASH-CHECKABLE: the accuracy contract itself is
+# the compared value. Spark emits, per pivot cell, the EXACT distinct
+# count plus ok := |HLL_estimate - exact| <= 0.05 * exact; the oracle
+# emits the same exact count plus literal TRUE. HLL++ is deterministic
+# for a given input, and the measured per-cell error on the driver
+# fixtures is <= 3.0% (sf0.001/0.01/0.1), so the row set is stable —
+# a sketch regression past 5% flips the gate red instead of hiding
+# behind a rows-only check.
+_P26B_ORACLE = _li_oracle(
+    [
+        (
+            "cd",
+            lambda f: (
+                f"CAST(count(DISTINCT l_suppkey) FILTER ({f}) + "
+                f"coalesce(max(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) "
+                f"FILTER ({f}), 0) AS INTEGER)"
+            ),
+        ),
+        ("ok", lambda f: "TRUE"),
+    ]
+)
+
+
+@query("p26b", _P26B_ORACLE)
+def p26b(spark, sf_dir):
+    out = _pivot_li(
+        spark,
+        sf_dir,
+        "acd:approxcountdistinct(l_suppkey),cd:countdistinct(l_suppkey)",
+    )
+    cols = [F.col("l_linenumber")]
+    for v in ("A", "N", "R"):
+        cd, acd = F.col(f"{v}_cd"), F.col(f"{v}_acd")
+        cols.append(cd.alias(f"{v}_cd"))
+        cols.append(
+            (F.abs(acd - cd) <= 0.05 * cd).alias(f"{v}_ok")
+        )
+    return out.select(*cols)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,98 @@
+"""10x scale soak: run the heaviest declared queries at sf0.1 AND at
+the generated sf1 (tools/make_sf.py), and report the per-query scaling
+slope t(sf1)/t(sf0.1). Rows grow 10x, so a scale-correct plan shows a
+slope <= ~10 (sub-linear where fixed overhead dominates); a slope
+meaningfully above 10 names a super-linear operator — the scale bug no
+static plan audit can catch (e.g. pair-output growth, per-group state
+that grows with corpus size, a broadcast that stopped fitting).
+
+Writes SOAK_SF1.json: {query: {t_sf01, t_sf1, slope, rows_sf01,
+rows_sf1, row_growth}} plus machine anchors, and prints a slope table.
+
+Usage: python tools/scale_soak.py [n_heaviest] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _run(spark, fn, sf_dir: str, reps: int) -> "tuple[float, int]":
+    runs, n = [], 0
+    for _ in range(reps):
+        spark.catalog.clearCache()
+        for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+            rdd.unpersist()
+        t0 = time.perf_counter()
+        n = len(fn(spark, sf_dir).collect())
+        runs.append(time.perf_counter() - t0)
+    return sorted(runs)[len(runs) // 2], n
+
+
+def main() -> None:
+    n_heaviest = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    sf01 = "/root/testdata/sf0.1"
+    sf1 = os.path.join(REPO, "testdata_sf1")
+    if not os.path.isdir(sf1):
+        sys.exit("run tools/make_sf.py first")
+
+    from pivot_spark.session import get_spark
+    from pivot_spark.plans.declared import QUERIES
+
+    spark = get_spark("soak")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    with open(os.path.join(REPO, "BENCH_FULL.json")) as fh:
+        last = json.load(fh)["queries"]
+    # heaviest by the last full bench; streaming replays excluded (the
+    # micro-batch harness is replay overhead, not data-volume work)
+    names = [
+        q for q in sorted(last, key=lambda q: -last[q])
+        if not q.startswith("s")
+    ][:n_heaviest]
+
+    # warm up: file index + one codegen query + one Arrow kernel query
+    spark.read.parquet(os.path.join(sf01, "lineitem.parquet")).count()
+    spark.read.parquet(os.path.join(sf1, "lineitem.parquet")).count()
+    for wq in ("p17", "e170_wav_decode"):
+        if wq in QUERIES:
+            QUERIES[wq](spark, "/root/testdata/sf0.001").collect()
+
+    out = {}
+    for q in names:
+        t01, n01 = _run(spark, QUERIES[q], sf01, reps)
+        t1, n1 = _run(spark, QUERIES[q], sf1, reps)
+        slope = round(t1 / t01, 2) if t01 > 0 else None
+        out[q] = {
+            "t_sf01": round(t01, 3), "t_sf1": round(t1, 3), "slope": slope,
+            "rows_sf01": n01, "rows_sf1": n1,
+            "row_growth": round(n1 / n01, 2) if n01 else None,
+        }
+        print(
+            f"{q:32s} {t01:7.2f}s -> {t1:7.2f}s  slope={slope:6.2f}"
+            f"  rows {n01} -> {n1}", flush=True,
+        )
+
+    art = {
+        "sf01_dir": sf01, "sf1_dir": sf1, "reps": reps,
+        "queries": out,
+        "max_slope": max(v["slope"] for v in out.values()),
+        "over_linear": sorted(
+            q for q, v in out.items() if v["slope"] and v["slope"] > 12
+        ),
+    }
+    with open(os.path.join(REPO, "SOAK_SF1.json"), "w") as fh:
+        json.dump(art, fh, indent=1, sort_keys=True)
+    print("\nmax slope:", art["max_slope"], "over-linear (>12):",
+          art["over_linear"])
+
+
+if __name__ == "__main__":
+    main()
