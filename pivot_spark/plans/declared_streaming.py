@@ -179,13 +179,21 @@ WHERE session_end < (SELECT max(session_end) FROM agg b
         the trailing no-data batch."""
         from pivot_spark.streaming.session_stream import session_stream
 
-        src = _stream(spark, sf_dir, "events").select(
-            "user_id", F.date_trunc("second", "ts").alias("ts"), "value"
-        )
-        out = session_stream(
-            src, "user_id", "ts", "value", gap_minutes=30, watermark="10 minutes"
-        )
-        name = _drain(out, "append")
+        # 16 state partitions measured best for this Python-stateful
+        # fold at replay scale (warm medians: 3.25s vs 3.93s at 32,
+        # 3.64s at 8): batch-0 compute still parallelizes while the
+        # no-data TTL batch pays half the per-partition store/worker
+        # fixed cost. s04 stays at the session default (its batch-0
+        # fold is compute-bound: 4.2s at 32 vs 6.5s at 8).
+        with _shuffle(spark, 16):
+            src = _stream(spark, sf_dir, "events").select(
+                "user_id", F.date_trunc("second", "ts").alias("ts"), "value"
+            )
+            out = session_stream(
+                src, "user_id", "ts", "value",
+                gap_minutes=30, watermark="10 minutes",
+            )
+            name = _drain(out, "append")
         return round_doubles(spark.table(name))
 
     # ---- S04: streaming debounce == batch debounce -------------------
@@ -422,12 +430,18 @@ FROM st
     def s07_stream_ewma(spark, sf_dir):
         from pivot_spark.streaming.anomaly_stream import ewma_anomaly_stream
 
-        src = _stream(spark, sf_dir, "events").select("user_id", "ts", "value")
-        out = ewma_anomaly_stream(
-            src, "user_id", "ts", "value",
-            alpha=0.1, z_threshold=3.0, min_n=5, watermark="10 minutes",
-        )
-        name = _drain(out, "append")
+        # 8 state partitions measured best (warm medians: 3.54s vs
+        # 3.89s at 32) — the per-key EW fold is cheap, so the TTL
+        # batch's per-partition fixed cost dominates; see s03 note.
+        with _shuffle(spark, 8):
+            src = _stream(spark, sf_dir, "events").select(
+                "user_id", "ts", "value"
+            )
+            out = ewma_anomaly_stream(
+                src, "user_id", "ts", "value",
+                alpha=0.1, z_threshold=3.0, min_n=5, watermark="10 minutes",
+            )
+            name = _drain(out, "append")
         t = spark.table(name)
         # ewma/z at 2 decimals (not round_doubles' 4): the Python-fold vs
         # recursive-CTE doubles differ in the last ulps, and at 4dp two of
