@@ -170,13 +170,19 @@ def decode_ppm(
     binary_col: str = "image",
     meta_col: str = "meta",
     channel_means: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Parse real P6 headers and (optionally) exact per-channel means.
 
     Adds ``meta`` (width, height, maxval, format, n_bytes — NULL for
     non-PPM bytes) and, with ``channel_means``, ``mean_r``/``mean_g``/
     ``mean_b`` DOUBLE columns averaging every pixel's channel byte.
-    All scan-stage Catalyst; no shuffle, no Python."""
+    engine="expr" is all scan-stage Catalyst; the default resolves to
+    the output-identical Arrow kernel (``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.decode_ppm(df, binary_col, meta_col, channel_means)
     raw = F.col(binary_col)
     ok, w, h, mx, hdr_len = _ppm_header(raw)
     # materialize the validity gate ONCE: projections containing
@@ -340,11 +346,17 @@ def decode_bmp(
     binary_col: str = "image",
     meta_col: str = "meta",
     channel_means: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Parse real BMP headers (24-bit uncompressed) and exact
     per-channel means, honoring bottom-up rows and 4-byte row padding.
     Adds ``meta`` (NULL for non-BMP bytes) and ``mean_b``/``mean_g``/
-    ``mean_r`` (BMP stores BGR). Scan-stage Catalyst only."""
+    ``mean_r`` (BMP stores BGR). Default engine: the Arrow kernel
+    (``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.decode_bmp(df, binary_col, meta_col, channel_means)
     raw = F.col(binary_col)
     ok, w, h, off = _bmp_header(binary_col)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -695,6 +707,7 @@ def ppm_luma_stats(
     df: DataFrame,
     binary_col: str = "image",
     blank_std: float = 5.0,
+    engine: str = "auto",
 ) -> DataFrame:
     """Blank/low-information image screen over real P6 pixels: Rec.601
     luma per pixel in INTEGER space (``luma1000 = 299 R + 587 G +
@@ -703,7 +716,12 @@ def ppm_luma_stats(
     ``luma_max`` (all on the 0..255 scale) and ``is_blank``
     (``luma_std < blank_std`` on the 4-decimal-rounded std, the screen
     a thumbnail-curation pipeline uses to drop solid/near-solid
-    frames). One fold per row, scan-stage Catalyst, no Python."""
+    frames). One fold per row with engine="expr"; the default resolves
+    to the output-identical Arrow kernel (``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.ppm_luma_stats(df, binary_col, blank_std)
     raw = F.col(binary_col)
     ok, w, h, mxv, hdr_len = _ppm_header(raw)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -932,6 +950,7 @@ def ppm_to_pgm(
     df: DataFrame,
     binary_col: str = "image",
     out_col: str = "gray",
+    engine: str = "auto",
 ) -> DataFrame:
     """Grayscale conversion emitting REAL P5 PGM bytes from P6 PPM
     input: per pixel ``gray = (299 R + 587 G + 114 B + 500) // 1000``
@@ -939,8 +958,12 @@ def ppm_to_pgm(
     is a genuine binary PGM (``P5\\n<w> <h>\\n<maxval>\\n`` + ``w*h``
     gray bytes) that ``decode_pgm`` parses back. One interpreted
     ``transform`` over pixel indices emitting 2 hex chars each, one
-    ``unhex``; maxval is preserved from the source. Scan-stage, no
-    Python."""
+    ``unhex``; maxval is preserved from the source. Default engine:
+    the Arrow kernel (``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.ppm_to_pgm(df, binary_col, out_col)
     raw = F.col(binary_col)
     ok, w, h, mxv, hdr_len = _ppm_header(raw)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -987,11 +1010,16 @@ def decode_pgm(
     binary_col: str = "image",
     meta_col: str = "meta",
     gray_mean: bool = True,
+    engine: str = "auto",
 ) -> DataFrame:
     """Parse real P5 PGM headers and (optionally) the exact mean gray
     level. Adds ``meta`` (width, height, maxval, format, n_bytes —
-    NULL for non-PGM bytes) and ``mean_gray`` DOUBLE. Scan-stage
-    Catalyst; no shuffle, no Python."""
+    NULL for non-PGM bytes) and ``mean_gray`` DOUBLE. Default engine:
+    the Arrow kernel (``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.decode_pgm(df, binary_col, meta_col, gray_mean)
     raw = F.col(binary_col)
     ok, w, h, mx, hdr_len = _pnm_header(raw, "P5", bpp=1)
     meta = F.when(
@@ -1512,6 +1540,7 @@ def ppm_blur_score(
     df: DataFrame,
     binary_col: str = "image",
     out_col: str = "lap_var",
+    engine: str = "auto",
 ) -> DataFrame:
     """Blur / focus screen over real P6 pixels — the variance-of-
     Laplacian detector (Pech-Pacheco et al., the standard OpenCV
@@ -1537,7 +1566,12 @@ def ppm_blur_score(
     scan-stage Catalyst, no shuffle, no Python. Images with no
     interior (w < 3 or h < 3) and malformed blobs -> NULL.
 
-    Output: input columns + (n_interior, ``out_col``)."""
+    Output: input columns + (n_interior, ``out_col``). Default engine:
+    the Arrow kernel (``_arrow_engine``)."""
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.ppm_blur_score(df, binary_col, out_col)
     raw = F.col(binary_col)
     ok, w, h, mx, hdr_len = _ppm_header(raw)
     df = df.withColumn("__ok", ok)   # see decode_ppm: one gate eval
@@ -1761,6 +1795,7 @@ def wav_spectral(
 def ppm_contrast_stretch(
     df: DataFrame,
     binary_col: str = "image",
+    engine: str = "auto",
 ) -> DataFrame:
     """Per-image min-max contrast normalization audit over real P6
     pixels: computes the integer-luma dynamic range and the FULL
@@ -1777,8 +1812,13 @@ def ppm_contrast_stretch(
     remap moments), zero shuffles, no Python. Output per image:
     ``luma_lo``/``luma_hi`` (0..255 scale), ``contrast``
     ((hi-lo)/255, 4dp), ``stretch_sum``/``stretch_sumsq`` (exact BIGINT
-    moments of v' in 0..1000).
+    moments of v' in 0..1000). Default engine: the Arrow kernel
+    (``_arrow_engine``).
     """
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.ppm_contrast_stretch(df, binary_col)
     raw = F.col(binary_col)
     ok, w, h, mxv, hdr_len = _ppm_header(raw)
     df = df.withColumn("__ok", ok)  # gate evaluated once (decode_ppm)
@@ -1966,6 +2006,7 @@ def pgm_equalize(
     id_col: str,
     binary_col: str = "gray",
     out_col: str = "equalized",
+    engine: str = "auto",
 ) -> DataFrame:
     """Per-image histogram equalization emitting REAL P5 PGM bytes —
     the classic contrast transform (Gonzalez & Woods §3.3), the
@@ -1986,7 +2027,13 @@ def pgm_equalize(
     image-keyed window), and the remap join + ordered payload rebuild
     shuffle pixel-sized frames keyed by image id — linear end to end,
     no O(n_px²) step. Rows that are not valid P5 get NULL output.
+    Default engine: the Arrow kernel (``_arrow_engine``), which does
+    the histogram/LUT per row with zero shuffles.
     """
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.pgm_equalize(df, id_col, binary_col, out_col)
     base, ids, px = _pgm_value_frames(df, id_col, binary_col)
     hist = px.groupBy("__id", "__v").agg(F.count(F.lit(1)).alias("__c"))
     from pyspark.sql import Window
@@ -2027,6 +2074,7 @@ def pgm_binarize_otsu(
     binary_col: str = "gray",
     out_col: str = "binarized",
     threshold_col: str = "otsu_threshold",
+    engine: str = "auto",
 ) -> DataFrame:
     """Otsu binarization emitting REAL P5 bytes: per image, pick the
     threshold t* maximizing the between-class variance of the gray
@@ -2045,8 +2093,15 @@ def pgm_binarize_otsu(
     Same scale shape as ``pgm_equalize``: pixels leave the blob once,
     the criterion lives on the ≤256-rows-per-image value frame, linear
     id-keyed shuffles only. Adds ``threshold_col`` (BIGINT, NULL for
-    invalid rows) next to the emitted file.
+    invalid rows) next to the emitted file. Default engine: the Arrow
+    kernel (``_arrow_engine``).
     """
+    if _arrow_engine(engine):
+        from pivot_spark.operators import codecs_arrow
+
+        return codecs_arrow.pgm_binarize_otsu(
+            df, id_col, binary_col, out_col, threshold_col
+        )
     from pyspark.sql import Window
 
     base, ids, px = _pgm_value_frames(df, id_col, binary_col)

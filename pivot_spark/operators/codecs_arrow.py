@@ -334,31 +334,325 @@ def wav_spectral(df, n_samples, bins=(1, 2, 3, 6), binary_col="audio",
 
 
 # ---------------------------------------------------------------------------
-# PPM (P6) — perceptual hash
+# Netpbm (P6 PPM / P5 PGM)
 # ---------------------------------------------------------------------------
 
+import math
 import re
 
 # Java \s is ASCII-only; match codecs._pnm_header's regex literally
-_PPM_RE = re.compile(r"^P6[ \t\n\x0b\f\r]+(\d{1,7})[ \t\n\x0b\f\r]+"
-                     r"(\d{1,7})[ \t\n\x0b\f\r]+(\d{1,3})[ \t\n\x0b\f\r]")
+_PNM_RE = {
+    magic: re.compile(
+        rf"^{magic}[ \t\n\x0b\f\r]+(\d{{1,7}})[ \t\n\x0b\f\r]+"
+        r"(\d{1,7})[ \t\n\x0b\f\r]+(\d{1,3})[ \t\n\x0b\f\r]"
+    )
+    for magic in ("P6", "P5")
+}
 
 
-def _ppm_parse(b: "bytes | None"):
-    """Replica of ``codecs._pnm_header`` (P6, bpp=3): returns
-    (width, height, maxval, hdr_len) or None. The header region of any
-    ACCEPTED file is pure ASCII, so the byte-length of the match equals
-    the expression side's character-length."""
+def _pnm_parse(b: "bytes | None", magic: str = "P6", bpp: int = 3):
+    """Replica of ``codecs._pnm_header``: returns (width, height,
+    maxval, hdr_len) or None. The header region of any ACCEPTED file is
+    pure ASCII, so the byte-length of the match equals the expression
+    side's character-length."""
     if b is None:
         return None
-    m = _PPM_RE.match(b[:32].decode("utf-8", errors="replace"))
+    m = _PNM_RE[magic].match(b[:32].decode("utf-8", errors="replace"))
     if not m:
         return None
     w, h, mx = int(m.group(1)), int(m.group(2)), int(m.group(3))
     hdr = len(m.group(0))
-    if mx > 255 or len(b) != hdr + w * h * 3:
+    if mx > 255 or len(b) != hdr + w * h * bpp:
         return None
     return w, h, mx, hdr
+
+
+def _ppm_parse(b):
+    return _pnm_parse(b, "P6", 3)
+
+
+def _luma1000(b: bytes, w: int, h: int, hdr: int) -> np.ndarray:
+    """(h, w) int64 Rec.601 integer lumas (299R + 587G + 114B)."""
+    px = np.frombuffer(b, dtype=np.uint8, offset=hdr).reshape(h, w, 3)
+    px = px.astype(np.int64)
+    return 299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+
+
+def decode_ppm(df, binary_col="image", meta_col="meta", channel_means=True):
+    meta_t = T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("maxval", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+    fields = [T.StructField(meta_col, meta_t)]
+    if channel_means:
+        fields += [T.StructField(f"mean_{c}", T.DoubleType()) for c in "rgb"]
+
+    def per_blob(b):
+        p = _ppm_parse(b)
+        if p is None:
+            return (None,) * len(fields)
+        w, h, mx, hdr = p
+        meta = {"width": w, "height": h, "maxval": mx, "format": "ppm",
+                "n_bytes": len(b)}
+        if not channel_means:
+            return (meta,)
+        if w * h == 0:
+            return (meta, None, None, None)
+        px = np.frombuffer(b, dtype=np.uint8, offset=hdr)
+        px = px.reshape(-1, 3).astype(np.int64)
+        s = px.sum(axis=0)
+        return (meta, *[int(s[c]) / float(w * h) for c in range(3)])
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def decode_pgm(df, binary_col="image", meta_col="meta", gray_mean=True):
+    from pivot_spark.operators.codecs import PGM_META_SCHEMA
+
+    fields = [T.StructField(meta_col, PGM_META_SCHEMA)]
+    if gray_mean:
+        fields.append(T.StructField("mean_gray", T.DoubleType()))
+
+    def per_blob(b):
+        p = _pnm_parse(b, "P5", 1)
+        if p is None:
+            return (None,) * len(fields)
+        w, h, mx, hdr = p
+        meta = {"width": w, "height": h, "maxval": mx, "format": "pgm",
+                "n_bytes": len(b)}
+        if not gray_mean:
+            return (meta,)
+        if w * h == 0:
+            return (meta, None)
+        v = np.frombuffer(b, dtype=np.uint8, offset=hdr).astype(np.int64)
+        return (meta, int(v.sum()) / float(w * h))
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def decode_bmp(df, binary_col="image", meta_col="meta", channel_means=True):
+    meta_t = T.StructType([
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("bpp", T.IntegerType()),
+        T.StructField("data_offset", T.IntegerType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+    ])
+    fields = [T.StructField(meta_col, meta_t)]
+    if channel_means:
+        fields += [T.StructField(f"mean_{c}", T.DoubleType()) for c in "bgr"]
+
+    def per_blob(b):
+        hdr = _bmp_parse(b)
+        if hdr is None:
+            return (None,) * len(fields)
+        w, h, off = hdr
+        meta = {"width": w, "height": h, "bpp": 24, "data_offset": off,
+                "format": "bmp", "n_bytes": len(b)}
+        if not channel_means:
+            return (meta,)
+        stride = (w * 3 + 3) // 4 * 4
+        rows = np.frombuffer(b, dtype=np.uint8, offset=off).reshape(h, stride)
+        px = rows[:, : 3 * w].reshape(-1, 3).astype(np.int64)
+        s = px.sum(axis=0)
+        return (meta, *[int(s[c]) / float(w * h) for c in range(3)])
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def _bmp_parse(b: "bytes | None"):
+    """Replica of ``codecs._bmp_header``: (width, height, data_offset)
+    or None."""
+    if b is None or len(b) < 54:
+        return None
+    if b[0:2] != b"BM":
+        return None
+    le = lambda o, k: int.from_bytes(b[o : o + k], "little")  # noqa: E731
+    if le(28, 2) != 24 or le(30, 4) != 0:
+        return None
+    w, h, off = le(18, 4), le(22, 4), le(10, 4)
+    if not (1 <= w <= 1048575) or not (1 <= h <= 1048575):
+        return None
+    if not (54 <= off <= len(b)):
+        return None
+    stride = (w * 3 + 3) // 4 * 4
+    if len(b) != off + stride * h:
+        return None
+    return w, h, off
+
+
+def ppm_luma_stats(df, binary_col="image", blank_std=5.0):
+    fields = [
+        T.StructField("luma_mean", T.DoubleType()),
+        T.StructField("luma_std", T.DoubleType()),
+        T.StructField("luma_min", T.DoubleType()),
+        T.StructField("luma_max", T.DoubleType()),
+        T.StructField("is_blank", T.BooleanType()),
+    ]
+
+    def per_blob(b):
+        p = _ppm_parse(b)
+        if p is None or p[0] * p[1] == 0:
+            return (None,) * 5
+        w, h, _mx, hdr = p
+        lm = _luma1000(b, w, h, hdr).ravel()
+        n = float(w * h)
+        s, q = int(lm.sum()), int((lm * lm).sum())
+        mean1000 = s / n
+        var = max(0.0, q / n - mean1000 * mean1000)
+        std_r = math.floor(math.sqrt(var) / 1000.0 * 10000 + 0.5) / 10000
+        return (
+            mean1000 / 1000.0, std_r,
+            int(lm.min()) / 1000.0, int(lm.max()) / 1000.0,
+            std_r < float(blank_std),
+        )
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def ppm_blur_score(df, binary_col="image", out_col="lap_var"):
+    fields = [
+        T.StructField("n_interior", T.LongType()),
+        T.StructField(out_col, T.DoubleType()),
+    ]
+
+    def per_blob(b):
+        p = _ppm_parse(b)
+        if p is None or p[0] < 3 or p[1] < 3:
+            return (None, None)
+        w, h, _mx, hdr = p
+        lm = _luma1000(b, w, h, hdr)
+        lap = (
+            4 * lm[1:-1, 1:-1] - lm[1:-1, :-2] - lm[1:-1, 2:]
+            - lm[:-2, 1:-1] - lm[2:, 1:-1]
+        )
+        n = (w - 2) * (h - 2)
+        s, q = int(lap.sum()), int((lap * lap).sum())
+        num = _i64(_i64(n * q) - _i64(s * s))
+        var = float(num) / float(_i64(n * n)) / 1.0e6
+        return (n, var)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def ppm_contrast_stretch(df, binary_col="image"):
+    fields = [
+        T.StructField("n_px", T.LongType()),
+        T.StructField("luma_lo", T.DoubleType()),
+        T.StructField("luma_hi", T.DoubleType()),
+        T.StructField("contrast", T.DoubleType()),
+        T.StructField("stretch_sum", T.LongType()),
+        T.StructField("stretch_sumsq", T.LongType()),
+    ]
+
+    def per_blob(b):
+        p = _ppm_parse(b)
+        if p is None or p[0] * p[1] == 0:
+            return (None,) * 6
+        w, h, _mx, hdr = p
+        lm = _luma1000(b, w, h, hdr).ravel()
+        lo, hi = int(lm.min()), int(lm.max())
+        rng = hi - lo
+        if rng > 0:
+            vp = ((lm - lo) * 2000 + rng) // (2 * rng)
+        else:
+            vp = np.full(lm.shape, 500, dtype=np.int64)
+        return (
+            w * h, lo / 1000.0, hi / 1000.0,
+            math.floor(rng / 255000.0 * 10000 + 0.5) / 10000,
+            int(vp.sum()), int((vp * vp).sum()),
+        )
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def ppm_to_pgm(df, binary_col="image", out_col="gray"):
+    fields = [T.StructField(out_col, T.BinaryType())]
+
+    def per_blob(b):
+        p = _ppm_parse(b)
+        if p is None or p[0] * p[1] == 0:
+            return (None,)
+        w, h, mx, hdr = p
+        px = np.frombuffer(b, dtype=np.uint8, offset=hdr)
+        px = px.reshape(-1, 3).astype(np.int64)
+        gray = (299 * px[:, 0] + 587 * px[:, 1] + 114 * px[:, 2] + 500) // 1000
+        header = f"P5\n{w} {h}\n{mx}\n".encode()
+        return (header + gray.astype(np.uint8).tobytes(),)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def _pgm_lut_apply(b, w, h, mx, hdr, lut: np.ndarray) -> bytes:
+    v = np.frombuffer(b, dtype=np.uint8, offset=hdr)
+    header = f"P5\n{w} {h}\n{mx}\n".encode()
+    return header + lut[v].astype(np.uint8).tobytes()
+
+
+def pgm_equalize(df, id_col, binary_col="gray", out_col="equalized"):
+    fields = [T.StructField(out_col, T.BinaryType())]
+
+    def per_blob(b):
+        p = _pnm_parse(b, "P5", 1)
+        if p is None or p[0] * p[1] == 0:
+            return (None,)
+        w, h, mx, hdr = p
+        v = np.frombuffer(b, dtype=np.uint8, offset=hdr)
+        cdf = np.cumsum(np.bincount(v, minlength=256).astype(np.int64))
+        npx = w * h
+        cdfmin = int(cdf[int(v.min())])
+        denom = npx - cdfmin
+        if denom > 0:
+            lut = ((cdf - cdfmin) * mx * 2 + denom) // (2 * denom)
+        else:
+            lut = np.zeros(256, dtype=np.int64)
+        return (_pgm_lut_apply(b, w, h, mx, hdr, lut),)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
+
+
+def pgm_binarize_otsu(df, id_col, binary_col="gray", out_col="binarized",
+                      threshold_col="otsu_threshold"):
+    fields = [
+        T.StructField(out_col, T.BinaryType()),
+        T.StructField(threshold_col, T.LongType()),
+    ]
+
+    def per_blob(b):
+        p = _pnm_parse(b, "P5", 1)
+        if p is None or p[0] * p[1] == 0:
+            return (None, None)
+        w, h, mx, hdr = p
+        v = np.frombuffer(b, dtype=np.uint8, offset=hdr)
+        counts = np.bincount(v, minlength=256).astype(np.int64)
+        present = np.nonzero(counts)[0]
+        cdf = np.cumsum(counts)
+        cs = np.cumsum(np.arange(256, dtype=np.int64) * counts)
+        npx = w * h
+        S = int(cs[255])
+        # candidates: present values with cdf < n_px; crit computed with
+        # the expression twin's exact op order (int64 a/den cast to
+        # double, then a*a/den); ties -> smallest value
+        best_t, best_crit = None, None
+        for u in present:
+            c = int(cdf[u])
+            if c >= npx:
+                continue
+            a = float(_i64(c * S - npx * int(cs[u])))
+            den = float(c * (npx - c))
+            crit = a * a / den
+            if best_crit is None or crit > best_crit:
+                best_t, best_crit = int(u), crit
+        if best_t is None:          # constant image: its single value
+            best_t = int(present[0])
+        lut = np.where(np.arange(256) <= best_t, 0, mx).astype(np.int64)
+        return (_pgm_lut_apply(b, w, h, mx, hdr, lut), best_t)
+
+    return _append_kernel(df, binary_col, fields, per_blob)
 
 
 def ppm_dhash(df, binary_col="image", out_col="dhash", grid_w=8, grid_h=7):
@@ -370,6 +664,10 @@ def ppm_dhash(df, binary_col="image", out_col="dhash", grid_w=8, grid_h=7):
         if p is None:
             return (None,)
         w, h, _mx, hdr = p
+        if w * h == 0:
+            # expression twin: every grid read off the empty payload is
+            # NULL, every NULL comparison packs a 0 bit -> hash 0
+            return (0,)
         px = np.frombuffer(b, dtype=np.uint8, offset=hdr).astype(np.int64)
         rows = (np.arange(grid_h, dtype=np.int64) * h) // grid_h
         cols = (np.arange(gw1, dtype=np.int64) * w) // gw1

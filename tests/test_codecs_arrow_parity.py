@@ -83,8 +83,55 @@ def ppm_df(spark):
         (3, b"P6\n4 4\n255\nshort"),                 # length mismatch
         (4, b"not an image at all"),
         (5, None),
+        (6, _ppm(2, 2, bytes(range(12)))),           # no blur interior
+        (7, _ppm(3, 3, b"\x07" * 27)),               # constant image
+        (8, _ppm(0, 4, b"")),                        # zero-dim, valid header
     ]
     return spark.createDataFrame(rows, "id long, image binary").cache()
+
+
+def _pgm(w: int, h: int, px: bytes, mx: int = 255) -> bytes:
+    return f"P5\n{w} {h}\n{mx}\n".encode() + px
+
+
+@pytest.fixture(scope="module")
+def pgm_df(spark):
+    import random
+
+    rnd = random.Random(13)
+    rows = [
+        (1, _pgm(16, 9, bytes(rnd.randrange(256) for _ in range(144)))),
+        (2, _pgm(5, 5, b"\x42" * 25)),               # constant image
+        (3, _pgm(4, 2, bytes([0, 64, 64, 128, 128, 128, 255, 255]), mx=255)),
+        (4, _pgm(3, 3, bytes(range(9)), mx=99)),     # low maxval
+        (5, b"P5\n4 4\n255\nnope"),                  # length mismatch
+        (6, None),
+        (7, _pgm(0, 3, b"")),                        # zero-dim
+    ]
+    return spark.createDataFrame(rows, "id long, gray binary").cache()
+
+
+@pytest.fixture(scope="module")
+def bmp_df(spark):
+    import random
+
+    from pivot_spark.operators.codecs import make_bmp
+
+    rnd = random.Random(17)
+    rows = [(1, bytes(rnd.randrange(256) for _ in range(5 * 4 * 3))),
+            (2, bytes(4 * 3 * 3))]
+    df = spark.createDataFrame(rows, "id long, p binary")
+    a = df.filter("id = 1").select(
+        "id", make_bmp(5, 4, F.col("p")).alias("image")
+    )
+    b = df.filter("id = 2").select(
+        "id", make_bmp(4, 3, F.col("p")).alias("image")
+    )
+    bad = spark.createDataFrame(
+        [(3, b"BMnot really a bitmap file at all, no sir....."), (4, None)],
+        "id long, image binary",
+    )
+    return a.union(b).union(bad).cache()
 
 
 @pytest.fixture(scope="module")
@@ -172,6 +219,72 @@ def test_ppm_dhash_parity(spark, ppm_df):
         codecs.ppm_dhash(ppm_df, grid_w=4, grid_h=4, engine="expr"),
         codecs.ppm_dhash(ppm_df, grid_w=4, grid_h=4, engine="arrow"),
     )
+
+
+_PPM_CASES = [
+    ("decode_ppm", (), {}),
+    ("decode_ppm", (), {"channel_means": False}),
+    ("ppm_luma_stats", (), {}),
+    ("ppm_luma_stats", (), {"blank_std": 50.0}),
+    ("ppm_blur_score", (), {}),
+    ("ppm_contrast_stretch", (), {}),
+    ("ppm_to_pgm", (), {}),
+]
+
+
+@pytest.mark.parametrize(
+    "name, args, kwargs",
+    _PPM_CASES,
+    ids=[f"{n}-{i}" for i, (n, _, _) in enumerate(_PPM_CASES)],
+)
+def test_ppm_kernel_parity(spark, ppm_df, name, args, kwargs):
+    fn = getattr(codecs, name)
+    _assert_same(
+        fn(ppm_df, *args, engine="expr", **kwargs),
+        fn(ppm_df, *args, engine="arrow", **kwargs),
+    )
+
+
+_PGM_CASES = [
+    ("decode_pgm", (), {"binary_col": "gray"}),
+    ("decode_pgm", (), {"binary_col": "gray", "gray_mean": False}),
+    ("pgm_equalize", ("id",), {}),
+    ("pgm_binarize_otsu", ("id",), {}),
+]
+
+
+@pytest.mark.parametrize(
+    "name, args, kwargs",
+    _PGM_CASES,
+    ids=[f"{n}-{i}" for i, (n, _, _) in enumerate(_PGM_CASES)],
+)
+def test_pgm_kernel_parity(spark, pgm_df, name, args, kwargs):
+    fn = getattr(codecs, name)
+    _assert_same(
+        fn(pgm_df, *args, engine="expr", **kwargs),
+        fn(pgm_df, *args, engine="arrow", **kwargs),
+    )
+
+
+def test_decode_bmp_parity(spark, bmp_df):
+    _assert_same(
+        codecs.decode_bmp(bmp_df, engine="expr"),
+        codecs.decode_bmp(bmp_df, engine="arrow"),
+    )
+    _assert_same(
+        codecs.decode_bmp(bmp_df, channel_means=False, engine="expr"),
+        codecs.decode_bmp(bmp_df, channel_means=False, engine="arrow"),
+    )
+
+
+def test_pgm_roundtrip_chain_on_kernels(spark, ppm_df):
+    # the e216/e220 shape: ppm -> gray -> equalize/otsu, all kernels
+    g = codecs.ppm_to_pgm(ppm_df, engine="arrow")
+    eq = codecs.pgm_equalize(g, "id", engine="arrow")
+    eq_expr = codecs.pgm_equalize(
+        codecs.ppm_to_pgm(ppm_df, engine="expr"), "id", engine="expr"
+    )
+    _assert_same(eq_expr, eq)
 
 
 def test_decode_png_parity(spark, png_df):
