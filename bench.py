@@ -65,8 +65,12 @@ def main() -> None:
     # exposes within-run host drift: turbo at start, throttling later).
     # Absolute query seconds are only comparable across runs when these
     # agree — round 4 measured a uniform ~1.3x suite shift traced to
-    # the HOST (see BASELINE.md §round-4).
-    spark.range(0, 10_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
+    # the HOST (see BASELINE.md §round-4). The anchor job itself is
+    # warmed 3x first: the round-5 run measured the FIRST calib point
+    # 2x slower than mid/end (0.199 vs 0.101s) — pure JIT warmup, which
+    # would otherwise read as within-run host drift.
+    for _ in range(3):
+        spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
     py_calib, jvm_calib = _calib_point(spark)
 
     # Warm up before timing: the file index for sf_dir, plus two real
