@@ -9,7 +9,9 @@ that grows with corpus size, a broadcast that stopped fitting).
 Writes SOAK_SF1.json: {query: {t_sf01, t_sf1, slope, rows_sf01,
 rows_sf1, row_growth}} plus machine anchors, and prints a slope table.
 
-Usage: python tools/scale_soak.py [n_heaviest] [reps]
+Usage: python tools/scale_soak.py [n_heaviest] [reps] [skip]
+  (``skip`` drops the first N heaviest — e.g. ``30 2 30`` soaks ranks
+  31-60 and merges into the existing SOAK_SF1.json)
 """
 
 from __future__ import annotations
@@ -38,6 +40,7 @@ def _run(spark, fn, sf_dir: str, reps: int) -> "tuple[float, int]":
 def main() -> None:
     n_heaviest = int(sys.argv[1]) if len(sys.argv) > 1 else 30
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    skip = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     sf01 = "/root/testdata/sf0.1"
     sf1 = os.path.join(REPO, "testdata_sf1")
     if not os.path.isdir(sf1):
@@ -56,7 +59,7 @@ def main() -> None:
     names = [
         q for q in sorted(last, key=lambda q: -last[q])
         if not q.startswith("s")
-    ][:n_heaviest]
+    ][skip : skip + n_heaviest]
 
     # warm up: file index + one codegen query + one Arrow kernel query
     spark.read.parquet(os.path.join(sf01, "lineitem.parquet")).count()
@@ -80,6 +83,12 @@ def main() -> None:
             f"  rows {n01} -> {n1}", flush=True,
         )
 
+    art_path = os.path.join(REPO, "SOAK_SF1.json")
+    if skip and os.path.exists(art_path):
+        with open(art_path) as fh:
+            prev = json.load(fh).get("queries", {})
+        for q, v in prev.items():
+            out.setdefault(q, v)
     art = {
         "sf01_dir": sf01, "sf1_dir": sf1, "reps": reps,
         "queries": out,
