@@ -43,7 +43,13 @@ def fuzzy_join(
     Returns every left column plus every right column plus ``dist_col``
     (int). Column names must not collide (alias beforehand). Pairs whose
     blocking keys differ are NOT produced — recall is the blocking
-    function's responsibility.
+    function's responsibility, and so is VOLUME: the candidate join is
+    quadratic per block, so a skewed block (a hot name prefix, a
+    corpus with many exact-duplicate keys — the sf1 soak measured 63x
+    at 10x data on exactly that) needs sub-blocking (add a length
+    bucket or a second prefix to the block expression) or the
+    ``sorted_neighborhood_pairs`` path, whose candidate volume is
+    <= 2*window per row at any skew.
     """
     l = left.withColumn("__blk", left_block)
     r = right.withColumn("__blk", right_block)
