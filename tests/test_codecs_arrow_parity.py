@@ -298,6 +298,69 @@ def test_decode_png_parity(spark, png_df):
     )
 
 
+def test_arrow_kernels_at_large_payload(spark):
+    # The design point the handoff exists for: payloads far past the
+    # thumbnail scale the expression folds are sized for. A ~0.7 MB
+    # 600x400 PNG (11 stored blocks) and a ~1 MB 16.5-second stereo
+    # WAV decode through the arrow kernels with exact stats; the
+    # expression twin is NOT run here (interpreted folds at this size
+    # are minutes-slow — that asymmetry is the point).
+    import random
+
+    rnd = random.Random(23)
+    w, h = 600, 400
+    rgb = bytes(rnd.randrange(256) for _ in range(w * h * 3))
+    # CPython zlib's 3rd-onward stored blocks shrink (documented
+    # decode_png limitation past 2*65531 raw bytes); a file this size
+    # must use make_png's constant-65535 greedy layout, replicated
+    # here in plain python
+    raw = b"".join(
+        b"\x00" + rgb[r * 3 * w : (r + 1) * 3 * w] for r in range(h)
+    )
+    blocks = []
+    for off in range(0, len(raw), 65535):
+        chunk = raw[off : off + 65535]
+        final = 1 if off + 65535 >= len(raw) else 0
+        blocks.append(
+            bytes([final]) + len(chunk).to_bytes(2, "little")
+            + (65535 - len(chunk)).to_bytes(2, "little") + chunk
+        )
+    z = b"\x78\x01" + b"".join(blocks) + struct.pack(">I", zlib.adler32(raw))
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+
+    def chunk4(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    blob = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + chunk4(b"IHDR", ihdr) + chunk4(b"IDAT", z) + chunk4(b"IEND", b"")
+    )
+    img = spark.createDataFrame([(1, blob)], "id long, image binary")
+    r = codecs.decode_png(img, engine="arrow").head()
+    assert r["meta"]["width"] == w and r["meta"]["height"] == h
+    import numpy as np
+
+    px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    for c, name in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert r[name] == pytest.approx(int(px[:, c].sum()) / (w * h), abs=0)
+
+    n = 264_000  # stereo frames
+    samples = [((i * 2654435761) % 65536) - 32768 for i in range(2 * n)]
+    wav = spark.createDataFrame(
+        [(1, _wav(2, 16000, samples))], "id long, audio binary"
+    )
+    rw = codecs.decode_wav(wav, engine="arrow").head()
+    assert rw["meta"]["n_samples"] == n
+    v = np.array(samples, dtype=np.int64)
+    ch0 = v[0::2]
+    assert rw["mean_ch0"] == pytest.approx(int(ch0.sum()) / n, abs=0)
+    fp = codecs.audio_fingerprint(wav, engine="arrow").head()["afp"]
+    assert fp is not None
+
+
 def test_arrow_is_default_engine(spark, wav_df, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_CODEC_ENGINE", raising=False)
     plan = (
