@@ -28,15 +28,41 @@ from pyspark.sql import DataFrame, SparkSession
 # diagnostics, array canonicalization, MinHash mining, multimodal meta).
 _CANARIES = ["p17", "p21_errors", "p10", "e03_neardup_minhash", "e07_multimodal_meta"]
 
-# Round-4 rotation (45 slots): (a) the two round-3 driver reds with
-# their canonicalization fixes (e61 -0.0, e152 HUGEINT) to prove the
-# fix at the gate; (b) e213-e227 + s13 — shipped in round 3 verified
-# only by the gate replica (ADVICE item 4); (c) the rest of the
-# streaming surface s07-s12 (s07 -0.0 fixed); (d) the 18 oracles that
-# emitted uncast DuckDB HUGEINT, now CAST AS BIGINT — front-loaded so
-# the fix gets a hard driver signal; (e) heavy-logic never-checked
-# picks from the round-3 verdict list.
+# Round-5 rotation (45 slots), all never-driver-checked (138 of 277
+# had a gate row after r4): (a) surfaces CHANGED this round — the
+# containment join's new positional filter, the Catalyst shingle swap,
+# the 32-bit FIM draw, the first HLL sketch rows (p26 rows-only +
+# p26b's hash-checkable accuracy contract), and the codec queries now
+# running on the Arrow kernels; (b) the round-4 verdict's named
+# heavy-logic backlog (k-means, denormalize, graph, BPE, spans, range
+# join, length batches); (c) a breadth sweep over the remaining
+# never-checked families (as-of, BM25, salted join, LM, PQ-ANN, CMS,
+# DSIR, journeys, privacy, web extraction).
 _ROUND_WINDOW = [
+    # (a) changed in round 5
+    "e89_containment", "e161_source_diversity", "e229_fim_transform",
+    "p26", "p26b",
+    "e170_wav_decode", "e174_audio_features", "e175_image_stats",
+    "e178_audio_downsample", "e179_image_gray", "e182_audio_mixdown",
+    "e189_audio_trim",
+    # (b) round-4 verdict backlog, heaviest logic first
+    "e54_kmeans", "e96_denormalize", "e103_triangle_stats",
+    "e107_pagerank", "e136_label_propagation", "e113_bpe_learn",
+    "e114_bpe_encode", "e127_duplicated_spans", "e133_remove_dup_spans",
+    "e50_range_join", "e230_length_batches",
+    # (c) breadth sweep of never-checked families
+    "e24_asof_join", "e36_bm25_topk", "e47_salted_join", "e53_debounce",
+    "e56_unigram_lm", "e64_transition_matrix", "e68_inverted_index",
+    "e71_knn_pq", "e71b_knn_pq_rerank", "e73_fuzzy_match",
+    "e76_heavy_hitters", "e80_cms_frequency", "e83_dsir_select",
+    "e92_line_dedup", "e95_random_projection", "e101_user_journeys",
+    "e109_quality_classifier", "e117_image_neardup",
+    "e144_sorted_neighborhood", "e171_html_extract", "e195_k_anonymity",
+    "e197_dp_count",
+]
+
+# Round-4 window (all driver-checked in CORRECTNESS_r04; audit trail).
+_R4_WINDOW = [
     # (a) round-3 reds, fixed
     "e61_weighted_sample", "e152_roc_auc",
     # (b) round-3 session-7/8 operators, gate-replica-only so far
