@@ -12,6 +12,14 @@ rows_sf1, row_growth}} plus machine anchors, and prints a slope table.
 Usage: python tools/scale_soak.py [n_heaviest] [reps] [skip]
   (``skip`` drops the first N heaviest — e.g. ``30 2 30`` soaks ranks
   31-60 and merges into the existing SOAK_SF1.json)
+
+Env overrides (for soaks beyond the default sf0.1 -> sf1 decade):
+  SOAK_SF_DIR     big-side data dir        (default <repo>/testdata_sf1)
+  SOAK_OUT        artifact filename        (default SOAK_SF1.json)
+  SOAK_THRESHOLD  over-linear slope cutoff (default 12; use ~120 for a
+                  100x corpus)
+  SOAK_QUERIES    comma-separated explicit query list (overrides the
+                  heaviest-N selection)
 """
 
 from __future__ import annotations
@@ -25,8 +33,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def _run(spark, fn, sf_dir: str, reps: int) -> "tuple[float, int]":
-    runs, n = [], 0
+def _run(spark, fn, sf_dir: str, reps: int) -> "tuple[float, int, float]":
+    """Median wall-clock over ``reps`` for two actions: ``collect()``
+    (the legacy end-to-end metric — includes driver materialization of
+    the result set) and a ``noop``-sink write (engine-side only — the
+    number that matters at 100 TB, where results are written to storage,
+    never collected). A query whose collect-slope is high but whose
+    noop-slope is ~linear has a driver-transfer artifact, not a plan
+    problem."""
+    runs, noops, n = [], [], 0
     for _ in range(reps):
         spark.catalog.clearCache()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
@@ -34,7 +49,10 @@ def _run(spark, fn, sf_dir: str, reps: int) -> "tuple[float, int]":
         t0 = time.perf_counter()
         n = len(fn(spark, sf_dir).collect())
         runs.append(time.perf_counter() - t0)
-    return sorted(runs)[len(runs) // 2], n
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        noops.append(time.perf_counter() - t0)
+    return sorted(runs)[len(runs) // 2], n, sorted(noops)[len(noops) // 2]
 
 
 def main() -> None:
@@ -42,7 +60,9 @@ def main() -> None:
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     skip = int(sys.argv[3]) if len(sys.argv) > 3 else 0
     sf01 = "/root/testdata/sf0.1"
-    sf1 = os.path.join(REPO, "testdata_sf1")
+    sf1 = os.environ.get("SOAK_SF_DIR") or os.path.join(REPO, "testdata_sf1")
+    out_name = os.environ.get("SOAK_OUT", "SOAK_SF1.json")
+    threshold = float(os.environ.get("SOAK_THRESHOLD", "12"))
     if not os.path.isdir(sf1):
         sys.exit("run tools/make_sf.py first")
 
@@ -56,10 +76,14 @@ def main() -> None:
         last = json.load(fh)["queries"]
     # heaviest by the last full bench; streaming replays excluded (the
     # micro-batch harness is replay overhead, not data-volume work)
-    names = [
-        q for q in sorted(last, key=lambda q: -last[q])
-        if not q.startswith("s")
-    ][skip : skip + n_heaviest]
+    explicit = os.environ.get("SOAK_QUERIES")
+    if explicit:
+        names = [q.strip() for q in explicit.split(",") if q.strip()]
+    else:
+        names = [
+            q for q in sorted(last, key=lambda q: -last[q])
+            if not q.startswith("s")
+        ][skip : skip + n_heaviest]
 
     # warm up: file index + one codegen query + one Arrow kernel query
     spark.read.parquet(os.path.join(sf01, "lineitem.parquet")).count()
@@ -70,34 +94,42 @@ def main() -> None:
 
     out = {}
     for q in names:
-        t01, n01 = _run(spark, QUERIES[q], sf01, reps)
-        t1, n1 = _run(spark, QUERIES[q], sf1, reps)
+        t01, n01, e01 = _run(spark, QUERIES[q], sf01, reps)
+        t1, n1, e1 = _run(spark, QUERIES[q], sf1, reps)
         slope = round(t1 / t01, 2) if t01 > 0 else None
+        eslope = round(e1 / e01, 2) if e01 > 0 else None
         out[q] = {
             "t_sf01": round(t01, 3), "t_sf1": round(t1, 3), "slope": slope,
+            "t_noop_sf01": round(e01, 3), "t_noop_sf1": round(e1, 3),
+            "slope_noop": eslope,
             "rows_sf01": n01, "rows_sf1": n1,
             "row_growth": round(n1 / n01, 2) if n01 else None,
         }
         print(
             f"{q:32s} {t01:7.2f}s -> {t1:7.2f}s  slope={slope:6.2f}"
-            f"  rows {n01} -> {n1}", flush=True,
+            f"  engine={eslope:6.2f}  rows {n01} -> {n1}", flush=True,
         )
 
-    art_path = os.path.join(REPO, "SOAK_SF1.json")
-    if skip and os.path.exists(art_path):
+    art_path = os.path.join(REPO, out_name)
+    if (skip or explicit) and os.path.exists(art_path):
         with open(art_path) as fh:
             prev = json.load(fh).get("queries", {})
         for q, v in prev.items():
             out.setdefault(q, v)
     art = {
         "sf01_dir": sf01, "sf1_dir": sf1, "reps": reps,
+        "threshold": threshold,
         "queries": out,
         "max_slope": max(v["slope"] for v in out.values()),
+        # the engine-side (noop-write) slope is the scale signal where
+        # measured; collect-slope is the fallback for legacy entries
         "over_linear": sorted(
-            q for q, v in out.items() if v["slope"] and v["slope"] > 12
+            q for q, v in out.items()
+            if (v.get("slope_noop") or v["slope"])
+            and (v.get("slope_noop") or v["slope"]) > threshold
         ),
     }
-    with open(os.path.join(REPO, "SOAK_SF1.json"), "w") as fh:
+    with open(art_path, "w") as fh:
         json.dump(art, fh, indent=1, sort_keys=True)
     print("\nmax slope:", art["max_slope"], "over-linear (>12):",
           art["over_linear"])
