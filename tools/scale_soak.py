@@ -34,14 +34,20 @@ sys.path.insert(0, REPO)
 
 
 def _run(spark, fn, sf_dir: str, reps: int) -> "tuple[float, int, float]":
-    """Median wall-clock over ``reps`` for two actions: ``collect()``
-    (the legacy end-to-end metric — includes driver materialization of
-    the result set) and a ``noop``-sink write (engine-side only — the
-    number that matters at 100 TB, where results are written to storage,
-    never collected). A query whose collect-slope is high but whose
-    noop-slope is ~linear has a driver-transfer artifact, not a plan
-    problem."""
-    runs, noops, n = [], [], 0
+    """Wall-clock for two actions: ``collect()`` (the legacy end-to-end
+    metric — includes driver materialization of the result set) and a
+    ``noop``-sink write (engine-side only — the number that matters at
+    100 TB, where results are written to storage, never collected). A
+    query whose collect-slope is high but whose noop-slope is ~linear
+    has a driver-transfer artifact, not a plan problem.
+
+    min-of-reps, not median: with reps=2 ``sorted(...)[1]`` is the MAX,
+    i.e. the first execution's one-time codegen/JIT compile cost (3-4x
+    the warm time for compile-heavy plans) — a per-query constant, not
+    data work, and it poisons both ends of the slope with noise. The
+    noop write is measured once, after the collect reps warmed the
+    plan's generated code."""
+    runs, n = [], 0
     for _ in range(reps):
         spark.catalog.clearCache()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
@@ -49,10 +55,9 @@ def _run(spark, fn, sf_dir: str, reps: int) -> "tuple[float, int, float]":
         t0 = time.perf_counter()
         n = len(fn(spark, sf_dir).collect())
         runs.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        noops.append(time.perf_counter() - t0)
-    return sorted(runs)[len(runs) // 2], n, sorted(noops)[len(noops) // 2]
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    return min(runs), n, time.perf_counter() - t0
 
 
 def main() -> None:
