@@ -99,8 +99,21 @@ def main() -> None:
 
     out = {}
     for q in names:
-        t01, n01, e01 = _run(spark, QUERIES[q], sf01, reps)
-        t1, n1, e1 = _run(spark, QUERIES[q], sf1, reps)
+        # survive transient Python-worker deaths (a long-lived daemon
+        # fork occasionally dies mid-suite): retry once, then record the
+        # error and move on — one flaky query must not void the wave
+        try:
+            t01, n01, e01 = _run(spark, QUERIES[q], sf01, reps)
+            t1, n1, e1 = _run(spark, QUERIES[q], sf1, reps)
+        except Exception as exc:  # noqa: BLE001
+            print(f"{q}: RETRY after {type(exc).__name__}", flush=True)
+            try:
+                t01, n01, e01 = _run(spark, QUERIES[q], sf01, reps)
+                t1, n1, e1 = _run(spark, QUERIES[q], sf1, reps)
+            except Exception as exc2:  # noqa: BLE001
+                print(f"{q}: FAILED {type(exc2).__name__}: {exc2}", flush=True)
+                out[q] = {"error": f"{type(exc2).__name__}: {exc2}"[:300]}
+                continue
         slope = round(t1 / t01, 2) if t01 > 0 else None
         eslope = round(e1 / e01, 2) if e01 > 0 else None
         out[q] = {
@@ -125,13 +138,15 @@ def main() -> None:
         "sf01_dir": sf01, "sf1_dir": sf1, "reps": reps,
         "threshold": threshold,
         "queries": out,
-        "max_slope": max(v["slope"] for v in out.values()),
+        "max_slope": max(
+            v["slope"] for v in out.values() if v.get("slope") is not None
+        ),
         # the engine-side (noop-write) slope is the scale signal where
         # measured; collect-slope is the fallback for legacy entries
         "over_linear": sorted(
             q for q, v in out.items()
-            if (v.get("slope_noop") or v["slope"])
-            and (v.get("slope_noop") or v["slope"]) > threshold
+            if (v.get("slope_noop") or v.get("slope"))
+            and (v.get("slope_noop") or v.get("slope")) > threshold
         ),
     }
     with open(art_path, "w") as fh:
