@@ -47,14 +47,22 @@ def _run(spark, fn, sf_dir: str, reps: int) -> "tuple[float, int, float]":
     data work, and it poisons both ends of the slope with noise. The
     noop write is measured once, after the collect reps warmed the
     plan's generated code."""
-    runs, n = [], 0
-    for _ in range(reps):
+    def _isolate() -> None:
+        # same cold-cache start for every sample: operators that
+        # _materialize() intermediates must recompute them, at BOTH SFs
+        # — otherwise the noop sample is a cache-hit at one SF and a
+        # cache-miss at the other and the slope compares those instead
         spark.catalog.clearCache()
         for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
             rdd.unpersist()
+
+    runs, n = [], 0
+    for _ in range(reps):
+        _isolate()
         t0 = time.perf_counter()
         n = len(fn(spark, sf_dir).collect())
         runs.append(time.perf_counter() - t0)
+    _isolate()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     return min(runs), n, time.perf_counter() - t0
