@@ -57,15 +57,44 @@ def sq_dist_to(vec: Column, centroid: Sequence[float]) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, d: acc + d)
 
 
+# past this many centers the per-center interpreted fold (higher-order
+# lambdas don't codegen) switches to one numpy GEMM per Arrow batch
+_GEMM_K_THRESHOLD = 16
+
+
 def assign_clusters(
     df: DataFrame,
     vec_col: str,
     centers: Sequence[Sequence[float]],
     cluster_col: str = "cluster",
     dist_col: Optional[str] = "dist_sq",
+    engine: str = "auto",
 ) -> DataFrame:
     """Append the argmin-centroid id (INT) and optionally the squared
-    distance. Ties break to the smallest centroid id (struct min)."""
+    distance. Ties break to the smallest centroid id (struct min /
+    first-argmin).
+
+    Dual-engine, same contract as the codec family: ``expr`` is the
+    pure-Catalyst fold (k struct distances + ``array_min`` — exact
+    left-to-right association order, the form the e54/e57 oracles
+    replay term by term), ``arrow`` is one numpy GEMM per Arrow batch
+    (``|x|^2 - 2 x.C^T + |c|^2``), and ``auto`` picks ``expr`` for
+    k <= 16 and ``arrow`` above — the expression path's cost is k
+    INTERPRETED folds per row (higher-order lambdas never reach
+    codegen), so at the k = n/2000 scaling a growing corpus demands it
+    degenerates from "slow" to "stuck" (measured: k=100 over 200k
+    vectors never finished; the GEMM path is seconds). GEMM and fold
+    distances can differ in the last ulp, which could flip an argmin
+    only on an exact distance tie between distinct centers — measure-
+    zero for real embeddings, and the gate SFs (k=8) pin the expr
+    path."""
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(f"engine must be auto/expr/arrow, got {engine!r}")
+    use_arrow = engine == "arrow" or (
+        engine == "auto" and len(centers) > _GEMM_K_THRESHOLD
+    )
+    if use_arrow:
+        return _assign_clusters_gemm(df, vec_col, centers, cluster_col, dist_col)
     cands = F.array(
         *[
             F.struct(
@@ -82,6 +111,68 @@ def assign_clusters(
     if dist_col is not None:
         out = out.withColumn(dist_col, F.col("__best.d"))
     return out.drop("__best")
+
+
+def _assign_clusters_gemm(
+    df: DataFrame,
+    vec_col: str,
+    centers: Sequence[Sequence[float]],
+    cluster_col: str,
+    dist_col: Optional[str],
+) -> DataFrame:
+    """Arrow ``mapInPandas`` assignment: per batch, distances to all k
+    centers via one float64 GEMM. State shipped to each task is the
+    k x dim center matrix (a closure constant — k = n/2000 keeps it
+    megabytes even at 10^9 vectors); per-row work is O(k x dim)
+    vectorized instead of k interpreted lambda folds. Null/None
+    vectors get cluster 0 and a null distance — matching the
+    expression path, where ``array_min`` over structs whose ``d`` is
+    null resolves to the first (cid 0) struct with a null ``d``."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    C = np.asarray([[float(x) for x in c] for c in centers], dtype=np.float64)
+    c_sq = (C * C).sum(axis=1)
+
+    base = [
+        f for f in df.schema.fields if f.name not in (cluster_col, dist_col)
+    ]
+    new_fields = [T.StructField(cluster_col, T.IntegerType())]
+    if dist_col is not None:
+        new_fields.append(T.StructField(dist_col, T.DoubleType()))
+    schema = T.StructType(base + new_fields)
+    names = [f.name for f in schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            vecs = pdf[vec_col]
+            mask = vecs.notna().to_numpy()
+            cid_out = np.zeros(len(pdf), dtype=np.int64)  # null vec -> cid 0
+            dist_out: "list[float | None]" = [None] * len(pdf)
+            if mask.any():
+                X = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
+                )
+                d = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2.0 * (X @ C.T)
+                    + c_sq[None, :]
+                )
+                cid = d.argmin(axis=1)  # first min == smallest-cid tie-break
+                cid_out[mask] = cid
+                # expansion can dip a true 0 distance to ~-1e-12: clamp
+                best = np.maximum(d[np.arange(len(cid)), cid], 0.0)
+                for row, val in zip(np.nonzero(mask)[0], best):
+                    dist_out[row] = float(val)
+            pdf[cluster_col] = cid_out.astype("int32")
+            if dist_col is not None:
+                pdf[dist_col] = pd.array(dist_out, dtype="float64")
+            yield pdf[names]
+
+    return df.mapInPandas(gen, schema=schema)
 
 
 def kmeans_fit(

@@ -1087,11 +1087,17 @@ def e54_kmeans(spark, sf_dir):
 
 
 # --- E57: SemDeDup (Abbas et al. 2023) — within-cluster cosine pruning
-# with deterministic keep-min-id. Centers = first-8 vectors (pure
-# assignment; kmeans_fit centers compose the same way, see e54 for the
-# Lloyd check). Normalization and the dot fold are unrolled in the
-# oracle in Spark's association order.
-_E57_K, _E57_EPS = 8, 0.4
+# with deterministic keep-min-id. Centers = first-k vectors where
+# k = max(8, n // 2000) (pure assignment; kmeans_fit centers compose
+# the same way, see e54 for the Lloyd check). k MUST scale with corpus
+# size — the sf10 soak caught the original fixed k=8 degenerating to
+# ~25k-vector clusters, i.e. a multi-GB per-task similarity matrix and
+# O(n^2/8) pair work; scaling k holds expected cluster size (and the
+# per-task GEMM) constant. Below 16k vectors k stays 8, so every gate
+# SF's rows are byte-identical to the fixed-k original. Normalization
+# and the dot fold are unrolled in the oracle in Spark's association
+# order.
+_E57_MIN_K, _E57_TARGET, _E57_EPS = 8, 2000, 0.4
 
 
 def _e57_oracle() -> str:
@@ -1103,8 +1109,13 @@ def _e57_oracle() -> str:
     d_init = _e54_dist("e.embedding", "i.c")
     return f"""
 WITH init AS (
-  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid, embedding AS c
-  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_E57_K})
+  SELECT cid, c FROM (
+    SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cid,
+           embedding AS c,
+           row_number() OVER (ORDER BY vec_id) AS rn
+    FROM embeddings
+  ) WHERE rn <= (SELECT greatest({_E57_MIN_K}, count(*) // {_E57_TARGET})
+                 FROM embeddings)
 ), asg AS (
   SELECT e.vec_id, e.embedding,
          (min({{'d': {d_init}, 'c': i.cid}})).c AS cluster
@@ -1128,13 +1139,18 @@ FROM asg
 def e57_semdedup(spark, sf_dir):
     """SemDeDup: clusters bound the O(n^2) cosine to sum(|cluster|^2)
     candidate pairs (equi-join on cluster id, AQE skew-split); dropped
-    ids broadcast back for the keep flag."""
+    ids broadcast back for the keep flag. k scales with n (expected
+    cluster size ~_E57_TARGET) so per-cluster pair work stays constant
+    as the corpus grows; the centers collect is k x dim doubles on the
+    driver — n/2000 rows, the same bounded-state contract as
+    kmeans_fit."""
     from pivot_spark.operators.semdedup import semdedup
 
     emb = _read(spark, sf_dir, "embeddings")
+    k = max(_E57_MIN_K, emb.count() // _E57_TARGET)
     centers = [
         [float(x) for x in r["embedding"]]
-        for r in emb.orderBy("vec_id").limit(_E57_K).collect()
+        for r in emb.orderBy("vec_id").limit(k).collect()
     ]
     return semdedup(emb, "vec_id", "embedding", centers, eps=_E57_EPS)
 

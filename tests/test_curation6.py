@@ -216,3 +216,44 @@ def test_quantize_int8_clamps(spark):
     df = _vec_df(spark, [(1, [127.0, -127.0, 1.0])])
     r = quantize_int8(df, "vec").collect()[0]
     assert r["qvec"][0] == 127 and r["qvec"][1] == -127
+
+
+def test_assign_clusters_arrow_matches_expr(spark):
+    """The GEMM (mapInPandas) assignment and the Catalyst fold must
+    agree on cluster ids and on dist_sq to float tolerance — including
+    a null vector (null cluster/dist on both paths) — and engine=auto
+    must pick the GEMM path above the k threshold."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ] + [(999, None)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    centers = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(20)]
+
+    expr = {
+        r["vid"]: r
+        for r in assign_clusters(df, "vec", centers, engine="expr").collect()
+    }
+    for eng in ("arrow", "auto"):  # auto: k=20 > threshold -> GEMM
+        got = {
+            r["vid"]: r
+            for r in assign_clusters(df, "vec", centers, engine=eng).collect()
+        }
+        assert set(got) == set(expr)
+        for vid, r in got.items():
+            e = expr[vid]
+            assert r["cluster"] == e["cluster"], (eng, vid)
+            if e["dist_sq"] is None:
+                assert r["dist_sq"] is None
+            else:
+                assert math.isclose(
+                    r["dist_sq"], e["dist_sq"], rel_tol=1e-9, abs_tol=1e-9
+                )
+
+
+def test_assign_clusters_engine_validation(spark):
+    df = _vec_df(spark, [(1, [0.0, 0.0])])
+    with pytest.raises(ValueError, match="engine"):
+        assign_clusters(df, "vec", [[0.0, 0.0]], engine="bogus")
