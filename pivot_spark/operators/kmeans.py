@@ -83,11 +83,20 @@ def assign_clusters(
     INTERPRETED folds per row (higher-order lambdas never reach
     codegen), so at the k = n/2000 scaling a growing corpus demands it
     degenerates from "slow" to "stuck" (measured: k=100 over 200k
-    vectors never finished; the GEMM path is seconds). GEMM and fold
-    distances can differ in the last ulp, which could flip an argmin
-    only on an exact distance tie between distinct centers — measure-
-    zero for real embeddings, and the gate SFs (k=8) pin the expr
-    path."""
+    vectors never finished; the GEMM path is seconds).
+
+    Engine parity: the expanded form suffers catastrophic cancellation
+    near zero distance (absolute error ~eps * (|x|^2 + |c|^2), so two
+    centers within that band — NOT just exact ties — could swap argmin;
+    SemDeDup's centers ARE corpus vectors, so true-zero distances are
+    the common case there, not the corner). The GEMM path therefore
+    REFINES every near-tie: candidates within an |x|^2- and
+    |c|^2-scaled error band of the batch minimum are recomputed with
+    the exact left-to-right (x_i-c_i)^2 fold — the same association
+    order as the expr path — and the winner (smallest-cid on true
+    ties) plus its distance come from that exact recompute. Rows whose
+    minimum is uncontested keep the (clamped) GEMM distance, which
+    differs from the fold only in the last ulp."""
     if engine not in ("auto", "expr", "arrow"):
         raise ValueError(f"engine must be auto/expr/arrow, got {engine!r}")
     use_arrow = engine == "arrow" or (
@@ -125,9 +134,12 @@ def _assign_clusters_gemm(
     k x dim center matrix (a closure constant — k = n/2000 keeps it
     megabytes even at 10^9 vectors); per-row work is O(k x dim)
     vectorized instead of k interpreted lambda folds. Null/None
-    vectors get cluster 0 and a null distance — matching the
-    expression path, where ``array_min`` over structs whose ``d`` is
-    null resolves to the first (cid 0) struct with a null ``d``."""
+    vectors — and vectors whose length differs from the center dim —
+    get cluster 0 and a null distance, matching the expression path,
+    where ``zip_with`` null-pads a length mismatch into a null fold
+    and ``array_min`` over all-null-``d`` structs resolves to the
+    first (cid 0) struct. Near-tied argmins are re-decided by an exact
+    left-to-right fold (see ``assign_clusters``)."""
     import numpy as np
     import pandas as pd
 
@@ -135,6 +147,22 @@ def _assign_clusters_gemm(
 
     C = np.asarray([[float(x) for x in c] for c in centers], dtype=np.float64)
     c_sq = (C * C).sum(axis=1)
+    dim = C.shape[1]
+    # cancellation band of the expanded form: |computed - true| is
+    # O(eps * (|x|^2 + max|c|^2)); 64 eps covers the GEMM's summation
+    # error growth with plenty of margin while keeping the refinement
+    # set empty for any row whose winner is not genuinely contested
+    _tie_eps = 64.0 * np.finfo(np.float64).eps
+
+    def _fold_dist(x: "np.ndarray", c: "np.ndarray") -> float:
+        # exact left-to-right association — the declared (oracle-
+        # replayed) semantics of sq_dist_to; numpy reductions use
+        # pairwise summation, which is NOT that order
+        s = 0.0
+        for xi, ci in zip(x, c):
+            d = xi - ci
+            s += d * d
+        return s
 
     base = [
         f for f in df.schema.fields if f.name not in (cluster_col, dist_col)
@@ -149,22 +177,34 @@ def _assign_clusters_gemm(
         for pdf in batches:
             pdf = pdf.copy()
             vecs = pdf[vec_col]
-            mask = vecs.notna().to_numpy()
+            # usable = non-null AND exactly center-dim long (a length
+            # mismatch is the expr path's null-fold -> cluster 0 case)
+            mask = np.array(
+                [v is not None and len(v) == dim for v in vecs], dtype=bool
+            )
             cid_out = np.zeros(len(pdf), dtype=np.int64)  # null vec -> cid 0
             dist_out: "list[float | None]" = [None] * len(pdf)
             if mask.any():
                 X = np.stack(
                     [np.asarray(v, dtype=np.float64) for v in vecs[mask]]
                 )
-                d = (
-                    (X * X).sum(axis=1)[:, None]
-                    - 2.0 * (X @ C.T)
-                    + c_sq[None, :]
-                )
+                x_sq = (X * X).sum(axis=1)
+                d = x_sq[:, None] - 2.0 * (X @ C.T) + c_sq[None, :]
                 cid = d.argmin(axis=1)  # first min == smallest-cid tie-break
-                cid_out[mask] = cid
+                dmin = d[np.arange(len(cid)), cid]
+                # rows where a second center sits inside the expanded
+                # form's error band of the minimum: re-decide exactly
+                tol = _tie_eps * (x_sq + c_sq.max())
+                contested = (d <= (dmin + tol)[:, None]).sum(axis=1) > 1
                 # expansion can dip a true 0 distance to ~-1e-12: clamp
-                best = np.maximum(d[np.arange(len(cid)), cid], 0.0)
+                best = np.maximum(dmin, 0.0)
+                for i in np.nonzero(contested)[0]:
+                    cand = np.nonzero(d[i] <= dmin[i] + tol[i])[0]
+                    exact = [_fold_dist(X[i], C[j]) for j in cand]
+                    w = int(np.argmin(exact))  # first min = smallest cid
+                    cid[i] = cand[w]
+                    best[i] = exact[w]
+                cid_out[mask] = cid
                 for row, val in zip(np.nonzero(mask)[0], best):
                     dist_out[row] = float(val)
             pdf[cluster_col] = cid_out.astype("int32")

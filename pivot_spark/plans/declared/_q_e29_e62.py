@@ -1100,7 +1100,7 @@ def e54_kmeans(spark, sf_dir):
 _E57_MIN_K, _E57_TARGET, _E57_EPS = 8, 2000, 0.4
 
 
-def _e57_oracle() -> str:
+def _e57_oracle(min_k: int = _E57_MIN_K, target: int = _E57_TARGET) -> str:
     sq = " + ".join(
         f"embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE"
         for i in range(1, _E54_DIM + 1)
@@ -1114,7 +1114,7 @@ WITH init AS (
            embedding AS c,
            row_number() OVER (ORDER BY vec_id) AS rn
     FROM embeddings
-  ) WHERE rn <= (SELECT greatest({_E57_MIN_K}, count(*) // {_E57_TARGET})
+  ) WHERE rn <= (SELECT least(count(*), greatest({min_k}, count(*) // {target}))
                  FROM embeddings)
 ), asg AS (
   SELECT e.vec_id, e.embedding,
@@ -1148,6 +1148,34 @@ def e57_semdedup(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings")
     k = max(_E57_MIN_K, emb.count() // _E57_TARGET)
+    centers = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.orderBy("vec_id").limit(k).collect()
+    ]
+    return semdedup(emb, "vec_id", "embedding", centers, eps=_E57_EPS)
+
+
+# --- E57B: the same SemDeDup contract with the cluster-count scaled to
+# ENGAGE the GEMM assignment engine at gate scale (k = max(20, n/25)
+# > the k=16 auto threshold at every test SF, vs e57's k=8 there).
+# This pins the |x|^2 - 2x.c + |c|^2 + exact-near-tie-refinement path
+# (operators/kmeans.py:_assign_clusters_gemm) against the oracle's
+# exact fold-replaying argmin — the round-5 advisor's ask: without the
+# refinement, centers inside the expanded form's cancellation band can
+# silently flip assignments vs the exact argmin.
+_E57B_MIN_K, _E57B_TARGET = 20, 25
+
+
+@query("e57b_semdedup_gemm", _e57_oracle(_E57B_MIN_K, _E57B_TARGET))
+def e57b_semdedup_gemm(spark, sf_dir):
+    """e57 with scaled-up k so ``assign_clusters(engine="auto")``
+    routes through the Arrow GEMM: one numpy ``X @ C.T`` per batch,
+    near-tied argmins re-decided by the exact left-to-right fold."""
+    from pivot_spark.operators.semdedup import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k = min(n, max(_E57B_MIN_K, n // _E57B_TARGET))
     centers = [
         [float(x) for x in r["embedding"]]
         for r in emb.orderBy("vec_id").limit(k).collect()

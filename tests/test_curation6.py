@@ -221,8 +221,8 @@ def test_quantize_int8_clamps(spark):
 def test_assign_clusters_arrow_matches_expr(spark):
     """The GEMM (mapInPandas) assignment and the Catalyst fold must
     agree on cluster ids and on dist_sq to float tolerance — including
-    a null vector (null cluster/dist on both paths) — and engine=auto
-    must pick the GEMM path above the k threshold."""
+    a null vector (cluster 0 + null dist on both paths) — and
+    engine=auto must pick the GEMM path above the k threshold."""
     import random
 
     rnd = random.Random(7)
@@ -251,6 +251,50 @@ def test_assign_clusters_arrow_matches_expr(spark):
                 assert math.isclose(
                     r["dist_sq"], e["dist_sq"], rel_tol=1e-9, abs_tol=1e-9
                 )
+
+
+def test_assign_clusters_gemm_near_tie_refinement(spark):
+    """SemDeDup's hard case: the row vector IS a center, and another
+    center sits closer than the expanded form's cancellation band
+    (eps * |x|^2 ~ 1e-3 at |x| ~ 1e6, vastly above the true 1e-14 gap).
+    Without exact refinement the expanded-form argmin is a coin flip;
+    with it the GEMM path must return the true winner and dist 0.0,
+    agreeing with the fold path."""
+    big = [1e6] * 8
+    near = list(big)
+    near[0] += 1e-7  # true dist 1e-14 — inside the cancellation band
+    centers = [[float(i)] * 8 for i in range(17)]  # pad k above threshold
+    centers[5] = big
+    centers[6] = near
+    df = spark.createDataFrame([(1, big), (2, near)], "vid long, vec array<double>")
+    for eng in ("arrow", "expr"):
+        out = {
+            r["vid"]: r
+            for r in assign_clusters(df, "vec", centers, engine=eng).collect()
+        }
+        assert out[1]["cluster"] == 5, eng
+        assert out[1]["dist_sq"] == 0.0, eng
+        assert out[2]["cluster"] == 6, eng
+        assert out[2]["dist_sq"] == 0.0, eng
+
+
+def test_assign_clusters_gemm_ragged_vector_matches_expr(spark):
+    """A vector whose length differs from the center dim follows the
+    expr path's null-fold semantics on BOTH engines (cluster 0, null
+    dist) instead of crashing the Python worker with a ragged
+    np.stack."""
+    rows = [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0]), (3, [1.0]), (4, None)]
+    df = spark.createDataFrame(rows, "vid long, vec array<double>")
+    centers = [[0.0, 0.0], [5.0, 5.0]]
+    for eng in ("expr", "arrow"):
+        out = {
+            r["vid"]: r
+            for r in assign_clusters(df, "vec", centers, engine=eng).collect()
+        }
+        assert out[1]["cluster"] == 0 and out[1]["dist_sq"] == 5.0, eng
+        for vid in (2, 3, 4):
+            assert out[vid]["cluster"] == 0, (eng, vid)
+            assert out[vid]["dist_sq"] is None, (eng, vid)
 
 
 def test_assign_clusters_engine_validation(spark):

@@ -130,10 +130,15 @@ def main() -> None:
             "slope_noop": eslope,
             "rows_sf01": n01, "rows_sf1": n1,
             "row_growth": round(n1 / n01, 2) if n01 else None,
+            # timing metric of THIS entry — merged artifacts can mix
+            # eras (pre-round-5 entries were median-of-reps)
+            "metric": "min",
         }
+        _s = f"{slope:6.2f}" if slope is not None else "     -"
+        _e = f"{eslope:6.2f}" if eslope is not None else "     -"
         print(
-            f"{q:32s} {t01:7.2f}s -> {t1:7.2f}s  slope={slope:6.2f}"
-            f"  engine={eslope:6.2f}  rows {n01} -> {n1}", flush=True,
+            f"{q:32s} {t01:7.2f}s -> {t1:7.2f}s  slope={_s}"
+            f"  engine={_e}  rows {n01} -> {n1}", flush=True,
         )
 
     art_path = os.path.join(REPO, out_name)
@@ -147,7 +152,8 @@ def main() -> None:
         "threshold": threshold,
         "queries": out,
         "max_slope": max(
-            v["slope"] for v in out.values() if v.get("slope") is not None
+            (v["slope"] for v in out.values() if v.get("slope") is not None),
+            default=None,
         ),
         # the engine-side (noop-write) slope is the scale signal where
         # measured; collect-slope is the fallback for legacy entries
@@ -159,7 +165,7 @@ def main() -> None:
     }
     with open(art_path, "w") as fh:
         json.dump(art, fh, indent=1, sort_keys=True)
-    print("\nmax slope:", art["max_slope"], "over-linear (>12):",
+    print(f"\nmax slope: {art['max_slope']} over-linear (>{threshold:g}):",
           art["over_linear"])
 
 
