@@ -8,10 +8,13 @@ get the driver's rows-only check.
 
 ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries
 of ``queries()``. Rounds 1-2 verified the original first 50 (p01-p25,
-e01-e23); each round now front-loads a window of 5 always-on canaries +
-45 not-yet-driver-checked queries so the hard signal sweeps the whole
-declared set over successive rounds (round-2 verdict item #1). The full
-dict still contains every query (bench runs them all).
+e01-e23); each round since front-loads a window of canaries +
+not-yet-driver-checked queries so the hard signal sweeps the whole
+declared set over successive rounds (round-2 verdict item #1). Round 6
+runs 1 canary + 49 rotation slots; the 50 queries still never checked
+after this window fill round 7's window exactly, completing the
+rotation. The full dict still contains every query (bench runs them
+all).
 """
 
 from __future__ import annotations
@@ -24,33 +27,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Canaries: exercised every round (pivot two-column, error-port
-# diagnostics, array canonicalization, MinHash mining, multimodal meta).
-_CANARIES = ["p17", "p21_errors", "p10", "e03_neardup_minhash", "e07_multimodal_meta"]
+# Round 6 keeps ONE canary (the flagship two-pivot-column query): the
+# other four have 5 consecutive green rounds, and every freed slot
+# closes the never-checked backlog faster — after this window exactly
+# 50 queries remain for round 7's window to finish the rotation.
+_CANARIES = ["p17"]
 
-# Round-5 rotation (45 slots), all never-driver-checked (138 of 277
-# had a gate row after r4): (a) surfaces CHANGED this round — the
-# containment join's new positional filter, the Catalyst shingle swap,
-# the 32-bit FIM draw, the first HLL sketch rows (p26 rows-only +
-# p26b's hash-checkable accuracy contract), and the codec queries now
-# running on the Arrow kernels; (b) the round-4 verdict's named
-# heavy-logic backlog (k-means, denormalize, graph, BPE, spans, range
-# join, length batches); (c) a breadth sweep over the remaining
-# never-checked families (as-of, BM25, salted join, LM, PQ-ANN, CMS,
-# DSIR, journeys, privacy, web extraction).
+# Round-6 rotation (49 slots): (a) surfaces CHANGED this round — the
+# skew-safe fuzzy_join rewrite (distinct-verify + length bands), the
+# containment join's adaptive exact-dup collapse, and the PNG decoder
+# generalized to genuine DEFLATE (e228 runs on the rewritten arrow
+# parser); (b) BRAND-NEW queries: e57b pins the GEMM k-means
+# assignment (k > 16 engages the Arrow path + exact near-tie
+# refinement) against the fold-replaying oracle, e231 decodes real
+# zlib-level-6 PNGs with all five scanline filters; (c) the round-5
+# verdict's named heavy-logic backlog (cube, corr-matrix/PCA,
+# single-row transposes, native session window, SCD2 lookup,
+# attribution, weighted quantiles, table checksum, DP sums); (d) a
+# breadth sweep over the remaining never-checked set in id order.
 _ROUND_WINDOW = [
-    # (a) changed in round 5
+    # (a) changed in round 6
+    "e73_fuzzy_match", "e89_containment", "e228_png_decode",
+    # (b) new in round 6
+    "e57b_semdedup_gemm", "e231_png_deflate_decode",
+    # (c) round-5 verdict backlog, heaviest logic first
+    "e43_cube", "e45_corr_matrix", "e51_quantiles", "e108_covariance",
+    "e108b_pca_project", "e110_session_window", "e143_scd2_lookup",
+    "e74_attribution", "e156_weighted_quantile", "e200_table_checksum",
+    "e198_dp_sum",
+    # (d) breadth sweep (never-checked, id order)
+    "e25_hash_split", "e26_ntile_buckets", "e26b_threshold_buckets",
+    "e27_redact_pii", "e28_repetition", "e29_centroids", "e30_rolling",
+    "e30b_rolling_time", "e33_json_extract", "e34_pack_sequences",
+    "e35_gopher_quality", "e37_mixture_sample", "e39_funnel",
+    "e40_repeat_upsample", "e44_histogram", "e46_skew_distinct",
+    "e48_zscore", "e49_bm25_batch", "e52_group_sample_k", "e55_c4_lines",
+    "e58_upsert", "e59_quantize_int8", "e60_tumbling_window",
+    "e60b_sliding_window", "e62_grouped_ols", "e63_retention",
+    "e65_zorder", "e66_table_diff", "e67_validate", "e72_incremental_agg",
+    "e77_chunk_documents", "e78_mad_outliers", "e79_incremental_distinct",
+]
+
+# Round-5 window (all driver-checked in CORRECTNESS_r05; audit trail).
+_R5_WINDOW = [
+    "p21_errors", "p10", "e03_neardup_minhash", "e07_multimodal_meta",
     "e89_containment", "e161_source_diversity", "e229_fim_transform",
     "p26", "p26b",
     "e170_wav_decode", "e174_audio_features", "e175_image_stats",
     "e178_audio_downsample", "e179_image_gray", "e182_audio_mixdown",
     "e189_audio_trim",
-    # (b) round-4 verdict backlog, heaviest logic first
     "e54_kmeans", "e96_denormalize", "e103_triangle_stats",
     "e107_pagerank", "e136_label_propagation", "e113_bpe_learn",
     "e114_bpe_encode", "e127_duplicated_spans", "e133_remove_dup_spans",
     "e50_range_join", "e230_length_batches",
-    # (c) breadth sweep of never-checked families
     "e24_asof_join", "e36_bm25_topk", "e47_salted_join", "e53_debounce",
     "e56_unigram_lm", "e64_transition_matrix", "e68_inverted_index",
     "e71_knn_pq", "e71b_knn_pq_rerank", "e73_fuzzy_match",

@@ -13,6 +13,12 @@ interleaves with the JSON line (the round-2 truncation failure mode).
 
 Each query is timed end-to-end (plan + execute + collect), median of
 $SPARK_GRAFT_BENCH_REPS (default 3) after a warm-up action.
+
+Artifact honesty: queries reading >2x their operative baseline are
+re-run isolated after the suite (both numbers recorded under
+"reruns"); runs whose machine-speed anchor spread exceeds the clean
+band are stamped "degraded": true and will not overwrite a clean
+BENCH_FULL.json (they write BENCH_FULL_DEGRADED.json instead).
 """
 
 from __future__ import annotations
@@ -120,6 +126,38 @@ def main() -> None:
         # median: single-run numbers swing +-25% from GC/python-worker
         # lifecycle noise (BASELINE.md protocol is median-of-3)
         timings[name] = round(sorted(runs)[len(runs) // 2], 3)
+
+    # Self-heal pass (round-5 verdict item 4): any query that read >2x
+    # its operative baseline mid-suite is re-run ISOLATED (after the
+    # suite, same rep protocol) before being recorded — the round-5
+    # artifact carried 51 phantom regressions that isolated re-runs
+    # showed were host noise (e95: 16.2s in-suite, 1.2s isolated).
+    # Both numbers are kept in the artifact; the recorded timing is the
+    # min (the in-suite number can only ADD interference, never remove
+    # work). Capped so a genuinely-regressed suite can't double its
+    # own runtime.
+    reruns: dict[str, dict[str, float]] = {}
+    suspects = sorted(
+        (
+            q for q in timings
+            if baseline.get(q)
+            and timings[q] / baseline[q] > 2.0
+            and timings[q] - baseline[q] >= 0.5
+        ),
+        key=lambda q: -(timings[q] - baseline[q]),
+    )[:30]
+    for q in suspects:
+        runs = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            for rdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+                rdd.unpersist()
+            t0 = time.perf_counter()
+            QUERIES[q](spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        iso = round(sorted(runs)[len(runs) // 2], 3)
+        reruns[q] = {"suite": timings[q], "isolated": iso}
+        timings[q] = min(timings[q], iso)
     total = round(sum(timings.values()), 3)
 
     # third calibration point AFTER the suite: start/mid/end medians
@@ -149,6 +187,14 @@ def main() -> None:
     except ValueError:
         sf = None
 
+    # Degraded-host stamp (round-5 verdict item 4): clean runs measure
+    # anchor spreads of 0.02-0.08 (py) / <=0.25 (jvm); the round-5
+    # degraded window read 0.236 / 0.673 and nothing in the artifact
+    # said so, so consumers read 51 phantom regressions as real. Stamp
+    # the artifact itself; never overwrite a clean BENCH_FULL.json with
+    # a flagged run (the degraded artifact goes to its own file).
+    degraded = calib["py_spread"] > 0.12 or calib["jvm_spread"] > 0.35
+
     full = {
         "metric": "declared_query_set_total_wall_clock",
         "value": total,
@@ -157,8 +203,21 @@ def main() -> None:
         "sf": sf,
         "reps": reps,
         "calib": calib,
+        "degraded": degraded,
+        "reruns": reruns,
     }
-    with open(os.path.join(REPO, "BENCH_FULL.json"), "w") as fh:
+    full_name = "BENCH_FULL.json"
+    full_path = os.path.join(REPO, full_name)
+    if degraded and os.path.exists(full_path):
+        try:
+            with open(full_path) as fh:
+                prev_clean = not json.load(fh).get("degraded", False)
+        except (json.JSONDecodeError, OSError):
+            prev_clean = False
+        if prev_clean:
+            full_name = "BENCH_FULL_DEGRADED.json"
+            full_path = os.path.join(REPO, full_name)
+    with open(full_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
 
     # inline only the interesting queries: regressions vs the operative
@@ -219,7 +278,9 @@ def main() -> None:
         "n_regressed_1p5x": len(regressed),
         "host_factor_vs_baseline": round(host_factor, 3),
         "calib": calib,
-        "full": "BENCH_FULL.json",
+        "degraded": degraded,
+        "n_healed": len(reruns),
+        "full": full_name,
     }
     sys.stdout.flush()
     print(json.dumps(out))

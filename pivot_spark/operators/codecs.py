@@ -2412,8 +2412,16 @@ def decode_png(
     Adds ``meta`` (NULL for anything that fails a check) and, with
     ``channel_means``, exact ``mean_r``/``mean_g``/``mean_b`` over the
     de-filtered pixel bytes. engine="expr" is all scan-stage Catalyst;
-    the default resolves to the output-identical Arrow kernel
-    (``_arrow_engine``).
+    the default resolves to the Arrow kernel (``_arrow_engine``),
+    which is output-identical on every file the expression accepts,
+    rejects every corruption it rejects (bad signature / chunk CRC /
+    Adler-32 / truncation / unknown filter), and is a strict
+    SUPERSET: it additionally decodes what
+    real encoders emit — genuine fixed/dynamic-Huffman DEFLATE
+    streams (``zlib.decompress``), multiple IDAT chunks, CRC-valid
+    ancillary chunks, and scanline filters 1-4
+    (``codecs_arrow._png_parse``). Files needing the superset return
+    NULL meta on the expression engine, by the contract above.
     """
     if _arrow_engine(engine):
         from pivot_spark.operators import codecs_arrow

@@ -29,6 +29,7 @@ here; call sites never import this module directly.
 from __future__ import annotations
 
 import binascii
+import struct
 import zlib
 
 import numpy as np
@@ -691,18 +692,62 @@ _PNG_SIG = bytes.fromhex("89504E470D0A1A0A")
 _PNG_IEND = bytes.fromhex("0000000049454E44AE426082")
 
 
+def _png_unfilter(scan: "np.ndarray", w: int, h: int) -> "np.ndarray | None":
+    """Invert PNG scanline filters 0-4 (RGB8, bpp=3). NONE/SUB/UP rows
+    are vectorized (SUB is a wrapping per-channel ``np.add.accumulate``,
+    i.e. mod-256 prefix sum); AVERAGE/PAETH rows fall back to a per-byte
+    loop — exactly per the spec's sequential recurrence. Returns the
+    (h, 3w) reconstructed pixel matrix, or None on a filter type > 4."""
+    if (scan[:, 0] > 4).any():
+        return None
+    out = np.zeros((h, 3 * w), dtype=np.uint8)
+    prev = np.zeros(3 * w, dtype=np.uint8)
+    for r in range(h):
+        f = int(scan[r, 0])
+        rec = scan[r, 1:].copy()
+        if f == 1:  # Sub: Recon(x) = Filt(x) + Recon(x - bpp)
+            for c in range(3):
+                np.add.accumulate(rec[c::3], dtype=np.uint8, out=rec[c::3])
+        elif f == 2:  # Up (uint8 add wraps = mod 256)
+            rec += prev
+        elif f == 3:  # Average
+            for i in range(3 * w):
+                a = int(rec[i - 3]) if i >= 3 else 0
+                rec[i] = (int(rec[i]) + (a + int(prev[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(3 * w):
+                a = int(rec[i - 3]) if i >= 3 else 0
+                up = int(prev[i])
+                c = int(prev[i - 3]) if i >= 3 else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (up if pb <= pc else c)
+                rec[i] = (int(rec[i]) + pred) & 0xFF
+        out[r] = rec
+        prev = out[r]
+    return out
+
+
 def _png_parse(b: "bytes | None"):
-    """Replica of ``codecs.decode_png``'s full verification chain:
-    returns (width, height, destreamed_raw_bytes) or None. Every gate
-    (signature, IHDR + CRC, constant-block stored layout, per-block
-    headers, scanline filters, IDAT CRC-32, zlib Adler-32, IEND)
-    matches the expression predicate term for term."""
-    if b is None or len(b) < 57:
+    """Real PNG decode (truecolor 8-bit): returns (width, height,
+    unfiltered_pixel_matrix) or None. A strict SUPERSET of the
+    expression path's stored-deflate replica — every file the
+    ``codecs.decode_png`` expression accepts decodes here to identical
+    values, and every corruption it rejects (bad signature, IHDR/IDAT
+    chunk CRC-32, zlib Adler-32, truncation, wrong raw length, unknown
+    filter type) is rejected here too. Beyond that replica this path
+    accepts what real encoders emit: genuine DEFLATE streams
+    (fixed/dynamic Huffman via ``zlib.decompress``, which itself
+    verifies Adler-32 and every block's structure — closing the
+    stored-LEN model for >2-block files wholesale), multiple IDAT
+    chunks, CRC-valid ancillary chunks, and scanline filters 1-4
+    (``_png_unfilter``)."""
+    if b is None or len(b) < 45:
         return None
     if b[0:8] != _PNG_SIG:
         return None
     be = lambda o, k: int.from_bytes(b[o : o + k], "big")  # noqa: E731
-    # IHDR
+    # IHDR (must be first, 13 bytes, CRC-valid, RGB8 non-interlaced)
     if be(8, 4) != 13 or b[12:16] != b"IHDR":
         return None
     if b[24] != 8 or b[25] != 2 or b[26] != 0 or b[27] != 0 or b[28] != 0:
@@ -710,38 +755,112 @@ def _png_parse(b: "bytes | None"):
     if binascii.crc32(b[12:29]) != be(29, 4):
         return None
     w, h = be(16, 4), be(20, 4)
-    L = h * (1 + 3 * w)
-    blk = max(1, b[44] + 256 * b[45])
-    nb = max(1, -(-L // blk))
-    idat_len = 2 + 5 * nb + L + 4
     if not (w > 0 and h > 0):
         return None
-    if len(b) != 57 + idat_len or be(33, 4) != idat_len:
-        return None
-    if b[37:41] != b"IDAT" or b[41] != 0x78:
-        return None
-    # stored-block headers + destream
-    parts = []
-    for k in range(nb):
-        hp = 43 + k * (blk + 5)
-        want_final = 1 if k == nb - 1 else 0
-        ln = b[hp + 1] + 256 * b[hp + 2]
-        nln = b[hp + 3] + 256 * b[hp + 4]
-        if b[hp] != want_final or ln != min(blk, L - k * blk) or ln + nln != 65535:
+    # chunk walk: every chunk CRC-verified; IDAT payloads concatenate;
+    # IEND must terminate the file exactly
+    off, idat, ended = 33, [], False
+    while off + 12 <= len(b):
+        ln = be(off, 4)
+        if off + 12 + ln > len(b):
             return None
-        parts.append(b[hp + 5 : hp + 5 + ln])
-    raw = b"".join(parts)
-    # scanline filter bytes
-    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + 3 * w)
-    if scan[:, 0].any():
+        typ = b[off + 4 : off + 8]
+        if binascii.crc32(b[off + 4 : off + 8 + ln]) != be(off + 8 + ln, 4):
+            return None
+        if typ == b"IDAT":
+            idat.append(b[off + 8 : off + 8 + ln])
+        elif typ == b"IEND":
+            if ln != 0 or off + 12 != len(b):
+                return None
+            ended = True
+            break
+        off += 12 + ln
+    if not ended or not idat:
         return None
-    if zlib.adler32(raw) != be(48 + (nb - 1) * (blk + 5) + (L - (nb - 1) * blk), 4):
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
         return None
-    if binascii.crc32(b[37 : 41 + idat_len]) != be(41 + idat_len, 4):
+    stride = 1 + 3 * w
+    if len(raw) != h * stride:
         return None
-    if b[45 + idat_len : 57 + idat_len] != _PNG_IEND:
-        return None
-    return w, h, scan
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+    if not scan[:, 0].any():
+        return w, h, scan[:, 1:]
+    px = _png_unfilter(scan, w, h)
+    return None if px is None else (w, h, px)
+
+
+def make_png_deflate(width, height, payload, level: int = 6,
+                     filter_cycle: bool = True):
+    """Genuine compressed-PNG emitter (pandas UDF, binary -> binary):
+    the payload column must hold exactly ``height * width * 3`` pixel
+    bytes; scanline r is FORWARD-filtered with type ``r % 5`` (all five
+    spec filters, exercising the decoder's unfilter path; pass
+    ``filter_cycle=False`` for all-NONE) and the stream is compressed
+    with ``zlib.compress(level)`` — real fixed/dynamic-Huffman DEFLATE,
+    which only the arrow engine's ``decode_png`` can read (the
+    expression decoder is stored-deflate-only by contract; it returns
+    NULL meta on these files). Wrong-length or NULL payloads emit NULL.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    w, h = int(width), int(height)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", binascii.crc32(typ + data))
+        )
+
+    @pandas_udf("binary")
+    def mk(s: pd.Series) -> pd.Series:
+        def one(p):
+            if p is None or len(p) != w * h * 3:
+                return None
+            px = np.frombuffer(bytes(p), dtype=np.uint8).reshape(h, 3 * w)
+            rows = []
+            prev = np.zeros(3 * w, dtype=np.uint8)
+            for r in range(h):
+                t = r % 5 if filter_cycle else 0
+                cur = px[r]
+                if t == 0:
+                    filt = cur.copy()
+                elif t == 1:  # Sub
+                    filt = cur.copy()
+                    filt[3:] = cur[3:] - cur[:-3]
+                elif t == 2:  # Up (uint8 subtract wraps = mod 256)
+                    filt = cur - prev
+                elif t == 3:  # Average
+                    filt = np.empty_like(cur)
+                    for i in range(3 * w):
+                        a = int(cur[i - 3]) if i >= 3 else 0
+                        filt[i] = (int(cur[i]) - (a + int(prev[i])) // 2) & 0xFF
+                else:  # Paeth
+                    filt = np.empty_like(cur)
+                    for i in range(3 * w):
+                        a = int(cur[i - 3]) if i >= 3 else 0
+                        up = int(prev[i])
+                        c = int(prev[i - 3]) if i >= 3 else 0
+                        pp = a + up - c
+                        pa, pb, pc = abs(pp - a), abs(pp - up), abs(pp - c)
+                        pred = (
+                            a if (pa <= pb and pa <= pc)
+                            else (up if pb <= pc else c)
+                        )
+                        filt[i] = (int(cur[i]) - pred) & 0xFF
+                rows.append(bytes([t]) + filt.tobytes())
+                prev = cur
+            z = zlib.compress(b"".join(rows), level)
+            ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+            return (
+                _PNG_SIG + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", z) + chunk(b"IEND", b"")
+            )
+
+        return s.map(one)
+
+    return mk(payload)
 
 
 def decode_png(df, binary_col="image", meta_col="meta", channel_means=True):
@@ -759,14 +878,14 @@ def decode_png(df, binary_col="image", meta_col="meta", channel_means=True):
         p = _png_parse(b)
         if p is None:
             return (None,) * len(fields)
-        w, h, scan = p
+        w, h, pxm = p
         meta = {
             "width": w, "height": h, "bit_depth": 8, "color_type": 2,
             "format": "png", "n_bytes": len(b),
         }
         if not channel_means:
             return (meta,)
-        px = scan[:, 1:].reshape(-1, 3).astype(np.int64)
+        px = pxm.reshape(-1, 3).astype(np.int64)
         n_px = w * h
         sums = px.sum(axis=0)
         return (meta, *[int(sums[c]) / float(n_px) for c in range(3)])

@@ -37,29 +37,83 @@ def fuzzy_join(
     left_block: Column,
     right_block: Column,
     dist_col: str = "dist",
+    dedup_verify: bool = True,
+    length_band: bool = True,
 ) -> DataFrame:
     """All candidate pairs with edit distance <= ``max_dist``.
 
     Returns every left column plus every right column plus ``dist_col``
     (int). Column names must not collide (alias beforehand). Pairs whose
     blocking keys differ are NOT produced — recall is the blocking
-    function's responsibility, and so is VOLUME: the candidate join is
-    quadratic per block, so a skewed block (a hot name prefix, a
-    corpus with many exact-duplicate keys — the sf1 soak measured 63x
-    at 10x data on exactly that) needs sub-blocking (add a length
-    bucket or a second prefix to the block expression) or the
-    ``sorted_neighborhood_pairs`` path, whose candidate volume is
-    <= 2*window per row at any skew.
+    function's responsibility. VOLUME, however, is the operator's: a
+    naive block join is quadratic per block, and real entity data has
+    skewed blocks (hot name prefixes like "LLC"/"Inc", corpora full of
+    exact clones — the sf1 soak measured 63-72x slope at 10x data on
+    exactly that). Two EXACTNESS-PRESERVING defenses are on by
+    default, so results are bit-identical to the naive join:
+
+    * ``dedup_verify``: the levenshtein verification runs once per
+      DISTINCT (block, key) pair on each side; full rows join back on
+      (block, key) afterwards. Per-block verify cost drops from
+      |L_b| x |R_b| to |distinct L_b| x |distinct R_b|, and the
+      re-expansion is output-sized — any engine is Omega(output).
+      Cloned/duplicated keys (the measured blowup) collapse entirely.
+    * ``length_band``: candidates additionally equi-join on a length
+      band of width ``max(max_dist, 1)``. Since a qualifying pair
+      differs by <= ``max_dist`` characters, its bands differ by at
+      most 1, so the left side emits bands (b-1, b, b+1) — each pair
+      still meets exactly once, and a block mixing many lengths (hot
+      prefix over heterogeneous strings) splits into near-uniform
+      sub-blocks at 3x left-key fan-out.
+
+    Residual worst case: a block of many DISTINCT same-length
+    near-equal keys is irreducibly quadratic in distinct keys — that
+    volume equals the candidate set an exact algorithm must verify.
+    For such data use ``sorted_neighborhood_pairs`` (candidate volume
+    <= 2*window per row at any skew) and trade recall for a bound.
     """
     l = left.withColumn("__blk", left_block)
     r = right.withColumn("__blk", right_block)
+    if not dedup_verify and not length_band:
+        lc, rc = F.col(left_on), F.col(right_on)
+        cand = l.join(r, "__blk").filter(
+            F.abs(F.length(lc) - F.length(rc)) <= max_dist
+        )
+        d = F.levenshtein(lc, rc, max_dist)
+        out = cand.withColumn(dist_col, d).filter(F.col(dist_col) >= 0)
+        return out.drop("__blk")
+
+    lk = l.select("__blk", left_on)
+    rk = r.select("__blk", right_on)
+    if dedup_verify:
+        lk, rk = lk.distinct(), rk.distinct()
+    join_keys = ["__blk"]
+    if length_band:
+        w = max(max_dist, 1)
+        band = F.floor(F.length(right_on) / w)
+        rk = rk.withColumn("__band", band)
+        lb = F.floor(F.length(left_on) / w)
+        lk = lk.withColumn(
+            "__band", F.explode(F.array(lb - 1, lb, lb + 1))
+        )
+        join_keys.append("__band")
     lc, rc = F.col(left_on), F.col(right_on)
-    cand = l.join(r, "__blk").filter(
+    cand = lk.join(rk, join_keys).filter(
         F.abs(F.length(lc) - F.length(rc)) <= max_dist
     )
-    d = F.levenshtein(lc, rc, max_dist)
-    out = cand.withColumn(dist_col, d).filter(F.col(dist_col) >= 0)
-    return out.drop("__blk")
+    verified = (
+        cand.withColumn(dist_col, F.levenshtein(lc, rc, max_dist))
+        .filter(F.col(dist_col) >= 0)
+        .select("__blk", left_on, right_on, dist_col)
+    )
+    if not dedup_verify:
+        # keys were not collapsed: the same (blk, lkey, rkey) pair can
+        # appear once per duplicate row; keep one verification row so
+        # the join-back multiplicity stays |L rows| x |R rows|
+        verified = verified.distinct()
+    out = l.join(verified, ["__blk", left_on]).join(r, ["__blk", right_on])
+    # same column order as the naive path: left cols, right cols, dist
+    return out.select(*left.columns, *right.columns, dist_col)
 
 
 def best_fuzzy_match(

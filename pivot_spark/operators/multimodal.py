@@ -2,10 +2,12 @@
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side plumbing — schemas, batch iteration, partition-preserving
-transforms — is real and tested; the actual media decode is stubbed
-(image/audio libraries are not in this container): ``decode_image``
-parses a deterministic fake header, and ``decode_image_real`` raises
-``NotImplementedError`` unless PIL is importable.
+transforms — is real and tested. ``decode_image`` parses a
+deterministic fake header (the zero-dependency test harness);
+``decode_image_real`` is the genuine path: built-in real PNG decode
+(chunk walk + zlib inflate + unfilter, see ``codecs_arrow``) plus an
+optional Pillow extra for JPEG/GIF/WebP — blobs Pillow would handle
+yield NULL meta when it is absent, never an exception.
 
 Scale notes: binary payloads ride the scan stage; ``mapInPandas``
 transfers Arrow batches (no per-row pickling). Keep payload columns OUT
@@ -94,19 +96,72 @@ def decode_image(df: DataFrame, binary_col: str = "image") -> DataFrame:
 
 
 def decode_image_real(df: DataFrame, binary_col: str = "image") -> DataFrame:
-    """Real COMPRESSED image decode — requires PIL, which this container
-    lacks. For real UNCOMPRESSED formats no library is needed:
-    ``operators.codecs.decode_ppm`` / ``decode_bmp`` parse genuine
-    PPM(P6)/BMP(24-bit) bytes with pure Catalyst byte arithmetic."""
-    try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real compressed-image decoding needs Pillow; container provides "
-            "none — use codecs.decode_ppm/decode_bmp (real uncompressed "
-            "formats) or decode_image (fake-header parser) instead"
-        ) from e
-    raise NotImplementedError("wire PIL.Image.open over mapInPandas batches here")
+    """Real COMPRESSED image decode over Arrow batches, appending
+    ``meta`` (IMAGE_META_SCHEMA; NULL when no decoder accepts the
+    bytes).
+
+    Decoder chain, per blob:
+
+    1. **PNG — built-in, no third-party dependency**: genuine chunk
+       walk + zlib inflate + scanline unfilter via
+       ``codecs_arrow._png_parse`` (every integrity gate CRC/Adler-
+       verified; truecolor 8-bit).
+    2. **JPEG/GIF/WebP/TIFF — optional Pillow extra**: when ``PIL``
+       is importable the remaining formats decode through
+       ``Image.open`` inside the same kernel; when it is not (this
+       container ships no Pillow), those blobs yield NULL meta — a
+       capability gap surfaced in the data, never an exception mid-
+       pipeline. Real UNCOMPRESSED formats need no library either
+       way: ``codecs.decode_ppm`` / ``decode_bmp``.
+
+    Same ``mapInPandas`` plumbing as ``decode_image`` (scan-stage,
+    zero shuffles); the import probe runs once per Python worker, not
+    per row."""
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != binary_col]
+        + [T.StructField("meta", IMAGE_META_SCHEMA, True)]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != binary_col]
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import io
+
+        from pivot_spark.operators.codecs_arrow import _png_parse
+
+        try:
+            from PIL import Image as _pil_image
+        except ImportError:
+            _pil_image = None
+
+        def one(raw):
+            if raw is None:
+                return None
+            b = bytes(raw)
+            p = _png_parse(b)
+            if p is not None:
+                return {
+                    "width": p[0], "height": p[1],
+                    "format": "png", "n_bytes": len(b),
+                }
+            if _pil_image is not None:
+                try:
+                    im = _pil_image.open(io.BytesIO(b))
+                    im.load()
+                    return {
+                        "width": im.width, "height": im.height,
+                        "format": (im.format or "unknown").lower(),
+                        "n_bytes": len(b),
+                    }
+                except Exception:
+                    return None
+            return None
+
+        for pdf in batches:
+            out = pdf[other_cols].copy()
+            out["meta"] = [one(raw) for raw in pdf[binary_col]]
+            yield out
+
+    return df.mapInPandas(parse, out_schema)
 
 
 def resize_stub(df: DataFrame, binary_col: str, width: int, height: int) -> DataFrame:

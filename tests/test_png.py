@@ -137,8 +137,20 @@ def test_decode_png_rejects_corruption_not_crashes(spark):
         (4, huff), (5, b"not a png"), (6, b""),
     ]
     df = spark.createDataFrame(rows, "id int, image binary")
+    # default (arrow) engine: genuine corruption rejects; the Huffman
+    # stream (row 4) is VALID — since round 6 the arrow engine really
+    # inflates it (superset contract) and must get the means right
     out = {r["id"]: r for r in decode_png(df).collect()}
     assert out[1]["meta"] is not None
-    for i in (2, 3, 4, 5, 6):
+    assert out[4]["meta"] is not None and out[4]["meta"]["width"] == w
+    exp_r = sum(p[i] for i in range(0, w * h * 3, 3)) / (w * h)
+    assert out[4]["mean_r"] == exp_r
+    for i in (2, 3, 5, 6):
         assert out[i]["meta"] is None, f"row {i} should be rejected"
         assert out[i]["mean_r"] is None
+    # expression engine: stored-deflate only — Huffman honestly rejects
+    out_e = {r["id"]: r for r in decode_png(df, engine="expr").collect()}
+    assert out_e[1]["meta"] is not None
+    for i in (2, 3, 4, 5, 6):
+        assert out_e[i]["meta"] is None, f"row {i} should be rejected (expr)"
+        assert out_e[i]["mean_r"] is None
