@@ -267,34 +267,52 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.5,
     shingle_len: int = 3,
-    verify_broadcast: bool = True,
+    verify_broadcast: "bool | str" = "auto",
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs via a prefix-filtered
     set-similarity self-join (AllPairs/PPJoin family: Bayardo et al.
     WWW'07, public algorithm) — no MinHash approximation.
 
-    Filters, both exactness-preserving:
+    Filters, all exactness-preserving:
     * length filter: J(a,b) >= t requires t*|b| <= |a| (and symmetrically);
     * prefix filter: order every doc's shingles by ascending global
       document frequency (rarest first); two sets with J >= t MUST share
       a token within their first |S| - ceil(t*|S|) + 1 tokens. Joining on
       prefix tokens only kills the hot-shingle fan-out that makes the
       naive inverted-index join quadratic on boilerplate n-grams
-      (measured 134s -> ~5s on 5k docs with 2-gram shingles).
+      (measured 134s -> ~5s on 5k docs with 2-gram shingles);
+    * PPJoin positional filter (Xiao et al. WWW'08), applied PER ROW
+      inside the join condition: a candidate row matching token h at
+      0-based ordered positions (pa, pb) can reach at most
+      1 + min(pa, pb) + min(na-pa-1, nb-pb-1) intersecting tokens, so
+      rows where that bound < ceil(t/(1+t) * (na+nb)) never leave the
+      join operator. Exact: a qualifying pair's FIRST shared token in
+      the global order has zero shared tokens before it and |A∩B|-1
+      after on both sides, so that row always survives. Evaluating it
+      in the join condition (not after a pair groupBy, as before round
+      6) matters at scale: the pair-aggregation exchange used to
+      receive the UNFILTERED join output — sum over prefix tokens of
+      df_pref(h)^2 rows — which exceeded 79 GB of shuffle spill at
+      500k docs on the vocabulary-saturated sf10 soak corpus. With the
+      per-row bound, the exchange receives survivors only.
 
-    Candidates are then verified with the true Jaccard on the full
-    shingle-hash sets, after a PPJoin positional filter (see inline
-    comment) prunes most false candidates for free inside the pair
-    aggregation. Scale shape: two shuffles over exploded shingles
-    (df-count window, prefix regroup) + an equi-join on rare prefix
-    tokens — each unit of work is bounded by doc length and token
-    rarity, never corpus size.
+    Candidates are then deduplicated and verified with the true Jaccard
+    on the full shingle-hash sets. Scale shape: two shuffles over
+    exploded shingles (df-count window, prefix regroup) + an equi-join
+    on rare prefix tokens whose non-equi residual prunes in-operator —
+    each unit of work is bounded by doc length and token rarity, never
+    corpus size. The intrinsic bound is unchanged: the join still
+    COMPARES sum(df_pref(h)^2) row pairs per token inside the merge, so
+    a vocabulary-saturated corpus pays CPU there; it no longer pays
+    shuffle/disk for comparisons that fail the positional bound.
 
-    ``verify_broadcast`` (default True) broadcasts the id->shingle-set
-    map into the verify join — measured 3x faster than the shuffled
-    join at 5k docs. It is bounded by the whole corpus' set frame, so at
-    corpus scales past the broadcast limit pass False to fall back to a
-    shuffled hash join (the only data-size-unbounded-safe plan)."""
+    ``verify_broadcast``: True broadcasts the id->shingle-set map into
+    the verify join — measured 3x faster than the shuffled join at 5k
+    docs. It is bounded by the whole corpus' set frame, so past the
+    broadcast limit it must be False (shuffled hash join, the only
+    data-size-unbounded-safe plan). The default ``"auto"`` broadcasts
+    only when the corpus is under 100k docs (the frame is already
+    materialized, so the count probe is free)."""
     # cached: the per-doc shingle-hash set feeds three consumers (df-count,
     # prefix regroup, verify) — without it the interpreted shingling
     # expression re-runs per consumer (and again on each self-join side).
@@ -331,14 +349,23 @@ def ngram_jaccard_pairs(
         ).alias("__p", "__h"),
     )
     pref = _materialize(pref)
-    # PPJoin positional filter (exactness-preserving): tokens are ordered
-    # identically in both docs, so for the FIRST shared prefix token at
-    # 0-based positions (pa, pb) the true overlap O <= min(na-pa, nb-pb);
-    # J >= t requires O >= ceil(t/(1+t) * (na+nb)). Aggregating min(pa) /
-    # min(pb) per pair replaces the dropDuplicates shuffle and kills most
-    # false candidates before the set-intersection verify.
+    # PPJoin positional filter, per row IN the join condition (see
+    # docstring): the residual predicate is evaluated inside the join
+    # operator, so rows failing the overlap bound never reach the
+    # dedup exchange — before round 6 this bound ran after a pair
+    # groupBy whose input exchange carried the full df_pref^2 join
+    # output (79 GB of spill at 500k docs).
     minoverlap = F.ceil(
-        F.lit(threshold / (1.0 + threshold)) * (F.col("__na") + F.col("__nb"))
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.__n") + F.col("b.__n"))
+    )
+    pos_bound = (
+        1
+        + F.least(F.col("a.__p"), F.col("b.__p"))
+        + F.least(
+            F.col("a.__n") - F.col("a.__p") - 1,
+            F.col("b.__n") - F.col("b.__p") - 1,
+        )
     )
     cand = (
         pref.alias("a")
@@ -347,26 +374,19 @@ def ngram_jaccard_pairs(
             (F.col("a.__h") == F.col("b.__h"))
             & (F.col("a.__id") < F.col("b.__id"))
             & (F.col("a.__n") >= F.ceil(F.lit(threshold) * F.col("b.__n")))
-            & (F.col("b.__n") >= F.ceil(F.lit(threshold) * F.col("a.__n"))),
+            & (F.col("b.__n") >= F.ceil(F.lit(threshold) * F.col("a.__n")))
+            & (pos_bound >= minoverlap),
         )
-        .groupBy(
-            F.col("a.__id").alias("__ida"),
-            F.col("b.__id").alias("__idb"),
-            F.col("a.__n").alias("__na"),
-            F.col("b.__n").alias("__nb"),
+        .select(
+            F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb")
         )
-        .agg(F.min("a.__p").alias("__pa"), F.min("b.__p").alias("__pb"))
-        .filter(
-            F.least(
-                F.col("__na") - F.col("__pa"), F.col("__nb") - F.col("__pb")
-            )
-            >= minoverlap
-        )
-        .select("__ida", "__idb")
+        .distinct()
     )
     sets = base.select("__id", "__hs")
     sa = sets.withColumnsRenamed({"__id": "__ida", "__hs": "__sa"})
     sb = sets.withColumnsRenamed({"__id": "__idb", "__hs": "__sb"})
+    if verify_broadcast == "auto":
+        verify_broadcast = base.count() <= 100_000
     if verify_broadcast:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     pairs = cand.join(sa, "__ida").join(sb, "__idb")
@@ -795,7 +815,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     shingle_len: int = 3,
-    verify_broadcast: bool = True,
+    verify_broadcast: "bool | str" = "auto",
     collapse_exact_dups: "bool | str" = "auto",
 ) -> DataFrame:
     """EXACT directional n-gram containment pairs: (id_a, id_b,
@@ -859,7 +879,10 @@ def ngram_containment_pairs(
     ``verify_broadcast`` as in ``ngram_jaccard_pairs``: True broadcasts
     the id->set map into the verify join (measured faster than the
     shuffled hash join up to at least 50k docs x ~500 shingles; pass
-    False when the id->set map outgrows executor memory)."""
+    False when the id->set map outgrows executor memory). The default
+    ``"auto"`` broadcasts only when the post-collapse representative
+    count is under 100k (the frame is materialized; the probe is
+    free)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if collapse_exact_dups not in (True, False, "auto"):
@@ -958,6 +981,10 @@ def ngram_containment_pairs(
     sets = base.select("__id", "__hs")
     sa = sets.withColumnsRenamed({"__id": "__ida", "__hs": "__sa"})
     sb = sets.withColumnsRenamed({"__id": "__idb", "__hs": "__sb"})
+    if verify_broadcast == "auto":
+        # post-collapse representative count: the frame is materialized,
+        # so the probe is free; same 100k-doc bound as ngram_jaccard_pairs
+        verify_broadcast = base.count() <= 100_000
     if verify_broadcast:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     pairs = cand.join(sa, "__ida").join(sb, "__idb")

@@ -130,9 +130,10 @@ def main() -> None:
             "slope_noop": eslope,
             "rows_sf01": n01, "rows_sf1": n1,
             "row_growth": round(n1 / n01, 2) if n01 else None,
-            # timing metric of THIS entry — merged artifacts can mix
-            # eras (pre-round-5 entries were median-of-reps)
-            "metric": "min",
+            # timing metric + rep count of THIS entry — merged artifacts
+            # can mix eras (pre-round-5 entries were median-of-reps;
+            # wide sf10 waves run reps=1 to fit the wall clock)
+            "metric": "min", "n_reps": reps,
         }
         _s = f"{slope:6.2f}" if slope is not None else "     -"
         _e = f"{eslope:6.2f}" if eslope is not None else "     -"
