@@ -268,6 +268,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     shingle_len: int = 3,
     verify_broadcast: "bool | str" = "auto",
+    max_comparisons: "int | None" = None,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard near-dup pairs via a prefix-filtered
     set-similarity self-join (AllPairs/PPJoin family: Bayardo et al.
@@ -302,9 +303,46 @@ def ngram_jaccard_pairs(
     on rare prefix tokens whose non-equi residual prunes in-operator —
     each unit of work is bounded by doc length and token rarity, never
     corpus size. The intrinsic bound is unchanged: the join still
-    COMPARES sum(df_pref(h)^2) row pairs per token inside the merge, so
-    a vocabulary-saturated corpus pays CPU there; it no longer pays
-    shuffle/disk for comparisons that fail the positional bound.
+    COMPARES sum over tokens h of C(df_pref(h), 2) row pairs inside the
+    merge, so a vocabulary-saturated corpus pays CPU there; it no
+    longer pays shuffle/disk for comparisons that fail the positional
+    bound.
+
+    THE INTRINSIC Omega() BOUND, measured (soak corpus, t=0.5, 3-gram
+    shingles; "comparisons" = sum_h C(df_pref(h), 2), the exact join-row
+    count the merge must evaluate, counted by a linear probe):
+
+    | docs | comparisons | max df_pref |
+    |---|---|---|
+    | 5k   | 4.3e5 | 10  |
+    | 50k  | 5.4e7 | 95  |
+    | 150k | 5.0e8 | 283 |
+    | 500k | 5.7e9 | 944 |
+
+    The synthetic corpus draws from a FIXED vocabulary, so every
+    token's document frequency — including the rarest tokens that form
+    prefixes — grows linearly with corpus size and the comparison count
+    grows quadratically: 13,000x comparisons on 100x docs. That is not
+    a plan defect: ANY exact prefix-filter algorithm must evaluate
+    those candidates, and at t=0.5 the positional bound cannot help
+    (for near-equal set sizes it is ~always satisfiable). Real crawl
+    corpora grow vocabulary with N (Heaps' law), which keeps df_pref
+    flat and this join near-linear; on vocabulary-saturated or
+    heavily-templated corpora use MinHash-LSH (``neardup_minhash_lsh``,
+    measured sub-linear engine slope at 100x) and accept approximate
+    recall, or raise ``threshold`` (prefix length — and with it
+    df_pref — shrinks as t grows).
+
+    ``max_comparisons``: optional fail-fast guard for exactly that
+    regime. When set, a linear-cost probe (one aggregate over the
+    already-materialized prefix frame — no pair join) counts the
+    comparisons the join WOULD perform and raises ``ValueError`` naming
+    the measured volume and the alternatives above if it exceeds the
+    bound. Default ``None`` (off): on a multi-executor cluster a 1e10
+    comparison join is expensive-but-feasible, so the library does not
+    impose a ceiling; single-node callers should set one (a 32-thread
+    host clears ~1e8 comparisons in tens of seconds; 5.7e9 filled an
+    80 GB disk with shuffle spill).
 
     ``verify_broadcast``: True broadcasts the id->shingle-set map into
     the verify join — measured 3x faster than the shuffled join at 5k
@@ -349,6 +387,28 @@ def ngram_jaccard_pairs(
         ).alias("__p", "__h"),
     )
     pref = _materialize(pref)
+    if max_comparisons is not None:
+        # linear probe over the materialized prefix frame: the number of
+        # same-token row pairs the self-join must evaluate, before any
+        # residual filter — the quantity that actually explodes under
+        # vocabulary saturation (see docstring table)
+        ncmp = (
+            pref.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .agg(F.sum(F.expr("__c * (__c - 1) / 2")).alias("__ncmp"))
+            .collect()[0]["__ncmp"]
+        ) or 0
+        if ncmp > max_comparisons:
+            raise ValueError(
+                f"ngram_jaccard_pairs would evaluate {ncmp:.3e} candidate"
+                f" comparisons (> max_comparisons={max_comparisons:.3e})."
+                " The corpus is vocabulary-saturated for this threshold:"
+                " prefix-token document frequencies grow with corpus size,"
+                " so the exact join is quadratic here. Use"
+                " neardup_minhash_lsh (approximate, sub-linear), raise"
+                " `threshold`, or raise/disable `max_comparisons` if the"
+                " cluster can absorb the join."
+            )
     # PPJoin positional filter, per row IN the join condition (see
     # docstring): the residual predicate is evaluated inside the join
     # operator, so rows failing the overlap bound never reach the

@@ -88,6 +88,21 @@ def test_ngram_jaccard_exact(docs_df):
     assert 0.5 <= j < 1.0
 
 
+def test_ngram_jaccard_max_comparisons_guard(docs_df):
+    """max_comparisons fail-fast: a tiny bound raises with the measured
+    volume; a generous bound returns the same pairs as the default-off
+    path (the probe must not perturb results)."""
+    import pytest as _pytest
+
+    from pivot_spark.operators.neardup import ngram_jaccard_pairs
+
+    docs = docs_df.filter(F.col("text") != "")
+    with _pytest.raises(ValueError, match="candidate comparisons"):
+        ngram_jaccard_pairs(docs, threshold=0.5, max_comparisons=0)
+    out = ngram_jaccard_pairs(docs, threshold=0.5, max_comparisons=10**8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
 def test_simhash_neardup(docs_df):
     from pivot_spark.operators.neardup import neardup_simhash, simhash
 
