@@ -179,19 +179,95 @@ def e129_neardup_incremental(spark, sf_dir):
 # --- E130: HLL audience-overlap matrix (inclusion–exclusion over
 # sketch unions): pairwise shared-user estimates between event types —
 # members scanned ONCE into 2^lg_k-bounded sketches, pairs formed by
-# unioning sketches, never sets. Rows-only (sketch-valued estimates;
-# ±3σ-of-exact and union algebra unit-tested in tests/test_sketch2.py).
-@query("e130_hll_overlap")
+# unioning sketches, never sets. Round 7 FOLDED the old rows-only
+# estimate row into a hash-checked accuracy contract (the p26b device,
+# round-6 verdict item 4): Spark emits the EXACT pairwise counts plus
+# ok_* := |HLL_estimate - exact| <= 0.05 * exact (overlap tolerance
+# relative to the exact union, the inclusion-exclusion error scale);
+# the oracle emits the same exact counts plus literal TRUE. HLL
+# sketches are deterministic for a given input, and the measured error
+# on the driver fixtures is 0% (sparse-mode sketches at sf0.001/0.01),
+# so the row set is stable — a sketch regression past 5% flips the
+# gate red instead of hiding behind a rows-only check. The exact side
+# exists ONLY to audit the sketch; the production operator is
+# hll_overlap_matrix alone (±3σ union algebra in tests/test_sketch2.py).
+_E130_ORACLE = """
+WITH d AS (
+  SELECT DISTINCT event_type AS g, user_id AS u FROM events
+  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+), sz AS (
+  SELECT g, count(*) AS n FROM d GROUP BY 1
+), ov AS (
+  SELECT a.g AS ga, b.g AS gb, count(*) AS x
+  FROM d a JOIN d b ON a.u = b.u AND a.g < b.g GROUP BY 1, 2
+)
+SELECT sa.g AS group_a, sb.g AS group_b,
+       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+       CAST(sa.n + sb.n - coalesce(ov.x, 0) AS BIGINT) AS n_union,
+       CAST(coalesce(ov.x, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(ov.x, 0)::DOUBLE /
+             (sa.n + sb.n - coalesce(ov.x, 0)), 4) AS jaccard,
+       TRUE AS ok_a, TRUE AS ok_b, TRUE AS ok_union, TRUE AS ok_overlap
+FROM sz sa JOIN sz sb ON sa.g < sb.g
+LEFT JOIN ov ON ov.ga = sa.g AND ov.gb = sb.g
+"""
+
+
+@query("e130_hll_overlap", _E130_ORACLE)
 def e130_hll_overlap(spark, sf_dir):
     from pivot_spark.operators.sketch import hll_overlap_matrix
 
     ev = _read(spark, sf_dir, "events").filter(
         F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
     )
-    out = hll_overlap_matrix(ev, "event_type", "user_id", lg_k=14)
-    return out.select(
-        "group_a", "group_b", "n_a", "n_b", "n_union", "n_overlap",
-        F.round("jaccard", 4).alias("jaccard"),
+    est = hll_overlap_matrix(ev, "event_type", "user_id", lg_k=14)
+
+    d = ev.select("event_type", "user_id").distinct()
+    sz = d.groupBy(F.col("event_type").alias("g")).agg(
+        F.count("*").alias("n")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("group_a"),
+            F.col("b.event_type").alias("group_b"),
+        )
+        .agg(F.count("*").alias("x_ov"))
+    )
+    sa, sb = sz.alias("sa"), sz.alias("sb")
+    exact = (
+        sa.join(sb, F.col("sa.g") < F.col("sb.g"))
+        .select(
+            F.col("sa.g").alias("group_a"),
+            F.col("sb.g").alias("group_b"),
+            F.col("sa.n").alias("x_a"),
+            F.col("sb.n").alias("x_b"),
+        )
+        .join(ov, ["group_a", "group_b"], "left")
+        .fillna(0, ["x_ov"])
+        .withColumn("x_u", F.col("x_a") + F.col("x_b") - F.col("x_ov"))
+    )
+    j = est.join(exact, ["group_a", "group_b"])
+    tol = 0.05
+    return j.select(
+        "group_a",
+        "group_b",
+        F.col("x_a").alias("n_a"),
+        F.col("x_b").alias("n_b"),
+        F.col("x_u").alias("n_union"),
+        F.col("x_ov").alias("n_overlap"),
+        F.round(F.col("x_ov").cast("double") / F.col("x_u"), 4).alias("jaccard"),
+        (F.abs(est["n_a"] - F.col("x_a")) <= tol * F.col("x_a")).alias("ok_a"),
+        (F.abs(est["n_b"] - F.col("x_b")) <= tol * F.col("x_b")).alias("ok_b"),
+        (F.abs(est["n_union"] - F.col("x_u")) <= tol * F.col("x_u")).alias("ok_union"),
+        (F.abs(est["n_overlap"] - F.col("x_ov")) <= tol * F.col("x_u")).alias(
+            "ok_overlap"
+        ),
     )
 
 
@@ -307,10 +383,10 @@ WITH toks AS (
   SELECT doc_id, list(p ORDER BY p) AS rem FROM remp GROUP BY 1
 )
 SELECT t.doc_id,
-       array_to_string(list_filter(list_transform(range(1, len(t.w) + 1),
+       coalesce(array_to_string(list_filter(list_transform(range(1, len(t.w) + 1),
          i -> CASE WHEN NOT coalesce(list_contains(r.rem, i), false)
                    THEN t.w[i] END),
-         x -> x IS NOT NULL), ' ') AS text,
+         x -> x IS NOT NULL), ' '), '') AS text,
        CAST(len(t.w) AS INTEGER) AS n_tokens,
        CAST(coalesce(len(r.rem), 0) AS INTEGER) AS n_removed
 FROM toks t LEFT JOIN rem r USING (doc_id)

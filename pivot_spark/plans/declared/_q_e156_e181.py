@@ -792,7 +792,10 @@ def _e173_oracle() -> str:
         "list_sort(list_filter(string_split(regexp_extract(u, '\\?([^#]*)', 1), '&'), "
         f"x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_RE}')))"
     )
-    q = f"array_to_string({params}, '&')"
+    # empty-safe by construction: DuckDB array_to_string([]) is NULL
+    # (not ''), which would poison the '?' || q concat for any URL with
+    # zero surviving params (round-6 verdict item 1c)
+    q = f"coalesce(array_to_string({params}, '&'), '')"
     canon = (
         f"{scheme} || '://' || {host} || {path} || "
         f"CASE WHEN {q} = '' THEN '' ELSE '?' || {q} END"
@@ -1032,7 +1035,7 @@ WITH aug AS (
 SELECT doc_id,
        CAST(len(lines) AS BIGINT) AS n_lines,
        CAST(len(lines) - len(k) AS BIGINT) AS n_removed,
-       array_to_string(k, chr(10)) AS clean_text
+       coalesce(array_to_string(k, chr(10)), '') AS clean_text
 FROM cln
 """
 

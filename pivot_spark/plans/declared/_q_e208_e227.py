@@ -624,7 +624,7 @@ def _e217_oracle() -> str:
         base
         + f""", dec AS (
   SELECT d.doc_id,
-         trim(replace(array_to_string(flatten(list_transform(e.syms, s -> string_split(s, ' '))), ''), '</w>', ' ')) AS decoded,
+         trim(replace(coalesce(array_to_string(flatten(list_transform(e.syms, s -> string_split(s, ' '))), ''), ''), '</w>', ' ')) AS decoded,
          trim(regexp_replace(lower(d.text), '\\s+', ' ', 'g')) AS canon,
          d.source
   FROM d{_BPE_N} e JOIN documents d USING (doc_id)

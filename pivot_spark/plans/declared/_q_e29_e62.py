@@ -1224,7 +1224,7 @@ SELECT doc_id,
   contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
   contains(t, '{') AS has_brace,
   len(kept) >= 5 AND NOT contains(lower(t), 'lorem ipsum') AND NOT contains(t, '{') AS keep,
-  array_to_string(kept, chr(10)) AS clean_text
+  coalesce(array_to_string(kept, chr(10)), '') AS clean_text
 FROM sig
 """,
 )

@@ -823,7 +823,7 @@ def _e114_oracle() -> str:
         + enc
         + f"""
 SELECT doc_id,
-       '[' || array_to_string(flatten(list_transform(syms, s -> string_split(s, ' '))), '|') || ']' AS tokens,
+       '[' || coalesce(array_to_string(flatten(list_transform(syms, s -> string_split(s, ' '))), '|'), '') || ']' AS tokens,
        CAST(len(flatten(list_transform(syms, s -> string_split(s, ' ')))) AS BIGINT) AS n_tokens
 FROM d{_BPE_N}"""
     )

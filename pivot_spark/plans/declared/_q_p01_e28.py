@@ -152,10 +152,13 @@ def p09(spark, sf_dir):
         [
             (
                 "cl",
+                # outer coalesce: DuckDB array_to_string([]) is NULL,
+                # which would poison the '[' || ... || ']' wrap for an
+                # empty pivot cell (Spark emits "[]")
                 lambda f: (
-                    f"'[' || array_to_string(coalesce("
+                    f"'[' || coalesce(array_to_string(coalesce("
                     f"list(l_linestatus ORDER BY l_linestatus) FILTER ({f}), []), "
-                    f"'|') || ']'"
+                    f"'|'), '') || ']'"
                 ),
             )
         ]
@@ -171,10 +174,11 @@ def p10(spark, sf_dir):
         [
             (
                 "cs",
+                # outer coalesce: see p10 — empty cell must render "[]"
                 lambda f: (
-                    f"'[' || array_to_string(coalesce("
+                    f"'[' || coalesce(array_to_string(coalesce("
                     f"list(DISTINCT l_linestatus ORDER BY l_linestatus) FILTER ({f}), "
-                    f"[]), '|') || ']'"
+                    f"[]), '|'), '') || ']'"
                 ),
             )
         ]

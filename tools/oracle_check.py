@@ -38,9 +38,13 @@ from pivot_spark.sources.catalog import TABLES
 
 def canon_cell(v) -> str:
     """Driver-strict canonical string for one cell: no re-rounding, no
-    -0.0 folding; NaN/None → ''. numpy scalars unwrap to Python."""
+    -0.0 folding, and — round-7 fix — NULL is DISTINCT from ``''`` and
+    from NaN (the driver's type-aware hash distinguishes all three; the
+    old ``None → ''`` lax mapping is exactly what let the e55
+    NULL-vs-empty-string oracle bug ship past this replica). numpy
+    scalars unwrap to Python."""
     if v is None:
-        return ""
+        return "\x00NULL"
     t = type(v).__name__
     if t == "ndarray":
         v = list(v)
@@ -51,7 +55,7 @@ def canon_cell(v) -> str:
         v = v.item()
     if isinstance(v, float):
         if math.isnan(v):
-            return ""
+            return "\x00NaN"
         return repr(v)
     if isinstance(v, bool):
         return "true" if v else "false"
