@@ -10,11 +10,12 @@ ORDER MATTERS: the driver's correctness gate checks the FIRST 50 entries
 of ``queries()``. Rounds 1-2 verified the original first 50 (p01-p25,
 e01-e23); each round since front-loads a window of canaries +
 not-yet-driver-checked queries so the hard signal sweeps the whole
-declared set over successive rounds (round-2 verdict item #1). Round 6
-runs 1 canary + 49 rotation slots; the 50 queries still never checked
-after this window fill round 7's window exactly, completing the
-rotation. The full dict still contains every query (bench runs them
-all).
+declared set over successive rounds (round-2 verdict item #1). Round 7
+front-loads the round-6 gate's one red row (e55, oracle-side fix) plus
+49 of the 50 never-checked queries, all but completing the rotation;
+the single holdover (e147, judge-audited green with this exact replica)
+heads round 8 together with the rows-only-fold re-checks. The full dict
+still contains every query (bench runs them all).
 """
 
 from __future__ import annotations
@@ -27,35 +28,48 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round 6 keeps ONE canary (the flagship two-pivot-column query): the
-# other four have 5 consecutive green rounds, and every freed slot
-# closes the never-checked backlog faster — after this window exactly
-# 50 queries remain for round 7's window to finish the rotation.
-_CANARIES = ["p17"]
+# Round 7 runs NO standing canary: the one slot the p17 canary held
+# goes to e55_c4_lines — the round-6 gate's only red row (an oracle-
+# side NULL-vs-empty-string bug, fixed this round), which doubles as
+# the canary for the whole changed-oracle class (strict canon +
+# coalesce hygiene sweep).
+_CANARIES = ["e55_c4_lines"]
 
-# Round-6 rotation (49 slots): (a) surfaces CHANGED this round — the
-# skew-safe fuzzy_join rewrite (distinct-verify + length bands), the
-# containment join's adaptive exact-dup collapse, and the PNG decoder
-# generalized to genuine DEFLATE (e228 runs on the rewritten arrow
-# parser); (b) BRAND-NEW queries: e57b pins the GEMM k-means
-# assignment (k > 16 engages the Arrow path + exact near-tie
-# refinement) against the fold-replaying oracle, e231 decodes real
-# zlib-level-6 PNGs with all five scanline filters; (c) the round-5
-# verdict's named heavy-logic backlog (cube, corr-matrix/PCA,
-# single-row transposes, native session window, SCD2 lookup,
-# attribution, weighted quantiles, table checksum, DP sums); (d) a
-# breadth sweep over the remaining never-checked set in id order.
+# Round-7 rotation (49 slots): the never-driver-checked backlog, id
+# order — 49 of the final 50. The one held back, e147_linear_regression,
+# was strict-audited green by the round-6 judge with the SAME replica
+# the driver mirrors (tools/oracle_check.py) and heads round 8's window
+# together with the re-checks of the round-7 rows-only folds
+# (e15/e26b/e71/e79/e108b -> hash-checked accuracy contracts).
 _ROUND_WINDOW = [
-    # (a) changed in round 6
+    "e84_hybrid_rrf", "e86_prototype_prune", "e87_frame_sample",
+    "e88_decayed_features", "e90_skew_report", "e91_wilson_rank",
+    "e93_mutual_info", "e94_mode_by_key", "e97_winsorized",
+    "e98_chi_square", "e99_psi_drift", "e100_ks_test",
+    "e102_association_rules", "e104_benford", "e105_column_entropy",
+    "e106_resample_locf", "e111_ewma", "e112_seasonal_anomaly",
+    "e116_negative_sampling", "e118_redact_cards", "e119_welch_t",
+    "e120_cuped", "e121_rfm", "e122_cusum", "e126_domain_stats",
+    "e128_repetition_runs", "e130_hll_overlap", "e131_calibration",
+    "e132_temperature_mixture", "e142_rocchio", "e145_rake_weights",
+    "e149_pareto_frontier", "e150_conformal", "e151_lift_curve",
+    "e153_average_precision", "e158_key_containment",
+    "e160_sequence_surprise", "e162_degree_stats", "e163_rolling_active",
+    "e164_dispersion", "e165_interarrival", "e166_hapax_novelty",
+    "e172_encoding_screen", "e173_url_normalize", "e177_image_resize",
+    "e183_keyword_contexts", "e184_text_normalize", "e190_image_crop",
+    "e196_l_diversity",
+]
+
+# Round-6 window (all driver-checked in CORRECTNESS_r06; audit trail).
+_R6_WINDOW = [
+    "p17",
     "e73_fuzzy_match", "e89_containment", "e228_png_decode",
-    # (b) new in round 6
     "e57b_semdedup_gemm", "e231_png_deflate_decode",
-    # (c) round-5 verdict backlog, heaviest logic first
     "e43_cube", "e45_corr_matrix", "e51_quantiles", "e108_covariance",
     "e108b_pca_project", "e110_session_window", "e143_scd2_lookup",
     "e74_attribution", "e156_weighted_quantile", "e200_table_checksum",
     "e198_dp_sum",
-    # (d) breadth sweep (never-checked, id order)
     "e25_hash_split", "e26_ntile_buckets", "e26b_threshold_buckets",
     "e27_redact_pii", "e28_repetition", "e29_centroids", "e30_rolling",
     "e30b_rolling_time", "e33_json_extract", "e34_pack_sequences",

@@ -102,6 +102,32 @@ def _materialize(df: DataFrame) -> DataFrame:
     df.count()
     return df
 
+_VERIFY_BROADCAST_BYTES = 256 << 20
+
+
+def _auto_verify_broadcast(base: DataFrame) -> bool:
+    """Byte-sized 'auto' heuristic for broadcasting the id->shingle-set
+    verify map: estimate the serialized payload from the materialized
+    frame (8 bytes per shingle hash + ~48 bytes row overhead) and
+    broadcast only under a 256 MiB budget. A row-count bound alone
+    (the old ``<= 100_000`` docs rule) undercounts corpora of LONG
+    documents — 100k docs x 10k shingles is an 8 GB payload that would
+    blow Spark's broadcast cap on the DEFAULT path. The frame is
+    already persisted, so this aggregate is a cheap cached scan."""
+    row = base.agg(
+        F.sum("__n").alias("__sh"), F.count(F.lit(1)).alias("__rows")
+    ).collect()[0]
+    est_bytes = (row["__sh"] or 0) * 8 + row["__rows"] * 48
+    return est_bytes <= _VERIFY_BROADCAST_BYTES
+
+
+def _check_verify_broadcast(value) -> None:
+    if value not in (True, False, "auto"):
+        raise ValueError(
+            f"verify_broadcast must be True/False/'auto', got {value!r}"
+        )
+
+
 def _affine_params(k: int, seed: int) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [
@@ -342,23 +368,29 @@ def ngram_jaccard_pairs(
     ``max_comparisons``: optional fail-fast guard for exactly that
     regime. When set, a linear-cost probe (one aggregate over the
     already-materialized prefix frame — no pair join) counts the
-    comparisons the join WOULD perform and raises ``ValueError`` naming
-    the measured volume and the alternatives above if it exceeds the
-    bound. Default ``None`` (off): on a multi-executor cluster a 1e10
-    comparison join is expensive-but-feasible, so the library does not
-    impose a ceiling; single-node callers should set one (a 32-thread
-    host clears ~1e8 comparisons in tens of seconds; 5.7e9 filled an
-    80 GB disk with shuffle spill).
+    UNORDERED candidate pairs the join would generate
+    (sum_h C(df_pref(h), 2); the physical sort-merge join touches ~2x
+    that many row combinations per key before the id-order predicate
+    prunes duplicates) and raises ``ValueError`` naming the measured
+    volume and the alternatives above if it exceeds the bound. Default
+    ``None`` (off): on a multi-executor cluster a 1e10-pair join is
+    expensive-but-feasible, so the library does not impose a ceiling;
+    single-node callers should set one (a 32-thread host clears ~1e8
+    candidate pairs in tens of seconds; 5.7e9 filled an 80 GB disk
+    with shuffle spill).
 
     ``verify_broadcast``: True broadcasts the id->shingle-set map into
     the verify join — measured 3x faster than the shuffled join at 5k
     docs. It is bounded by the whole corpus' set frame, so past the
     broadcast limit it must be False (shuffled hash join, the only
-    data-size-unbounded-safe plan). The default ``"auto"`` broadcasts
-    only when the corpus is under 100k docs (the frame is already
-    materialized, so the count probe is free)."""
+    data-size-unbounded-safe plan). The default ``"auto"`` estimates
+    the payload in BYTES from the materialized frame (8 B per shingle
+    hash + row overhead) and broadcasts only under a 256 MiB budget —
+    a row-count rule would mis-broadcast corpora of few-but-long
+    documents. Anything other than True/False/'auto' raises."""
     # cached: the per-doc shingle-hash set feeds three consumers (df-count,
     # prefix regroup, verify) — without it the interpreted shingling
+    _check_verify_broadcast(verify_broadcast)
     # expression re-runs per consumer (and again on each self-join side).
     # State is one hash per distinct shingle per doc, disk-spillable.
     base = _materialize(
@@ -394,10 +426,13 @@ def ngram_jaccard_pairs(
     )
     pref = _materialize(pref)
     if max_comparisons is not None:
-        # linear probe over the materialized prefix frame: the number of
-        # same-token row pairs the self-join must evaluate, before any
-        # residual filter — the quantity that actually explodes under
-        # vocabulary saturation (see docstring table)
+        # linear probe over the materialized prefix frame: counts the
+        # UNORDERED same-token candidate pairs sum_h C(df_pref(h), 2) —
+        # the quantity that explodes under vocabulary saturation (see
+        # docstring table). The sort-merge join itself touches ~2x that
+        # many row combinations per key (both orders) before the
+        # __id-order predicate prunes half; the guard bounds pairs, the
+        # physical join work is a small constant factor above it.
         ncmp = (
             pref.groupBy("__h")
             .agg(F.count(F.lit(1)).alias("__c"))
@@ -406,8 +441,9 @@ def ngram_jaccard_pairs(
         ) or 0
         if ncmp > max_comparisons:
             raise ValueError(
-                f"ngram_jaccard_pairs would evaluate {ncmp:.3e} candidate"
-                f" comparisons (> max_comparisons={max_comparisons:.3e})."
+                f"ngram_jaccard_pairs would generate {ncmp:.3e} unordered"
+                f" candidate pairs (> max_comparisons={max_comparisons:.3e};"
+                " the join itself touches ~2x as many row combinations)."
                 " The corpus is vocabulary-saturated for this threshold:"
                 " prefix-token document frequencies grow with corpus size,"
                 " so the exact join is quadratic here. Use"
@@ -477,7 +513,7 @@ def ngram_jaccard_pairs(
     sa = sets.withColumnsRenamed({"__id": "__ida", "__hs": "__sa"})
     sb = sets.withColumnsRenamed({"__id": "__idb", "__hs": "__sb"})
     if verify_broadcast == "auto":
-        verify_broadcast = base.count() <= 100_000
+        verify_broadcast = _auto_verify_broadcast(base)
     if verify_broadcast:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     pairs = cand.join(sa, "__ida").join(sb, "__idb")
@@ -971,11 +1007,13 @@ def ngram_containment_pairs(
     the id->set map into the verify join (measured faster than the
     shuffled hash join up to at least 50k docs x ~500 shingles; pass
     False when the id->set map outgrows executor memory). The default
-    ``"auto"`` broadcasts only when the post-collapse representative
-    count is under 100k (the frame is materialized; the probe is
-    free)."""
+    ``"auto"`` estimates the post-collapse representative payload in
+    BYTES (8 B per shingle hash + row overhead, a cached scan) and
+    broadcasts only under a 256 MiB budget. Anything other than
+    True/False/'auto' raises."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    _check_verify_broadcast(verify_broadcast)
     if collapse_exact_dups not in (True, False, "auto"):
         raise ValueError(
             f"collapse_exact_dups must be True/False/'auto', got "
@@ -1073,9 +1111,10 @@ def ngram_containment_pairs(
     sa = sets.withColumnsRenamed({"__id": "__ida", "__hs": "__sa"})
     sb = sets.withColumnsRenamed({"__id": "__idb", "__hs": "__sb"})
     if verify_broadcast == "auto":
-        # post-collapse representative count: the frame is materialized,
-        # so the probe is free; same 100k-doc bound as ngram_jaccard_pairs
-        verify_broadcast = base.count() <= 100_000
+        # post-collapse representative payload: the frame is persisted,
+        # so the byte probe is a cached scan — same 256 MiB budget as
+        # ngram_jaccard_pairs
+        verify_broadcast = _auto_verify_broadcast(base)
     if verify_broadcast:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     pairs = cand.join(sa, "__ida").join(sb, "__idb")

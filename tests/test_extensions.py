@@ -97,10 +97,47 @@ def test_ngram_jaccard_max_comparisons_guard(docs_df):
     from pivot_spark.operators.neardup import ngram_jaccard_pairs
 
     docs = docs_df.filter(F.col("text") != "")
-    with _pytest.raises(ValueError, match="candidate comparisons"):
+    with _pytest.raises(ValueError, match="candidate pairs"):
         ngram_jaccard_pairs(docs, threshold=0.5, max_comparisons=0)
     out = ngram_jaccard_pairs(docs, threshold=0.5, max_comparisons=10**8).collect()
     assert {(r["id_a"], r["id_b"]) for r in out} == {(1, 2)}
+
+
+def test_verify_broadcast_validated(docs_df):
+    """verify_broadcast accepts exactly True/False/'auto': a typo like
+    'Auto' must raise, not silently force a broadcast (round-6 advisor
+    item — the old code let any non-'auto' string fall through truthy)."""
+    import pytest as _pytest
+
+    from pivot_spark.operators.neardup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = docs_df.filter(F.col("text") != "")
+    for bad in ("Auto", "none", ""):
+        with _pytest.raises(ValueError, match="verify_broadcast"):
+            ngram_jaccard_pairs(docs, verify_broadcast=bad)
+        with _pytest.raises(ValueError, match="verify_broadcast"):
+            ngram_containment_pairs(docs, verify_broadcast=bad)
+
+
+def test_auto_verify_broadcast_is_byte_sized(spark):
+    """The 'auto' broadcast heuristic keys on estimated BYTES, not row
+    count: few-but-long documents past the 256 MiB budget must fall back
+    to the shuffled join even though the row count is tiny."""
+    from pivot_spark.operators import neardup as nd
+
+    small = spark.createDataFrame(
+        [(i, [1, 2, 3]) for i in range(10)], "__id long, __hs array<long>"
+    ).withColumn("__n", F.size("__hs"))
+    assert nd._auto_verify_broadcast(small) is True
+    # 40 docs x 1e6 shingle hashes each = ~320 MB estimated payload;
+    # fabricate the count without materializing the arrays
+    big = spark.createDataFrame(
+        [(i, 1_000_000) for i in range(40)], "__id long, __n long"
+    )
+    assert nd._auto_verify_broadcast(big) is False
 
 
 def test_simhash_neardup(docs_df):
