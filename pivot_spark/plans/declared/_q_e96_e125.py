@@ -586,15 +586,65 @@ def e108_covariance(spark, sf_dir):
 
 # --- E108b: PCA projection onto the top-2 principal axes. The eigen
 # step is driver-side numpy over the d x d covariance (not SQL-
-# expressible — rows-only; orthonormality / variance-order /
-# reconstruction invariants are unit-tested in tests/test_pca.py).
-@query("e108b_pca_project")
+# expressible). Round 7 FOLDED the old rows-only projection row into a
+# hash-checked projection-invariant contract (the p26b device, round-6
+# verdict item 4): Spark emits the exact row count plus four booleans
+# the oracle asserts as TRUE, each a THEOREM about a correct PCA
+# projection, so they are deterministic at any scale —
+# ok_mean0 := |mean(pc_i)| <= 1e-3 (projections of mean-centered data
+# have zero mean; measured ~1e-6 on the fixtures),
+# ok_decorrelated := |cov_pop(pc_1, pc_2)| <= 1e-3 (eigenvector
+# projections are uncorrelated; measured ~1e-6),
+# ok_var_order := var_pop(pc_1) >= var_pop(pc_2) > 0 (eigenvalue
+# order), and ok_dominant := var_pop(pc_1) >= max_i var_pop(x_i)
+# (lambda_1 dominates every diagonal entry of the covariance;
+# measured 0.029 vs 0.019). An eigen-solver or projection regression
+# flips the gate red instead of hiding behind a rows-only check;
+# orthonormality/reconstruction stay unit-tested in tests/test_pca.py.
+_E108B_ORACLE = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows, 2 AS k,
+       TRUE AS ok_mean0, TRUE AS ok_decorrelated,
+       TRUE AS ok_var_order, TRUE AS ok_dominant
+FROM embeddings WHERE embedding IS NOT NULL
+"""
+
+
+@query("e108b_pca_project", _E108B_ORACLE)
 def e108b_pca_project(spark, sf_dir):
     from pivot_spark.operators.pca import pca_project
 
-    emb = _read(spark, sf_dir, "embeddings")
-    out = pca_project(emb, "embedding", dim=64, k=2)
-    return serialize_arrays(out.select("vec_id", "pc"))
+    emb = _read(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+    out = pca_project(emb, "embedding", dim=64, k=2).select(
+        F.col("pc")[0].alias("__p1"), F.col("pc")[1].alias("__p2")
+    )
+    proj = out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.avg("__p1").alias("__m1"),
+        F.avg("__p2").alias("__m2"),
+        F.var_pop("__p1").alias("__v1"),
+        F.var_pop("__p2").alias("__v2"),
+        F.covar_pop("__p1", "__p2").alias("__cv"),
+    )
+    coord_var = (
+        emb.select(F.posexplode("embedding").alias("__i", "__x"))
+        .groupBy("__i")
+        .agg(F.var_pop(F.col("__x").cast("double")).alias("__vv"))
+        .agg(F.max("__vv").alias("__maxv"))
+    )
+    return proj.crossJoin(coord_var).select(
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.lit(2).alias("k"),
+        (
+            (F.abs("__m1") <= 1e-3) & (F.abs("__m2") <= 1e-3)
+        ).alias("ok_mean0"),
+        (F.abs("__cv") <= 1e-3).alias("ok_decorrelated"),
+        (
+            (F.col("__v1") >= F.col("__v2")) & (F.col("__v2") > 0)
+        ).alias("ok_var_order"),
+        (F.col("__v1") >= F.col("__maxv") - 1e-6).alias("ok_dominant"),
+    )
 
 
 # --- E109: hashed-feature linear classifier scoring (fastText-style
