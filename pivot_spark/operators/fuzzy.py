@@ -39,6 +39,7 @@ def fuzzy_join(
     dist_col: str = "dist",
     dedup_verify: bool = True,
     length_band: bool = True,
+    max_comparisons: "int | None" = None,
 ) -> DataFrame:
     """All candidate pairs with edit distance <= ``max_dist``.
 
@@ -71,10 +72,45 @@ def fuzzy_join(
     volume equals the candidate set an exact algorithm must verify.
     For such data use ``sorted_neighborhood_pairs`` (candidate volume
     <= 2*window per row at any skew) and trade recall for a bound.
+
+    ``max_comparisons``: optional fail-fast guard for exactly that
+    residual regime (same contract as ``ngram_jaccard_pairs``): a
+    linear-cost probe (two join-key-keyed counts, no pair join) counts
+    the candidate join rows the block join would evaluate — sum over
+    join keys (block, or block x length-band) of |L_k| x |R_k| over
+    the frames ACTUALLY joined (post-dedup, post-band-explode) — and
+    raises ``ValueError`` naming the measured volume and the bounded
+    alternative if it exceeds the bound, before any pair shuffle.
+    Default ``None`` (off); the probe does not perturb results
+    (parity-tested).
     """
+    def _guard(lf: DataFrame, rf: DataFrame, keys: "list[str]") -> None:
+        if max_comparisons is None:
+            return
+        nl = lf.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nl"))
+        nr = rf.groupBy(*keys).agg(F.count(F.lit(1)).alias("__nr"))
+        ncmp = (
+            nl.join(nr, keys)
+            .agg(F.sum(F.col("__nl") * F.col("__nr")).alias("__ncmp"))
+            .collect()[0]["__ncmp"]
+        ) or 0
+        if ncmp > max_comparisons:
+            raise ValueError(
+                f"fuzzy_join would evaluate {ncmp:.3e} candidate join rows"
+                f" (> max_comparisons={max_comparisons:.3e}). The blocking"
+                " keys leave blocks of many distinct same-band keys — an"
+                " irreducibly quadratic candidate set for exact edit-"
+                "distance verification. Use a finer blocking function,"
+                " sorted_neighborhood_pairs (candidate volume <= 2*window"
+                " per row at any skew, approximate recall), or"
+                " raise/disable `max_comparisons` if the cluster can"
+                " absorb the join."
+            )
+
     l = left.withColumn("__blk", left_block)
     r = right.withColumn("__blk", right_block)
     if not dedup_verify and not length_band:
+        _guard(l.select("__blk"), r.select("__blk"), ["__blk"])
         lc, rc = F.col(left_on), F.col(right_on)
         cand = l.join(r, "__blk").filter(
             F.abs(F.length(lc) - F.length(rc)) <= max_dist
@@ -97,6 +133,7 @@ def fuzzy_join(
             "__band", F.explode(F.array(lb - 1, lb, lb + 1))
         )
         join_keys.append("__band")
+    _guard(lk.select(*join_keys), rk.select(*join_keys), join_keys)
     lc, rc = F.col(left_on), F.col(right_on)
     cand = lk.join(rk, join_keys).filter(
         F.abs(F.length(lc) - F.length(rc)) <= max_dist

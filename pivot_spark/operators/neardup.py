@@ -944,6 +944,7 @@ def ngram_containment_pairs(
     shingle_len: int = 3,
     verify_broadcast: "bool | str" = "auto",
     collapse_exact_dups: "bool | str" = "auto",
+    max_comparisons: "int | None" = None,
 ) -> DataFrame:
     """EXACT directional n-gram containment pairs: (id_a, id_b,
     containment, jaccard) for every ORDERED pair with
@@ -1010,7 +1011,16 @@ def ngram_containment_pairs(
     ``"auto"`` estimates the post-collapse representative payload in
     BYTES (8 B per shingle hash + row overhead, a cached scan) and
     broadcasts only under a 256 MiB budget. Anything other than
-    True/False/'auto' raises."""
+    True/False/'auto' raises.
+
+    ``max_comparisons``: optional fail-fast guard (same contract as
+    ``ngram_jaccard_pairs``): a linear-cost probe (two token-keyed
+    aggregates, no pair join) counts the prefix x posting join rows —
+    sum_h pref_df(h) * full_df(h), which for this asymmetric join IS
+    the evaluated row count — and raises ``ValueError`` naming the
+    measured volume and the bounded alternatives if it exceeds the
+    bound, before any pair shuffle. Default ``None`` (off); the probe
+    does not perturb results (parity-tested)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     _check_verify_broadcast(verify_broadcast)
@@ -1087,6 +1097,33 @@ def ngram_containment_pairs(
         F.col("__p").alias("__pb"),
         "__h",
     )
+    if max_comparisons is not None:
+        # linear probe (two token-keyed aggregates, no pair join):
+        # candidate join rows = sum_h pref_df(h) * full_df(h) — the
+        # asymmetric prefix x postings volume this join evaluates.
+        # Unlike the symmetric Jaccard probe this IS the evaluated
+        # row count (each A-prefix row meets each B-posting row once).
+        np_ = pref.groupBy("__h").agg(F.count(F.lit(1)).alias("__np"))
+        nf_ = full.groupBy("__h").agg(F.count(F.lit(1)).alias("__nf"))
+        ncmp = (
+            np_.join(nf_, "__h")
+            .agg(F.sum(F.col("__np") * F.col("__nf")).alias("__ncmp"))
+            .collect()[0]["__ncmp"]
+        ) or 0
+        if ncmp > max_comparisons:
+            raise ValueError(
+                f"ngram_containment_pairs would evaluate {ncmp:.3e}"
+                f" prefix x posting join rows (> max_comparisons="
+                f"{max_comparisons:.3e}). The corpus is vocabulary-"
+                "saturated for this threshold: prefix-token document"
+                " frequencies grow with corpus size, so the exact"
+                " containment join is quadratic here. Use the symmetric"
+                " prefix x prefix join (ngram_jaccard_pairs, measured"
+                " 4.5x cheaper on saturated corpora), MinHash-LSH"
+                " (neardup_minhash_lsh, approximate), raise `threshold`,"
+                " or raise/disable `max_comparisons` if the cluster can"
+                " absorb the join."
+            )
     m = F.ceil(F.lit(threshold) * F.col("__na"))
     pos_bound = (
         1

@@ -114,6 +114,7 @@ def tfidf_cosine_pairs(
     threshold: float = 0.5,
     prefix_filter: bool = False,
     max_df_share: float = 0.8,
+    max_comparisons: "int | None" = None,
 ) -> DataFrame:
     """EXACT thresholded cosine-similarity self-join over TF-IDF vectors
     — the *weighted* sibling of the e10 n-gram Jaccard join.
@@ -156,6 +157,18 @@ def tfidf_cosine_pairs(
     near-uniform weights the prefix is ~everything and the extra
     verify join only adds cost (measured: keep it off there).
 
+    ``max_comparisons``: optional fail-fast guard (same contract as
+    ``ngram_jaccard_pairs``): a linear-cost probe over the one-row-per-
+    term df frame counts the UNORDERED candidate pairs the postings
+    self-join would generate — sum_term C(df, 2), the sparse-matrix-
+    product bound above — and raises ``ValueError`` naming the measured
+    volume if it exceeds the bound, BEFORE any pair shuffle happens.
+    Alternatives named in the error: coarser terms (shingles), a lower
+    ``max_df_share``, MinHash/LSH (e03/e12) with this join as the
+    verifier. Default ``None`` (off) for multi-executor clusters;
+    single-node callers should set one. The probe does not perturb
+    results (parity-tested).
+
     Output: (id_a, id_b, cosine) with id_a < id_b."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -183,6 +196,29 @@ def tfidf_cosine_pairs(
                 n_dropped, df_cap, max_df_share, n_docs,
             )
         dfreq = dfreq.filter(F.col("df") <= df_cap)
+    if max_comparisons is not None:
+        # linear probe over the one-row-per-term df frame: unordered
+        # candidate pairs the postings self-join would generate (the
+        # physical join touches ~2x row combinations per term before
+        # the doc-order predicate prunes duplicates)
+        ncmp = (
+            dfreq.agg(
+                F.sum(F.expr("df * (df - 1) / 2")).alias("__ncmp")
+            ).collect()[0]["__ncmp"]
+        ) or 0
+        if ncmp > max_comparisons:
+            raise ValueError(
+                f"tfidf_cosine_pairs would generate {ncmp:.3e} unordered"
+                f" candidate pairs (> max_comparisons={max_comparisons:.3e};"
+                " the postings self-join touches ~2x as many row"
+                " combinations). Term document frequencies are too hot for"
+                " an exact sparse dot-product join at this granularity:"
+                " use coarser terms (word shingles instead of unigrams),"
+                " lower `max_df_share` to prune stop-grade terms, start"
+                " from MinHash-LSH (neardup_minhash_lsh) and use this join"
+                " only as the verifier, or raise/disable `max_comparisons`"
+                " if the cluster can absorb the join."
+            )
     w = tf.join(dfreq, "term").select(
         "doc",
         "term",
