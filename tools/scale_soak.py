@@ -121,6 +121,26 @@ def main() -> None:
             except Exception as exc2:  # noqa: BLE001
                 print(f"{q}: FAILED {type(exc2).__name__}: {exc2}", flush=True)
                 out[q] = {"error": f"{type(exc2).__name__}: {exc2}"[:300]}
+                # e10-style auto-adjudication (round-6 verdict item 6):
+                # when a query dies at scale and a volume probe exists
+                # for it, record the measured comparison curve so the
+                # failure ships with its diagnosis, not just a traceback
+                try:
+                    from tools.scale_probe import ADJUDICATIONS, PROBES
+
+                    if q in PROBES:
+                        out[q]["comparisons_probe"] = {
+                            "sf0.1": PROBES[q](spark, sf01)["candidates"],
+                            os.path.basename(sf1): PROBES[q](spark, sf1)[
+                                "candidates"
+                            ],
+                        }
+                        out[q]["adjudicated"] = ADJUDICATIONS[q]
+                        out[q]["metric"] = "probe"
+                        print(f"{q}: probe {out[q]['comparisons_probe']}",
+                              flush=True)
+                except Exception as pexc:  # noqa: BLE001
+                    print(f"{q}: probe failed {pexc}", flush=True)
                 continue
         slope = round(t1 / t01, 2) if t01 > 0 else None
         eslope = round(e1 / e01, 2) if e01 > 0 else None
