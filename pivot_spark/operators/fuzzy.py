@@ -73,6 +73,16 @@ def fuzzy_join(
     For such data use ``sorted_neighborhood_pairs`` (candidate volume
     <= 2*window per row at any skew) and trade recall for a bound.
 
+    Caller-side volume lever: the join-back is per ROW by contract
+    (every left row x every right row whose keys verify), so a side
+    whose duplicated rows carry no information the caller uses —
+    e.g. a reference set consumed only through its key column, or
+    feeding a multiplicity-insensitive aggregate (min_by/max_by/
+    distinct) — should be ``.select(key).distinct()``'d BEFORE the
+    call. On a corpus where keys repeat m times that removes an m-fold
+    re-expansion the operator cannot elide (measured at 100x scale:
+    2.1e9 -> 21M pre-aggregate rows for the e73 lookup, m ~ 100).
+
     ``max_comparisons``: optional fail-fast guard for exactly that
     residual regime (same contract as ``ngram_jaccard_pairs``): a
     linear-cost probe (two join-key-keyed counts, no pair join) counts

@@ -1098,13 +1098,19 @@ def e54_kmeans(spark, sf_dir):
 _E57_MIN_K, _E57_TARGET, _E57_EPS = 8, 2000, 0.4
 
 
-def _e57_oracle(min_k: int = _E57_MIN_K, target: int = _E57_TARGET) -> str:
+def _e57_oracle(
+    min_k: int = _E57_MIN_K,
+    target: int = _E57_TARGET,
+    k_sql: "str | None" = None,
+) -> str:
     sq = " + ".join(
         f"embedding[{i}]::DOUBLE * embedding[{i}]::DOUBLE"
         for i in range(1, _E54_DIM + 1)
     )
     dot = " + ".join(f"a.nv[{i}] * b.nv[{i}]" for i in range(1, _E54_DIM + 1))
     d_init = _e54_dist("e.embedding", "i.c")
+    if k_sql is None:
+        k_sql = f"least(count(*), greatest({min_k}, count(*) // {target}))"
     return f"""
 WITH init AS (
   SELECT cid, c FROM (
@@ -1112,7 +1118,7 @@ WITH init AS (
            embedding AS c,
            row_number() OVER (ORDER BY vec_id) AS rn
     FROM embeddings
-  ) WHERE rn <= (SELECT least(count(*), greatest({min_k}, count(*) // {target}))
+  ) WHERE rn <= (SELECT {k_sql}
                  FROM embeddings)
 ), asg AS (
   SELECT e.vec_id, e.embedding,
@@ -1154,26 +1160,43 @@ def e57_semdedup(spark, sf_dir):
 
 
 # --- E57B: the same SemDeDup contract with the cluster-count scaled to
-# ENGAGE the GEMM assignment engine at gate scale (k = max(20, n/25)
-# > the k=16 auto threshold at every test SF, vs e57's k=8 there).
-# This pins the |x|^2 - 2x.c + |c|^2 + exact-near-tie-refinement path
+# ENGAGE the GEMM assignment engine at gate scale: k = min(n,
+# max(20, ceil(sqrt(n)))) > the k=16 auto threshold at every test SF
+# (n=50 -> 20, n=500 -> 23), vs e57's k=8 there. This pins the
+# |x|^2 - 2x.c + |c|^2 + exact-near-tie-refinement path
 # (operators/kmeans.py:_assign_clusters_gemm) against the oracle's
 # exact fold-replaying argmin — the round-5 advisor's ask: without the
 # refinement, centers inside the expanded form's cancellation band can
 # silently flip assignments vs the exact argmin.
-_E57B_MIN_K, _E57B_TARGET = 20, 25
+#
+# k ~ sqrt(n), not n/25: assignment costs O(n*k*d) and within-cluster
+# dedup O((n^2/k)*d); k = sqrt(n) balances them at O(n^1.5*d) — the
+# optimal single-level trade. The original n/25 made ASSIGNMENT the
+# quadratic term (n^2*d/25): the sf10 soak measured 405 s engine-side
+# at 100x (slope 455) from 200k x 8000 GEMM tiles alone; sqrt sizing
+# is ~450 centers there. (Both sides compute ceil(sqrt(n)) in IEEE
+# doubles — correctly-rounded sqrt, so Python and DuckDB agree
+# bit-for-bit.) Beyond single-level: hierarchical assignment (IVF's
+# coarse-then-refine, operators/ivf.py) drops assignment to
+# O(n*sqrt(k)*d) — the 100 TB path.
+_E57B_MIN_K = 20
+_E57B_K_SQL = (
+    "least(count(*), greatest(20, CAST(ceil(sqrt(count(*))) AS BIGINT)))"
+)
 
 
-@query("e57b_semdedup_gemm", _e57_oracle(_E57B_MIN_K, _E57B_TARGET))
+@query("e57b_semdedup_gemm", _e57_oracle(k_sql=_E57B_K_SQL))
 def e57b_semdedup_gemm(spark, sf_dir):
     """e57 with scaled-up k so ``assign_clusters(engine="auto")``
     routes through the Arrow GEMM: one numpy ``X @ C.T`` per batch,
     near-tied argmins re-decided by the exact left-to-right fold."""
+    import math
+
     from pivot_spark.operators.semdedup import semdedup
 
     emb = _read(spark, sf_dir, "embeddings")
     n = emb.count()
-    k = min(n, max(_E57B_MIN_K, n // _E57B_TARGET))
+    k = min(n, max(_E57B_MIN_K, math.ceil(math.sqrt(n))))
     centers = [
         [float(x) for x in r["embedding"]]
         for r in emb.orderBy("vec_id").limit(k).collect()

@@ -467,7 +467,15 @@ def e73_fuzzy_match(spark, sf_dir):
         "c_custkey",
         F.concat(F.substring("c_name", 1, 17), F.lit("X")).alias("dirty_name"),
     )
-    clean = cust.select(F.col("c_name").alias("match_name"))
+    # The reference side contributes ONLY its key column, and the arg-min
+    # downstream is multiplicity-insensitive — so the clean set joins as a
+    # DISTINCT name list. Without this, fuzzy_join's contract-mandated
+    # row-level join-back re-expands every matched name by its duplicate
+    # count: on the cloned sf10 soak corpus that is 214k dirty rows x ~100
+    # block matches x 100 name clones ~ 2.1e9 pre-aggregate rows (measured
+    # 900 s engine-side; slope 688 at 100x). Distinct reference names make
+    # the pair volume dirty_rows x matches — output-shaped at every scale.
+    clean = cust.select(F.col("c_name").alias("match_name")).distinct()
     pairs = fuzzy_join(
         dirty,
         clean,
