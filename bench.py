@@ -71,12 +71,26 @@ def main() -> None:
     # exposes within-run host drift: turbo at start, throttling later).
     # Absolute query seconds are only comparable across runs when these
     # agree — round 4 measured a uniform ~1.3x suite shift traced to
-    # the HOST (see BASELINE.md §round-4). The anchor job itself is
-    # warmed 3x first: the round-5 run measured the FIRST calib point
-    # 2x slower than mid/end (0.199 vs 0.101s) — pure JIT warmup, which
-    # would otherwise read as within-run host drift.
-    for _ in range(3):
+    # the HOST (see BASELINE.md §round-4). The anchor job is warmed to
+    # STEADY STATE first, not a fixed count: round 5's fixed 3x warmup
+    # still left the round-7 START jvm anchor 1.7x its mid/end twins
+    # (0.184 vs 0.107/0.104 s, median-of-5, across four runs) — cold
+    # frequency ramp + JIT on an idle host, which the spread gate then
+    # misread as within-run drift and flagged every run degraded. Warm
+    # both anchors until two consecutive untimed rounds agree within
+    # 10% (bounded at 10), so the timed samples measure the same hot
+    # machine the suite itself runs on.
+    prev = None
+    for _ in range(10):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(10_000_000):
+            acc += i
         spark.range(0, 200_000_000, 1, 32).selectExpr("sum(id * 2)").collect()
+        dt = time.perf_counter() - t0
+        if prev is not None and abs(dt - prev) <= 0.1 * prev:
+            break
+        prev = dt
     py_calib, jvm_calib = _calib_point(spark)
 
     # Warm up before timing: the file index for sf_dir, plus two real
@@ -177,8 +191,26 @@ def main() -> None:
         "jvm_sum_2e8_sec_mid": jvm_calib_mid,
         "py_loop_1e7_sec_end": py_calib_end,
         "jvm_sum_2e8_sec_end": jvm_calib_end,
-        "py_spread": _spread([py_calib, py_calib_mid, py_calib_end]),
-        "jvm_spread": _spread([jvm_calib, jvm_calib_mid, jvm_calib_end]),
+        # Drift = mid-suite vs end-of-suite ONLY. The START point is
+        # excluded from the gate (but reported, above, and as the
+        # cold-start ratios below): five recorded runs (r4 clean, r6,
+        # three r7 attempts) all measured it 1.5-2.2x the mid/end
+        # twins — through a fixed 3x warmup AND the round-7
+        # steady-state warmup (two consecutive untimed rounds within
+        # 10%, up to 10). A bias that systematic is the host's cold
+        # ramp, not within-run drift; keeping it in the spread made
+        # `degraded: false` unreachable on a provably quiet machine
+        # while mid/end agreed within 13%. Mid-vs-end is the signal
+        # that actually invalidates cross-query comparison:
+        # throttling while the suite runs.
+        "py_spread": _spread([py_calib_mid, py_calib_end]),
+        "jvm_spread": _spread([jvm_calib_mid, jvm_calib_end]),
+        "py_cold_start_ratio": (
+            round(py_calib / py_calib_mid, 3) if py_calib_mid else None
+        ),
+        "jvm_cold_start_ratio": (
+            round(jvm_calib / jvm_calib_mid, 3) if jvm_calib_mid else None
+        ),
         "samples_per_point": 5,
     }
 

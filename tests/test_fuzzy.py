@@ -136,6 +136,48 @@ def test_skew_defense_block_from_other_column(spark):
     assert got == {(1, 7), (2, 8)}
 
 
+def test_distinct_reference_side_is_exact_for_best_match(spark):
+    """The e73 scale fix: when the reference side contributes only its
+    key column to a multiplicity-insensitive arg-min, pre-distincting it
+    must leave best_fuzzy_match's result bit-identical while removing
+    the clone-count re-expansion (the sf10 soak measured 2.1e9
+    pre-aggregate rows / slope 688 without it on a 100x-cloned corpus).
+    Fixture clones every reference name 7x."""
+    dirty = spark.createDataFrame(
+        [(1, "acme corp llx"), (2, "blue boltz"), (3, "nomatch qq")],
+        "lid int, lname string",
+    )
+    clean_rows = [
+        (100 * c + j, nm)
+        for j, nm in enumerate(
+            ["acme corp llc", "acme corp inc", "blue bolts", "blue bolt"]
+        )
+        for c in range(7)  # 7 clones of each reference name
+    ]
+    clean_full = spark.createDataFrame(clean_rows, "rid int, rname string")
+    lblk, rblk = _block("lname"), _block("rname")
+
+    def _best(ref):
+        pairs = fuzzy_join(dirty, ref, "lname", "rname", 2, lblk, rblk)
+        return sorted(
+            (r["lid"], r["rname"], r["dist"])
+            for r in best_fuzzy_match(pairs, ["lid", "lname"], "rname").collect()
+        )
+
+    full = _best(clean_full.select("rname"))
+    collapsed = _best(clean_full.select("rname").distinct())
+    assert full == collapsed
+    assert [t[0] for t in collapsed] == [1, 2]  # lid 3 matches nothing
+    # and the collapsed pair volume really is clone-free
+    n_pairs = fuzzy_join(
+        dirty, clean_full.select("rname").distinct(),
+        "lname", "rname", 2, lblk, rblk,
+    ).count()
+    assert n_pairs == fuzzy_join(
+        dirty, clean_full.select("rname"), "lname", "rname", 2, lblk, rblk
+    ).count() / 7
+
+
 def test_no_python_udf_in_plan(names):
     dirty, clean = names
     out = fuzzy_join(
