@@ -898,7 +898,21 @@ def neardup_embedding_cosine(
 def _exact_cosine_pairs_gemm(base: DataFrame, id_type, threshold: float) -> DataFrame:
     """All-pairs cosine >= threshold by blocked matrix multiply against a
     broadcast L2-normalized corpus matrix. Only qualifying (sparse) pairs
-    cross Arrow back to the JVM."""
+    cross Arrow back to the JVM.
+
+    Two tiling decisions make the O(n^2) compute actually distribute
+    (the round-7 sf10 wall-clock caught the original doing ALL tiles in
+    ONE worker with a 16 GB score matrix — the parquet scan was a single
+    partition, and mapInPandas inherits it):
+
+    * the row side is repartitioned to the session's default
+      parallelism, so every core owns an even slice of the A-rows while
+      the broadcast corpus matrix is shared read-only per executor;
+    * inside each task the Arrow batch is sub-blocked so the dense
+      (block x n) score matrix stays <= ~128 MB — peak memory per
+      worker is bounded by the corpus matrix (n*dim*8), not by
+      batch_rows * n * 8.
+    """
     import numpy as np
 
     spark = base.sparkSession
@@ -907,6 +921,9 @@ def _exact_cosine_pairs_gemm(base: DataFrame, id_type, threshold: float) -> Data
     M = np.stack(rows["__vec"].values).astype("float64")
     M /= np.linalg.norm(M, axis=1, keepdims=True)
     bc = spark.sparkContext.broadcast((ids_all, M))
+    n = len(ids_all)
+    # (block x n) float64 score tile capped at ~128 MB, floor 64 rows
+    blk = max(64, int(128 * 2**20 / max(n * 8, 1)))
 
     schema = T.StructType(
         [
@@ -925,15 +942,18 @@ def _exact_cosine_pairs_gemm(base: DataFrame, id_type, threshold: float) -> Data
                 continue
             A = np.stack(pdf["__vec"].values).astype("float64")
             A /= np.linalg.norm(A, axis=1, keepdims=True)
-            S = A @ Mb.T  # (batch, n)
             a_ids = pdf["__id"].to_numpy()
-            hit = (S >= threshold) & (ids_b[None, :] > a_ids[:, None])
-            ai, bj = np.nonzero(hit)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": ids_b[bj], "cos": S[ai, bj]}
-            )
+            for s in range(0, len(a_ids), blk):
+                Ab, ab_ids = A[s : s + blk], a_ids[s : s + blk]
+                S = Ab @ Mb.T  # (block, n)
+                hit = (S >= threshold) & (ids_b[None, :] > ab_ids[:, None])
+                ai, bj = np.nonzero(hit)
+                yield pd.DataFrame(
+                    {"id_a": ab_ids[ai], "id_b": ids_b[bj], "cos": S[ai, bj]}
+                )
 
-    return base.mapInPandas(gen, schema=schema)
+    par = spark.sparkContext.defaultParallelism
+    return base.repartition(par).mapInPandas(gen, schema=schema)
 
 
 def ngram_containment_pairs(

@@ -250,8 +250,15 @@ ADJUDICATIONS = {
     ),
     "e11_neardup_cosine": (
         "intrinsic all-pairs (exact=True GEMM): C(n,2) comparisons by "
-        "definition; the operator refuses corpora past exact_max_rows "
-        "and the 100x path is e12 (SRP-LSH)"
+        "definition; wall-clock MEASURED at sf10 after the round-7 "
+        "tile fix (repartition to default parallelism + <=128 MB "
+        "score blocks — the original ran every tile in ONE worker "
+        "with a 16 GB score matrix): 100 s for 2e10 comparisons, "
+        "engine slope 126 against OUTPUT growth 10,541x (920 -> 9.7M "
+        "true pairs, the cloned corpus pairs at cos 1.0) — Omega("
+        "output) at ~1% of the output growth rate; the operator "
+        "refuses corpora past exact_max_rows and the 100x path is "
+        "e12 (SRP-LSH)"
     ),
     "e12_neardup_cosine_lsh": (
         "SRP bucket load: sum over (table, signature) of C(c,2); random "
@@ -259,12 +266,14 @@ ADJUDICATIONS = {
         "output (true pairs >= 0.4) itself grows ~quadratically"
     ),
     "e73_fuzzy_match": (
-        "ACQUITTED by measurement: post-defense candidate volume is "
-        "FLAT (1.5e5 at sf0.1, sf1 AND sf10 — the corpus clones names "
-        "100x but distinct c_name stays 15k, and the distinct-verify "
-        "collapse absorbs the growth entirely); the residual slope is "
-        "the output-sized re-expansion join (result rows grow ~100x), "
-        "Omega(output) for any join; guard = fuzzy_join(max_comparisons)"
+        "FIXED and acquitted: candidate volume is FLAT (1.5e5 at "
+        "sf0.1, sf1 AND sf10 — distinct c_name stays 15k at every "
+        "scale and the distinct-verify collapse absorbs the 100x "
+        "clone growth), and the round-7 distinct-reference fix "
+        "removed the clone-count join-back re-expansion that the "
+        "probe could not see (2.1e9 pre-aggregate rows -> 21M): "
+        "measured sf10 wall-clock 1020 s -> 13.2 s, slope 688 -> "
+        "4.0; guard = fuzzy_join(max_comparisons)"
     ),
     "e89_containment": (
         "prefix x posting volume on a vocabulary-saturated corpus: "
