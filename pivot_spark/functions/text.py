@@ -143,17 +143,44 @@ def lang_guess(text: Column) -> Column:
     """Argmax language with a deterministic priority-order tie-break: a
     forward CASE chain, so on equal scores the earlier language in
     LANG_STOPWORDS order wins; 'und' when every score is 0. The same CASE
-    chain is expressible verbatim in SQL for oracle checks."""
-    scores = lang_scores(text)
-    langs = list(scores)
-    expr = None
-    for lang in langs:
-        cond = scores[lang] > 0
-        for other in langs:
-            if other != lang:
-                cond = cond & (scores[lang] >= scores[other])
-        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
-    return expr.otherwise(F.lit("und"))
+    chain is expressible verbatim in SQL for oracle checks.
+
+    The token array and the five scores are bound ONCE per row via the
+    single-element-array + ``transform`` trick (see
+    ``winnow_fingerprints``): the naive form inlined each score's full
+    tokenize-and-count tree into every CASE comparison (~45 token-array
+    scans per row — measured 4x the query cost on the lang-ID family).
+    The CASE chain itself compares plain struct fields, so the emitted
+    decision logic (and therefore the result) is unchanged."""
+    langs = list(LANG_STOPWORDS)
+    toks_once = F.array(tokens(F.lower(text)))
+
+    def _score_struct(t: Column) -> Column:
+        fields = []
+        for lang, words in LANG_STOPWORDS.items():
+            if lang == "zh":
+                fields.append(F.regexp_count(text, F.lit(CJK_RE)).alias(lang))
+            else:
+                fields.append(_dict_hits(t, words).alias(lang))
+        return F.struct(*fields)
+
+    scored = F.transform(toks_once, _score_struct)
+
+    def _chain(s: Column) -> Column:
+        expr = None
+        for lang in langs:
+            cond = s[lang] > 0
+            for other in langs:
+                if other != lang:
+                    cond = cond & (s[lang] >= s[other])
+            expr = (
+                F.when(cond, F.lit(lang))
+                if expr is None
+                else expr.when(cond, F.lit(lang))
+            )
+        return expr.otherwise(F.lit("und"))
+
+    return F.element_at(F.transform(scored, _chain), 1)
 
 
 def normalize_text(text: Column) -> Column:

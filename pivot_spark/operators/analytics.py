@@ -1713,7 +1713,12 @@ def krippendorff_alpha(
         .filter(F.col("__m") >= 2)
         .persist()
     )
-    uc2.count()  # fence: the self-join + totals would rescan upstream
+    # fence: the self-join + totals would rescan upstream. The fence
+    # action doubles as the n_units computation (one count-distinct in
+    # the same pass) — the separate uc2.select(__u).distinct().count()
+    # job it replaces cost a full plan+schedule round on an already-
+    # persisted frame.
+    n_units = uc2.agg(F.count_distinct("__u")).collect()[0][0]
     left = uc2.select(
         "__u", F.col("__v").alias("__c"), F.col("__nc").alias("__na"), "__m"
     )
@@ -1756,7 +1761,6 @@ def krippendorff_alpha(
             )
         )
     )
-    n_units = uc2.select("__u").distinct().count()
     d_o = F.col("__dis") / F.col("__n")
     d_e = F.col("__en") / (F.col("__n") * (F.col("__n") - 1))
     out = tots.crossJoin(F.broadcast(e_num)).select(

@@ -95,19 +95,76 @@ def poisson_bootstrap_mean(
     x = F.col(value_col).cast("double")
     idc = F.col(id_col)
     base = df.filter(x.isNotNull() & idc.isNotNull())
-    xs = f"CAST(`{value_col}` AS DOUBLE)"
-    aggs = [F.sum(x).alias("__sx"), F.count(x).alias("__n")]
-    for r in range(n_replicas):
-        w = _poisson_weight_sql(f"`{id_col}`", r, salt)
-        aggs.append(F.expr(f"sum({w})").alias(f"__w{r}"))
-        aggs.append(F.expr(f"sum({w} * {xs})").alias(f"__wx{r}"))
-    row = base.agg(*aggs)
-    means = F.array(
-        *[
-            F.try_divide(F.col(f"__wx{r}"), F.col(f"__w{r}").cast("double"))
-            for r in range(n_replicas)
-        ]
+    # Stage the weight arithmetic through THREE explicit projections
+    # (digest -> uniform -> weight) so each md5 digest and each CDF
+    # inversion is computed ONCE per row. The old form inlined the
+    # full conv(substring(md5 ...)) tree into every one of the 8 CDF
+    # comparisons of every one of the 2R aggregate expressions (~16R
+    # md5 subtrees in one Aggregate node): analysis alone cost seconds
+    # of driver time and the per-row evaluation repeated the digest
+    # work 16R times. CollapseProject keeps the stages separate (it
+    # refuses to duplicate non-cheap expressions), so the aggregate
+    # sees only plain column refs. Arithmetic is expression-identical
+    # to the old inline form (same functions, same literals via repr
+    # round-trip). The wide projections are selectExpr STRINGS — the
+    # Column-object loop cost ~1.6 s of py4j round-trips per build.
+    #
+    # The md5/conv work (~R/4 digests + R BigInteger convs per row) is
+    # the whole cost of this operator, and a single-file parquet scan
+    # is ONE task — so spread the narrow (id, value) projection across
+    # the cluster first (hash on the unique id: deterministic under
+    # retry, skew-free). The shuffle moves two scalar columns per row;
+    # the digest compute then parallelizes instead of grinding one
+    # core (measured 32x task fan-out at sf0.1, ~4 s -> ~0.4 s).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    narrow = base.select(idc.alias("__id"), x.alias("__x")).repartition(
+        par, F.col("__id")
     )
+    n_groups = (n_replicas + 3) // 4
+    digests = narrow.selectExpr(
+        "__x",
+        *[
+            f"md5(concat('{salt}:{g}:', CAST(__id AS STRING))) AS __h{g}"
+            for g in range(n_groups)
+        ],
+    )
+    u_exprs = []
+    for r in range(n_replicas):
+        g, j = divmod(r, 4)
+        u_exprs.append(
+            f"((CAST(conv(substring(__h{g}, {1 + 8 * j}, 8), 16, 10)"
+            f" AS DOUBLE) + 0.5) / 4294967296.0) AS __u{r}"
+        )
+    uniforms = digests.selectExpr("__x", *u_exprs)
+    w_exprs = [
+        "("
+        + " + ".join(f"CAST(__u{r} >= {c!r} AS INT)" for c in POISSON1_CDF)
+        + f") AS __pw{r}"
+        for r in range(n_replicas)
+    ]
+    weights = uniforms.selectExpr("__x", *w_exprs)
+    aggs = [F.sum("__x").alias("__sx"), F.count("__x").alias("__n")]
+    for r in range(n_replicas):
+        pw = F.col(f"__pw{r}")
+        aggs.append(F.sum(pw).alias(f"__w{r}"))
+        aggs.append(F.sum(pw * F.col("__x")).alias(f"__wx{r}"))
+    row = weights.agg(*aggs)
+    # one projection for the replica-mean array so the downstream
+    # mean/var/sort expressions reference a column instead of inlining
+    # the 2R-column array constructor four times
+    row = row.select(
+        "__sx",
+        "__n",
+        F.array(
+            *[
+                F.try_divide(
+                    F.col(f"__wx{r}"), F.col(f"__w{r}").cast("double")
+                )
+                for r in range(n_replicas)
+            ]
+        ).alias("__means"),
+    )
+    means = F.col("__means")
     R = float(n_replicas)
     m = F.aggregate(means, F.lit(0.0), lambda a, v: a + v) / F.lit(R)
     var = (

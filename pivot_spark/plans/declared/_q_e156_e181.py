@@ -850,24 +850,29 @@ _E174_N = 24
 
 
 def _e174_payload(col_name: str = "pp", n: int = _E174_N) -> "F.Column":
-    """Two's-complement LE PCM-16 payload from text chars (unrolled).
+    """Two's-complement LE PCM-16 payload from text chars.
 
-    Generated as ONE ``F.expr`` SQL string: the column-object form made
-    ~500 py4j round-trips (24 samples x ~20 Column calls) and cost 3-7s
-    of DRIVER time per build — parsing one 10 KB expression JVM-side is
-    ~0.1s for the identical Catalyst tree."""
-    pieces = []
-    for i in range(n):
-        c0 = f"ascii(substring({col_name}, {1 + 2 * i}, 1))"
-        c1 = f"ascii(substring({col_name}, {2 + 2 * i}, 1))"
-        v = f"({c0} + 256 * {c1})"
-        signed = f"(CASE WHEN {c0} % 2 = 1 THEN -{v} ELSE {v} END)"
-        stored = f"pmod({signed}, 65536)"
-        pieces.append(f"unhex(lpad(hex(pmod({stored}, 256)), 2, '0'))")
-        pieces.append(
-            f"unhex(lpad(hex(CAST(floor({stored} / 256) AS INT)), 2, '0'))"
-        )
-    return F.expr("concat(" + ", ".join(pieces) + ")")
+    ONE ``F.expr`` whose per-sample arithmetic lives in a single
+    ``transform`` lambda body (bytes come out as hex pairs, joined and
+    un-hexed once): the old unrolled form repeated the ~20-node sample
+    tree 2n times inside one concat, and ANALYZING that ~5k-node tree
+    cost ~1s of driver time on every build of every audio query (seven
+    queries share this builder, x3 bench reps each). The lambda emits
+    the identical byte arithmetic (same SQL text per sample), so the
+    payload bytes are unchanged — parity-pinned by
+    tests/test_codecs.py::test_e174_payload_transform_parity."""
+    c0 = f"ascii(substring({col_name}, CAST(1 + 2 * ipay AS INT), 1))"
+    c1 = f"ascii(substring({col_name}, CAST(2 + 2 * ipay AS INT), 1))"
+    v = f"({c0} + 256 * {c1})"
+    signed = f"(CASE WHEN {c0} % 2 = 1 THEN -{v} ELSE {v} END)"
+    stored = f"pmod({signed}, 65536)"
+    hex2 = (
+        f"concat(lpad(hex(pmod({stored}, 256)), 2, '0'),"
+        f" lpad(hex(CAST(floor({stored} / 256) AS INT)), 2, '0'))"
+    )
+    return F.expr(
+        f"unhex(array_join(transform(sequence(0, {n - 1}), ipay -> {hex2}), ''))"
+    )
 
 
 _E174_ORACLE = f"""

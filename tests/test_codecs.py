@@ -574,3 +574,41 @@ def test_ppm_crop_validates():
         ppm_crop(None, -1, 0, 2, 2)
     with _pt.raises(ValueError):
         ppm_crop(None, 0, 0, 0, 2)
+
+
+def test_e174_payload_transform_parity(spark):
+    """The transform-lambda payload builder emits byte-identical PCM to
+    an independent Python replay of the unrolled per-sample arithmetic
+    (round-7 analysis-cost rework of _e174_payload)."""
+    from pivot_spark.plans.declared._q_e156_e181 import _e174_payload
+
+    texts = [
+        "The quick brown fox jumps over the lazy dog! 0123456789",
+        "",
+        "x",
+        "\x01\x02\x03odd/even sign branches \x7f\x10" * 4,
+    ]
+    n = 24
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    ).selectExpr("doc_id", f"rpad(substring(text, 1, {2*n}), {2*n}, ' ') AS pp")
+    got = {
+        r.doc_id: bytes(r.pay)
+        for r in df.select(
+            "doc_id", _e174_payload("pp", n).alias("pay")
+        ).collect()
+    }
+
+    def ref(t: str) -> bytes:
+        p = (t[: 2 * n] + " " * (2 * n - len(t[: 2 * n]))).encode()[: 2 * n]
+        out = b""
+        for i in range(n):
+            c0, c1 = p[2 * i], p[2 * i + 1]
+            v = c0 + 256 * c1
+            signed = -v if c0 % 2 == 1 else v
+            stored = signed % 65536
+            out += bytes([stored % 256, stored // 256])
+        return out
+
+    for i, t in enumerate(texts):
+        assert got[i] == ref(t), f"payload mismatch for doc {i}"
