@@ -192,55 +192,40 @@ def markov_attribution(
     ).select(F.col("__st").alias("__from"), F.lit("NULL").alias("__to"))
     pairs = pair_body.unionByName(tail)
     counts = pairs.groupBy("__from", "__to").agg(F.count(F.lit(1)).alias("__c"))
-    counts = counts.persist()
-    counts.count()  # fence: scenarios/states/iteration all reuse it
-    row_tot = counts.groupBy("__from").agg(F.sum("__c").alias("__t"))
-    trans = counts.join(row_tot, "__from").select(
-        "__from", "__to",
-        (F.col("__c").cast("double") / F.col("__t")).alias("__p"),
-    )
-    channels = [
-        r["__from"]
-        for r in counts.select("__from").distinct().collect()
-        if r["__from"] not in ("START", "CONV", "NULL")
-    ]
-    channels.sort()
-    spark = events.sparkSession
-    scen = spark.createDataFrame(
-        [("__base__",)] + [(c,) for c in channels], "__scen string"
-    )
-    # knocked-out channel: every transition INTO it redirects to NULL
-    # broadcast: a bare crossJoin of two parallelize-backed tiny
-    # frames plans a CartesianProduct with 32x32 partition pairs —
-    # ~1000 tasks for 100 rows (measured 8-10s); BNLJ is instant
-    st = scen.crossJoin(F.broadcast(trans)).select(
-        "__scen", "__from",
-        F.when(F.col("__to") == F.col("__scen"), F.lit("NULL"))
-        .otherwise(F.col("__to"))
-        .alias("__to"),
-        "__p",
-    ).groupBy("__scen", "__from", "__to").agg(F.sum("__p").alias("__p"))
-    # absorbing self-loops so step K holds cumulative absorption
-    absorb = scen.crossJoin(
-        F.broadcast(spark.createDataFrame([("CONV",), ("NULL",)], "__s string"))
-    ).select(
-        "__scen", F.col("__s").alias("__from"), F.col("__s").alias("__to"),
-        F.lit(1.0).alias("__p"),
-    )
-    st = st.unionByName(absorb)
 
-    # The chain is ALPHABET-bounded: (channels+1) scenarios x states^2
-    # transition rows. Iterate the power steps on the DRIVER (the
-    # k-means / Bradley-Terry convention for alphabet-bounded state) —
-    # engine-side iteration would cost 2 shuffle stages per step for a
-    # ~250-row frame. The corpus itself is touched exactly once above.
-    rows = st.collect()
-    counts.unpersist()  # everything downstream is driver-side now
+    # The chain is ALPHABET-bounded: |states|² transition-count rows.
+    # Collect the counts and build the transition matrix, the knockout
+    # scenarios AND the power iteration on the DRIVER (the k-means /
+    # Bradley-Terry convention for alphabet-bounded state). The old
+    # engine-side scenario construction cost three extra jobs (persist
+    # fence, channel distinct, scenario-frame collect) on ~250-row
+    # frames — pure scheduling overhead; the corpus itself is touched
+    # exactly once, by this collect's upstream.
+    spark = events.sparkSession
+    crows = counts.collect()
+    channels = sorted(
+        {r["__from"] for r in crows} - {"START", "CONV", "NULL"}
+    )
+    tot: dict = {}
+    for r in crows:
+        tot[r["__from"]] = tot.get(r["__from"], 0) + r["__c"]
+    # probabilities: the same exact-count IEEE division the engine did;
+    # knockout merges (two edges redirecting onto the same NULL cell)
+    # accumulate in sorted (from, to) edge order — deterministic, and
+    # within ulp of the engine aggregate's order (see Float
+    # determinism above)
+    trans_edges = sorted((r["__from"], r["__to"], r["__c"]) for r in crows)
     by_scen: dict = {}
-    for r in rows:
-        by_scen.setdefault(r["__scen"], []).append(
-            (r["__from"], r["__to"], r["__p"])
-        )
+    for s in ["__base__"] + channels:
+        acc: dict = {}
+        for f, t, c in trans_edges:
+            t2 = "NULL" if t == s else t
+            acc[(f, t2)] = acc.get((f, t2), 0.0) + c / tot[f]
+        edges = [(f, t, p) for (f, t), p in acc.items()]
+        # absorbing self-loops so step K holds cumulative absorption
+        edges.append(("CONV", "CONV", 1.0))
+        edges.append(("NULL", "NULL", 1.0))
+        by_scen[s] = edges
     base_pc = 0.0
     out_rows = []
     for s in ["__base__"] + channels:

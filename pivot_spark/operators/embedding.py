@@ -303,27 +303,38 @@ def mahalanobis_ood(
     base = df.filter(
         F.col(id_col).isNotNull() & v.isNotNull() & (F.size(v) >= dim)
     )
+    # SQL-string expressions + a staged (mu, var) projection on the
+    # one-row stats frame: the Column-object loop cost ~2s of py4j
+    # round-trips per build at dim=64, and inlining mu/var into every
+    # fold term quadrupled the tree the analyzer walks. Same float
+    # shapes (same divisions, same left-associative '+' chain), so the
+    # scores are unchanged.
+    vq = f"`{vec_col}`"
     stats = base.agg(
-        F.count(F.lit(1)).alias("__n"),
+        F.expr("count(1)").alias("__n"),
         *[
-            F.sum(v.getItem(i).cast("double")).alias(f"__s{i}")
+            F.expr(f"sum(CAST({vq}[{i}] AS DOUBLE))").alias(f"__s{i}")
             for i in range(dim)
         ],
         *[
-            F.sum(
-                v.getItem(i).cast("double") * v.getItem(i).cast("double")
+            F.expr(
+                f"sum(CAST({vq}[{i}] AS DOUBLE) * CAST({vq}[{i}] AS DOUBLE))"
             ).alias(f"__q{i}")
             for i in range(dim)
         ],
     )
-    j = base.crossJoin(F.broadcast(stats))
-    terms = []
-    for i in range(dim):
-        mu = F.col(f"__s{i}") / F.col("__n")
-        var = F.col(f"__q{i}") / F.col("__n") - mu * mu
-        d = v.getItem(i).cast("double") - mu
-        terms.append(F.when(var > 0, d * d / var).otherwise(F.lit(0.0)))
-    md2 = terms[0]
-    for t in terms[1:]:
-        md2 = md2 + t
-    return j.select(F.col(id_col), md2.alias(out_col))
+    mv = stats.selectExpr(
+        *[f"(__s{i} / __n) AS __m{i}" for i in range(dim)],
+        *[
+            f"(__q{i} / __n - (__s{i} / __n) * (__s{i} / __n)) AS __v{i}"
+            for i in range(dim)
+        ],
+    )
+    j = base.crossJoin(F.broadcast(mv))
+    md2 = " + ".join(
+        f"(CASE WHEN __v{i} > 0 THEN ((CAST({vq}[{i}] AS DOUBLE) - __m{i})"
+        f" * (CAST({vq}[{i}] AS DOUBLE) - __m{i})) / __v{i}"
+        f" ELSE CAST(0.0 AS DOUBLE) END)"
+        for i in range(dim)
+    )
+    return j.select(F.col(id_col), F.expr(md2).alias(out_col))
