@@ -1049,23 +1049,27 @@ def ngram_containment_pairs(
             f"collapse_exact_dups must be True/False/'auto', got "
             f"{collapse_exact_dups!r}"
         )
-    sets0 = _materialize(
-        df.select(
-            F.col(id_col).alias("__id"),
-            F.array_sort(
-                F.transform(
-                    word_shingles_pd(F.col(text_col), shingle_len),
-                    lambda g: F.xxhash64(g),
-                )
-            ).alias("__hs"),
-        )
-    )
+    sets0 = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(
+            F.transform(
+                word_shingles_pd(F.col(text_col), shingle_len),
+                lambda g: F.xxhash64(g),
+            )
+        ).alias("__hs"),
+    ).persist()
+    # ONE aggregate doubles as the persist fence AND computes every
+    # driver-side decision input (collapse probe + the verify-broadcast
+    # byte estimate) — the separate fence count, probe job, and
+    # _auto_verify_broadcast scan were three more passes over the same
+    # cached frame (guide §1.3: count the jobs, then cut them)
+    probe = sets0.agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.approx_count_distinct(F.xxhash64("__hs")).alias("__dst"),
+        F.sum(F.size("__hs")).alias("__sh"),
+    ).head()
     do_collapse = collapse_exact_dups is True
     if collapse_exact_dups == "auto":
-        probe = sets0.agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.approx_count_distinct(F.xxhash64("__hs")).alias("__dst"),
-        ).head()
         do_collapse = probe["__cnt"] > 0 and (
             probe["__dst"] < 0.9 * probe["__cnt"]
         )
@@ -1091,19 +1095,26 @@ def ngram_containment_pairs(
     ex = ex.withColumn(
         "__df", F.count(F.lit(1)).over(Window.partitionBy("__h"))
     )
-    ex = _materialize(ex)
-    ordered = ex.groupBy("__id", "__n").agg(
-        F.array_sort(F.collect_list(F.struct("__df", "__h"))).alias("__ord")
-    )
-    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
     # both join sides carry the token's POSITION in the shared global
-    # (df, hash) order so the positional filter can bound |A∩B| per row
-    pos_ord = ordered.select(
-        "__id",
-        "__n",
-        F.posexplode(F.transform("__ord", lambda s: s["__h"])).alias(
-            "__p", "__h"
-        ),
+    # (df, hash) order so the positional filter can bound |A∩B| per row.
+    # row_number over (df, h) IS that position — the old
+    # groupBy + array_sort(struct) + posexplode round-trip built the
+    # same ranks through a collect_list of every doc's tokens, and
+    # being unpersisted it ran once per join side. Ties (same df AND
+    # same hash within one doc) permute interchangeable rows only.
+    prefix_len = F.col("__n") - F.ceil(F.lit(threshold) * F.col("__n")).cast("int") + 1
+    pos_ord = _materialize(
+        ex.select(
+            "__id",
+            "__n",
+            (
+                F.row_number().over(
+                    Window.partitionBy("__id").orderBy("__df", "__h")
+                )
+                - 1
+            ).alias("__p"),
+            "__h",
+        )
     )
     pref = pos_ord.filter(F.col("__p") < prefix_len).select(
         F.col("__id").alias("__ida"),
@@ -1168,10 +1179,15 @@ def ngram_containment_pairs(
     sa = sets.withColumnsRenamed({"__id": "__ida", "__hs": "__sa"})
     sb = sets.withColumnsRenamed({"__id": "__idb", "__hs": "__sb"})
     if verify_broadcast == "auto":
-        # post-collapse representative payload: the frame is persisted,
-        # so the byte probe is a cached scan — same 256 MiB budget as
-        # ngram_jaccard_pairs
-        verify_broadcast = _auto_verify_broadcast(base)
+        # post-collapse representative payload under the same 256 MiB
+        # budget as ngram_jaccard_pairs. Without a collapse the fence
+        # aggregate already measured the payload — no extra job; with
+        # one, re-probe the (materialized) representative frame.
+        if do_collapse:
+            verify_broadcast = _auto_verify_broadcast(base)
+        else:
+            est = (probe["__sh"] or 0) * 8 + probe["__cnt"] * 48
+            verify_broadcast = est <= _VERIFY_BROADCAST_BYTES
     if verify_broadcast:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     pairs = cand.join(sa, "__ida").join(sb, "__idb")
