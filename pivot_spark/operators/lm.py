@@ -362,11 +362,16 @@ def char_bigram_gibberish(
         )
 
     tr = bigrams(train_df, with_id=False)
-    big = tr.groupBy("__bg").agg(F.count(F.lit(1)).alias("__cbg"))
+    # one explode pass over the train shard: uni is the bigram counts
+    # re-grouped by first char (sum of c(c1 c2) over c2 == c(c1) counted
+    # directly), and |alphabet| is uni's row count — deriving both from
+    # the persisted alphabet^2-bounded count table instead of from `tr`
+    # saves two full canon+explode scans of the train corpus
+    big = tr.groupBy("__bg").agg(F.count(F.lit(1)).alias("__cbg")).persist()
     uni = (
-        tr.select(F.substring("__bg", 1, 1).alias("__c1"))
+        big.select(F.substring("__bg", 1, 1).alias("__c1"), "__cbg")
         .groupBy("__c1")
-        .agg(F.count(F.lit(1)).alias("__c1n"))
+        .agg(F.sum("__cbg").alias("__c1n"))
     )
     alpha_sz = uni.select(
         F.count(F.lit(1)).cast("double").alias("__V")

@@ -179,6 +179,12 @@ def tfidf_cosine_pairs(
         F.col(id_col).alias("doc"), F.explode(F.col(terms_col)).alias("term")
     )
     tf = pairs.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if max_df_share < 1.0 or max_comparisons is not None:
+        # the stop-term prune / probe runs a driver-side job over dfreq
+        # BEFORE the main query, which would materialize the tokenize ->
+        # explode -> tf chain once for that job and once again for the
+        # weight join below; caching tf makes the early job pay for it
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     if max_df_share < 1.0:
         # stop-term prune (see docstring): one pass over the tiny
