@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from pivot_spark.operators._spread import spread_input
+
 # 31-bit Mersenne prime: (a*h + b) with a,b,h < 2^31 stays under 2^63, so
 # the affine MinHash permutations are exact in Spark's signed-long math
 # (a 61-bit modulus would silently wrap the products).
@@ -215,7 +217,9 @@ def minhash_signatures(
             )
 
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    return base.mapInPandas(compute, schema=out_schema)
+    # a single-file corpus would push EVERY md5+min-reduction through
+    # one Arrow worker (see _spread.spread_input)
+    return spread_input(base).mapInPandas(compute, schema=out_schema)
 
 
 def neardup_minhash_lsh(
@@ -661,7 +665,9 @@ def _simhash_md5_map(
             yield pd.DataFrame({"__id": ids, "__sig": sigs})
 
     base = df.select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-    return base.mapInPandas(compute, schema=f"__id {q_type}, __sig long")
+    return spread_input(base).mapInPandas(
+        compute, schema=f"__id {q_type}, __sig long"
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -50,35 +50,26 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-_MINED_PAIRS_CACHE: dict = {}
-
-
 def _mined_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
-    """Shared MinHash pair mining for the graph-family declared queries
-    (num_hashes=128, bands=64 over ``documents``). Seven queries consume
-    the same mined pair frame; it is a few hundred rows, so it is
-    collected ONCE per (session, sf_dir, threshold) and replayed as a
-    local DataFrame — the ~3s mining stage runs once per bench suite
-    instead of once per consumer. Driver-side state is bounded (pair
-    ids + jaccard only); the mining operator itself stays independent
-    and is hash-checked on its own via e03."""
-    key = (id(spark), sf_dir, threshold)
-    if key not in _MINED_PAIRS_CACHE:
-        from pivot_spark.operators.neardup import neardup_minhash_lsh
+    """MinHash pair mining for the graph-family declared queries
+    (num_hashes=128, bands=64 over ``documents``), computed FRESH from
+    the parquet input on every call — each consumer query's timing pays
+    for its own mining stage (round 7 removed the cross-query memo that
+    let ten consumers share one mining pass: a bench row must measure
+    computing that query from the inputs, not replaying another row's
+    work). The mined pairs are a few hundred rows, so within ONE query
+    build they are collected and replayed as a local DataFrame: the
+    iterative consumers (pagerank, label propagation) re-read the pair
+    frame per iteration, and without the local replay every iteration
+    would re-run the whole mining stage. Driver-side state stays
+    answer-sized (pair ids + jaccard only)."""
+    from pivot_spark.operators.neardup import neardup_minhash_lsh
 
-        docs = _read(spark, sf_dir, "documents")
-        pairs = neardup_minhash_lsh(
-            docs, threshold=threshold, num_hashes=128, bands=64
-        )
-        _MINED_PAIRS_CACHE[key] = (pairs.collect(), pairs.schema)
-        import logging
-
-        logging.getLogger("pivot_spark.plans").info(
-            "mined %d near-dup pairs once for reuse (sf_dir=%s, threshold=%s)",
-            len(_MINED_PAIRS_CACHE[key][0]), sf_dir, threshold,
-        )
-    rows, schema = _MINED_PAIRS_CACHE[key]
-    return spark.createDataFrame(rows, schema)
+    docs = _read(spark, sf_dir, "documents")
+    pairs = neardup_minhash_lsh(
+        docs, threshold=threshold, num_hashes=128, bands=64
+    )
+    return spark.createDataFrame(pairs.collect(), pairs.schema)
 
 
 def round_doubles(df: DataFrame, scale: int = 4) -> DataFrame:
