@@ -50,6 +50,23 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``_read`` + round-robin to session parallelism when the scan is
+    narrower (guide §2.5 input skew). For the queries whose dominant
+    cost is a per-row synthesis/tokenize chain directly over the scan
+    (audio/image payload builders, codec roundtrips, shingle UDFs), a
+    single-file input otherwise runs the whole chain on ONE core —
+    everything downstream of the exchange parallelizes instead.
+    Results are unchanged (row-local chains + order-insensitive
+    aggregates/joins downstream); a wide input pays no extra shuffle.
+    Measured (sf0.1, collect medians): e186 2.72→1.86, e228 1.77→0.66.
+    NOT applied where the scan-stage work is cheap relative to the
+    exchange (e109 measured 1.69→2.14 with it: regression, reverted)."""
+    from pivot_spark.operators._spread import spread_input
+
+    return spread_input(_read(spark, sf_dir, name))
+
+
 def _mined_pairs(spark: SparkSession, sf_dir: str, threshold: float) -> DataFrame:
     """MinHash pair mining for the graph-family declared queries
     (num_hashes=128, bands=64 over ``documents``), computed FRESH from

@@ -4,7 +4,7 @@ QUERIES/ORACLES keep their registration order."""
 
 from __future__ import annotations
 
-from ._base import (F, _read, query)  # noqa: F401
+from ._base import (F, _read, _read_spread, query)  # noqa: F401
 from ._q_e29_e62 import (_E54_DIM)  # noqa: F401
 from ._q_e156_e181 import (_E174_N, _E182_ORACLE, _e174_payload)  # noqa: F401
 
@@ -186,7 +186,7 @@ def _e185_audio(spark, sf_dir):
     from pivot_spark.operators.codecs import make_wav
 
     need = 2 * _E185_N
-    d = _read(spark, sf_dir, "documents").withColumn(
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
         "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
     )
     return d.select(

@@ -4,7 +4,7 @@ QUERIES/ORACLES keep their registration order."""
 
 from __future__ import annotations
 
-from ._base import (F, _mined_pairs, _read, dedup_exact, query)  # noqa: F401
+from ._base import (F, _mined_pairs, _read, _read_spread, dedup_exact, query)  # noqa: F401
 from ._q_p01_e28 import (_sample_threshold)  # noqa: F401
 from ._q_e29_e62 import (_E54_DIM)  # noqa: F401
 from ._q_e96_e125 import (_BPE_N, _e114_oracle)  # noqa: F401
@@ -769,7 +769,7 @@ def e219_audio_gain(spark, sf_dir):
     from pivot_spark.operators.codecs import _lam, _u8h, make_wav, wav_gain
 
     need = 2 * _E174_N
-    d = _read(spark, sf_dir, "documents").withColumn(
+    d = _read_spread(spark, sf_dir, "documents").withColumn(
         "pp", F.expr(f"rpad(substring(text, 1, {need}), {need}, ' ')")
     )
     au = d.select(
@@ -1402,7 +1402,7 @@ def e228_png_decode(spark, sf_dir):
     # make_png's substring, silently diverging from the codepoint
     # oracle); exclude NULLs so both sides see the same row set.
     d = (
-        _read(spark, sf_dir, "documents")
+        _read_spread(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .withColumn(
             "p",
@@ -1477,7 +1477,7 @@ def e231_png_deflate_decode(spark, sf_dir):
 
     n = _E231_W * _E231_H * 3
     d = (
-        _read(spark, sf_dir, "documents")
+        _read_spread(spark, sf_dir, "documents")
         .filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
         .withColumn(
             "p",
