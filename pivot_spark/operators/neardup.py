@@ -60,13 +60,25 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return F.element_at(F.transform(F.array(toks), _from), 1)
 
 
-def word_shingles_pd(text: Column, n: int = 3) -> Column:
+def word_shingles_pd(
+    text: Column, n: int = 3, nondeterministic: bool = False
+) -> Column:
     """Same shingles as ``word_shingles`` (byte-identical strings, same
     null/short-doc edges) computed in an Arrow-batched pandas UDF. The
     expression form runs ~6 interpreted higher-order passes per doc
     (split/filter/sequence/transform/slice/join) — the shared bottleneck
     of every shingle-based operator (~1 ms/doc measured); this is the
-    corpus-scale path."""
+    corpus-scale path.
+
+    ``nondeterministic=True`` marks the (pure) UDF non-deterministic as
+    an optimizer fence (guide §4.4): when the shingle array feeds an
+    ``explode`` directly, the generate's implicit ``size(..) > 0 AND
+    isnotnull(..)`` filter is pushed below the projection and the UDF is
+    evaluated TWICE per row (two stacked ArrowEvalPython nodes — seen in
+    the e123 plan); the fence keeps it to one evaluation. Opt-in only:
+    the mark also disables common-subexpression collapsing, so callers
+    that reference the result several times in one projection (e.g.
+    ``ngram_overlap.word_ngram_hashes``) must NOT set it."""
     from pyspark.sql.functions import pandas_udf
 
     import re
@@ -91,6 +103,8 @@ def word_shingles_pd(text: Column, n: int = 3) -> Column:
 
         return s.map(one)
 
+    if nondeterministic:
+        sh = sh.asNondeterministic()
     return sh(text)
 
 

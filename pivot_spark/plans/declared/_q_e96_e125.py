@@ -4,7 +4,7 @@ QUERIES/ORACLES keep their registration order."""
 
 from __future__ import annotations
 
-from ._base import (F, _mined_pairs, _read, query, serialize_arrays)  # noqa: F401
+from ._base import (F, _mined_pairs, _read, _read_spread, query, serialize_arrays)  # noqa: F401
 from ._q_p01_e28 import (_sample_threshold)  # noqa: F401
 from ._q_e29_e62 import (_E31_ORACLE)  # noqa: F401
 
@@ -1317,9 +1317,17 @@ def e123_tfidf_cosine_join(spark, sf_dir):
     from pivot_spark.operators.neardup import word_shingles_pd
     from pivot_spark.operators.tfidf import tfidf_cosine_pairs
 
-    d = _read(spark, sf_dir, "documents")
+    # spread: the Arrow shingler otherwise runs on the single-file
+    # scan's ONE task (guide §2.5); nondeterministic: optimizer fence
+    # against the double ArrowEvalPython the downstream explode's
+    # pushed size/isnotnull filter induces (guide §4.4) — the plan had
+    # the tokenizer evaluated twice per row
+    d = _read_spread(spark, sf_dir, "documents")
     docs = d.select(
-        "doc_id", word_shingles_pd(F.lower(F.col("text")), 3).alias("grams")
+        "doc_id",
+        word_shingles_pd(
+            F.lower(F.col("text")), 3, nondeterministic=True
+        ).alias("grams"),
     )
     out = tfidf_cosine_pairs(docs, "doc_id", "grams", threshold=0.35)
     return out.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
