@@ -1016,7 +1016,11 @@ def e222_char_gibberish(spark, sf_dir):
     one doc-keyed exchange on the score shard."""
     from pivot_spark.operators.lm import char_bigram_gibberish
 
-    docs = _read(spark, sf_dir, "documents")
+    # the canon+substring bigram explode (~240 rows out per doc) is the
+    # dominant scan-stage cost and otherwise runs on the single-file
+    # scan's ONE task (guide §2.5) — measured 4.4 -> 2.7 s with the
+    # conditional round-robin spread (no-op on a wide cluster scan)
+    docs = _read_spread(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 5 != 0)
     score = docs.filter(F.col("doc_id") % 5 == 0)
     out = char_bigram_gibberish(train, score, "doc_id", "text")
