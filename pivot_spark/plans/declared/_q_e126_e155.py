@@ -171,7 +171,14 @@ def e129_neardup_incremental(spark, sf_dir):
     d = _read(spark, sf_dir, "documents")
     corpus = d.filter(F.col("doc_id") % 10 != 0)
     delta = d.filter(F.col("doc_id") % 10 == 0)
-    index = minhash_signatures(corpus, "doc_id", "text")
+    # the operator contract says the caller persists the index ("the
+    # frame returned by minhash_signatures, persisted by the caller
+    # between runs"); unpersisted, the corpus signature kernel re-ran
+    # once per consumer (band-join side + BOTH verify broadcasts = 3x
+    # compute, guide §1.3/§5). The fence count stops the concurrent
+    # broadcast builds racing the cache.
+    index = minhash_signatures(corpus, "doc_id", "text").persist()
+    index.count()
     pairs, _new_index = neardup_minhash_incremental(index, delta, "doc_id", "text")
     return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
 
