@@ -125,8 +125,9 @@ def tfidf_cosine_pairs(
 
     Default plan — inverted-index sparse dot product:
     1. explode -> per-(doc, term) tf           [shuffle on (doc, term)]
-    2. per-term df, idf = ln(N/df); weights joined back, normalized by
-       the per-doc L2 norm                     [two term/doc-keyed aggs]
+    2. per-term df (idf = ln(N/df), N an in-plan one-row broadcast);
+       weights joined back, L2-normalized by a window over the doc
+       partition (one doc exchange, no join-back)
     3. postings self-join on term, doc_a < doc_b, summing w_a·w_b per
        pair in ONE pair-keyed aggregate        [shuffle on (a, b)]
     Exact by construction; join volume is sum(df^2) over terms — the
@@ -174,74 +175,95 @@ def tfidf_cosine_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if not 0.0 < max_df_share <= 1.0:
         raise ValueError(f"max_df_share must be in (0, 1], got {max_df_share}")
-    n_docs = df.select(id_col).distinct().count()
+    # N as an in-plan one-row broadcast instead of an up-front
+    # distinct().count() driver job (guide §1.3: count the jobs) — the
+    # idf and the df cap read it as a column; the arithmetic is the
+    # same double division/multiplication as the old literal form
+    nd = df.agg(F.count_distinct(F.col(id_col)).alias("__N"))
     pairs = df.select(
         F.col(id_col).alias("doc"), F.explode(F.col(terms_col)).alias("term")
     )
     tf = pairs.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
-    if max_df_share < 1.0 or max_comparisons is not None:
+    df_cap = F.lit(max_df_share) * F.col("__N")
+    need_probe = max_df_share < 1.0 or max_comparisons is not None
+    if need_probe:
         # the stop-term prune / probe runs a driver-side job over dfreq
         # BEFORE the main query, which would materialize the tokenize ->
         # explode -> tf chain once for that job and once again for the
         # weight join below; caching tf makes the early job pay for it
         tf = tf.persist()
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    if max_df_share < 1.0:
-        # stop-term prune (see docstring): one pass over the tiny
-        # one-row-per-term frame; persist so the count job and the
-        # weight join share the aggregate
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).crossJoin(
+        F.broadcast(nd)
+    )
+    if need_probe:
+        # ONE aggregate job computes every driver-side decision input:
+        # the prune-log count, N (for the log line), and the
+        # max_comparisons probe over the POST-PRUNE df values — the
+        # separate n_docs job, prune-count job and probe job were three
+        # scheduling rounds over the same cached frame (guide §1.3)
         dfreq = dfreq.persist()
-        df_cap = max_df_share * n_docs
-        n_dropped = dfreq.filter(F.col("df") > df_cap).count()
-        if n_dropped:
-            import logging
+        stats = dfreq.agg(
+            F.sum(F.when(F.col("df") > df_cap, 1)).alias("__ndrop"),
+            F.first("__N").alias("__n"),
+            F.sum(
+                F.when(F.col("df") <= df_cap, F.expr("df * (df - 1) / 2"))
+            ).alias("__ncmp"),
+        ).collect()[0]
+        n_dropped = stats["__ndrop"] or 0
+        if max_df_share < 1.0:
+            if n_dropped:
+                import logging
 
-            logging.getLogger("pivot_spark.tfidf").info(
-                "tfidf_cosine_pairs: pruned %d term(s) with df > %.0f "
-                "(max_df_share=%.2f, N=%d)",
-                n_dropped, df_cap, max_df_share, n_docs,
-            )
-        dfreq = dfreq.filter(F.col("df") <= df_cap)
-    if max_comparisons is not None:
-        # linear probe over the one-row-per-term df frame: unordered
-        # candidate pairs the postings self-join would generate (the
-        # physical join touches ~2x row combinations per term before
-        # the doc-order predicate prunes duplicates)
-        ncmp = (
-            dfreq.agg(
-                F.sum(F.expr("df * (df - 1) / 2")).alias("__ncmp")
-            ).collect()[0]["__ncmp"]
-        ) or 0
-        if ncmp > max_comparisons:
-            raise ValueError(
-                f"tfidf_cosine_pairs would generate {ncmp:.3e} unordered"
-                f" candidate pairs (> max_comparisons={max_comparisons:.3e};"
-                " the postings self-join touches ~2x as many row"
-                " combinations). Term document frequencies are too hot for"
-                " an exact sparse dot-product join at this granularity:"
-                " use coarser terms (word shingles instead of unigrams),"
-                " lower `max_df_share` to prune stop-grade terms, start"
-                " from MinHash-LSH (neardup_minhash_lsh) and use this join"
-                " only as the verifier, or raise/disable `max_comparisons`"
-                " if the cluster can absorb the join."
-            )
+                logging.getLogger("pivot_spark.tfidf").info(
+                    "tfidf_cosine_pairs: pruned %d term(s) with df > %.0f "
+                    "(max_df_share=%.2f, N=%d)",
+                    n_dropped, max_df_share * (stats["__n"] or 0),
+                    max_df_share, stats["__n"] or 0,
+                )
+            dfreq = dfreq.filter(F.col("df") <= df_cap)
+        if max_comparisons is not None:
+            # linear probe over the one-row-per-term df frame: unordered
+            # candidate pairs the postings self-join would generate (the
+            # physical join touches ~2x row combinations per term before
+            # the doc-order predicate prunes duplicates)
+            ncmp = stats["__ncmp"] or 0
+            if ncmp > max_comparisons:
+                raise ValueError(
+                    f"tfidf_cosine_pairs would generate {ncmp:.3e} unordered"
+                    f" candidate pairs (> max_comparisons={max_comparisons:.3e};"
+                    " the postings self-join touches ~2x as many row"
+                    " combinations). Term document frequencies are too hot for"
+                    " an exact sparse dot-product join at this granularity:"
+                    " use coarser terms (word shingles instead of unigrams),"
+                    " lower `max_df_share` to prune stop-grade terms, start"
+                    " from MinHash-LSH (neardup_minhash_lsh) and use this join"
+                    " only as the verifier, or raise/disable `max_comparisons`"
+                    " if the cluster can absorb the join."
+                )
     w = tf.join(dfreq, "term").select(
         "doc",
         "term",
         "df",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("w"),
+        (F.col("tf") * F.log(F.col("__N").cast("double") / F.col("df"))).alias("w"),
     )
-    norm = w.groupBy("doc").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    # per-doc L2 norm as a window over the doc partition: ONE exchange
+    # on doc instead of the groupBy + join-back pair (guide §2.4 share
+    # the exchange); same partial-sum arithmetic per doc
+    from pyspark.sql import Window as _W
+
+    nrm = F.sqrt(F.sum(F.col("w") * F.col("w")).over(_W.partitionBy("doc")))
     wn = (
-        w.join(norm, "doc")
+        w.withColumn("nrm", nrm)
         .filter(F.col("nrm") > 0)
         .select("doc", "term", "df", (F.col("w") / F.col("nrm")).alias("wn"))
     )
     if not prefix_filter:
-        # persist: the self-join reads wn twice, and everything upstream
-        # (the higher-order tokenize chain, two aggregates, two joins)
-        # would otherwise run once per side (measured 1.5x query cost)
+        # persist + FENCE: the self-join reads wn twice, and without the
+        # eager count the two concurrently-launched join-side stages race
+        # the not-yet-populated cache and each computes the upstream
+        # chain (measured 1.5x query cost)
         wn = wn.persist()
+        wn.count()
         dots = (
             wn.alias("a")
             .join(wn.alias("b"), "term")
@@ -256,6 +278,7 @@ def tfidf_cosine_pairs(
     from pyspark.sql import Window
 
     wn = wn.persist()
+    wn.count()  # fence: prefix + both verify sides read it (4 consumers)
     # suffix L2 mass in (df DESC, term) order; prefix = rows where the
     # mass from this term onward is still >= (threshold/2)^2
     win = Window.partitionBy("doc").orderBy(
