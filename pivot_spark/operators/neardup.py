@@ -890,7 +890,13 @@ def neardup_embedding_cosine(
         return _exact_cosine_pairs_gemm(base, df.schema[id_col].dataType, threshold)
 
     sig_cols = srp_signatures_pd(F.col("__vec"), n_planes, dim, n_tables, seed)
-    tagged = base.select("__id", F.posexplode(sig_cols).alias("__t", "__sig"))
+    # fence: the bucket self-join reads the signature frame on BOTH
+    # sides; unpersisted, the SRP Arrow kernel re-ran once per side
+    # (two ArrowEvalPython scans in the e12 plan). (id, table, sig) is
+    # 24 bytes/row x n_tables — disk-spillable at any corpus size.
+    tagged = _materialize(
+        base.select("__id", F.posexplode(sig_cols).alias("__t", "__sig"))
+    )
     cand = (
         tagged.alias("a")
         .join(
@@ -910,7 +916,12 @@ def neardup_embedding_cosine(
     out = pairs.select(
         F.col("__ida").alias("id_a"),
         F.col("__idb").alias("id_b"),
-        cosine_pd(F.col("__va"), F.col("__vb")).alias("cos"),
+        # nondeterministic fence: the threshold filter below otherwise
+        # pushes under this projection and the verify kernel scores
+        # every candidate pair TWICE (guide §4.4)
+        cosine_pd(
+            F.col("__va"), F.col("__vb"), nondeterministic=True
+        ).alias("cos"),
     )
     return out.filter(F.col("cos") >= threshold)
 

@@ -71,9 +71,21 @@ def _cosine_pd():
     return cos
 
 
-def cosine_pd(a: Column, b: Column) -> Column:
-    """Arrow-batched pairwise cosine: one numpy pass per batch."""
-    return _cosine_pd()(a, b)
+def cosine_pd(a: Column, b: Column, nondeterministic: bool = False) -> Column:
+    """Arrow-batched pairwise cosine: one numpy pass per batch.
+
+    ``nondeterministic=True`` marks the (pure) UDF non-deterministic as
+    an optimizer fence (guide §4.4): when a threshold filter sits right
+    above the projection computing the score, the pushed filter
+    otherwise duplicates the UDF (two ArrowEvalPython nodes — every
+    candidate pair scored twice, seen in the e12 plan). Opt-in only:
+    the mark also blocks common-subexpression collapsing, so callers
+    that reference the score several times in one projection must not
+    set it."""
+    f = _cosine_pd()
+    if nondeterministic:
+        f = f.asNondeterministic()
+    return f(a, b)
 
 
 def _topk_struct(sim: Column, id_col: Column) -> Column:
