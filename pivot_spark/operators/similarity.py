@@ -222,12 +222,22 @@ def srp_signature(
 
 
 def srp_signatures_pd(
-    vec: Column, n_planes: int, dim: int, n_tables: int, seed: int = 42
+    vec: Column,
+    n_planes: int,
+    dim: int,
+    n_tables: int,
+    seed: int = 42,
+    nondeterministic: bool = False,
 ) -> Column:
     """All ``n_tables`` SRP signatures at once as ``array<long>``: one
     (batch x dim) @ (dim x n_planes) numpy multiply per table per Arrow
     batch. Same planes (same PRNG stream) as ``srp_signature``, so both
-    forms bucket identically up to float-sum ulps at the hyperplane."""
+    forms bucket identically up to float-sum ulps at the hyperplane.
+
+    ``nondeterministic=True`` is the guide-§4.4 optimizer fence for
+    callers that explode the signature array directly: the generate's
+    pushed size/isnotnull filter otherwise duplicates the (pure) kernel
+    — see ``word_shingles_pd`` for the full rationale."""
     from pyspark.sql.functions import pandas_udf
 
     def mats():
@@ -252,6 +262,8 @@ def srp_signatures_pd(
         per_table = [((M @ P) > 0).astype(np.int64) @ pows for P in planes]
         return pd.Series(list(np.stack(per_table, axis=1)))
 
+    if nondeterministic:
+        sigs = sigs.asNondeterministic()
     return sigs(vec)
 
 
@@ -278,8 +290,12 @@ def cosine_topk_lsh(
         rows = df.select(
             F.col(idc).alias("__id"),
             F.col(vec_col).alias("__vec"),
+            # nondeterministic fence: the posexplode below otherwise
+            # pushes its size/isnotnull filter under this projection and
+            # the signature kernel runs TWICE per row (guide §4.4)
             srp_signatures_pd(
-                F.col(vec_col), n_planes, dim, n_tables, seed
+                F.col(vec_col), n_planes, dim, n_tables, seed,
+                nondeterministic=True,
             ).alias("__sigs"),
         )
         return rows.select(
