@@ -517,17 +517,27 @@ def rake_weights(
     margins).
 
     Distributed shape per half-iteration: ONE category-keyed aggregate
-    (categories ≈ languages/sources, tiny) + a broadcast ratio join —
-    2*iterations linear passes, no row-sized shuffles; plan depth grows
-    with iterations (localCheckpoint between rounds if you run many).
-    Rows in categories absent from the targets get weight 0. Output:
-    input columns + ``weight``."""
+    (categories ≈ languages/sources, tiny) + a broadcast ratio join,
+    with the weighted frame lazily localCheckpoint'ed after each
+    half-iteration. The truncation is load-bearing twice over: each
+    round's margin aggregate references the previous round's frame
+    TWICE (main side + inside the ratio), so without it the logical
+    plan doubles per half-iteration — 2^(2*iterations) copies of the
+    base subtree (a 2-iteration rake re-scanned the source 16 times;
+    4 iterations made Catalyst itself the bottleneck) — and at corpus
+    scale every margin pass would re-derive the whole upstream chain.
+    With it: one source scan, 2*iterations map-side passes over the
+    checkpointed frame, constant-size plans. The base is persisted and
+    its row-count job doubles as the fence. Rows in categories absent
+    from the targets get weight 0. Output: input columns +
+    ``weight``."""
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     for name, t in (("targets_a", targets_a), ("targets_b", targets_b)):
         tot = sum(t.values())
         if abs(tot - 1.0) > 1e-9:
             raise ValueError(f"{name} shares must sum to 1, got {tot}")
+    df = df.persist()
     n_rows = df.count()
     cur = df.withColumn(weight_col, F.lit(1.0))
     spark = df.sparkSession
@@ -551,5 +561,6 @@ def rake_weights(
                 cur.join(F.broadcast(ratio), dim)
                 .withColumn(weight_col, F.col(weight_col) * F.col("__ratio"))
                 .drop("__ratio")
+                .localCheckpoint(eager=False)
             )
     return cur
