@@ -366,6 +366,12 @@ def ks_test(
         .repartitionByRange(num_ranges, F.col("__v"))
         .withColumn("__pid", F.spark_partition_id())
     )
+    # persist + fence: m feeds the per-range offsets, the totals and the
+    # cumulative pass — unpersisted, each consumer re-ran both side
+    # scans + the full-outer merge (e100's plan carried 6 source scans).
+    # State is distinct-value-sized, disk-spillable.
+    m = m.persist()
+    m.count()
     tot = m.groupBy("__pid").agg(
         F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb")
     )

@@ -229,7 +229,10 @@ def e130_hll_overlap(spark, sf_dir):
     )
     est = hll_overlap_matrix(ev, "event_type", "user_id", lg_k=14)
 
-    d = ev.select("event_type", "user_id").distinct()
+    # persist + fence: d feeds the sizes aggregate and BOTH self-join
+    # sides — unpersisted, the distinct shuffle ran three times
+    d = ev.select("event_type", "user_id").distinct().persist()
+    d.count()
     sz = d.groupBy(F.col("event_type").alias("g")).agg(
         F.count("*").alias("n")
     )
