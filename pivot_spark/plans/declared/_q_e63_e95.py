@@ -347,6 +347,15 @@ def e70_scd2_apply(spark, sf_dir):
         )
         .select("o_custkey", "s.o_orderstatus", "s.o_orderdate")
     )
+    # persist + fence both operator inputs: scd2_apply reads the history
+    # three times (closed shard, current shard, matched-keys semi-join)
+    # and the delta three times (update join, key projection, inserts
+    # anti-join) — unpersisted, the window build / latest aggregate
+    # re-ran per consumer (6 source scans in the plan)
+    hist = hist.persist()
+    hist.count()
+    latest = latest.persist()
+    latest.count()
     out = scd2_apply(
         hist,
         latest,
