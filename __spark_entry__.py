@@ -11,11 +11,12 @@ of ``queries()``. Rounds 1-2 verified the original first 50 (p01-p25,
 e01-e23); each round since front-loads a window of canaries +
 not-yet-driver-checked queries so the hard signal sweeps the whole
 declared set over successive rounds (round-2 verdict item #1). Round 7
-front-loads the round-6 gate's one red row (e55, oracle-side fix) plus
-49 of the 50 never-checked queries, all but completing the rotation;
-the single holdover (e147, judge-audited green with this exact replica)
-heads round 8 together with the rows-only-fold re-checks. The full dict
-still contains every query (bench runs them all).
+completed the never-checked backlog; round 8 front-loads every query
+whose plan or declared semantics changed in round 7 (the round-7
+verdict's item #1 list: e57b's lockstep oracle change first, the
+contract rewrites and fold anchors, the ~30 plan-changed queries) plus
+the queries round 8 itself touches. The full dict still contains every
+query (bench runs them all).
 """
 
 from __future__ import annotations
@@ -28,20 +29,52 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
-# Round 7 runs NO standing canary: the one slot the p17 canary held
-# goes to e55_c4_lines — the round-6 gate's only red row (an oracle-
-# side NULL-vs-empty-string bug, fixed this round), which doubles as
-# the canary for the whole changed-oracle class (strict canon +
-# coalesce hygiene sweep).
-_CANARIES = ["e55_c4_lines"]
+# Round 8 runs no standing canary either: all 50 slots go to the
+# round-7/8-MODIFIED set (round-7 verdict item #1 — the round-7 window
+# was pre-committed to the never-checked backlog, so none of the ~30
+# queries whose plans or declared semantics changed in round 7 were
+# driver-re-checked; this window closes that).
+_CANARIES: "list[str]" = []
 
-# Round-7 rotation (49 slots): the never-driver-checked backlog, id
-# order — 49 of the final 50. The one held back, e147_linear_regression,
-# was strict-audited green by the round-6 judge with the SAME replica
-# the driver mirrors (tools/oracle_check.py) and heads round 8's window
-# together with the re-checks of the round-7 rows-only folds
-# (e15/e26b/e71/e79/e108b -> hash-checked accuracy contracts).
+# Round-8 rotation (50 slots), per the round-7 verdict's explicit list:
+# (a) e57b first — its k=⌈√n⌉ change was a LOCKSTEP query+oracle edit
+#     the driver has never re-verified;
+# (b) the round-7 contract rewrites (e26b/e79/e108b) and rows-only fold
+#     anchors (e15_knn_ivf_fullprobe/e71b_knn_pq_rerank) + the e147
+#     holdover;
+# (c) every round-7 plan-changed query (fuzzy/tfidf/LSH/neardup/
+#     bootstrap/OOD/gibberish/markov/krippendorff/classifier/rake/
+#     isotonic/ks/hll/scd2/char-LM/guards + the 8-query audio family);
+# (d) the queries THIS round touches: the 10 graph-family consumers of
+#     the mining stage, e188/e117 media neardup, e81's rank assembly,
+#     and the two streaming rows whose state layout is retuned.
 _ROUND_WINDOW = [
+    "e57b_semdedup_gemm", "e26b_threshold_buckets",
+    "e79_incremental_distinct", "e108b_pca_project",
+    "e15_knn_ivf_fullprobe", "e71b_knn_pq_rerank",
+    "e147_linear_regression", "e73_fuzzy_match",
+    "e123_tfidf_cosine_join", "e12_neardup_cosine_lsh", "e09_knn_lsh",
+    "e129_neardup_incremental", "e89_containment", "e11_neardup_cosine",
+    "e134_poisson_bootstrap", "e221_ood_scores", "e222_char_gibberish",
+    "e223_markov_attribution", "e210_krippendorff_alpha",
+    "e109_quality_classifier", "e145_rake_weights",
+    "e208_isotonic_calibration", "e100_ks_test", "e130_hll_overlap",
+    "e70_scd2_apply", "e85_bigram_lm", "e10_ngram_jaccard",
+    "e174_audio_features", "e178_audio_downsample", "e182_audio_mixdown",
+    "e185_audio_fingerprint", "e186_audio_neardup", "e189_audio_trim",
+    "e194_audio_spectral", "e219_audio_gain",
+    "e31_dup_clusters", "e82_dedup_keep_best", "e103_triangle_stats",
+    "e107_pagerank", "e115_leakage_safe_split", "e116_negative_sampling",
+    "e136_label_propagation", "e157_cross_source_dups",
+    "e162_degree_stats", "e209_local_clustering",
+    "e188_image_neardup_dhash", "e117_image_neardup",
+    "e81_spearman_matrix", "s04_stream_debounce",
+    "s13_stream_session_native",
+]
+
+# Round-7 window (all driver-checked in CORRECTNESS_r07; audit trail).
+_R7_WINDOW = [
+    "e55_c4_lines",
     "e84_hybrid_rrf", "e86_prototype_prune", "e87_frame_sample",
     "e88_decayed_features", "e90_skew_report", "e91_wilson_rank",
     "e93_mutual_info", "e94_mode_by_key", "e97_winsorized",

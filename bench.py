@@ -293,9 +293,24 @@ def main() -> None:
         ),
         key=lambda q: -ratios[q],
     )
+    # Round-8 fix (round-7 verdict item 2b): the inline set used to be
+    # regressed+slowest only, so a query that IMPROVED structurally
+    # could not appear in the driver's common-subset comparison
+    # (n_improved was 0 by construction). Also inline the top improved
+    # rows vs the operative baseline — additions-only; the cap is kept
+    # by the shared fill loop trimming the slowest instead.
+    improved_all = sorted(
+        (
+            q
+            for q, r in ratios.items()
+            if r * host_factor < 1 / 1.3 and baseline[q] - timings[q] >= 0.3
+        ),
+        key=lambda q: ratios[q],
+    )
+    improved = improved_all[:12]
     slowest = sorted(timings, key=lambda q: -timings[q])
     inline: dict[str, float] = {}
-    for q in regressed + slowest:
+    for q in regressed + improved + slowest:
         if len(inline) >= MAX_INLINE_QUERIES:
             break
         inline.setdefault(q, timings[q])
@@ -308,6 +323,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_regressed_1p5x": len(regressed),
+        "n_improved_1p3x": len(improved_all),
         "host_factor_vs_baseline": round(host_factor, 3),
         "calib": calib,
         "degraded": degraded,
