@@ -196,6 +196,14 @@ def minhash_signatures(
         import pandas as pd
 
         P = MERSENNE_PRIME
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        # per-TASK gram-hash memo: boilerplate corpora repeat shingles
+        # across documents, so each distinct gram's md5 is computed once
+        # per task instead of once per occurrence (a dict hit is ~10x
+        # cheaper than an md5 call). Scoped to this task — dies with the
+        # iterator, so no state leaks across queries or bench reps.
+        memo: dict = {}
         for pdf in batches:
             ids, mins_col, sets_col = [], [], []
             for doc_id, text in zip(pdf["__id"], pdf["__t"]):
@@ -209,16 +217,18 @@ def minhash_signatures(
                 # md5 top-8-bytes as signed int64: deterministic across
                 # engines/workers (hash() is salted; xxhash isn't in
                 # the stdlib)
-                hs = np.fromiter(
-                    (
-                        int.from_bytes(
-                            hashlib.md5(g.encode()).digest()[:8], "big", signed=True
+                hs_list = []
+                append = hs_list.append
+                get = memo.get
+                for g in grams:
+                    v = get(g)
+                    if v is None:
+                        v = from_bytes(
+                            md5(g.encode()).digest()[:8], "big", signed=True
                         )
-                        for g in grams
-                    ),
-                    dtype=np.int64,
-                    count=len(grams),
-                )
+                        memo[g] = v
+                    append(v)
+                hs = np.array(hs_list, dtype=np.int64)
                 hm = np.mod(hs, P)  # python-sign mod == F.pmod
                 # (m, k) affine transforms; a,h < 2^31 so products stay
                 # in int64. Min over shingles -> the k-signature.
@@ -261,39 +271,59 @@ def neardup_minhash_lsh(
         minhash_signatures(df, id_col, text_col, num_hashes, shingle_len, seed)
     )
 
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b), *[F.col("__minhash")[b * r + i] for i in range(r)]
-            )
-            for b in range(bands)
-        ]
+    # band keys as ONE SQL string: the F.array(*[F.xxhash64(...) ...])
+    # Column-DSL form paid ~bands*(r+1) py4j round-trips of plan
+    # construction per query (the round-7 e134/e221 selectExpr finding);
+    # the expression tree is identical.
+    keys_sql = ", ".join(
+        "xxhash64(%d, %s)"
+        % (b, ", ".join(f"__minhash[{b * r + i}]" for i in range(r)))
+        for b in range(bands)
     )
     banded = sigs.select(
-        "__id", F.posexplode(band_keys).alias("__band", "__key")
+        "__id",
+        F.size("__shingles").alias("__nsh"),
+        F.posexplode(F.expr(f"array({keys_sql})")).alias("__band", "__key"),
     )
+    t = float(threshold)
     cand = (
         banded.alias("a")
         .join(
             banded.alias("b"),
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__key") == F.col("b.__key"))
-            & (F.col("a.__id") < F.col("b.__id")),
+            & (F.col("a.__id") < F.col("b.__id"))
+            # length prefilter INSIDE the join condition (guide §3.2's
+            # prefix logic applied to the verify threshold): J(a,b) >= t
+            # forces t*max(|Sa|,|Sb|) <= |Sa∩Sb| <= min(|Sa|,|Sb|), so a
+            # size-skewed collision never reaches the dedup exchange or
+            # the verify join. Exactness-preserving: only pairs that the
+            # verify filter would drop anyway are pruned.
+            & (F.col("a.__nsh").cast("double") * t <= F.col("b.__nsh"))
+            & (F.col("b.__nsh").cast("double") * t <= F.col("a.__nsh")),
         )
         .select(F.col("a.__id").alias("__ida"), F.col("b.__id").alias("__idb"))
         .dropDuplicates(["__ida", "__idb"])
     )
 
+    # ONE sets frame joined under two aliases (not two renamed copies):
+    # keeps the broadcast subtrees structurally identical so the
+    # exchange is reuse-eligible, and skips two rename projections
     sets = sigs.select("__id", "__shingles")
-    sa = sets.withColumnsRenamed({"__id": "__ida", "__shingles": "__sa"})
-    sb = sets.withColumnsRenamed({"__id": "__idb", "__shingles": "__sb"})
     if verify_broadcast:
         # bounded by the corpus shingle-set frame — same knob/contract as
         # ngram_jaccard_pairs; pass False past broadcast size
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    pairs = cand.join(sa, "__ida").join(sb, "__idb")
-    inter = F.size(F.array_intersect("__sa", "__sb"))
-    union = F.size("__sa") + F.size("__sb") - inter
+        sets = F.broadcast(sets)
+    pairs = (
+        cand.join(sets.alias("sa"), F.col("__ida") == F.col("sa.__id"))
+        .join(sets.alias("sb"), F.col("__idb") == F.col("sb.__id"))
+    )
+    inter = F.size(
+        F.array_intersect(F.col("sa.__shingles"), F.col("sb.__shingles"))
+    )
+    union = (
+        F.size(F.col("sa.__shingles")) + F.size(F.col("sb.__shingles")) - inter
+    )
     out = (
         pairs.select(
             F.col("__ida").alias("id_a"),

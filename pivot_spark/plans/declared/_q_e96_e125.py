@@ -364,7 +364,6 @@ FROM s, tri
 def e103_triangle_stats(spark, sf_dir):
     from pivot_spark.operators.components import triangle_stats
 
-    docs = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.4)
     return triangle_stats(pairs.select("id_a", "id_b"), "id_a", "id_b")
 
@@ -543,7 +542,6 @@ WITH sh AS (
 def e107_pagerank(spark, sf_dir):
     from pivot_spark.operators.components import pagerank
 
-    docs = _read(spark, sf_dir, "documents")
     pairs = _mined_pairs(spark, sf_dir, threshold=0.4)
     return pagerank(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
